@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** A named query with an optional DuckDB oracle.
+  *
+  * The driver contract (see /root/repo/SURVEY.md §7 and Verify.scala):
+  * `fn(spark, sfDir)` runs on the driver-provided parquet tables under
+  * `sfDir`; `oracle` is equivalent ANSI SQL that DuckDB executes on the
+  * same tables. Queries without an oracle get a weaker rows-only check.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** Headline benchmark query (run by Bench.scala at sf0.1). */
+    bench: Boolean = false
+)
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md). */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+}
+
+/** Cross-engine deterministic numeric helpers.
+  *
+  * Summing IEEE doubles is order-dependent, so a Spark shuffle-order sum
+  * and a DuckDB sequential sum can differ in the last ULP and break the
+  * driver's hash compare. We instead aggregate exact DECIMAL(18,2) values
+  * (order-independent) and cast the final result to double — both engines
+  * then produce bit-identical results. Mirrors SURVEY.md §7.4 risk #2/#3.
+  */
+object Exact {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Column cast to exact decimal for order-independent aggregation. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact sum surfaced as double (matches `CAST(SUM(CAST(x AS
+    * DECIMAL(18,2))) AS DOUBLE)` in the oracle).
+    */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+}

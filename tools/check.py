@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs each oracle SQL from oracle_sql.json in DuckDB against the same
+parquet tables, loads the Spark result parquet written by graft.Verify,
+and compares: row count, column names (sorted), and values.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize value representations
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                type(v).__name__ == "ndarray" else v)
+    return df
+
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b  # exact: we engineered queries to be bit-identical
+    return a == b
+
+
+def frames_equal(a: pd.DataFrame, b: pd.DataFrame, ordered: bool):
+    if list(a.columns) != list(b.columns):
+        return False, f"columns differ: {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"row count {len(a)} vs {len(b)}"
+    if not ordered:
+        key_cols = list(a.columns)
+        try:
+            a = a.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
+            b = b.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
+        except Exception:
+            a = a.iloc[a.astype(str).apply(tuple, axis=1).argsort()].reset_index(drop=True)
+            b = b.iloc[b.astype(str).apply(tuple, axis=1).argsort()].reset_index(drop=True)
+    for i in range(len(a)):
+        for c in a.columns:
+            if not cell_eq(a[c].iat[i], b[c].iat[i]):
+                return False, (f"row {i} col {c}: spark={a[c].iat[i]!r} "
+                               f"oracle={b[c].iat[i]!r}")
+    return True, "ok"
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = Path(out_dir) / name
+        if not res_dir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            spark_df = canon(pd.concat(
+                [pd.read_parquet(f) for f in sorted(res_dir.glob("*.parquet"))],
+                ignore_index=True))
+            duck_df = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: exec error {e}")
+            n_fail += 1
+            continue
+        ok_ord, msg_ord = frames_equal(spark_df, duck_df, ordered=True)
+        ok_uno, msg_uno = frames_equal(spark_df, duck_df, ordered=False)
+        if ok_ord:
+            print(f"PASS {name} ({len(spark_df)} rows, ordered)")
+            n_pass += 1
+        elif ok_uno:
+            print(f"PASS {name} ({len(spark_df)} rows, UNORDERED ONLY — "
+                  f"ordered mismatch: {msg_ord})")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg_uno}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
