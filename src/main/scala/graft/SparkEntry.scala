@@ -5,7 +5,8 @@ object SparkEntry {
   /** Full registry of implemented operators (SURVEY.md §2 + pipeline
     * extensions). Order is the §7.2 build order.
     */
-  def registry: Seq[Q] = ops.Relational.all
+  def registry: Seq[Q] =
+    ops.Relational.all ++ ops.TextOps.all ++ ops.Dedup.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

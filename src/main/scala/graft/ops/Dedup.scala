@@ -1,0 +1,234 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (builder-brief
+  * extension; the reference has no dedup surface, SURVEY.md §2 notes).
+  *
+  * Hash primitive is md5 (identical hex in Spark and DuckDB), so every
+  * stage — including MinHash signatures and LSH banding — is exactly
+  * reproducible by the oracle.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup groups by a 128-bit digest, not the full text, so the
+  *    shuffle carries 16-byte keys instead of documents;
+  *  - MinHash signatures are a pure per-row map (no shuffle); the only
+  *    shuffle is the band-bucket self-join, which is the LSH point: the
+  *    join key (band hash) has tiny cardinality per bucket;
+  *  - SimHash is likewise map-only per doc.
+  */
+object Dedup {
+
+  /** Character 4-gram multiset of `text` (positions 1..len-3). */
+  private def grams4(text: Column): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - 3, lit(1))),
+      i => text.substr(i, lit(4))
+    )
+
+  private val gramsSql =
+    "list_transform(range(1, greatest(length(text) - 3, 1) + 1), i -> substr(text, i, 4))"
+
+  /** One MinHash component: min over grams of md5 with salt `j`. */
+  private def minhash(grams: Column, j: Int): Column =
+    array_min(transform(grams, g => md5(concat(lit(s"$j|"), g))))
+
+  private def minhashSql(j: Int): String =
+    s"list_aggregate(list_transform(grams, g -> md5('$j|' || g)), 'min')"
+
+  private val nHashes = 8
+
+  /** Per-doc MinHash signature + 2 LSH bands (4 hashes per band). */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val withGrams =
+      Tables.documents(s, d).withColumn("grams", grams4(col("text")))
+    val sig = withGrams.select(
+      col("doc_id") +:
+        (0 until nHashes).map(j => minhash(col("grams"), j).as(s"h$j")): _*
+    )
+    sig.select(
+      col("doc_id") +:
+        (0 until nHashes).map(j => col(s"h$j")) :+
+        md5(concat_ws("|", (0 until 4).map(j => col(s"h$j")): _*)).as("b0") :+
+        md5(concat_ws("|", (4 until 8).map(j => col(s"h$j")): _*)).as("b1"): _*
+    )
+  }
+
+  private val signaturesSql: String = {
+    val hs = (0 until nHashes).map(j => s"${minhashSql(j)} AS h$j").mkString(",\n    ")
+    s"""WITH g AS (
+       |  SELECT doc_id, $gramsSql AS grams FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $hs
+       |  FROM g)
+       |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
+       |  md5(concat_ws('|', h0, h1, h2, h3)) AS b0,
+       |  md5(concat_ws('|', h4, h5, h6, h7)) AS b1
+       |FROM sig""".stripMargin
+  }
+
+  /** q_dedup_exact — exact dedup via content digest: group by md5(text),
+    * keep the smallest doc_id per group. The digest (not the document)
+    * is the shuffle key.
+    */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) =>
+      Tables
+        .documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+    Some(
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+    ),
+    bench = true
+  )
+
+  /** q_minhash_signature — per-doc 8-component MinHash signature over
+    * char 4-gram shingles, plus the 2 LSH band keys.
+    */
+  val qMinhashSignature = Q(
+    "q_minhash_signature",
+    (s, d) => signatures(s, d).orderBy("doc_id"),
+    Some(s"$signaturesSql ORDER BY doc_id"),
+    bench = true
+  )
+
+  /** q_minhash_lsh_pairs — LSH candidate pairs: docs sharing at least
+    * one band bucket. The band-bucket self-join is the only shuffle.
+    */
+  val qMinhashLshPairs = Q(
+    "q_minhash_lsh_pairs",
+    (s, d) => {
+      val sig = signatures(s, d)
+      val bands = sig
+        .select(col("doc_id"), lit(0).as("band"), col("b0").as("bv"))
+        .union(sig.select(col("doc_id"), lit(1).as("band"), col("b1").as("bv")))
+      bands
+        .as("x")
+        .join(
+          bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id")
+        )
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      s"""WITH sigs AS ($signaturesSql),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, b0 AS bv FROM sigs
+         |  UNION ALL SELECT doc_id, 1 AS band, b1 AS bv FROM sigs)
+         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
+  /** q_simhash — 16-bit SimHash over char 4-grams: bit k is the sign of
+    * the gram-count-weighted ±1 vote taken from hex digit k of each
+    * gram's md5. Near-dups differ in few bits (Hamming distance).
+    */
+  val qSimhash = Q(
+    "q_simhash",
+    (s, d) => {
+      val bits = (1 to 16).map { k =>
+        val vote = aggregate(
+          col("grams"),
+          lit(0),
+          (acc, g) =>
+            acc + when(substring(md5(g), k, 1) >= "8", 1).otherwise(-1)
+        )
+        when(vote > 0, "1").otherwise("0")
+      }
+      Tables
+        .documents(s, d)
+        .withColumn("grams", grams4(col("text")))
+        .select(col("doc_id"), concat(bits: _*).as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val bits = (1 to 16)
+        .map(k =>
+          s"""CASE WHEN list_sum(list_transform(grams,
+             |    g -> CASE WHEN substr(md5(g), $k, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+             |  THEN '1' ELSE '0' END""".stripMargin
+        )
+        .mkString(" || ")
+      s"""WITH g AS (SELECT doc_id, $gramsSql AS grams FROM documents)
+         |SELECT doc_id, $bits AS simhash FROM g ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  /** q_ngram_jaccard — exact 3-gram-set Jaccard similarity for candidate
+    * pairs (docs 0..15): explode distinct grams, self-join on gram,
+    * count intersections, derive |A∪B| = |A|+|B|−|A∩B|. Pairs with an
+    * empty intersection are (intentionally) absent. At scale this runs
+    * on LSH candidates, never all pairs.
+    */
+  val qNgramJaccard = Q(
+    "q_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 16)
+      val grams3 = array_distinct(
+        transform(
+          sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+          i => col("text").substr(i, lit(3))
+        )
+      )
+      val g = docs.select(col("doc_id"), explode(grams3).as("g"))
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("s"))
+      val inter = g
+        .as("a")
+        .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(
+          col("id_a"),
+          col("id_b"),
+          col("n_inter"),
+          (col("sa.s") + col("sb.s") - col("n_inter")).as("n_union"),
+          (col("n_inter").cast("double") /
+            (col("sa.s") + col("sb.s") - col("n_inter"))).as("jaccard")
+        )
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 2, 1) + 1),
+        |    i -> substr(text, i, 3)))) AS g
+        |  FROM documents WHERE doc_id < 16),
+        |sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter, sa.s + sb.s - n_inter AS n_union,
+        |  CAST(n_inter AS DOUBLE) / (sa.s + sb.s - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(
+    qDedupExact,
+    qMinhashSignature,
+    qMinhashLshPairs,
+    qSimhash,
+    qNgramJaccard
+  )
+}

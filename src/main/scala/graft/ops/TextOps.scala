@@ -1,0 +1,206 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (builder-brief extension beyond the reference; SURVEY.md §2 notes).
+  *
+  * All ops run on the `documents` table and are engineered so the exact
+  * same arithmetic is expressible in DuckDB for the oracle: counting via
+  * regex/list operations, single-division ratios (deterministic IEEE),
+  * and md5 (identical hex in both engines) as the only hash primitive.
+  *
+  * Scale notes (100 TB): every op here is a narrow per-row map — no
+  * shuffle at all. They pipeline inside whole-stage codegen over the
+  * parquet scan, so throughput is scan-bound; at cluster scale they
+  * parallelize embarrassingly per file split.
+  */
+object TextOps {
+
+  /** Non-empty whitespace-separated tokens of `c`. */
+  private def wsTokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  /** q_token_count — whitespace tokenization + BPE-ish size estimate
+    * (`ceil(chars/4)`, the usual subword-token rule of thumb).
+    */
+  val qTokenCount = Q(
+    "q_token_count",
+    (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          size(wsTokens(col("text"))).as("n_tokens"),
+          ceil(length(col("text")) / lit(4.0)).cast("int").as("n_bpe_est"),
+          length(col("text")).as("n_chars_m")
+        )
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS INT) AS n_bpe_est,
+        |  CAST(length(text) AS INT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ),
+    bench = true
+  )
+
+  /** q_quality_score — document-quality heuristics: alphabetic ratio,
+    * whitespace ratio, stopword ratio, length saturation; combined into
+    * one weighted score. Ratios are a single division of exact ints so
+    * both engines produce bit-identical doubles.
+    */
+  val qQualityScore = Q(
+    "q_quality_score",
+    (s, d) => {
+      val text  = col("text")
+      val n     = greatest(length(text), lit(1))
+      val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+      val ws    = length(regexp_replace(text, "[^ \\t\\n]", ""))
+      val toks  = wsTokens(text)
+      val stops = size(
+        filter(toks, t => t.isin("the", "a", "and", "of", "to", "in"))
+      )
+      val alphaRatio = alpha.cast("double") / n
+      val wsRatio    = ws.cast("double") / n
+      val stopRatio  = stops.cast("double") / greatest(size(toks), lit(1))
+      val lenSat     = least(lit(1.0), length(text).cast("double") / lit(500.0))
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          alphaRatio.as("alpha_ratio"),
+          wsRatio.as("ws_ratio"),
+          stopRatio.as("stop_ratio"),
+          lenSat.as("len_sat"),
+          (alphaRatio * lit(0.4) + (lit(1.0) - wsRatio) * lit(0.2) +
+            stopRatio * lit(0.2) + lenSat * lit(0.2)).as("quality")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS alpha_ratio,
+        |    CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS ws_ratio,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |           t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |      / greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |           t -> t <> '')), 1) AS stop_ratio,
+        |    least(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS len_sat
+        |  FROM documents)
+        |SELECT doc_id, alpha_ratio, ws_ratio, stop_ratio, len_sat,
+        |  alpha_ratio * 0.4 + (1.0 - ws_ratio) * 0.2 + stop_ratio * 0.2
+        |    + len_sat * 0.2 AS quality
+        |FROM q ORDER BY doc_id""".stripMargin
+    ),
+    bench = true
+  )
+
+  /** Stopword profiles for the language-ID heuristic. Real-world lists;
+    * on the synthetic corpus most docs score as 'en', which is fine —
+    * the op's contract is the deterministic heuristic, oracle-mirrored.
+    */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "y", "los", "que")
+  )
+
+  /** q_lang_id — stopword-frequency language ID with a CJK-character
+    * ratio shortcut for zh. Ties broken by the fixed profile order.
+    */
+  val qLangId = Q(
+    "q_lang_id",
+    (s, d) => {
+      val toks   = wsTokens(col("text"))
+      val nTok   = greatest(size(toks), lit(1))
+      val scores = langStops.map { case (lang, stops) =>
+        lang -> (size(filter(toks, t => t.isin(stops: _*))).cast("double") / nTok)
+      }
+      // \x{...} escapes: the form RE2 (DuckDB) and Java regex share
+      val cjk = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", ""))
+        .cast("double") / greatest(length(col("text")), lit(1))
+      // argmax with fixed tie-break order (en, de, fr, es), zh shortcut
+      val best = scores.tail.foldLeft(
+        (scores.head._2, lit(scores.head._1))
+      ) { case ((bestScore, bestLang), (lang, score)) =>
+        (
+          when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang)
+        )
+      }
+      val pred = when(cjk > 0.3, "zh").otherwise(best._2)
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id") +: col("lang") +: pred.as("predicted") +:
+            scores.map { case (l, sc) => sc.as(s"score_$l") }: _*
+        )
+        .orderBy("doc_id")
+    },
+    Some {
+      val toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+      val scoreDefs = langStops
+        .map { case (lang, stops) =>
+          val set = stops.map(w => s"'$w'").mkString(",")
+          s"""CAST(len(list_filter($toks, t -> t IN ($set))) AS DOUBLE)
+             |      / greatest(len($toks), 1) AS score_$lang""".stripMargin
+        }
+        .mkString(",\n    ")
+      // mirror of the fold: strict > keeps the earlier lang on ties
+      val arg = langStops.map(_._1).tail.foldLeft("'" + langStops.head._1 + "'") {
+        case (acc, lang) =>
+          val better = langStops
+            .map(_._1)
+            .takeWhile(_ != lang)
+            .map(prev => s"score_$lang > score_$prev")
+            .mkString(" AND ")
+          s"CASE WHEN $better THEN '$lang' ELSE $acc END"
+      }
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    $scoreDefs,
+         |    CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS cjk
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN cjk > 0.3 THEN 'zh' ELSE $arg END AS predicted,
+         |  score_en, score_de, score_fr, score_es
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  /** q_fingerprint — winnowing-style document fingerprint: md5 over
+    * sliding 32-char windows (step 8), keep the lexicographic minimum.
+    * Robust to small edits away from the minimal window; the standard
+    * rolling-hash fingerprint for near-dup detection at corpus scale.
+    */
+  val qFingerprint = Q(
+    "q_fingerprint",
+    (s, d) => {
+      val starts =
+        sequence(lit(1), greatest(length(col("text")) - 31, lit(1)), lit(8))
+      val fp = array_min(transform(starts, i => md5(col("text").substr(i, lit(32)))))
+      Tables
+        .documents(s, d)
+        .select(col("doc_id"), fp.as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  list_aggregate(list_transform(
+        |    range(1, greatest(length(text) - 31, 1) + 1, 8),
+        |    i -> md5(substr(text, i, 32))), 'min') AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qTokenCount, qQualityScore, qLangId, qFingerprint)
+}
