@@ -29,7 +29,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright. Read it as a raw nanosecond long (legacy conf), exposing
+    * the file's physical schema — streaming readers need this form.
+    */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+  }
+
+  /** events with ts converted to a microsecond TimestampType — the same
+    * ns→µs truncation DuckDB applies when it reads the file, so oracle
+    * comparisons line up exactly.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    eventsRaw(s, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")

@@ -6,7 +6,8 @@ object SparkEntry {
     * extensions). Order is the §7.2 build order.
     */
   def registry: Seq[Q] =
-    ops.Relational.all ++ ops.TextOps.all ++ ops.Dedup.all
+    ops.Relational.all ++ ops.TextOps.all ++ ops.Dedup.all ++
+      ops.Similarity.all ++ ops.Analytics.all ++ ops.StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,241 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (builder-brief
+  * extension: ANN for a training-data pipeline).
+  *
+  * Cross-engine determinism: float dot products are order-sensitive, so
+  * vectors are quantized to 1e-6 integer units (`floor(x*1e6 + 0.5)` —
+  * floor, not round, because round() is HALF_UP in Spark but banker's
+  * in DuckDB). Dots and norms are then exact BIGINT sums; only the final
+  * cosine division happens in double, identically in both engines.
+  *
+  * Scale design (100 TB): brute-force KNN is a broadcast of the (small)
+  * query set against a corpus scan — one pass, no corpus shuffle, per-
+  * partition top-k via the window rank. The LSH variant buckets the
+  * corpus by sign bits so each query probes 1/16th of the data; the
+  * bucket id is a scan-pushable join key. IVF assignment broadcasts the
+  * (tiny) centroid table against the corpus scan.
+  */
+object Similarity {
+
+  /** Quantize a float vector to exact 1e-6 integer units. */
+  private def qvec(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  private val qvecSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def dotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** DuckDB mirror of [[dotq]] via index lists (1-based like Spark). */
+  private def dotqSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** cosine from exact integer dot + norms; double math is identical
+    * across engines because all inputs are exact.
+    */
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+
+  /** q_cosine_knn — brute-force exact top-5 cosine neighbors for query
+    * vectors (vec_id < 8) against the rest of the corpus.
+    */
+  val qCosineKnn = Q(
+    "q_cosine_knn",
+    (s, d) => {
+      val e = Tables
+        .embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+      val queries = e
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("qv").as("quv"), col("nq").as("qn"))
+      val corpus = e.filter(col("vec_id") >= 8)
+      val scored = corpus
+        .join(broadcast(queries))
+        .select(
+          col("qid"),
+          col("vec_id").as("neighbor_id"),
+          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq")).as("cos_sim")
+        )
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 5)
+        .select("qid", "nrank", "neighbor_id", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, qv, ${dotqSql("qv", "qv")} AS nq FROM e),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         |    CAST(${dotqSql("q.qv", "c.qv")} AS DOUBLE)
+         |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos_sim
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id >= 8),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+         |  FROM scored)
+         |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, cos_sim
+         |FROM ranked WHERE nrank <= 5 ORDER BY qid, nrank""".stripMargin
+    ),
+    bench = true
+  )
+
+  /** Sign-bit LSH bucket over the first 4 dimensions (16 buckets). */
+  private def signBucket(v: Column): Column =
+    concat((1 to 4).map(i =>
+      when(element_at(v, i) > 0f, "1").otherwise("0")
+    ): _*)
+
+  private val signBucketSql = (1 to 4)
+    .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
+    .mkString(" || ")
+
+  /** q_ann_lsh — approximate NN: probe only the query's sign-LSH bucket
+    * (the 100 TB path: each query scans 1/16th of the corpus).
+    */
+  val qAnnLsh = Q(
+    "q_ann_lsh",
+    (s, d) => {
+      val e = Tables
+        .embeddings(s, d)
+        .select(
+          col("vec_id"),
+          signBucket(col("embedding")).as("bucket"),
+          qvec(col("embedding")).as("qv")
+        )
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+      val queries = e
+        .filter(col("vec_id") < 8)
+        .select(
+          col("vec_id").as("qid"),
+          col("bucket").as("qbucket"),
+          col("qv").as("quv"),
+          col("nq").as("qn")
+        )
+      val scored = e
+        .filter(col("vec_id") >= 8)
+        .join(broadcast(queries), col("bucket") === col("qbucket"))
+        .select(
+          col("qid"),
+          col("bucket"),
+          col("vec_id").as("neighbor_id"),
+          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq")).as("cos_sim")
+        )
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 3)
+        .select("qid", "bucket", "nrank", "neighbor_id", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, $signBucketSql AS bucket, $qvecSql AS qv
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, bucket, qv, ${dotqSql("qv", "qv")} AS nq FROM e),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.bucket AS bucket, c.vec_id AS neighbor_id,
+         |    CAST(${dotqSql("q.qv", "c.qv")} AS DOUBLE)
+         |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos_sim
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id >= 8
+         |    AND q.bucket = c.bucket),
+         |ranked AS (
+         |  SELECT qid, bucket, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+         |  FROM scored)
+         |SELECT qid, bucket, CAST(nrank AS INT) AS nrank, neighbor_id, cos_sim
+         |FROM ranked WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+    )
+  )
+
+  /** q_ivf_assign — IVF coarse assignment: per-label centroids (the
+    * stand-in coarse quantizer), every vector assigned to its nearest
+    * centroid by cosine. Centroids quantized to exact ints so the whole
+    * computation stays cross-engine exact.
+    */
+  val qIvfAssign = Q(
+    "q_ivf_assign",
+    (s, d) => {
+      val e = Tables
+        .embeddings(s, d)
+        .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qv"))
+      val pos = e.select(
+        col("vec_id"),
+        col("label"),
+        posexplode(col("qv")).as(Seq("pos", "q"))
+      )
+      // per-label centroid, re-quantized to 1e-6 integer units
+      val cent = pos
+        .groupBy("label", "pos")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .select(
+          col("label").as("cid"),
+          col("pos"),
+          floor(col("sq").cast("double") / col("n") + lit(0.5)).cast("long").as("cq")
+        )
+      val nv = pos.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nv"))
+      val nc = cent.groupBy("cid").agg(sum(col("cq") * col("cq")).as("nc"))
+      val dots = pos
+        .join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "label", "cid")
+        .agg(sum(col("q") * col("cq")).as("dot"))
+      val scored = dots
+        .join(nv, Seq("vec_id"))
+        .join(broadcast(nc), Seq("cid"))
+        .select(
+          col("vec_id"),
+          col("label"),
+          col("cid"),
+          cosine(col("dot"), col("nv"), col("nc")).as("cos_sim")
+        )
+      val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("cid").asc)
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("cid").as("assigned_cid"), col("cos_sim"))
+        .orderBy("vec_id")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $qvecSql AS qv FROM embeddings),
+         |pos AS (
+         |  SELECT vec_id, label, CAST(i - 1 AS INT) AS pos, qv[i] AS q
+         |  FROM e, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) r),
+         |cent AS (
+         |  SELECT label AS cid, pos,
+         |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cq
+         |  FROM pos GROUP BY label, pos),
+         |nv AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nv FROM pos GROUP BY vec_id),
+         |nc AS (SELECT cid, CAST(sum(cq * cq) AS BIGINT) AS nc FROM cent GROUP BY cid),
+         |dots AS (
+         |  SELECT p.vec_id, p.label, c.cid, CAST(sum(p.q * c.cq) AS BIGINT) AS dot
+         |  FROM pos p JOIN cent c ON p.pos = c.pos
+         |  GROUP BY p.vec_id, p.label, c.cid),
+         |scored AS (
+         |  SELECT d.vec_id, d.label, d.cid,
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nv.nv AS DOUBLE) * CAST(nc.nc AS DOUBLE)) AS cos_sim
+         |  FROM dots d JOIN nv ON d.vec_id = nv.vec_id JOIN nc ON d.cid = nc.cid),
+         |ranked AS (
+         |  SELECT vec_id, label, cid, cos_sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid ASC) AS rn
+         |  FROM scored)
+         |SELECT vec_id, label, cid AS assigned_cid, cos_sim
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qCosineKnn, qAnnLsh, qIvfAssign)
+}

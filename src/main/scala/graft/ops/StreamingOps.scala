@@ -1,0 +1,126 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (builder-brief extension; the reference
+  * is batch-only, SURVEY.md §1.1).
+  *
+  * The streaming query runs synchronously over the events parquet (one
+  * micro-batch via processAllAvailable) into a memory sink, then the
+  * materialized result is returned as a plain DataFrame — so the same
+  * windowed aggregation is verifiable against a batch DuckDB oracle
+  * (`date_trunc('day')` ≡ tumbling 1-day window start, epoch-aligned in
+  * UTC).
+  *
+  * Scale notes: in production this is `readStream` from a stream source
+  * with a watermark bounding state; the tumbling-window group-by shuffles
+  * by (window, event_type) exactly like a batch group-by, and state per
+  * window is O(distinct keys), not O(events).
+  */
+object StreamingOps {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** q_stream_window — tumbling 1-day window counts + exact value sums
+    * per event_type, computed by a real streaming query (memory sink,
+    * complete mode).
+    */
+  val qStreamWindow = Q(
+    "q_stream_window",
+    (s, d) => {
+      val rawSchema = Tables.eventsRaw(s, d).schema
+      val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
+      // FileStreamSource needs a directory; glob-filter to the one table
+      val stream = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(Exact.dec(col("value"))).cast("double").as("total_value")
+        )
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qn)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      s.table(qn)
+        .select(
+          col("window.start").as("day"),
+          col("event_type"),
+          col("n"),
+          col("total_value")
+        )
+        .orderBy("day", "event_type")
+    },
+    Some(
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+    )
+  )
+
+  /** q_sessionize — gap-based sessionization (30-minute inactivity
+    * splits a session), the batch formulation: a session id is the
+    * running count of gap-breaks per user. The streaming formulation of
+    * the same semantics lives in
+    * `flatMapGroupsWithState` (see StreamingSpec); this batch form is
+    * the oracle-checkable contract.
+    */
+  val qSessionize = Q(
+    "q_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w  = Window.partitionBy("user_id").orderBy("event_id")
+      val ev = Tables.events(s, d)
+      val withBreak = ev.select(
+        col("user_id"),
+        col("event_id"),
+        col("ts"),
+        // microsecond epochs: both engines store µs, so the gap compare
+        // is exact (second-truncating unix_timestamp would not be)
+        when(
+          unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L,
+          1
+        ).otherwise(0).as("brk")
+      )
+      withBreak
+        .select(
+          col("user_id"),
+          col("event_id"),
+          sum(col("brk"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("int")
+            .as("session_id")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    },
+    Some(
+      """WITH brk AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+        |  FROM brk)
+        |SELECT user_id, session_id, count(*) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qStreamWindow, qSessionize)
+}
