@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.Q
+import graft.source.{Mailbox, MailboxGen}
+import org.apache.spark.sql.functions._
+
+/** Connector-backed queries wired into the driver contract: the
+  * reference's own README/test queries (SURVEY.md §2 Tier B on mailbox
+  * data) running through the mailbox DSv2 source, with DuckDB oracles
+  * reading the same committed JSONL fixtures via read_json_auto.
+  *
+  * The fixtures live in-repo (fixtures/mailbox/, regenerable with
+  * `runMain graft.source.MailboxGen`), so these queries are independent
+  * of the sfDir parameter — the mailbox is the dataset under test.
+  */
+object MailboxQueries {
+
+  private val fixtureDir = "/root/repo/fixtures/mailbox"
+  private val unittest   = s"$fixtureDir/unittest.mbx"
+  private val glob       = s"$fixtureDir/*.mbx"
+
+  private def jsonSrc(path: String): String =
+    s"read_json_auto('$path', format='newline_delimited')"
+
+  /** Regenerate fixtures if missing (first run on a fresh checkout). */
+  private def ensureFixtures(): Unit = {
+    val dir = new java.io.File(fixtureDir)
+    if (!new java.io.File(dir, "unittest.mbx").exists())
+      MailboxGen.writeFixtures(dir)
+  }
+
+  /** Folder count via the stats-backed count path (README.md:11-19). */
+  val qMailboxCount = Q(
+    "q_mailbox_count",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox.folders(s, unittest).agg(count(lit(1)).as("cnt"))
+    },
+    Some(s"SELECT count(*) AS cnt FROM ${jsonSrc(unittest)} WHERE record_type = 'folder'")
+  )
+
+  /** The reference README flagship: message-class histogram over a
+    * multi-file glob (README.md:25-37).
+    */
+  val qMailboxClassHistogram = Q(
+    "q_mailbox_class_histogram",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .messages(s, glob)
+        .groupBy("message_class")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("message_class").asc)
+    },
+    Some(
+      s"""SELECT message_class, count(*) AS c FROM ${jsonSrc(glob)}
+         |WHERE record_type = 'message'
+         |GROUP BY message_class ORDER BY c DESC, message_class ASC""".stripMargin
+    )
+  )
+
+  /** Folder-tree descendants walk (README.md:402-440): the recursive CTE
+    * as an iterative frontier loop, guarded against the root self-loop
+    * 290→290.
+    */
+  val qMailboxFolderTree = Q(
+    "q_mailbox_folder_tree",
+    (s, _) => {
+      ensureFixtures()
+      val tree = Mailbox
+        .folders(s, unittest)
+        .select(col("node_id"), col("parent_node_id"))
+        .localCheckpoint()
+      var result   = tree.filter(col("node_id") === 290L)
+        .select(col("node_id"), lit(0).as("depth"))
+      var frontier = result
+      var done     = false
+      while (!done) {
+        val next = tree
+          .as("t")
+          .join(
+            broadcast(frontier.select(col("node_id").as("fnode"), col("depth"))),
+            col("t.parent_node_id") === col("fnode")
+          )
+          .filter(col("t.node_id") =!= col("t.parent_node_id"))
+          .select(col("t.node_id").as("node_id"), (col("depth") + 1).as("depth"))
+          .localCheckpoint()
+        if (next.isEmpty) done = true
+        else { result = result.union(next); frontier = next }
+      }
+      result.orderBy("node_id")
+    },
+    Some(
+      s"""WITH RECURSIVE f AS (
+         |  SELECT node_id, parent_node_id FROM ${jsonSrc(unittest)}
+         |  WHERE record_type = 'folder'
+         |), walk AS (
+         |  SELECT node_id, 0 AS depth FROM f WHERE node_id = 290
+         |  UNION ALL
+         |  SELECT f.node_id, w.depth + 1 FROM f
+         |  JOIN walk w ON f.parent_node_id = w.node_id
+         |  WHERE f.node_id <> f.parent_node_id
+         |)
+         |SELECT node_id, depth FROM walk ORDER BY node_id""".stripMargin
+    )
+  )
+
+  /** Late materialization (A10): filter+sort+limit over one narrow
+    * column, then row-id re-join — surfaced as the narrow result
+    * (query_optimizations.test:49-53).
+    */
+  val qMailboxLateMat = Q(
+    "q_mailbox_latemat",
+    (s, _) => {
+      ensureFixtures()
+      LateMaterialization
+        .filterSortLimit(s, unittest, "messages", "subject",
+          c => c.like("Test mail%"), 2)
+        .select(col("node_id"), col("subject"))
+    },
+    Some(
+      s"""SELECT node_id, subject FROM ${jsonSrc(unittest)}
+         |WHERE record_type = 'message' AND subject LIKE 'Test mail%'
+         |ORDER BY subject LIMIT 2""".stripMargin
+    )
+  )
+
+  /** Nested navigation on connector data: unnest the distribution list's
+    * one-off members (read_unittest_pst.test:65-69).
+    */
+  val qMailboxDlistMembers = Q(
+    "q_mailbox_dlist_members",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .distributionLists(s, unittest)
+        .select(col("node_id"), explode(col("one_off_members")).as("m"))
+        .select(
+          col("node_id"),
+          col("m.display_name").as("member_name"),
+          col("m.email_address").as("member_email")
+        )
+        .orderBy("member_name")
+    },
+    Some(
+      s"""SELECT node_id, m.display_name AS member_name,
+         |  m.email_address AS member_email
+         |FROM (
+         |  SELECT node_id, unnest(one_off_members) AS m
+         |  FROM ${jsonSrc(unittest)}
+         |  WHERE record_type = 'message' AND message_class = 'IPM.DistList') t
+         |ORDER BY member_name""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(
+    qMailboxCount,
+    qMailboxClassHistogram,
+    qMailboxFolderTree,
+    qMailboxLateMat,
+    qMailboxDlistMembers
+  )
+}
