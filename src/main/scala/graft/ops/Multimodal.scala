@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (builder-brief extension): image/audio/
+  * video as opaque binary columns with typed metadata, decode/feature-
+  * extraction behind a pluggable stub.
+  *
+  * The container has no media libraries, so the decode step is a
+  * deterministic fake ([[StubMediaDecoder]]) — but the Spark-side
+  * plumbing is real: a binary payload column, a typed metadata struct,
+  * batch-shaped `mapPartitions` feature extraction over a case-class
+  * Dataset, and partition-friendly schemas. Swap the decoder trait for
+  * a real JNI/FFmpeg/PIL-backed implementation at deployment.
+  *
+  * Oracle strategy: DuckDB's md5 only accepts VARCHAR, so every value
+  * the oracle compares is derived from the text payload; Spark routes
+  * the same bytes through the BinaryType column to prove the plumbing.
+  *
+  * Scale notes: feature extraction is map-only (no shuffle); payload
+  * bytes stay columnar in parquet and are pruned unless projected;
+  * `mapPartitions` amortizes decoder initialization per task exactly
+  * like a Pandas-UDF batch would.
+  */
+object Multimodal {
+
+  /** One media asset: payload + typed metadata. */
+  final case class MediaAsset(
+      doc_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      n_bytes: Long)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      checksum: String,
+      feature: Double)
+
+  /** Pluggable decode/feature step — the production impl would wrap a
+    * real codec; tests and queries use the deterministic stub.
+    */
+  trait MediaDecoder extends Serializable {
+    def features(asset: MediaAsset): MediaFeatures
+  }
+
+  /** Deterministic fake decoder: checksum = md5 of the payload text,
+    * feature = byte-sum scaled. Everything derivable by the oracle.
+    */
+  object StubMediaDecoder extends MediaDecoder {
+    override def features(a: MediaAsset): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val checksum = md.digest(a.payload)
+        .map(b => f"${b & 0xff}%02x").mkString
+      var s = 0L
+      a.payload.foreach(b => s += (b & 0xff))
+      MediaFeatures(a.doc_id, a.media_type, a.n_bytes, checksum,
+        s.toDouble / math.max(a.n_bytes, 1L))
+    }
+  }
+
+  /** documents → media assets: the text payload as opaque bytes plus
+    * deterministic typed metadata (the "ingest" step of a media table).
+    */
+  def assets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+        ).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (lit(64) + pmod(col("n_chars"), lit(1024))).cast("int").as("width"),
+        (lit(64) + pmod(col("n_chars") * 7, lit(768))).cast("int").as("height"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")
+      )
+      .as[MediaAsset]
+  }
+
+  /** q_media_metadata — ingest + metadata projection (no decode):
+    * payload stays opaque; metadata and checksum are scan-side columns.
+    */
+  val qMediaMetadata = Q(
+    "q_media_metadata",
+    (s, d) =>
+      assets(s, d).toDF()
+        .select(
+          col("doc_id"),
+          col("media_type"),
+          col("width"),
+          col("height"),
+          col("n_bytes"),
+          md5(col("payload")).as("checksum")
+        )
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CAST(64 + n_chars % 1024 AS INT) AS width,
+        |  CAST(64 + (n_chars * 7) % 768 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_media_features — the decode/feature-extract step: typed Dataset
+    * `mapPartitions` through the pluggable decoder (stubbed), batch per
+    * partition.
+    */
+  val qMediaFeatures = Q(
+    "q_media_features",
+    (s, d) => {
+      import s.implicits._
+      assets(s, d)
+        .mapPartitions { it =>
+          val dec = StubMediaDecoder // per-task decoder init
+          it.map(dec.features)
+        }
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    md5(text) AS checksum,
+        |    list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> unicode(substr(text, i, 1)))) AS bytesum
+        |  FROM documents)
+        |SELECT doc_id, media_type, n_bytes, checksum,
+        |  CAST(bytesum AS DOUBLE) / greatest(n_bytes, 1) AS feature
+        |FROM b ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_media_frames — frame sampling of a "video" payload: fixed-stride
+    * 64-byte frames, each fingerprinted; the shuffle-free map shape of
+    * video preprocessing at scale.
+    */
+  val qMediaFrames = Q(
+    "q_media_frames",
+    (s, d) => {
+      // ceil(len/64) frames at stride 64, mirroring the oracle exactly
+      val nFrames = greatest(ceil(length(col("text")) / lit(64.0)), lit(1L))
+      val frames = transform(
+        sequence(lit(1L), nFrames),
+        i => md5(col("text").substr(((i - 1) * 64 + 1).cast("int"), lit(64)))
+      )
+      Tables
+        .documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 2) // the "video" assets
+        .select(col("doc_id"), posexplode(frames).as(Seq("frame_no", "frame_sig")))
+        .orderBy("doc_id", "frame_no")
+    },
+    Some(
+      """SELECT doc_id, CAST(i - 1 AS INT) AS frame_no,
+        |  md5(substr(text, CAST((i - 1) * 64 + 1 AS INT), 64)) AS frame_sig
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(1,
+        |    greatest((length(text) + 63) // 64, 1) + 1)) AS i) r
+        |WHERE doc_id % 3 = 2
+        |ORDER BY doc_id, frame_no""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qMediaMetadata, qMediaFeatures, qMediaFrames)
+}
