@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY.md §4 "custom but optional"
+  * items, done properly): native codegen'd scalar functions, not UDFs —
+  * they stay inside whole-stage codegen so the hot path never boxes.
+  */
+
+/** Windows FILETIME (100 ns ticks since 1601-01-01) → TimestampType.
+  *
+  * The reference's serializer conversion (row_serializer.cpp:44-47,
+  * `filetime_to_time_t`), lifted to an expression: the reference
+  * truncates to seconds (TIMESTAMP_S); we keep microseconds and let
+  * callers `date_trunc` when second precision is wanted.
+  */
+case class FiletimeToTimestamp(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TimestampType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"filetime_to_timestamp needs BIGINT, got ${child.dataType.sql}")
+
+  /** 1601-01-01 → 1970-01-01 in microseconds. */
+  private val epochShiftMicros = 11644473600000000L
+
+  override def nullSafeEval(v: Any): Any =
+    v.asInstanceOf[Long] / 10L - epochShiftMicros
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"($c / 10L - ${epochShiftMicros}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Hamming distance between two equal-length strings (e.g. SimHash bit
+  * strings): the near-dup distance primitive, codegen'd.
+  * Unequal lengths yield -1 (callers treat as "not comparable").
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "hamming_distance needs (STRING, STRING)")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].toString
+    val b = r.asInstanceOf[UTF8String].toString
+    if (a.length != b.length) -1
+    else {
+      var d = 0
+      var i = 0
+      while (i < a.length) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+      d
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val sa = ctx.freshName("sa")
+      val sb = ctx.freshName("sb")
+      val i  = ctx.freshName("i")
+      val d  = ctx.freshName("d")
+      s"""
+         |String $sa = $a.toString();
+         |String $sb = $b.toString();
+         |if ($sa.length() != $sb.length()) {
+         |  ${ev.value} = -1;
+         |} else {
+         |  int $d = 0;
+         |  for (int $i = 0; $i < $sa.length(); $i++) {
+         |    if ($sa.charAt($i) != $sb.charAt($i)) $d++;
+         |  }
+         |  ${ev.value} = $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Column-API and SQL-registry surface for the custom expressions. */
+object GraftFunctions {
+
+  def filetime_to_timestamp(c: Column): Column =
+    ColumnBridge.column(FiletimeToTimestamp(ColumnBridge.expression(c)))
+
+  def hamming_distance(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Register `filetime_to_timestamp` / `hamming_distance` for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "filetime_to_timestamp",
+      exprs => FiletimeToTimestamp(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "hamming_distance",
+      exprs => HammingDistance(exprs.head, exprs(1)),
+      "built-in")
+  }
+}

@@ -22,13 +22,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Character 4-gram multiset of `text` (positions 1..len-3). */
-  private def grams4(text: Column): Column =
+  private[ops] def grams4(text: Column): Column =
     transform(
       sequence(lit(1), greatest(length(text) - 3, lit(1))),
       i => text.substr(i, lit(4))
     )
 
-  private val gramsSql =
+  private[ops] val gramsSql =
     "list_transform(range(1, greatest(length(text) - 3, 1) + 1), i -> substr(text, i, 4))"
 
   /** One MinHash component: min over grams of md5 with salt `j`. */

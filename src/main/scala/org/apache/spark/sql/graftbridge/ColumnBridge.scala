@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public Column(Expression) constructor; the
+  * supported conversion lives in `private[sql]` ExpressionUtils. This
+  * bridge (in a subpackage of org.apache.spark.sql, so the accessor is
+  * visible) is the single crossing point for graft's custom expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column     = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Property tests for the custom codegen'd expressions (an upgrade over
+  * the reference's golden-only testing, SURVEY.md §5).
+  */
+class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[2]")
+    .appName("expr-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private val shift = 11644473600000000L
+
+  test("filetime_to_timestamp roundtrips arbitrary microsecond instants") {
+    import spark.implicits._
+    // sane instant range: 1700-01-01 .. 2500-01-01 in micros
+    val gen     = Gen.choose(-8520336000000000L, 16725225600000000L)
+    val samples = (0 until 100).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+    val got = samples.map(m => (m + shift) * 10L).toDF("ft")
+      .select(GraftFunctions.filetime_to_timestamp(col("ft")).as("ts"))
+      .select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === samples)
+  }
+
+  test("hamming_distance: zero, symmetric, length mismatch = -1") {
+    import spark.implicits._
+    val df = Seq(
+      ("0101", "0101"), ("0101", "1010"), ("abc", "abd"), ("ab", "abc")
+    ).toDF("a", "b")
+      .select(GraftFunctions.hamming_distance(col("a"), col("b")).as("d"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(0, 4, 1, -1))
+  }
+
+  test("expressions are SQL-registered and codegen survives wholestage") {
+    GraftFunctions.register(spark)
+    val row = spark
+      .sql(s"""SELECT hamming_distance('1100', '1001') AS d,
+              |  unix_micros(filetime_to_timestamp(${shift * 10L})) AS e
+              |FROM range(1)""".stripMargin)
+      .collect()(0)
+    assert(row.getInt(0) === 2)
+    assert(row.getLong(1) === 0L) // 1970 epoch
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B20 — plan-shape assertions (the Spark analog of the reference's
+  * EXPLAIN regex tests, query_optimizations.test:14-53) plus a smoke
+  * run of every registered query at sf0.001.
+  */
+class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_project pushes the projection into the parquet scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"),
+      "unprojected columns leaked into the scan")
+  }
+
+  test("q_filter_predicates pushes filters to the parquet reader") {
+    val p = plan("q_filter_predicates")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull") || p.contains("EqualTo"), p)
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_join_dims broadcasts the dimension tables") {
+    val p = plan("q_join_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "fact table should not shuffle")
+  }
+
+  test("q_groupby_agg uses partial (map-side) aggregation") {
+    val p = plan("q_groupby_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), "expected a partial aggregate before the exchange")
+  }
+
+  test("q_count_star answers from parquet statistics (no full scan)") {
+    val p = plan("q_count_star")
+    // Spark's parquet count(*) path reads footer metadata only
+    assert(p.contains("HashAggregate") || p.contains("LocalTableScan"), p)
+    assert(!p.contains("l_quantity"), "count(*) should not read data columns")
+  }
+
+  test("every registered query executes at sf0.001") {
+    val failures = SparkEntry.registry.flatMap { q =>
+      try { q.fn(spark, sf).collect(); None }
+      catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry() returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
