@@ -31,39 +31,90 @@ object Dedup {
   private[ops] val gramsSql =
     "list_transform(range(1, greatest(length(text) - 3, 1) + 1), i -> substr(text, i, 4))"
 
-  /** One MinHash component: min over grams of md5 with salt `j`. */
-  private def minhash(grams: Column, j: Int): Column =
-    array_min(transform(grams, g => md5(concat(lit(s"$j|"), g))))
+  /** Word 3-shingles — the standard MinHash unit for text dedup (one
+    * shingle per token instead of one per character keeps the hash
+    * budget ~6× smaller than char grams at the same recall).
+    */
+  /** Shingles from an already-materialized token-array column. Callers
+    * must bind `toks` to an attribute (e.g. via a generator), not a raw
+    * split() expression — Catalyst inlines expressions into array
+    * lambdas, which would re-split the text once per shingle position.
+    */
+  private[ops] def shinglesOfTokens(toks: Column): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i =>
+        // try_element_at: out-of-range → NULL (skipped by concat_ws),
+        // matching DuckDB list indexing; plain element_at throws in ANSI
+        concat_ws(" ",
+          try_element_at(toks, i.cast("int")),
+          try_element_at(toks, (i + 1).cast("int")),
+          try_element_at(toks, (i + 2).cast("int")))
+    )
 
-  private def minhashSql(j: Int): String =
-    s"list_aggregate(list_transform(grams, g -> md5('$j|' || g)), 'min')"
+  private[ops] val wordShinglesSql =
+    """list_transform(range(1, greatest(len(string_split_regex(text, '\s+')) - 2, 1) + 1),
+      |    i -> concat_ws(' ', string_split_regex(text, '\s+')[i],
+      |      string_split_regex(text, '\s+')[i + 1],
+      |      string_split_regex(text, '\s+')[i + 2]))""".stripMargin
 
   private val nHashes = 8
 
-  /** Per-doc MinHash signature + 2 LSH bands (4 hashes per band). */
+  /** Per-doc MinHash signature + 2 LSH bands (4 hashes per band).
+    *
+    * Hash-budget-optimized: TWO salted md5 digests per gram (not eight)
+    * — the 8 minhash components are minima of disjoint 32-bit (8-hex)
+    * slices of those digests (slices of a cryptographic digest are
+    * independent enough for MinHash; the standard budget trick).
+    *
+    * Shape: explode grams → flat md5 columns (each digest computed
+    * exactly once, whole-stage codegen, no array lambdas) → one hash
+    * aggregate with 8 min() columns. Map-side partial aggregation means
+    * the shuffle carries one 8-slice row per (partition, doc) — this is
+    * the 100 TB-safe formulation.
+    */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    val withGrams =
-      Tables.documents(s, d).withColumn("grams", grams4(col("text")))
-    val sig = withGrams.select(
-      col("doc_id") +:
-        (0 until nHashes).map(j => minhash(col("grams"), j).as(s"h$j")): _*
-    )
-    sig.select(
-      col("doc_id") +:
-        (0 until nHashes).map(j => col(s"h$j")) :+
-        md5(concat_ws("|", (0 until 4).map(j => col(s"h$j")): _*)).as("b0") :+
-        md5(concat_ws("|", (4 until 8).map(j => col(s"h$j")): _*)).as("b1"): _*
-    )
+    val exploded = Tables
+      .documents(s, d)
+      // 1-element explode = materialization barrier: split runs once
+      // per document, the shingle lambda then indexes the bound array
+      .select(col("doc_id"),
+        explode(array(split(col("text"), "\\s+"))).as("toks"))
+      .select(col("doc_id"), explode(shinglesOfTokens(col("toks"))).as("g"))
+      .select(
+        col("doc_id"),
+        md5(concat(lit("0|"), col("g"))).as("d0"),
+        md5(concat(lit("1|"), col("g"))).as("d1"))
+    val mins = (0 until nHashes).map { j =>
+      val dig   = if (j < 4) "d0" else "d1"
+      val start = (j % 4) * 8 + 1
+      min(substring(col(dig), start, 8)).as(s"h$j")
+    }
+    exploded
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(
+        col("doc_id") +:
+          (0 until nHashes).map(j => col(s"h$j")) :+
+          md5(concat_ws("|", (0 until 4).map(j => col(s"h$j")): _*)).as("b0") :+
+          md5(concat_ws("|", (4 until 8).map(j => col(s"h$j")): _*)).as("b1"): _*
+      )
   }
 
   private val signaturesSql: String = {
-    val hs = (0 until nHashes).map(j => s"${minhashSql(j)} AS h$j").mkString(",\n    ")
-    s"""WITH g AS (
-       |  SELECT doc_id, $gramsSql AS grams FROM documents),
+    val hs = (0 until nHashes).map { j =>
+      val dig   = if (j < 4) "d0" else "d1"
+      val start = (j % 4) * 8 + 1
+      s"min(substr($dig, $start, 8)) AS h$j"
+    }.mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest($wordShinglesSql) AS g FROM documents),
+       |d AS (
+       |  SELECT doc_id, md5('0|' || g) AS d0, md5('1|' || g) AS d1 FROM e),
        |sig AS (
        |  SELECT doc_id,
        |    $hs
-       |  FROM g)
+       |  FROM d GROUP BY doc_id)
        |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
        |  md5(concat_ws('|', h0, h1, h2, h3)) AS b0,
        |  md5(concat_ws('|', h4, h5, h6, h7)) AS b1
