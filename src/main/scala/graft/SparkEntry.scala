@@ -8,7 +8,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     ops.Relational.all ++ ops.TextOps.all ++ ops.Dedup.all ++
       ops.Similarity.all ++ ops.Analytics.all ++ ops.StreamingOps.all ++
-      ops.MailboxQueries.all ++ ops.Multimodal.all ++ ops.CustomFnQueries.all
+      ops.MailboxQueries.all ++ ops.Multimodal.all ++
+      ops.CustomFnQueries.all ++ ops.Temporal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

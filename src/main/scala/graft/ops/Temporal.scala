@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators (builder-brief extensions): as-of join,
+  * range join, pivot — each composed from built-ins per the preference
+  * order (a custom SparkStrategy is not needed; the compositions below
+  * are the plans a custom operator would produce anyway).
+  */
+object Temporal {
+
+  /** q_asof_join — AS-OF join: each event paired with the same user's
+    * most recent 'purchase' at or before it.
+    *
+    * Spark formulation: a running `max(CASE WHEN purchase)` window over
+    * the per-user event sequence — one shuffle by user_id, one sort, no
+    * join at all. This is the scale-correct as-of shape when the "right
+    * side" is the same stream; for two streams, union-then-window gives
+    * the same single-shuffle plan (vs. the naive range join's quadratic
+    * blowup).
+    */
+  val qAsofJoin = Q(
+    "q_asof_join",
+    (s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .events(s, d)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("event_type"),
+          max(when(col("event_type") === "purchase", col("event_id")))
+            .over(w)
+            .as("asof_purchase_id")
+        )
+        .orderBy("user_id", "event_id")
+    },
+    Some(
+      """SELECT user_id, event_id, event_type,
+        |  max(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS asof_purchase_id
+        |FROM events ORDER BY user_id, event_id""".stripMargin
+    )
+  )
+
+  /** q_range_join — range join via bucketing: for each 'error' event,
+    * count the same user's events in the following 5 minutes.
+    *
+    * The naive formulation is a θ-join (quadratic). The scale shape:
+    * equi-join on (user, coarse time bucket) with each probe checking
+    * its own and the next bucket, then an exact range filter — the
+    * bucket key turns the θ-join into a hash join whose build side is
+    * bounded per bucket.
+    */
+  val qRangeJoin = Q(
+    "q_range_join",
+    (s, d) => {
+      val ev = Tables
+        .events(s, d)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us")
+        )
+      val bucket = (c: org.apache.spark.sql.Column) => floor(c / lit(300000000L))
+      val errors = ev
+        .filter(col("event_type") === "error")
+        .select(
+          col("user_id").as("e_user"),
+          col("event_id").as("e_id"),
+          col("us").as("e_us"))
+      // probe both candidate buckets of each error
+      val probes = errors
+        .withColumn("bkt", explode(array(bucket(col("e_us")), bucket(col("e_us")) + 1)))
+      val candidates = ev.withColumn("bkt", bucket(col("us")))
+      probes
+        .join(candidates,
+          col("e_user") === col("user_id") && probes("bkt") === candidates("bkt"))
+        .filter(col("us") > col("e_us") && col("us") <= col("e_us") + lit(300000000L))
+        .groupBy(col("e_user").as("user_id2"), col("e_id"))
+        .agg(count(lit(1)).as("n_following"))
+        .select(col("user_id2").as("user_id"), col("e_id"), col("n_following"))
+        .orderBy("user_id", "e_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |err AS (
+        |  SELECT user_id AS e_user, event_id AS e_id, us AS e_us
+        |  FROM ev WHERE event_type = 'error')
+        |SELECT e.e_user AS user_id, e.e_id, count(*) AS n_following
+        |FROM err e JOIN ev c
+        |  ON c.user_id = e.e_user
+        |  AND c.us > e.e_us AND c.us <= e.e_us + 300000000
+        |GROUP BY 1, 2 ORDER BY user_id, e_id""".stripMargin
+    )
+  )
+
+  /** q_pivot — PIVOT: event counts and exact value sums per user across
+    * event types as columns. Spark `pivot` ↔ oracle conditional
+    * aggregation (the plan Spark generates is the same shape).
+    */
+  val qPivot = Q(
+    "q_pivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables
+        .events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .withColumnsRenamed(types.map(t => t -> s"n_$t").toMap)
+        .orderBy("user_id")
+    },
+    Some(
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qAsofJoin, qRangeJoin, qPivot)
+}

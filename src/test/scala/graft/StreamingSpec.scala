@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+object StreamingSpec {
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  case class SessionOut(user_id: Long, session_id: Int, n_events: Long)
+
+  /** Gap-based sessionizer over a user's (possibly unordered) events.
+    * State tracks nothing across batches here (single-batch test); the
+    * API shape — iterator per key + GroupState — is the production one.
+    */
+  def sessionize(
+      userId: Long,
+      events: Iterator[Ev],
+      state: GroupState[Int]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(_.event_id)
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      var session = 0
+      var lastUs  = Long.MinValue
+      val counts  = scala.collection.mutable.LinkedHashMap[Int, Long]()
+      sorted.foreach { e =>
+        if (lastUs != Long.MinValue && e.ts_us - lastUs > 1800L * 1000000L)
+          session += 1
+        counts(session) = counts.getOrElse(session, 0L) + 1
+        lastUs = e.ts_us
+      }
+      state.update(session)
+      counts.iterator.map { case (sid, n) => SessionOut(userId, sid, n) }
+    }
+  }
+}
+
+/** Structured Streaming suite: the stateful sessionization op
+  * (flatMapGroupsWithState) must produce exactly the sessions of the
+  * batch formulation (ops.StreamingOps.qSessionize), and the windowed
+  * aggregation streaming query must match its batch equivalent.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import StreamingSpec._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  test("flatMapGroupsWithState sessionization matches the batch oracle query") {
+    import spark.implicits._
+    val raw = Tables.eventsRaw(spark, sf)
+    val stream = spark.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_stream")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark
+      .table("sessions_stream")
+      .orderBy("user_id", "session_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    val batch = SparkEntry
+      .queries("q_sessionize")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming windowed aggregation matches batch group-by") {
+    val streamed = SparkEntry.queries("q_stream_window")(spark, sf).collect()
+    val batch = Tables
+      .events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+      .collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[java.sql.Timestamp]("day") === b.getAs[java.sql.Timestamp]("day"))
+      assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") === b.getAs[Long]("n"))
+    }
+  }
+}
