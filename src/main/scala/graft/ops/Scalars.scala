@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function and predicate surface (completeness batch): string
+  * manipulation, null handling, IN/BETWEEN, casts, grouping sets,
+  * approximate aggregates. All map-side/scan-bound except the grouped
+  * aggregates.
+  */
+object Scalars {
+
+  /** q_string_funcs2 — trim/pad/replace/split_part/reverse/position. */
+  val qStringFuncs2 = Q(
+    "q_string_funcs2",
+    (s, d) =>
+      Tables
+        .part(s, d)
+        .select(
+          col("p_partkey"),
+          trim(col("p_name")).as("trimmed"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          regexp_replace(col("p_name"), "a", "@").as("replaced"),
+          split(col("p_type"), " ").getItem(0).as("type_word1"),
+          reverse(col("p_brand")).as("rev_brand"),
+          instr(col("p_name"), "e").as("first_e"),
+          repeat(col("p_brand"), 2).as("doubled")
+        )
+        .orderBy("p_partkey"),
+    Some(
+      """SELECT p_partkey,
+        |  trim(p_name) AS trimmed,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS replaced,
+        |  string_split(p_type, ' ')[1] AS type_word1,
+        |  reverse(p_brand) AS rev_brand,
+        |  CAST(strpos(p_name, 'e') AS INT) AS first_e,
+        |  repeat(p_brand, 2) AS doubled
+        |FROM part ORDER BY p_partkey""".stripMargin
+    )
+  )
+
+  /** q_null_funcs — coalesce/nullif/nvl over derived NULLs. */
+  val qNullFuncs = Q(
+    "q_null_funcs",
+    (s, d) =>
+      Tables
+        .orders(s, d)
+        .select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_defaulted"),
+          when(col("o_totalprice") > 250000, col("o_totalprice")).as("big_price"),
+          coalesce(
+            when(col("o_totalprice") > 250000, col("o_totalprice")),
+            lit(0.0)
+          ).as("big_price_or_zero")
+        )
+        .orderBy("o_orderkey"),
+    Some(
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_defaulted,
+        |  CASE WHEN o_totalprice > 250000 THEN o_totalprice END AS big_price,
+        |  coalesce(CASE WHEN o_totalprice > 250000 THEN o_totalprice END, 0.0)
+        |    AS big_price_or_zero
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+    )
+  )
+
+  /** q_in_between — IN-list and BETWEEN predicates (scan-pushable). */
+  val qInBetween = Q(
+    "q_in_between",
+    (s, d) =>
+      Tables
+        .lineitem(s, d)
+        .filter(
+          col("l_returnflag").isin("A", "R") &&
+            col("l_quantity").between(10, 20) &&
+            col("l_shipdate").between(
+              lit("1996-01-01").cast("timestamp"),
+              lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_quantity BETWEEN 10 AND 20
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
+  /** q_casts — cross-type casts (int/double/string/bool round trips). */
+  val qCasts = Q(
+    "q_casts",
+    (s, d) =>
+      Tables
+        .part(s, d)
+        .select(
+          col("p_partkey"),
+          col("p_size").cast("string").as("size_str"),
+          col("p_size").cast("double").as("size_dbl"),
+          col("p_retailprice").cast("long").as("price_trunc"),
+          (col("p_size") > 25).cast("int").as("is_big"),
+          concat(lit("k"), col("p_partkey").cast("string")).as("key_str")
+        )
+        .orderBy("p_partkey"),
+    Some(
+      """SELECT p_partkey,
+        |  CAST(p_size AS VARCHAR) AS size_str,
+        |  CAST(p_size AS DOUBLE) AS size_dbl,
+        |  CAST(trunc(p_retailprice) AS BIGINT) AS price_trunc,
+        |  CAST(p_size > 25 AS INT) AS is_big,
+        |  concat('k', CAST(p_partkey AS VARCHAR)) AS key_str
+        |FROM part ORDER BY p_partkey""".stripMargin
+    )
+  )
+
+  /** q_grouping_sets — explicit GROUPING SETS (finer than rollup/cube). */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, d) =>
+      Tables
+        .orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+    )
+  )
+
+  /** q_approx_distinct — HLL approximate distinct. Sketches differ
+    * across engines, so no value oracle: the spec asserts ≤2% relative
+    * error vs exact; the driver records a rows-only check.
+    */
+  val qApproxDistinct = Q(
+    "q_approx_distinct",
+    (s, d) =>
+      Tables
+        .lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")
+        ),
+    None
+  )
+
+  val all: Seq[Q] = Seq(
+    qStringFuncs2,
+    qNullFuncs,
+    qInBetween,
+    qCasts,
+    qGroupingSets,
+    qApproxDistinct
+  )
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TopKAggregator
+import graft.ops.Skew
+
+/** Scale tooling: salted skew join correctness, typed top-k aggregator,
+  * approximate-distinct error bound.
+  */
+class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("scale-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  test("salted join returns exactly the plain join's result") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val plain = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val salted = Skew
+      .saltedJoin(o, c, "o_custkey", "c_custkey", salts = 8)
+      .select("o_orderkey", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("TopKAggregator matches orderBy.limit per group") {
+    import spark.implicits._
+    val o = Tables.orders(spark, sf)
+    val topk = new TopKAggregator(3).toColumn
+    val got = o
+      .select(col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(topk.name("top3"))
+      .collect()
+      .toMap
+    val expected = o
+      .collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+      .map { case (k, rows) =>
+        k -> rows.map(_.getAs[Double]("o_totalprice")).sorted.reverse.take(3).toSeq
+      }
+    assert(got.size === expected.size)
+    expected.foreach { case (k, v) => assert(got(k) === v, s"custkey $k") }
+  }
+
+  test("TopKAggregator value column input needs the tuple projection") {
+    import spark.implicits._
+    // degenerate groups (k > group size) keep all elements sorted desc
+    val agg = new TopKAggregator(10)
+    assert(agg.merge(Seq(3.0, 1.0), Seq(2.0)) === Seq(3.0, 2.0, 1.0))
+    assert(agg.reduce(agg.zero, 5.0) === Seq(5.0))
+  }
+
+  test("approx_count_distinct within its 2% error bound") {
+    val li = Tables.lineitem(spark, sf)
+    val row = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()(0)
+    val exact = li
+      .agg(countDistinct(col("l_orderkey")), countDistinct(col("l_partkey")))
+      .collect()(0)
+    val errOrders = math.abs(row.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0)
+    val errParts  = math.abs(row.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1)
+    assert(errOrders < 0.05, s"orders err $errOrders")
+    assert(errParts < 0.05, s"parts err $errParts")
+  }
+}
