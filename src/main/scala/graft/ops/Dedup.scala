@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *  - exact dedup groups by a 128-bit digest, not the full text, so the
   *    shuffle carries 16-byte keys instead of documents;
-  *  - MinHash signatures are a pure per-row map (no shuffle); the only
-  *    shuffle is the band-bucket self-join, which is the LSH point: the
-  *    join key (band hash) has tiny cardinality per bucket;
-  *  - SimHash is likewise map-only per doc.
+  *  - MinHash signatures explode shingles and partial-aggregate the
+  *    8 min-slices map-side, so the signature shuffle carries one row
+  *    per (partition, doc) — measured faster than the zero-shuffle
+  *    array-lambda formulation, which re-walks the digest array per
+  *    component; the band-bucket self-join is the LSH point: the join
+  *    key (band hash) has tiny cardinality per bucket;
+  *  - SimHash is map-only per doc.
   */
 object Dedup {
 
