@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text entry points: the reference's users write SQL against the
+  * DuckDB host, so the rebuilt engine must answer the same queries via
+  * `spark.sql`. Tables are registered as temp views per scale dir, and
+  * the Spark SQL text is near-verbatim the oracle SQL (dialect-shared
+  * subset).
+  */
+object SqlSurface {
+
+  private def registerViews(s: SparkSession, d: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents").foreach { t =>
+      Tables.table(s, d, t).createOrReplaceTempView(t)
+    }
+
+  private def sqlQ(name: String, sparkSql: String, duckSql: Option[String] = None,
+      bench: Boolean = false): Q =
+    Q(
+      name,
+      (s, d) => { registerViews(s, d); s.sql(sparkSql) },
+      Some(duckSql.getOrElse(sparkSql)),
+      bench)
+
+  /** q_sql_pricing — TPC-H Q3-shaped revenue query, same text on both
+    * engines (decimal-exact revenue).
+    */
+  val qSqlPricing = sqlQ(
+    "q_sql_pricing",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY l_orderkey
+      |HAVING count(*) >= 5
+      |ORDER BY l_orderkey""".stripMargin,
+    bench = true
+  )
+
+  /** q_sql_nested — subqueries + IN + scalar expressions, same text. */
+  val qSqlNested = sqlQ(
+    "q_sql_nested",
+    """SELECT n_name, big_cust
+      |FROM (
+      |  SELECT n_name, count(*) AS big_cust
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE c_acctbal > 5000
+      |    AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |  GROUP BY n_name) t
+      |WHERE big_cust >= 2
+      |ORDER BY n_name""".stripMargin
+  )
+
+  /** q_sql_union_all — UNION ALL with branch tagging, same text. */
+  val qSqlUnionAll = sqlQ(
+    "q_sql_union_all",
+    """SELECT 'customer' AS side, CAST(c_nationkey AS INT) AS nk FROM customer
+      |UNION ALL
+      |SELECT 'supplier' AS side, CAST(s_nationkey AS INT) AS nk FROM supplier
+      |ORDER BY side, nk""".stripMargin
+  )
+
+  /** q_sql_case_agg — conditional aggregation in SQL text. */
+  val qSqlCaseAgg = sqlQ(
+    "q_sql_case_agg",
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big,
+      |  SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS n_small
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // DuckDB sums INTEGER into HUGEINT; pin both to BIGINT
+    duckSql = Some(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qSqlPricing, qSqlNested, qSqlUnionAll, qSqlCaseAgg)
+}
