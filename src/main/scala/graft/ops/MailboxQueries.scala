@@ -153,11 +153,113 @@ object MailboxQueries {
     )
   )
 
+  /** Contact-mode scan: the typed extension columns (given_name etc.)
+    * with the plan-time IPM.Contact class filter (README.md:61-69).
+    */
+  val qMailboxContacts = Q(
+    "q_mailbox_contacts",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .contacts(s, glob)
+        .select(
+          col("node_id"),
+          col("given_name"),
+          col("surname"),
+          col("company_name"),
+          col("gender").cast("int").as("gender_i")
+        )
+        .orderBy("node_id")
+    },
+    Some(
+      s"""SELECT node_id, given_name, surname, company_name,
+         |  CAST(gender AS INT) AS gender_i
+         |FROM ${jsonSrc(glob)}
+         |WHERE record_type = 'message' AND message_class = 'IPM.Contact'
+         |ORDER BY node_id""".stripMargin
+    )
+  )
+
+  /** Appointment-mode scan with TIMESTAMP_S columns (the fixture's
+    * golden appointment values, read_unittest_pst.test:113-120).
+    */
+  val qMailboxAppointments = Q(
+    "q_mailbox_appointments",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .appointments(s, unittest)
+        .select(
+          col("node_id"),
+          col("subject"),
+          col("start_time"),
+          col("end_time"),
+          col("duration"),
+          col("all_day_event")
+        )
+        .orderBy("node_id")
+    },
+    Some(
+      s"""SELECT node_id, subject,
+         |  CAST(to_timestamp(start_time) AS TIMESTAMP) AS start_time,
+         |  CAST(to_timestamp(end_time) AS TIMESTAMP) AS end_time,
+         |  CAST(duration AS INT) AS duration, all_day_event
+         |FROM ${jsonSrc(unittest)}
+         |WHERE record_type = 'message' AND message_class = 'IPM.Appointment'
+         |ORDER BY node_id""".stripMargin
+    )
+  )
+
+  /** read_limit + aggregation over the limited scan
+    * (table_function_parameters.test:14-16).
+    */
+  val qMailboxReadLimit = Q(
+    "q_mailbox_read_limit",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .messages(s, glob, Map("read_limit" -> "25"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+    Some(
+      s"""SELECT count(*) AS cnt FROM (
+         |  SELECT 1 FROM ${jsonSrc(glob)}
+         |  WHERE record_type = 'message' LIMIT 25) t""".stripMargin
+    )
+  )
+
+  /** Body truncation semantics: a 100-byte budget yields 50 chars
+    * (UTF-16 byte budget; table_function_parameters.test:19-28).
+    */
+  val qMailboxBodyTruncation = Q(
+    "q_mailbox_body_truncation",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .messages(s, unittest, Map("read_body_size_bytes" -> "100"))
+        .select(
+          col("node_id"),
+          length(col("body_html")).as("html_len")
+        )
+        .orderBy("node_id")
+    },
+    Some(
+      s"""SELECT node_id, CAST(least(length(body_html), 50) AS INT) AS html_len
+         |FROM ${jsonSrc(unittest)}
+         |WHERE record_type = 'message'
+         |ORDER BY node_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qMailboxCount,
     qMailboxClassHistogram,
     qMailboxFolderTree,
     qMailboxLateMat,
-    qMailboxDlistMembers
+    qMailboxDlistMembers,
+    qMailboxContacts,
+    qMailboxAppointments,
+    qMailboxReadLimit,
+    qMailboxBodyTruncation
   )
 }
