@@ -50,6 +50,28 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(0, 4, 1, -1))
   }
 
+  test("GraftExtensions injects the functions into a fresh session") {
+    spark // force the shared session first so we can restore it after
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession
+        .builder()
+        .master("local[2]")
+        .appName("ext-spec")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate() // new session state over the shared context
+      val d = s2
+        .sql("SELECT hamming_distance('111', '010') AS d")
+        .collect()(0).getInt(0)
+      assert(d === 2)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("expressions are SQL-registered and codegen survives wholestage") {
     GraftFunctions.register(spark)
     val row = spark
