@@ -2,9 +2,26 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{FiletimeToTimestamp, HammingDistance}
+
+/** Algebraic simplification of graft's own expressions — a
+  * Rule[LogicalPlan] injected as an optimizer rule: `hamming_distance
+  * (x, x)` is 0 for any deterministic x, so the (possibly expensive)
+  * comparison never runs. The pattern every self-join distance filter
+  * produces on its diagonal.
+  */
+object SimplifyGraftExpressions extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case HammingDistance(a, b) if a.deterministic && a.semanticEquals(b) =>
+        Literal(0, IntegerType)
+    }
+}
 
 /** SparkSessionExtensions entry point: injects graft's custom
   * expressions into every session built with
@@ -25,5 +42,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("hamming_distance"),
         new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
         (exprs: Seq[Expression]) => HammingDistance(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => SimplifyGraftExpressions)
   }
 }

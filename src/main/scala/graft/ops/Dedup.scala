@@ -154,36 +154,101 @@ object Dedup {
     bench = true
   )
 
+  /** LSH candidate pairs (id_a < id_b, distinct). */
+  private[ops] def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d)
+    val bands = sig
+      .select(col("doc_id"), lit(0).as("band"), col("b0").as("bv"))
+      .union(sig.select(col("doc_id"), lit(1).as("band"), col("b1").as("bv")))
+    bands
+      .as("x")
+      .join(
+        bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id")
+      )
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  private[ops] val lshPairsSql: String =
+    s"""WITH sigs AS ($signaturesSql),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, b0 AS bv FROM sigs
+       |  UNION ALL SELECT doc_id, 1 AS band, b1 AS bv FROM sigs)
+       |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id""".stripMargin
+
   /** q_minhash_lsh_pairs — LSH candidate pairs: docs sharing at least
     * one band bucket. The band-bucket self-join is the only shuffle.
     */
   val qMinhashLshPairs = Q(
     "q_minhash_lsh_pairs",
+    (s, d) => lshPairs(s, d).orderBy("id_a", "id_b"),
+    Some(s"$lshPairsSql\nORDER BY id_a, id_b")
+  )
+
+  /** q_dedup_clusters — near-dup clusters: connected components over the
+    * LSH pair graph by iterative min-label propagation (labels only
+    * decrease; fixpoint when the exact label sum stops changing). The
+    * cluster id is the smallest doc_id in the component — the "keep one
+    * per cluster" decision of a dedup pipeline.
+    *
+    * Scale notes: each round is one join + one partial-aggregated
+    * groupBy; rounds = graph diameter (near-dup clusters are shallow).
+    * `localCheckpoint` per round caps lineage; the driver holds one
+    * Long per round. (The large-star/small-star optimization halves
+    * rounds at extreme scale; plain propagation keeps oracle parity
+    * simple.)
+    */
+  val qDedupClusters = Q(
+    "q_dedup_clusters",
     (s, d) => {
-      val sig = signatures(s, d)
-      val bands = sig
-        .select(col("doc_id"), lit(0).as("band"), col("b0").as("bv"))
-        .union(sig.select(col("doc_id"), lit(1).as("band"), col("b1").as("bv")))
-      bands
-        .as("x")
-        .join(
-          bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id")
-        )
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      val pairs = lshPairs(s, d)
+      val edges = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+        .localCheckpoint()
+      var labels = edges
+        .select(col("src").as("node"))
         .distinct()
-        .orderBy("id_a", "id_b")
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+      var prevSum = labelSum(labels)
+      var done    = labels.isEmpty
+      while (!done) {
+        val prop = edges
+          .join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), col("label"))
+        val next = labels
+          .union(prop)
+          .groupBy("node")
+          .agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        val nextSum = labelSum(next)
+        labels = next
+        if (nextSum == prevSum) done = true
+        prevSum = nextSum
+      }
+      labels
+        .select(col("node").as("doc_id"), col("label").as("component_id"))
+        .orderBy("doc_id")
     },
     Some(
-      s"""WITH sigs AS ($signaturesSql),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, b0 AS bv FROM sigs
-         |  UNION ALL SELECT doc_id, 1 AS band, b1 AS bv FROM sigs)
-         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
-         |ORDER BY id_a, id_b""".stripMargin
+      s"""WITH RECURSIVE pairs AS ($lshPairsSql),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+         |)
+         |SELECT node AS doc_id, min(r) AS component_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
     )
   )
 
@@ -282,6 +347,7 @@ object Dedup {
     qDedupExact,
     qMinhashSignature,
     qMinhashLshPairs,
+    qDedupClusters,
     qSimhash,
     qNgramJaccard
   )

@@ -66,6 +66,15 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .sql("SELECT hamming_distance('111', '010') AS d")
         .collect()(0).getInt(0)
       assert(d === 2)
+      // injected optimizer rule folds hamming(x, x) → 0 at plan time
+      import org.apache.spark.sql.functions.col
+      val df = s2.range(3).toDF("x")
+        .select(graft.functions.GraftFunctions
+          .hamming_distance(col("x").cast("string"), col("x").cast("string"))
+          .as("d"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("0 AS d"),
+        df.queryExecution.optimizedPlan.toString)
+      assert(df.collect().map(_.getInt(0)).toSeq === Seq(0, 0, 0))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
