@@ -192,8 +192,9 @@ object MailboxQueries {
         .select(
           col("node_id"),
           col("subject"),
-          col("start_time"),
-          col("end_time"),
+          // timestamp_ntz matches the oracle's naive TIMESTAMP dtype
+          col("start_time").cast("timestamp_ntz").as("start_time"),
+          col("end_time").cast("timestamp_ntz").as("end_time"),
           col("duration"),
           col("all_day_event")
         )

@@ -53,7 +53,8 @@ object StreamingOps {
       finally query.stop()
       s.table(qn)
         .select(
-          col("window.start").as("day"),
+          // timestamp_ntz: match the oracle's naive TIMESTAMP dtype
+          col("window.start").cast("timestamp_ntz").as("day"),
           col("event_type"),
           col("n"),
           col("total_value")

@@ -100,13 +100,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamed = SparkEntry.queries("q_stream_window")(spark, sf).collect()
     val batch = Tables
       .events(spark, sf)
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .groupBy(
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("day", "event_type")
       .collect()
     assert(streamed.length === batch.length)
     streamed.zip(batch).foreach { case (s, b) =>
-      assert(s.getAs[java.sql.Timestamp]("day") === b.getAs[java.sql.Timestamp]("day"))
+      assert(s.getAs[java.time.LocalDateTime]("day")
+        === b.getAs[java.time.LocalDateTime]("day"))
       assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
       assert(s.getAs[Long]("n") === b.getAs[Long]("n"))
     }
