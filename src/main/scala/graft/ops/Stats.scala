@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistics + ordered-aggregation surface. Where engine-internal
+  * algorithms differ across systems (variance accumulation order,
+  * quantile interpolation), the computation is expressed from
+  * order-independent exact primitives so both engines produce the same
+  * bits.
+  */
+object Stats {
+
+  /** q_listagg — ordered string aggregation: concat of sorted values
+    * (DuckDB string_agg ORDER BY ≡ concat over a sorted collected list).
+    */
+  val qListagg = Q(
+    "q_listagg",
+    (s, d) =>
+      Tables
+        .customer(s, d)
+        .filter(col("c_custkey") < 100)
+        .groupBy("c_nationkey")
+        .agg(
+          concat_ws(",",
+            sort_array(collect_list(col("c_custkey").cast("string")))
+          ).as("cust_list"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("c_nationkey"),
+    Some(
+      """SELECT c_nationkey,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ','
+        |    ORDER BY CAST(c_custkey AS VARCHAR)) AS cust_list,
+        |  count(*) AS n
+        |FROM customer WHERE c_custkey < 100
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+    )
+  )
+
+  /** q_quantiles — exact discrete quantiles per group, computed as
+    * element ceil(p·n) of the sorted value list (identical indexing in
+    * both engines — no reliance on engine quantile interpolation).
+    */
+  val qQuantiles = Q(
+    "q_quantiles",
+    (s, d) => {
+      val sorted = sort_array(collect_list(col("o_totalprice")))
+      def qAt(p: Double): Column =
+        element_at(
+          col("vals"),
+          greatest(ceil(size(col("vals")) * lit(p)), lit(1L)).cast("int"))
+      Tables
+        .orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(sorted.as("vals"))
+        .select(
+          col("o_orderstatus"),
+          qAt(0.25).as("p25"),
+          qAt(0.50).as("p50"),
+          qAt(0.90).as("p90"),
+          size(col("vals")).as("n")
+        )
+        .orderBy("o_orderstatus")
+    },
+    Some(
+      """SELECT o_orderstatus,
+        |  vals[CAST(greatest(ceil(len(vals) * 0.25), 1) AS INT)] AS p25,
+        |  vals[CAST(greatest(ceil(len(vals) * 0.50), 1) AS INT)] AS p50,
+        |  vals[CAST(greatest(ceil(len(vals) * 0.90), 1) AS INT)] AS p90,
+        |  CAST(len(vals) AS INT) AS n
+        |FROM (SELECT o_orderstatus, list_sort(list(o_totalprice)) AS vals
+        |      FROM orders GROUP BY o_orderstatus) t
+        |ORDER BY o_orderstatus""".stripMargin
+    )
+  )
+
+  /** q_variance — sample variance/stddev from order-independent exact
+    * decimal sums: var = (Σx² − (Σx)²/n) / (n−1), evaluated in double
+    * from exact inputs — bit-identical across engines (native var_samp
+    * accumulates doubles in engine-specific order).
+    */
+  val qVariance = Q(
+    "q_variance",
+    (s, d) => {
+      val x    = Exact.dec(col("l_quantity"))
+      val sx   = sum(x).cast("double")
+      val sxx  = sum(x * x).cast("double")
+      val n    = count(lit(1)).cast("double")
+      val vari = (sxx - sx * sx / n) / (n - lit(1.0))
+      Tables
+        .lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          vari.as("var_qty"),
+          sqrt(vari).as("std_qty"),
+          n.cast("long").as("n")
+        )
+        .orderBy("l_returnflag")
+    },
+    Some(
+      """SELECT l_returnflag,
+        |  (sxx - sx * sx / n) / (n - 1.0) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_qty,
+        |  CAST(n AS BIGINT) AS n
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
+  /** q_window_navigation — first/last/nth frame navigation over the
+    * full partition frame with a unique ordering key.
+    */
+  val qWindowNavigation = Q(
+    "q_window_navigation",
+    (s, d) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables
+        .orders(s, d)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order")
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qListagg, qQuantiles, qVariance, qWindowNavigation)
+}
