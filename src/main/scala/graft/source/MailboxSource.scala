@@ -118,7 +118,8 @@ class MailboxTable(opts: MailboxOptions) extends Table with SupportsRead {
   override def name(): String = s"mailbox(${opts.path}, mode=${opts.mode})"
   override def schema(): StructType = MailboxTable.schemaFor(opts)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MailboxScanBuilder(opts)
 }
@@ -334,6 +335,10 @@ class MailboxScan(
     else requiredSchema
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MailboxMicroBatchStream(opts, requiredSchema, classFilter)
 
   override def planInputPartitions(): Array[InputPartition] =
     partitions.toArray

@@ -224,6 +224,35 @@ class MailboxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 12L)
   }
 
+  test("micro-batch streaming picks up newly arriving mailbox files") {
+    val sdir = Files.createTempDirectory("mailbox_stream").toFile
+    MailboxGen.writeFile(new File(sdir, "a.mbx"), MailboxGen.unittestLines)
+    val stream = spark.readStream
+      .format("mailbox")
+      .option("mode", "messages")
+      .load(new File(sdir, "*.mbx").getPath)
+      .groupBy("pst_name")
+      .count()
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("mbx_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterA = spark.table("mbx_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(afterA === Map("a.mbx" -> 12L))
+      // a new archive drops in → next micro-batch ingests only it
+      MailboxGen.writeFile(new File(sdir, "b.mbx"),
+        MailboxGen.syntheticLines(4, 40, 1))
+      q.processAllAvailable()
+      val afterB = spark.table("mbx_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(afterB === Map("a.mbx" -> 12L, "b.mbx" -> 40L))
+    } finally q.stop()
+  }
+
   test("malformed field degrades to NULL, row survives (A16)") {
     val rdir = Files.createTempDirectory("mailbox_nulls").toFile
     val good = MailboxGen.unittestLines
