@@ -10,7 +10,8 @@ object SparkEntry {
       ops.Similarity.all ++ ops.Analytics.all ++ ops.StreamingOps.all ++
       ops.MailboxQueries.all ++ ops.Multimodal.all ++
       ops.CustomFnQueries.all ++ ops.Temporal.all ++ ops.Scalars.all ++
-      ops.Collections.all ++ ops.SqlSurface.all ++ ops.Stats.all
+      ops.Collections.all ++ ops.SqlSurface.all ++ ops.Stats.all ++
+      ops.Advanced.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
