@@ -237,5 +237,106 @@ object Similarity {
     )
   )
 
-  val all: Seq[Q] = Seq(qCosineKnn, qAnnLsh, qIvfAssign)
+  /** q_kmeans_ivf — a genuinely *trained* IVF coarse quantizer:
+    * deterministic spherical k-means (k = 8, seeds = vectors 0..7,
+    * 2 Lloyd iterations), entirely in exact integer arithmetic —
+    * vectors and centroids live in 1e-6 integer units, dots and norms
+    * are exact BIGINTs, only the cosine ranking runs in (deterministic)
+    * double — so Spark and DuckDB train bit-identical centroids and
+    * produce identical final assignments.
+    *
+    * Scale notes: each Lloyd iteration is one pos-join against the tiny
+    * (k×dim) centroid table (broadcast) plus one partial-aggregated
+    * groupBy; vectors are never collected. `localCheckpoint` bounds the
+    * iterated lineage.
+    */
+  val qKmeansIvf = Q(
+    "q_kmeans_ivf",
+    (s, d) => {
+      import org.apache.spark.sql.DataFrame
+      val e = Tables
+        .embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      val v = e
+        .select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .localCheckpoint()
+      val nv = v.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nv"))
+        .localCheckpoint()
+
+      def assign(cent: DataFrame): DataFrame = {
+        val nc = cent.groupBy("cid").agg(sum(col("cq") * col("cq")).as("nc"))
+        val dots = v
+          .join(broadcast(cent), Seq("pos"))
+          .groupBy("vec_id", "cid")
+          .agg(sum(col("q") * col("cq")).as("dot"))
+        val scored = dots
+          .join(nv, Seq("vec_id"))
+          .join(broadcast(nc), Seq("cid"))
+          .select(col("vec_id"), col("cid"),
+            cosine(col("dot"), col("nv"), col("nc")).as("cos_sim"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("cid").asc)
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("vec_id", "cid")
+      }
+
+      var cent = v
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+        .localCheckpoint()
+      for (_ <- 0 until 2) {
+        val a = assign(cent)
+        val means = a
+          .join(v, Seq("vec_id"))
+          .groupBy(col("cid"), col("pos"))
+          .agg(floor(sum(col("q")).cast("double") / count(lit(1)) + lit(0.5))
+            .cast("long").as("mq"))
+        // empty clusters keep their previous centroid
+        cent = cent
+          .join(means, Seq("cid", "pos"), "left_outer")
+          .select(col("cid"), col("pos"),
+            coalesce(col("mq"), col("cq")).as("cq"))
+          .localCheckpoint()
+      }
+      assign(cent).orderBy("vec_id")
+    },
+    Some {
+      def iter(x: Int): String =
+        s"""dot$x AS (
+           |  SELECT v.vec_id, c.cid, CAST(sum(v.q * c.cq) AS BIGINT) AS dot
+           |  FROM v JOIN c$x c ON v.pos = c.pos GROUP BY 1, 2),
+           |nc$x AS (SELECT cid, CAST(sum(cq * cq) AS BIGINT) AS nc FROM c$x GROUP BY cid),
+           |scored$x AS (
+           |  SELECT d.vec_id, d.cid,
+           |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nv.nv AS DOUBLE) * CAST(nc.nc AS DOUBLE)) AS cos
+           |  FROM dot$x d JOIN nv ON d.vec_id = nv.vec_id JOIN nc$x nc ON d.cid = nc.cid),
+           |assign$x AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+           |    FROM scored$x) t WHERE rn = 1),
+           |c${x + 1} AS (
+           |  SELECT c.cid, c.pos, COALESCE(m.mq, c.cq) AS cq
+           |  FROM c$x c LEFT JOIN (
+           |    SELECT a.cid, v.pos,
+           |      CAST(floor(CAST(sum(v.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mq
+           |    FROM assign$x a JOIN v ON a.vec_id = v.vec_id
+           |    GROUP BY 1, 2) m ON c.cid = m.cid AND c.pos = m.pos)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS pos, qv[i] AS q
+         |  FROM e, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) r),
+         |nv AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nv FROM v GROUP BY vec_id),
+         |c0 AS (SELECT vec_id AS cid, pos, q AS cq FROM v WHERE vec_id < 8),
+         |${iter(0)},
+         |${iter(1)},
+         |${iter(2).split("\nc3 AS")(0).trim.stripSuffix(",")}
+         |SELECT vec_id, cid FROM assign2 ORDER BY vec_id""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf)
 }
