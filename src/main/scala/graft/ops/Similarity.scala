@@ -250,93 +250,171 @@ object Similarity {
     * groupBy; vectors are never collected. `localCheckpoint` bounds the
     * iterated lineage.
     */
+  import org.apache.spark.sql.DataFrame
+
+  /** Pos-exploded quantized vectors (vec_id, pos, q) + exact norms. */
+  private def quantized(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+    val v = e
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .localCheckpoint()
+    val nv = v.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nv"))
+      .localCheckpoint()
+    (v, nv)
+  }
+
+  /** Nearest-centroid assignment by cosine (tie → smaller cid). */
+  private def assignToCentroids(
+      v: DataFrame, nv: DataFrame, cent: DataFrame): DataFrame = {
+    val nc = cent.groupBy("cid").agg(sum(col("cq") * col("cq")).as("nc"))
+    val dots = v
+      .join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "cid")
+      .agg(sum(col("q") * col("cq")).as("dot"))
+    val scored = dots
+      .join(nv, Seq("vec_id"))
+      .join(broadcast(nc), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("dot"), col("nv"), col("nc")).as("cos_sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("cid").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid")
+  }
+
+  /** 2 Lloyd iterations from seeds 0..7; exact integer centroids. */
+  private def trainKmeans(v: DataFrame, nv: DataFrame): DataFrame = {
+    var cent = v
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+      .localCheckpoint()
+    for (_ <- 0 until 2) {
+      val a = assignToCentroids(v, nv, cent)
+      val means = a
+        .join(v, Seq("vec_id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("mq"))
+      // empty clusters keep their previous centroid
+      cent = cent
+        .join(means, Seq("cid", "pos"), "left_outer")
+        .select(col("cid"), col("pos"),
+          coalesce(col("mq"), col("cq")).as("cq"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** Shared CTE prelude: quantized vectors, norms, and the unrolled
+    * k-means iterations through the final assignment `assign2`.
+    */
+  private val kmeansCtes: String = {
+    def iter(x: Int): String =
+      s"""dot$x AS (
+         |  SELECT v.vec_id, c.cid, CAST(sum(v.q * c.cq) AS BIGINT) AS dot
+         |  FROM v JOIN c$x c ON v.pos = c.pos GROUP BY 1, 2),
+         |nc$x AS (SELECT cid, CAST(sum(cq * cq) AS BIGINT) AS nc FROM c$x GROUP BY cid),
+         |scored$x AS (
+         |  SELECT d.vec_id, d.cid,
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nv.nv AS DOUBLE) * CAST(nc.nc AS DOUBLE)) AS cos
+         |  FROM dot$x d JOIN nv ON d.vec_id = nv.vec_id JOIN nc$x nc ON d.cid = nc.cid),
+         |assign$x AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+         |    FROM scored$x) t WHERE rn = 1),
+         |c${x + 1} AS (
+         |  SELECT c.cid, c.pos, COALESCE(m.mq, c.cq) AS cq
+         |  FROM c$x c LEFT JOIN (
+         |    SELECT a.cid, v.pos,
+         |      CAST(floor(CAST(sum(v.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mq
+         |    FROM assign$x a JOIN v ON a.vec_id = v.vec_id
+         |    GROUP BY 1, 2) m ON c.cid = m.cid AND c.pos = m.pos)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, CAST(i - 1 AS INT) AS pos, qv[i] AS q
+       |  FROM e, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) r),
+       |nv AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nv FROM v GROUP BY vec_id),
+       |c0 AS (SELECT vec_id AS cid, pos, q AS cq FROM v WHERE vec_id < 8),
+       |${iter(0)},
+       |${iter(1)},
+       |${iter(2).split("\nc3 AS")(0).trim.stripSuffix(",")}""".stripMargin
+  }
+
   val qKmeansIvf = Q(
     "q_kmeans_ivf",
     (s, d) => {
-      import org.apache.spark.sql.DataFrame
-      val e = Tables
-        .embeddings(s, d)
-        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
-      val v = e
-        .select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "q")))
-        .localCheckpoint()
-      val nv = v.groupBy("vec_id").agg(sum(col("q") * col("q")).as("nv"))
-        .localCheckpoint()
-
-      def assign(cent: DataFrame): DataFrame = {
-        val nc = cent.groupBy("cid").agg(sum(col("cq") * col("cq")).as("nc"))
-        val dots = v
-          .join(broadcast(cent), Seq("pos"))
-          .groupBy("vec_id", "cid")
-          .agg(sum(col("q") * col("cq")).as("dot"))
-        val scored = dots
-          .join(nv, Seq("vec_id"))
-          .join(broadcast(nc), Seq("cid"))
-          .select(col("vec_id"), col("cid"),
-            cosine(col("dot"), col("nv"), col("nc")).as("cos_sim"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("cos_sim").desc, col("cid").asc)
-        scored
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("vec_id", "cid")
-      }
-
-      var cent = v
-        .filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
-        .localCheckpoint()
-      for (_ <- 0 until 2) {
-        val a = assign(cent)
-        val means = a
-          .join(v, Seq("vec_id"))
-          .groupBy(col("cid"), col("pos"))
-          .agg(floor(sum(col("q")).cast("double") / count(lit(1)) + lit(0.5))
-            .cast("long").as("mq"))
-        // empty clusters keep their previous centroid
-        cent = cent
-          .join(means, Seq("cid", "pos"), "left_outer")
-          .select(col("cid"), col("pos"),
-            coalesce(col("mq"), col("cq")).as("cq"))
-          .localCheckpoint()
-      }
-      assign(cent).orderBy("vec_id")
+      val (v, nv) = quantized(s, d)
+      assignToCentroids(v, nv, trainKmeans(v, nv)).orderBy("vec_id")
     },
-    Some {
-      def iter(x: Int): String =
-        s"""dot$x AS (
-           |  SELECT v.vec_id, c.cid, CAST(sum(v.q * c.cq) AS BIGINT) AS dot
-           |  FROM v JOIN c$x c ON v.pos = c.pos GROUP BY 1, 2),
-           |nc$x AS (SELECT cid, CAST(sum(cq * cq) AS BIGINT) AS nc FROM c$x GROUP BY cid),
-           |scored$x AS (
-           |  SELECT d.vec_id, d.cid,
-           |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nv.nv AS DOUBLE) * CAST(nc.nc AS DOUBLE)) AS cos
-           |  FROM dot$x d JOIN nv ON d.vec_id = nv.vec_id JOIN nc$x nc ON d.cid = nc.cid),
-           |assign$x AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT vec_id, cid,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-           |    FROM scored$x) t WHERE rn = 1),
-           |c${x + 1} AS (
-           |  SELECT c.cid, c.pos, COALESCE(m.mq, c.cq) AS cq
-           |  FROM c$x c LEFT JOIN (
-           |    SELECT a.cid, v.pos,
-           |      CAST(floor(CAST(sum(v.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mq
-           |    FROM assign$x a JOIN v ON a.vec_id = v.vec_id
-           |    GROUP BY 1, 2) m ON c.cid = m.cid AND c.pos = m.pos)""".stripMargin
-      s"""WITH e AS (
-         |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
-         |v AS (
-         |  SELECT vec_id, CAST(i - 1 AS INT) AS pos, qv[i] AS q
-         |  FROM e, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) r),
-         |nv AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nv FROM v GROUP BY vec_id),
-         |c0 AS (SELECT vec_id AS cid, pos, q AS cq FROM v WHERE vec_id < 8),
-         |${iter(0)},
-         |${iter(1)},
-         |${iter(2).split("\nc3 AS")(0).trim.stripSuffix(",")}
-         |SELECT vec_id, cid FROM assign2 ORDER BY vec_id""".stripMargin
-    }
+    Some(s"$kmeansCtes\nSELECT vec_id, cid FROM assign2 ORDER BY vec_id")
   )
 
-  val all: Seq[Q] = Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf)
+  /** q_ivf_search — the full IVF ANN path: train the coarse quantizer
+    * (k-means above), assign the corpus to inverted lists, then each
+    * query (vec_id < 8) probes ONLY its own centroid's list and ranks
+    * candidates by exact cosine — the probe-1 search that reads 1/k of
+    * the corpus per query at 100 TB.
+    */
+  val qIvfSearch = Q(
+    "q_ivf_search",
+    (s, d) => {
+      val (v, nv) = quantized(s, d)
+      val a  = assignToCentroids(v, nv, trainKmeans(v, nv)).localCheckpoint()
+      val qa = a.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val ca = a.filter(col("vec_id") >= 8)
+      val cand = qa.join(ca, Seq("cid"))
+        .select(col("qid"), col("vec_id").as("nid"))
+      val dots = cand
+        .join(v.as("vq"), col("qid") === col("vq.vec_id"))
+        .join(v.as("vc"),
+          col("nid") === col("vc.vec_id") && col("vq.pos") === col("vc.pos"))
+        .groupBy("qid", "nid")
+        .agg(sum(col("vq.q") * col("vc.q")).as("dot"))
+      val scored = dots
+        .join(nv.as("nq"), col("qid") === col("nq.vec_id"))
+        .join(nv.as("nn"), col("nid") === col("nn.vec_id"))
+        .select(col("qid"), col("nid").as("neighbor_id"),
+          cosine(col("dot"), col("nq.nv"), col("nn.nv")).as("cos_sim"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 3)
+        .select("qid", "nrank", "neighbor_id", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some(
+      s"""$kmeansCtes,
+         |qa AS (SELECT vec_id AS qid, cid FROM assign2 WHERE vec_id < 8),
+         |ca AS (SELECT vec_id AS nid, cid FROM assign2 WHERE vec_id >= 8),
+         |cand AS (SELECT q.qid, c.nid FROM qa q JOIN ca c ON q.cid = c.cid),
+         |pdots AS (
+         |  SELECT cd.qid, cd.nid, CAST(sum(vq.q * vc.q) AS BIGINT) AS dot
+         |  FROM cand cd
+         |  JOIN v vq ON vq.vec_id = cd.qid
+         |  JOIN v vc ON vc.vec_id = cd.nid AND vc.pos = vq.pos
+         |  GROUP BY 1, 2),
+         |pscored AS (
+         |  SELECT d.qid, d.nid AS neighbor_id,
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nv AS DOUBLE) * CAST(nn.nv AS DOUBLE)) AS cos_sim
+         |  FROM pdots d
+         |  JOIN nv nq ON nq.vec_id = d.qid
+         |  JOIN nv nn ON nn.vec_id = d.nid),
+         |pranked AS (
+         |  SELECT qid, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+         |  FROM pscored)
+         |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, cos_sim
+         |FROM pranked WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch)
 }
