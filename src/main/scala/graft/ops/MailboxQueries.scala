@@ -153,6 +153,52 @@ object MailboxQueries {
     )
   )
 
+  /** Ancestors walk (README.md:444-469): traverse UP from folder 33058
+    * to the root. The reference's recursive CTE terminates only because
+    * UNION dedups the root's self-loop row — the iterative mirror uses
+    * an anti-join against the accumulated result for the same effect.
+    */
+  val qMailboxFolderAncestors = Q(
+    "q_mailbox_folder_ancestors",
+    (s, _) => {
+      ensureFixtures()
+      val folders = Mailbox
+        .folders(s, unittest)
+        .select(col("display_name"), col("node_id"), col("parent_node_id"))
+        .localCheckpoint()
+      var result = folders.filter(col("node_id") === 33058L)
+      var frontier = result
+      var done = false
+      while (!done) {
+        val next = folders
+          .join(
+            broadcast(frontier.select(col("parent_node_id").as("target"))),
+            col("node_id") === col("target"))
+          .select(col("display_name"), col("node_id"), col("parent_node_id"))
+          .join(result.select(col("node_id").as("seen")),
+            col("node_id") === col("seen"), "left_anti")
+          .localCheckpoint()
+        if (next.isEmpty) done = true
+        else { result = result.union(next); frontier = next }
+      }
+      result.orderBy("node_id")
+    },
+    Some(
+      s"""WITH RECURSIVE f AS (
+         |  SELECT display_name, node_id, parent_node_id
+         |  FROM ${jsonSrc(unittest)} WHERE record_type = 'folder'),
+         |parent_tree AS (
+         |  SELECT display_name, node_id, parent_node_id FROM f
+         |  WHERE node_id = 33058
+         |  UNION
+         |  SELECT f.display_name, f.node_id, f.parent_node_id
+         |  FROM f INNER JOIN parent_tree d ON d.parent_node_id = f.node_id
+         |)
+         |SELECT display_name, node_id, parent_node_id
+         |FROM parent_tree ORDER BY node_id""".stripMargin
+    )
+  )
+
   /** Contact-mode scan: the typed extension columns (given_name etc.)
     * with the plan-time IPM.Contact class filter (README.md:61-69).
     */
@@ -256,6 +302,7 @@ object MailboxQueries {
     qMailboxCount,
     qMailboxClassHistogram,
     qMailboxFolderTree,
+    qMailboxFolderAncestors,
     qMailboxLateMat,
     qMailboxDlistMembers,
     qMailboxContacts,
