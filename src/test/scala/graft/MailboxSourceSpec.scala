@@ -114,6 +114,41 @@ class MailboxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(untitled.isNullAt(untitled.fieldIndex("subject")))
   }
 
+  test("full folder golden inventory (read_unittest_pst.test:19-37)") {
+    val rows = Mailbox.folders(spark, box)
+      .select("node_id", "parent_node_id", "display_name")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(rows.length === 16)
+    assert(rows.head === ((290L, 290L, "Outlook Data File")))
+    assert(rows.count(_._2 === 32802L) === 11) // children of Top-of-file
+    assert(rows.map(_._3).contains("Conversation Action Settings"))
+  }
+
+  test("task golden values (read_unittest_pst.test:104-111)") {
+    val t = Mailbox.tasks(spark, box).collect()(0)
+    assert(t.getAs[java.sql.Timestamp]("due_date").toInstant.toString
+      === "2025-12-25T00:00:00Z")
+    assert(!t.getAs[Boolean]("is_complete"))
+    assert(t.getAs[Double]("percent_complete") === 0.25)
+    assert(t.getAs[String]("task_owner") === "Hopper Cat")
+  }
+
+  test("EXPLAIN shows exact planned row counts per typed mode (query_optimizations.test:20-47)") {
+    // the scan description carries the exact class-filtered cardinality,
+    // mirroring the reference's plan-time row counts in EXPLAIN
+    def rowsIn(mode: String): String = {
+      val df = Mailbox.read(spark, box, mode)
+      df.queryExecution.executedPlan.toString
+        .split("rows=")(1).takeWhile(_.isDigit)
+    }
+    assert(rowsIn("contacts") === "2")
+    assert(rowsIn("notes") === "5")
+    assert(rowsIn("tasks") === "1")
+    assert(rowsIn("folders") === "16")
+  }
+
   test("contact extension columns") {
     val c = Mailbox.contacts(spark, box)
       .select("given_name", "surname").orderBy("given_name")
