@@ -80,5 +80,46 @@ object SqlSurface {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qSqlPricing, qSqlNested, qSqlUnionAll, qSqlCaseAgg)
+  /** q_sql_local_supply — TPC-H Q5 shape: revenue by nation where the
+    * supplier and customer share the nation, one region, one year.
+    * Five-table join; dims broadcast, fact never shuffles for the join.
+    */
+  val qSqlLocalSupply = sqlQ(
+    "q_sql_local_supply",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    bench = true
+  )
+
+  /** q_sql_returned_items — TPC-H Q10 shape: revenue lost to returned
+    * items per customer, top 20.
+    */
+  val qSqlReturnedItems = sqlQ(
+    "q_sql_returned_items",
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  n_name
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(qSqlPricing, qSqlNested, qSqlUnionAll, qSqlCaseAgg,
+    qSqlLocalSupply, qSqlReturnedItems)
 }
