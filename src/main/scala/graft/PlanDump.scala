@@ -8,7 +8,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    for (n <- Seq("q_groupby_agg", "q_count_star", "q_in_between", "q_minhash_signature", "q_cosine_knn")) {
+    for (n <- Seq("q_groupby_agg", "q_count_star", "q_in_between", "q_minhash_signature", "q_cosine_knn", "q_sql_local_supply", "q_session_window", "q_ivf_search", "q_range_join")) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString.take(3000))
     }
