@@ -416,5 +416,51 @@ object Similarity {
     )
   )
 
-  val all: Seq[Q] = Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch)
+  /** q_dedup_embedding — embedding-cosine near-duplicate pairs (the
+    * semantic-dedup method): vector pairs above a cosine threshold.
+    * Candidate generation is the sign-LSH bucket (each vector compares
+    * only within its bucket — the scale path); scores are exact-integer
+    * cosine. On random fixtures few pairs clear the threshold; the
+    * semantics, not the hit count, are the contract.
+    */
+  val qDedupEmbedding = Q(
+    "q_dedup_embedding",
+    (s, d) => {
+      val e = Tables
+        .embeddings(s, d)
+        .select(
+          col("vec_id"),
+          signBucket(col("embedding")).as("bucket"),
+          qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+      val pairs = e
+        .as("a")
+        .join(e.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("id_a"),
+          col("b.vec_id").as("id_b"),
+          cosine(dotq(col("a.qv"), col("b.qv")), col("a.nq"), col("b.nq"))
+            .as("cos_sim"))
+      pairs.filter(col("cos_sim") >= 0.25).orderBy("id_a", "id_b")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, $signBucketSql AS bucket, $qvecSql AS qv
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, bucket, qv, ${dotqSql("qv", "qv")} AS nq FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(${dotqSql("a.qv", "b.qv")} AS DOUBLE)
+         |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos_sim
+         |  FROM n a JOIN n b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM pairs
+         |WHERE cos_sim >= 0.25 ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch, qDedupEmbedding)
 }

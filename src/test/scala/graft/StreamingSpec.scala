@@ -96,6 +96,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming dropDuplicates dedups re-delivered events exactly") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val dir = JFiles.createTempDirectory("stream_dedup")
+    // the same archive delivered twice (at-least-once source semantics)
+    JFiles.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    JFiles.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val raw = Tables.eventsRaw(spark, sf)
+    val stream = spark.readStream
+      .schema(raw.schema)
+      .parquet(dir.toString)
+      .dropDuplicates("event_id")
+      .groupBy()
+      .count()
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("dedup_stream")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val total = spark.table("dedup_stream").collect()(0).getLong(0)
+    assert(total === raw.count(), "duplicates must be dropped exactly once")
+  }
+
   test("streaming windowed aggregation matches batch group-by") {
     val streamed = SparkEntry.queries("q_stream_window")(spark, sf).collect()
     val batch = Tables
