@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the operators of this library
+  * chained the way a 100 TB pretraining pipeline runs them —
+  *
+  *   ingest → quality filter → exact dedup → near-dup cluster dedup →
+  *   language filter → length filter → curated corpus (partitioned).
+  *
+  * Every stage reuses a verified `SparkEntry` operator, so the pipeline
+  * inherits their oracle-checked semantics; the composition stays lazy
+  * (one Catalyst plan per stage family, no driver materialization).
+  */
+object CuratePipeline {
+
+  final case class CurateStats(
+      nInput: Long,
+      nAfterQuality: Long,
+      nAfterExactDedup: Long,
+      nAfterNearDedup: Long,
+      nAfterLanguage: Long,
+      nCurated: Long)
+
+  def curate(
+      s: SparkSession,
+      sfDir: String,
+      outDir: Option[String] = None,
+      minQuality: Double = 0.45,
+      keepLangs: Seq[String] = Seq("en"),
+      minTokens: Int = 10): (DataFrame, CurateStats) = {
+    val docs = Tables.documents(s, sfDir)
+
+    // stage 1 — quality scoring (oracle-checked op)
+    val quality = TextOps.qQualityScore.fn(s, sfDir)
+      .select(col("doc_id"), col("quality"))
+    val afterQuality = docs
+      .join(quality, Seq("doc_id"))
+      .filter(col("quality") >= minQuality)
+
+    // stage 2 — exact dedup: keep the representative per content hash
+    val keepers = Dedup.qDedupExact.fn(s, sfDir)
+      .select(col("keep_id").as("doc_id"))
+    val afterExact = afterQuality.join(keepers, Seq("doc_id"), "left_semi")
+
+    // stage 3 — near-dup dedup: keep cluster representatives
+    val nearKeep = Advanced.qDedupDecision.fn(s, sfDir)
+      .filter(col("keep")).select("doc_id")
+    val afterNear = afterExact.join(nearKeep, Seq("doc_id"), "left_semi")
+
+    // stage 4 — language ID filter
+    val lang = TextOps.qLangId.fn(s, sfDir)
+      .select(col("doc_id"), col("predicted"))
+    val afterLang = afterNear
+      .join(lang, Seq("doc_id"))
+      .filter(col("predicted").isin(keepLangs: _*))
+
+    // stage 5 — token-count floor
+    val tokens = TextOps.qTokenCount.fn(s, sfDir)
+      .select(col("doc_id"), col("n_tokens"))
+    val curated = afterLang
+      .join(tokens, Seq("doc_id"))
+      .filter(col("n_tokens") >= minTokens)
+      .select(docs.columns.map(col) :+ col("quality") :+ col("n_tokens"): _*)
+
+    outDir.foreach { dir =>
+      curated.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    }
+
+    val stats = CurateStats(
+      docs.count(),
+      afterQuality.count(),
+      afterExact.count(),
+      afterNear.count(),
+      afterLang.count(),
+      curated.count())
+    (curated, stats)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir  = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) Some(args(1)) else None
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (_, stats) = curate(spark, sfDir, outDir)
+    println(s"curate: $stats")
+    spark.stop()
+  }
+}
