@@ -43,5 +43,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
         (exprs: Seq[Expression]) => HammingDistance(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => SimplifyGraftExpressions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -132,5 +132,36 @@ object Temporal {
     )
   )
 
-  val all: Seq[Q] = Seq(qAsofJoin, qRangeJoin, qPivot)
+  /** q_asof_join_custom — the custom AsofJoin operator (LogicalPlan +
+    * Strategy + merge SparkPlan, graft.plans): every event joined to the
+    * same user's latest purchase at-or-before it, as a true two-sided
+    * join rather than the window composition. Oracle: the window
+    * formulation, which defines identical semantics.
+    */
+  val qAsofJoinCustom = Q(
+    "q_asof_join_custom",
+    (s, d) => {
+      val left = Tables
+        .events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val right = Tables
+        .events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_event_id"))
+      graft.plans.AsofJoinOps
+        .asofJoin(left, right, "user_id", "p_user", "event_id", "p_event_id")
+        .select("user_id", "event_id", "p_event_id")
+        .orderBy("user_id", "event_id")
+    },
+    Some(
+      """SELECT user_id, event_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS p_event_id
+        |FROM events ORDER BY user_id, event_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qAsofJoin, qRangeJoin, qPivot, qAsofJoinCustom)
 }
