@@ -175,26 +175,23 @@ object MailboxPlanner {
       limit: Long): (Array[Long], Array[Long]) = {
     val offsets = new ArrayBuffer[Long]()
     val nodes   = new ArrayBuffer[Long]()
-    val in      = new BufferedInputStream(new FileInputStream(file), 1 << 16)
+    val in      = new FileInputStream(file)
+    // block-scan: read 64 KiB chunks, find newlines in a tight loop,
+    // keep only the first 160 bytes of each line (enough for the
+    // node_id/record_type/message_class prefix keys)
+    val buf  = new Array[Byte](1 << 16)
+    val head = new Array[Byte](160)
     try {
-      var pos   = 0L
-      var done  = false
-      var first = true
-      val sb    = new java.lang.StringBuilder(160)
-      while (!done) {
-        val lineStart = pos
-        sb.setLength(0)
-        var b        = in.read()
-        var consumed = 0L
-        while (b != -1 && b != '\n') {
-          if (sb.length < 160) sb.append(b.toChar)
-          consumed += 1
-          b = in.read()
-        }
-        if (b == -1 && consumed == 0) done = true
+      var headLen   = 0
+      var lineStart = 0L
+      var abs       = 0L
+      var first     = true
+      var done      = false
+
+      def processLine(): Boolean = { // returns true when limit reached
+        if (headLen == 0) false
         else {
-          pos = lineStart + consumed + (if (b == '\n') 1 else 0)
-          val prefix = sb.toString
+          val prefix = new String(head, 0, headLen, "UTF-8")
           val valid  = prefix.startsWith("{\"node_id\":")
           // A20 analog: a file whose first record is not mailbox-shaped
           // fails the bind entirely; later bad lines are skipped.
@@ -204,9 +201,31 @@ object MailboxPlanner {
           if (valid && lineMatches(prefix, wantFolder, classFilter)) {
             offsets += lineStart
             nodes += nodeIdOf(prefix)
-            if (offsets.length >= limit) done = true
+            offsets.length >= limit
+          } else false
+        }
+      }
+
+      while (!done) {
+        val n = in.read(buf)
+        if (n < 0) {
+          processLine() // trailing line without newline
+          done = true
+        } else {
+          var i = 0
+          while (i < n && !done) {
+            val b = buf(i)
+            if (b == '\n') {
+              if (processLine()) done = true
+              lineStart = abs + i + 1
+              headLen = 0
+            } else if (headLen < 160) {
+              head(headLen) = b
+              headLen += 1
+            }
+            i += 1
           }
-          if (b == -1) done = true
+          abs += n
         }
       }
     } finally in.close()
