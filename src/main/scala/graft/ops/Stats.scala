@@ -149,5 +149,43 @@ object Stats {
     )
   )
 
-  val all: Seq[Q] = Seq(qListagg, qQuantiles, qVariance, qWindowNavigation)
+  /** q_window_distribution — distribution window functions (ntile,
+    * percent_rank, cume_dist — exact rationals, so identical doubles)
+    * plus a RANGE frame keyed on the numeric order value.
+    */
+  val qWindowDistribution = Q(
+    "q_window_distribution",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      val wRange = Window
+        .partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rangeBetween(-10L, 0L)
+      Tables
+        .orders(s, d)
+        .select(
+          col("o_orderstatus"),
+          col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          count(lit(1)).over(wRange).as("n_in_range")
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+    },
+    Some(
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS n_in_range
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution)
 }
