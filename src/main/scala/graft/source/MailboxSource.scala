@@ -414,8 +414,9 @@ class MailboxPartitionReader(
     readSchema: StructType,
     opts: MailboxOptions) extends PartitionReader[InternalRow] {
 
-  private val mapper = new ObjectMapper()
-  private val in     = new BufferedInputStream(new FileInputStream(p.file), 1 << 16)
+  private val mapper  = new ObjectMapper()
+  private val factory = mapper.getFactory
+  private val in      = new BufferedInputStream(new FileInputStream(p.file), 1 << 16)
   private var filePos = 0L
   private var idx     = -1
   private var current: InternalRow = _
@@ -426,18 +427,91 @@ class MailboxPartitionReader(
   private val bodyChars: Long =
     if (opts.bodySizeBytes <= 0) Long.MaxValue else opts.bodySizeBytes / 2
 
+  // fast path: if every projected field is a top-level scalar, extract
+  // values with the streaming parser and never build a JsonNode tree
+  // (~2-3x less allocation on analytic projections)
+  private val metaFields =
+    Set("pst_path", "pst_name", "__partition", "__node_id")
+  private val flatOnly: Boolean = readSchema.fields.forall { f =>
+    metaFields.contains(f.name) || (f.dataType match {
+      case _: ArrayType | _: StructType => false
+      case _                            => true
+    })
+  }
+  private val fieldIndex: Map[String, Int] =
+    readSchema.fieldNames.zipWithIndex.toMap
+
   override def next(): Boolean = {
     idx += 1
     if (idx >= p.offsets.length) false
     else {
       val target = p.offsets(idx)
       if (target > filePos) { skipFully(target - filePos); filePos = target }
-      val line = readLine()
+      val line = readLineBytes()
       current =
-        try rowOf(mapper.readTree(line))
-        catch { case NonFatal(_) => nullRow() }
+        try {
+          if (flatOnly) rowOfStreaming(line)
+          else rowOf(mapper.readTree(line))
+        } catch { case NonFatal(_) => nullRow() }
       true
     }
+  }
+
+  /** Streaming extraction of projected top-level scalars. */
+  private def rowOfStreaming(line: Array[Byte]): InternalRow = {
+    import com.fasterxml.jackson.core.JsonToken
+    val values = new Array[Any](readSchema.length)
+    val parser = factory.createParser(line)
+    try {
+      if (parser.nextToken() == JsonToken.START_OBJECT) {
+        var tok = parser.nextToken()
+        while (tok != JsonToken.END_OBJECT && tok != null) {
+          val name = parser.currentName()
+          parser.nextToken() // move onto the value
+          fieldIndex.get(name) match {
+            case Some(i) if !metaFields.contains(name) =>
+              values(i) =
+                try {
+                  if (parser.currentToken() == JsonToken.VALUE_NULL) null
+                  else scalarValue(readSchema.fields(i), parser)
+                } catch { case NonFatal(_) => null }
+            case _ => parser.skipChildren() // no-op for scalars
+          }
+          tok = parser.nextToken()
+        }
+      }
+    } finally parser.close()
+    fillMeta(values)
+    new GenericInternalRow(values)
+  }
+
+  private def scalarValue(
+      f: StructField, parser: com.fasterxml.jackson.core.JsonParser): Any =
+    f.dataType match {
+      case StringType =>
+        val s = parser.getValueAsString
+        val t =
+          if ((f.name == "body" || f.name == "body_html") && s.length > bodyChars)
+            s.substring(0, bodyChars.toInt)
+          else s
+        UTF8String.fromString(t)
+      case LongType      => parser.getValueAsLong
+      case IntegerType   => parser.getValueAsInt
+      case ShortType     => parser.getValueAsInt.toShort
+      case DoubleType    => parser.getValueAsDouble
+      case BooleanType   => parser.getValueAsBoolean
+      case TimestampType => parser.getValueAsLong * 1000000L
+      case BinaryType    => Base64.getDecoder.decode(parser.getValueAsString)
+      case _             => null
+    }
+
+  private def fillMeta(values: Array[Any]): Unit = {
+    fieldIndex.get("pst_path").foreach(i =>
+      values(i) = UTF8String.fromString(p.file))
+    fieldIndex.get("pst_name").foreach(i =>
+      values(i) = UTF8String.fromString(fileName))
+    fieldIndex.get("__partition").foreach(i => values(i) = p.index.toLong)
+    fieldIndex.get("__node_id").foreach(i => values(i) = p.nodeIds(idx))
   }
 
   private def skipFully(n: Long): Unit = {
@@ -449,13 +523,13 @@ class MailboxPartitionReader(
     }
   }
 
-  private def readLine(): String = {
+  private def readLineBytes(): Array[Byte] = {
     val out = new ByteArrayOutputStream(256)
     var b   = in.read()
     var n   = 0L
     while (b != -1 && b != '\n') { out.write(b); n += 1; b = in.read() }
     filePos += n + (if (b == '\n') 1 else 0)
-    out.toString("UTF-8")
+    out.toByteArray
   }
 
   private def nullRow(): InternalRow =
