@@ -159,12 +159,41 @@ object Scalars {
     None
   )
 
+  /** q_bool_bit_aggs — boolean (every/some) and bitwise (and/or/xor)
+    * aggregates, all order-independent and exact.
+    */
+  val qBoolBitAggs = Q(
+    "q_bool_bit_aggs",
+    (s, d) =>
+      Tables
+        .lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          every(col("l_quantity") > 0).as("all_positive"),
+          some(col("l_quantity") > 45).as("any_large"),
+          bit_and(col("l_linenumber")).as("ln_and"),
+          bit_or(col("l_linenumber")).as("ln_or"),
+          bit_xor(col("l_linenumber")).as("ln_xor")
+        )
+        .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_quantity > 45) AS any_large,
+        |  bit_and(l_linenumber) AS ln_and,
+        |  bit_or(l_linenumber) AS ln_or,
+        |  bit_xor(l_linenumber) AS ln_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qStringFuncs2,
     qNullFuncs,
     qInBetween,
     qCasts,
     qGroupingSets,
-    qApproxDistinct
+    qApproxDistinct,
+    qBoolBitAggs
   )
 }
