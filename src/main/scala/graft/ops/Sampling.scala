@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training pipelines. Engine-native samplers
+  * (TABLESAMPLE, df.sample) draw from engine-specific RNGs and can never
+  * agree across systems or reruns with different partitioning — so these
+  * ops sample by content hash instead: deterministic, stable under
+  * repartitioning, identical in Spark and the oracle, and exactly
+  * reproducible between pipeline runs (the property that matters when a
+  * training corpus must be re-derivable).
+  */
+object Sampling {
+
+  /** q_hash_sample — ~1/8 sample: keep docs whose md5 leads with 0 or 1
+    * (2/16 of hex space). Membership is a pure function of content.
+    */
+  val qHashSample = Q(
+    "q_hash_sample",
+    (s, d) =>
+      Tables
+        .documents(s, d)
+        .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(text), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_stratified_sample — balanced per-language sample: 10 docs per
+    * language, selected by hash order (content-deterministic ranking,
+    * not first-N-in-file order which depends on layout).
+    */
+  val qStratifiedSample = Q(
+    "q_stratified_sample",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy(md5(col("text")))
+      Tables
+        .documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    },
+    Some(
+      """SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text)) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+    )
+  )
+
+  /** q_train_val_split — reproducible 50/50 train/validation split by
+    * content hash, reported as per-split per-language counts.
+    */
+  val qTrainValSplit = Q(
+    "q_train_val_split",
+    (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(
+          col("lang"),
+          when(substring(md5(col("text")), 1, 1) < "8", "train")
+            .otherwise("val")
+            .as("split")
+        )
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split"),
+    Some(
+      """SELECT lang,
+        |  CASE WHEN substr(md5(text), 1, 1) < '8' THEN 'train' ELSE 'val' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qHashSample, qStratifiedSample, qTrainValSplit)
+}
