@@ -259,6 +259,13 @@ class MailboxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 12L)
   }
 
+  test("scan works through an explicit Hadoop FS scheme URI (A19)") {
+    // the pluggable-filesystem analog: paths resolve through
+    // org.apache.hadoop.fs.FileSystem, so any registered scheme works
+    val df = Mailbox.messages(spark, s"file://$box")
+    assert(df.count() === 12L)
+  }
+
   test("every mode fully materializes its complete schema") {
     // catches conversion bugs in rarely-projected columns (e.g. the 78
     // contact extension fields): select * and force all values
