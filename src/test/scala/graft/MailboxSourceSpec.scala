@@ -259,6 +259,25 @@ class MailboxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 12L)
   }
 
+  test("SQL DDL surface: CREATE TEMPORARY VIEW ... USING mailbox") {
+    // the SQL-text analog of read_pst_messages('path') — table-function
+    // style access for SQL users (reference README.md:25-37)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW mbox_messages
+         |USING mailbox
+         |OPTIONS (path '$glob', mode 'messages')""".stripMargin)
+    val hist = spark
+      .sql("""SELECT message_class, count(*) AS c FROM mbox_messages
+              |GROUP BY message_class ORDER BY c DESC""".stripMargin)
+      .collect()
+    assert(hist.map(_.getLong(1)).sum === 812L)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW mbox_contacts
+         |USING mailbox
+         |OPTIONS (path '$box', mode 'contacts', read_limit '1')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM mbox_contacts").collect()(0).getLong(0) === 1L)
+  }
+
   test("scan works through an explicit Hadoop FS scheme URI (A19)") {
     // the pluggable-filesystem analog: paths resolve through
     // org.apache.hadoop.fs.FileSystem, so any registered scheme works
