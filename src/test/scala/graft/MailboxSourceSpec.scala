@@ -330,6 +330,31 @@ class MailboxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("unknown mode and missing path produce clear errors") {
+    val e1 = intercept[Exception] {
+      Mailbox.read(spark, box, "calendarz").collect()
+    }
+    assert(e1.getMessage.contains("unknown mode"))
+    val e2 = intercept[Exception] {
+      spark.read.format("mailbox").option("mode", "messages").load()
+    }
+    assert(e2.getMessage.toLowerCase.contains("path"))
+  }
+
+  test("sparse records scan with NULLs for absent properties") {
+    val rdir = Files.createTempDirectory("mailbox_sparse").toFile
+    MailboxGen.writeFile(new File(rdir, "sparse.mbx"), Seq(
+      """{"node_id":1,"parent_node_id":0,"record_type":"message","message_class":"IPM.Note","subject":"only a subject"}""",
+      """{"node_id":2,"parent_node_id":0,"record_type":"message","message_class":"IPM.Note"}"""))
+    val df = Mailbox.messages(spark, new File(rdir, "sparse.mbx").getPath)
+    val rows = df.orderBy("node_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("subject") === "only a subject")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("subject")))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("body")))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("recipients")))
+  }
+
   test("malformed field degrades to NULL, row survives (A16)") {
     val rdir = Files.createTempDirectory("mailbox_nulls").toFile
     val good = MailboxGen.unittestLines
