@@ -88,10 +88,12 @@ object Dedup {
         col("doc_id"),
         md5(concat(lit("0|"), col("g"))).as("d0"),
         md5(concat(lit("1|"), col("g"))).as("d1"))
+    // components as BIGINT (hex slice parsed to int64): min(long) hash-
+    // aggregates (min(string) would fall back to SortAggregate)
     val mins = (0 until nHashes).map { j =>
       val dig   = if (j < 4) "d0" else "d1"
       val start = (j % 4) * 8 + 1
-      min(substring(col(dig), start, 8)).as(s"h$j")
+      min(conv(substring(col(dig), start, 8), 16, 10).cast("long")).as(s"h$j")
     }
     exploded
       .groupBy("doc_id")
@@ -105,10 +107,16 @@ object Dedup {
   }
 
   private val signaturesSql: String = {
+    // hex→int64 without conv(): 8-term positional arithmetic
+    def hexToLong(expr: String, start: Int): String =
+      (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr($expr, ${start + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
     val hs = (0 until nHashes).map { j =>
       val dig   = if (j < 4) "d0" else "d1"
       val start = (j % 4) * 8 + 1
-      s"min(substr($dig, $start, 8)) AS h$j"
+      s"CAST(min(${hexToLong(dig, start)}) AS BIGINT) AS h$j"
     }.mkString(",\n    ")
     s"""WITH e AS (
        |  SELECT doc_id, unnest($wordShinglesSql) AS g FROM documents),
