@@ -122,6 +122,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total === raw.count(), "duplicates must be dropped exactly once")
   }
 
+  test("stream-static join: arriving docs dedup against a static index") {
+    import org.apache.spark.sql.functions.{col, md5, broadcast}
+    // static side: the signature index of already-ingested documents
+    val known = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 250)
+      .select(md5(col("text")).as("known_hash"))
+    val docSchema = Tables.documents(spark, sf).schema
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+      .withColumn("h", md5(col("text")))
+      .join(broadcast(known), col("h") === col("known_hash"), "left_anti")
+      .groupBy()
+      .count()
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_static_dedup")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val fresh = spark.table("stream_static_dedup").collect()(0).getLong(0)
+    // batch equivalent: docs whose content hash is not in the index
+    val expected = Tables.documents(spark, sf)
+      .withColumn("h", md5(col("text")))
+      .join(known, col("h") === col("known_hash"), "left_anti")
+      .count()
+    assert(fresh === expected)
+    assert(fresh > 0 && fresh < 500)
+  }
+
   test("streaming windowed aggregation matches batch group-by") {
     val streamed = SparkEntry.queries("q_stream_window")(spark, sf).collect()
     val batch = Tables
