@@ -202,5 +202,70 @@ object TextOps {
     )
   )
 
-  val all: Seq[Q] = Seq(qTokenCount, qQualityScore, qLangId, qFingerprint)
+  /** q_text_normalize — canonicalization before dedup/hashing: lower-
+    * case, strip non-alphanumerics, collapse whitespace, trim. Emitted
+    * with the canonical md5 so downstream exact-dedup keys on it.
+    */
+  val qTextNormalize = Q(
+    "q_text_normalize",
+    (s, d) => {
+      val canon = trim(
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+          "\\s+", " "))
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          canon.as("canon_text"),
+          md5(canon).as("canon_hash"),
+          length(canon).as("canon_len"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |       '\s+', ' ', 'g')) AS canon_text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |       '\s+', ' ', 'g'))) AS canon_hash,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |       '\s+', ' ', 'g'))) AS INT) AS canon_len
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_redact — PII scrubbing: emails and long digit runs replaced with
+    * placeholder tokens (the pre-training privacy pass). The fixture
+    * text has no PII, so a deterministic synthetic suffix containing an
+    * email and an id is appended first — the redaction regexes are the
+    * operator under test.
+    */
+  val qRedact = Q(
+    "q_redact",
+    (s, d) => {
+      val withPii = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact: user"), col("doc_id"), lit("@example.com id "),
+        (col("doc_id") * 7919).cast("string"))
+      val redacted = regexp_replace(
+        regexp_replace(withPii, "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        "\\d{3,}", "<NUM>")
+      Tables
+        .documents(s, d)
+        .select(col("doc_id"), redacted.as("redacted"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    substr(text, 1, 40) || ' contact: user' || doc_id
+        |      || '@example.com id ' || CAST(doc_id * 7919 AS VARCHAR),
+        |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    '\d{3,}', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize, qRedact)
 }
