@@ -72,5 +72,114 @@ object Extras {
     )
   )
 
-  val all: Seq[Q] = Seq(qHistogram, qCrossJoin, qModePerGroup)
+  /** q_dedup_canonical — exact dedup after normalization: dedup keys on
+    * the canonical hash, catching case/punctuation/whitespace variants
+    * that raw-byte hashing misses.
+    */
+  val qDedupCanonical = Q(
+    "q_dedup_canonical",
+    (s, d) => {
+      val canon = trim(
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+          "\\s+", " "))
+      Tables
+        .documents(s, d)
+        .groupBy(md5(canon).as("canon_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+        .orderBy("keep_id")
+    },
+    Some(
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_variants
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+    )
+  )
+
+  /** q_corpus_summary — the dataset-card numbers in one row: doc count,
+    * token totals, exact average quality, language count, char totals.
+    */
+  val qCorpusSummary = Q(
+    "q_corpus_summary",
+    (s, d) => {
+      val toks = TextOps.qTokenCount.fn(s, d).select(col("doc_id"), col("n_tokens"))
+      val qual = TextOps.qQualityScore.fn(s, d).select(col("doc_id"), col("quality"))
+      Tables
+        .documents(s, d)
+        .join(toks, Seq("doc_id"))
+        .join(qual, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum(col("quality").cast("decimal(18,12)")).cast("double") /
+            count(lit(1))).as("avg_quality")
+        )
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS alpha_ratio,
+        |    CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS ws_ratio,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |      / greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |         x -> x <> '')), 1) AS stop_ratio,
+        |    least(1.0, CAST(length(text) AS DOUBLE) / 500.0) AS len_sat
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(CAST(alpha_ratio * 0.4 + (1.0 - ws_ratio) * 0.2
+        |    + stop_ratio * 0.2 + len_sat * 0.2 AS DECIMAL(18,12))) AS DOUBLE)
+        |    / count(*) AS avg_quality
+        |FROM documents JOIN t USING (doc_id)""".stripMargin
+    )
+  )
+
+  /** q_funnel — ordered-sequence funnel per user: signup followed later
+    * by a purchase (classic product-analytics sequence matching via
+    * conditional min aggregates; no self-join).
+    */
+  val qFunnel = Q(
+    "q_funnel",
+    (s, d) =>
+      Tables
+        .events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("event_id"))).as("first_signup"),
+          max(when(col("event_type") === "purchase", col("event_id"))).as("last_purchase")
+        )
+        .select(
+          col("user_id"),
+          col("first_signup").isNotNull.as("did_signup"),
+          (col("first_signup").isNotNull && col("last_purchase").isNotNull &&
+            col("last_purchase") > col("first_signup")).as("converted")
+        )
+        .groupBy("did_signup", "converted")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("did_signup", "converted"),
+    Some(
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN event_id END) AS first_signup,
+        |    max(CASE WHEN event_type = 'purchase' THEN event_id END) AS last_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT (first_signup IS NOT NULL) AS did_signup,
+        |  (first_signup IS NOT NULL AND last_purchase IS NOT NULL
+        |    AND last_purchase > first_signup) AS converted,
+        |  count(*) AS n_users
+        |FROM f GROUP BY 1, 2 ORDER BY did_signup, converted""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qHistogram, qCrossJoin, qModePerGroup,
+    qDedupCanonical, qCorpusSummary, qFunnel)
 }
