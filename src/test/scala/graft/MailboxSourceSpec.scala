@@ -355,6 +355,45 @@ class MailboxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).isNullAt(rows(0).fieldIndex("recipients")))
   }
 
+  test("streaming restart from checkpoint does not reprocess files") {
+    val sdir = Files.createTempDirectory("mailbox_ckpt_src").toFile
+    val ckpt = Files.createTempDirectory("mailbox_ckpt").toFile.getPath
+    val out  = Files.createTempDirectory("mailbox_ckpt_out").toFile.getPath
+    MailboxGen.writeFile(new File(sdir, "a.mbx"), MailboxGen.unittestLines)
+
+    // durable parquet sink: recovery is observable in the output counts
+    def startQuery() = spark.readStream
+      .format("mailbox")
+      .option("mode", "messages")
+      .load(new File(sdir, "*.mbx").getPath)
+      .select("pst_name", "node_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet")
+      .option("path", out)
+      .start()
+
+    val q1 = startQuery()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    assert(spark.read.parquet(out).count() === 12L)
+
+    // restart against the same checkpoint; new file arrives in between
+    MailboxGen.writeFile(new File(sdir, "b.mbx"),
+      MailboxGen.syntheticLines(2, 30, 5))
+    val q2 = startQuery()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    // offsets recovered from the checkpoint → only b.mbx is appended
+    val all2 = spark.read.parquet(out)
+    assert(all2.count() === 42L,
+      s"restart reprocessed old files: ${all2.count()} rows")
+    val perFile = all2.groupBy("pst_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perFile === Map("a.mbx" -> 12L, "b.mbx" -> 30L))
+  }
+
   test("malformed field degrades to NULL, row survives (A16)") {
     val rdir = Files.createTempDirectory("mailbox_nulls").toFile
     val good = MailboxGen.unittestLines
