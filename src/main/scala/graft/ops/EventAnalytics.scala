@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics shapes over the events stream table. */
+object EventAnalytics {
+
+  /** q_daily_uniques — distinct active users per day. */
+  val qDailyUniques = Q(
+    "q_daily_uniques",
+    (s, d) =>
+      Tables
+        .events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n_events"))
+        .orderBy("day"),
+    Some(
+      """SELECT date_trunc('day', ts) AS day,
+        |  count(DISTINCT user_id) AS dau, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+    )
+  )
+
+  /** q_retention — next-day retention: of each day's active users, how
+    * many are active the following day (distinct day-pairs self-join).
+    */
+  val qRetention = Q(
+    "q_retention",
+    (s, d) => {
+      val active = Tables
+        .events(s, d)
+        .select(
+          col("user_id"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .distinct()
+      val next = active.select(
+        col("user_id").as("u2"),
+        (col("day") - expr("INTERVAL 1 DAY")).as("prev_day"))
+      active
+        .join(next, col("user_id") === col("u2") && col("day") === col("prev_day"), "left_outer")
+        .groupBy("day")
+        .agg(
+          count(lit(1)).as("active"),
+          count(col("u2")).as("retained"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+        |SELECT a.day, count(*) AS active, count(n.user_id) AS retained
+        |FROM active a
+        |LEFT JOIN active n
+        |  ON n.user_id = a.user_id AND n.day = a.day + INTERVAL 1 DAY
+        |GROUP BY a.day ORDER BY a.day""".stripMargin
+    )
+  )
+
+  /** q_top_users_per_type — the 3 most active users per event type
+    * (count-ranked with a deterministic tie-break).
+    */
+  val qTopUsersPerType = Q(
+    "q_top_users_per_type",
+    (s, d) => {
+      val counts = Tables
+        .events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+      val w = Window
+        .partitionBy("event_type")
+        .orderBy(col("n").desc, col("user_id").asc)
+      counts
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("rk").cast("int").as("rk"),
+          col("user_id"), col("n"))
+        .orderBy("event_type", "rk")
+    },
+    Some(
+      """SELECT event_type, CAST(rk AS INT) AS rk, user_id, n FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY count(*) DESC, user_id ASC) AS rk
+        |  FROM events GROUP BY event_type, user_id) t
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qDailyUniques, qRetention, qTopUsersPerType)
+}
