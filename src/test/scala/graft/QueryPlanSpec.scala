@@ -66,6 +66,12 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("l_quantity"), "count(*) should not read data columns")
   }
 
+  test("registry has no duplicate query names") {
+    val dups = SparkEntry.registry.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size === SparkEntry.registry.size)
+  }
+
   test("every registered query executes at sf0.001") {
     val failures = SparkEntry.registry.flatMap { q =>
       try { q.fn(spark, sf).collect(); None }
