@@ -180,6 +180,74 @@ object Extras {
     )
   )
 
+  /** q_full_outer_join — FULL OUTER over distinct key sets with side
+    * flags (which nations have customers/suppliers/both).
+    */
+  val qFullOuterJoin = Q(
+    "q_full_outer_join",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("ck")).distinct()
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("sk")).distinct()
+      c.join(sup, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nk"),
+          col("ck").isNotNull.as("has_cust"),
+          col("sk").isNotNull.as("has_supp"))
+        .orderBy("nk")
+    },
+    Some(
+      """SELECT coalesce(ck, sk) AS nk,
+        |  ck IS NOT NULL AS has_cust, sk IS NOT NULL AS has_supp
+        |FROM (SELECT DISTINCT c_nationkey AS ck FROM customer) c
+        |FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS sk FROM supplier) s
+        |  ON ck = sk
+        |ORDER BY nk""".stripMargin
+    )
+  )
+
+  /** q_right_outer_join — RIGHT OUTER: all nations, even supplier-less. */
+  val qRightOuterJoin = Q(
+    "q_right_outer_join",
+    (s, d) => {
+      val sup = Tables.supplier(s, d)
+      val n   = Tables.nation(s, d)
+      sup
+        .join(n, sup("s_nationkey") === n("n_nationkey"), "right_outer")
+        .groupBy("n_name")
+        .agg(count(col("s_suppkey")).as("n_supp"))
+        .orderBy("n_name")
+    },
+    Some(
+      """SELECT n_name, count(s_suppkey) AS n_supp
+        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+    )
+  )
+
+  /** q_union_by_name — schema-aligned union with missing columns filled
+    * NULL (unionByName ↔ UNION ALL BY NAME).
+    */
+  val qUnionByName = Q(
+    "q_union_by_name",
+    (s, d) => {
+      val a = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+      val b = Tables.supplier(s, d)
+        .select(col("s_name").as("name"), col("s_suppkey").as("id"))
+      a.unionByName(b.withColumn("bal", lit(null).cast("double")))
+        .orderBy(col("name"), col("id"))
+    },
+    Some(
+      """SELECT id, name, bal FROM (
+        |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_name AS name, s_suppkey AS id, NULL::DOUBLE AS bal FROM supplier) t
+        |ORDER BY name, id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qHistogram, qCrossJoin, qModePerGroup,
-    qDedupCanonical, qCorpusSummary, qFunnel)
+    qDedupCanonical, qCorpusSummary, qFunnel,
+    qFullOuterJoin, qRightOuterJoin, qUnionByName)
 }
