@@ -247,7 +247,32 @@ object Extras {
     )
   )
 
+  /** q_multi_distinct — several DISTINCT aggregates per group alongside
+    * plain ones (plans through Spark's Expand-based distinct rewrite).
+    */
+  val qMultiDistinct = Q(
+    "q_multi_distinct",
+    (s, d) =>
+      Tables
+        .lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qHistogram, qCrossJoin, qModePerGroup,
     qDedupCanonical, qCorpusSummary, qFunnel,
-    qFullOuterJoin, qRightOuterJoin, qUnionByName)
+    qFullOuterJoin, qRightOuterJoin, qUnionByName, qMultiDistinct)
 }
