@@ -25,7 +25,7 @@ object MailboxQueries {
   /** Regenerate fixtures if missing (first run on a fresh checkout). */
   private def ensureFixtures(): Unit = {
     val dir = new java.io.File(fixtureDir)
-    if (!new java.io.File(dir, "unittest.mbx").exists())
+    if (!new java.io.File(dir, "unittest.mbx.idx").exists())
       MailboxGen.writeFixtures(dir)
   }
 
@@ -310,7 +310,7 @@ object MailboxQueries {
       val dir = new java.io.File("/root/repo/target/bench_mailbox")
       // 16 archives × 6250 messages, like the reference's multi-file
       // Enron corpus — planning fans out one future per file
-      if (!new java.io.File(dir, "box15.mbx").exists()) {
+      if (!new java.io.File(dir, "box15.mbx.idx").exists()) {
         (0 until 16).foreach { i =>
           MailboxGen.writeFile(new java.io.File(dir, s"box$i.mbx"),
             MailboxGen.syntheticLines(8, 6250, i))

@@ -208,11 +208,15 @@ object MailboxGen {
     folders ++ messages
   }
 
-  def writeFile(path: File, lines: Seq[String]): Unit = {
+  /** Write a mailbox file and (by default) its `.idx` sidecar index, so
+    * scans plan in O(#files) bytes (see [[MailboxIndex]]).
+    */
+  def writeFile(path: File, lines: Seq[String], writeIndex: Boolean = true): Unit = {
     path.getParentFile.mkdirs()
     val w = new BufferedWriter(new FileWriter(path))
     try lines.foreach { l => w.write(l); w.newLine() }
     finally w.close()
+    if (writeIndex) MailboxIndex.writeLocal(path)
   }
 
   /** Write the standard fixture set into `dir`: the unittest-equivalent

@@ -1,0 +1,285 @@
+package graft.source
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Per-file sidecar index for mailbox (`*.mbx`) archives — the analog of
+  * the PST node index the reference plans from (table_function.cpp:100-212:
+  * the reference enumerates node ids from the PST's b-tree WITHOUT reading
+  * message content; a JSONL stand-in has no embedded index, so the index
+  * lives in a `<file>.idx` sidecar instead).
+  *
+  * With sidecars present, scan planning reads O(#files) metadata bytes —
+  * never the corpus — while keeping the reference's plan-time guarantees:
+  * exact per-class cardinalities (A8), count(*) answered with zero
+  * execution IO (A9), exact `read_limit` allocation (A6), and fixed-size
+  * row partitions (A4).
+  *
+  * Format (one JSON document):
+  * {{{
+  * {"v":1,"size":<bytes>,"lines":<n>,
+  *  "classes":["F","IPM.Note",...],          // "F" = folder records
+  *  "totals":[16,5,...],                     // per-class line counts
+  *  "blocks":[[offset,lines,c0,c1,...],...]} // checkpoint every 512 lines
+  * }}}
+  *
+  * Block checkpoints let the planner cut partitions at exact matching-row
+  * boundaries: a partition starts at the latest block at-or-before its
+  * first row and carries a skip count (< 512 lines of cheap prefix
+  * re-classification — no JSON parse). Sidecar volume is ~50 bytes per
+  * 512 lines (~0.01% of data at 1 KiB/line), the same order as parquet
+  * footers.
+  */
+object MailboxIndex {
+
+  val Version    = 1
+  val BlockLines = 512
+  val FolderClass = "F"
+
+  /** One block checkpoint: byte offset, line count, per-class line counts
+    * (indices into `classes`).
+    */
+  final case class Block(offset: Long, lines: Int, classCounts: Array[Int])
+
+  final case class FileIndex(
+      size: Long,
+      lines: Long,
+      classes: Array[String],
+      totals: Array[Long],
+      blocks: Array[Block]) {
+
+    private def classIdx(c: String): Int = classes.indexOf(c)
+
+    /** Exact number of rows a scan with this record filter yields.
+      * wantFolder = folders mode; classFilter = plan-time message class.
+      */
+    def matchingCount(wantFolder: Boolean, classFilter: Option[String]): Long =
+      if (wantFolder) {
+        val i = classIdx(FolderClass); if (i < 0) 0L else totals(i)
+      } else classFilter match {
+        case Some(c) =>
+          val i = classIdx(c); if (i < 0) 0L else totals(i)
+        case None =>
+          val f = classIdx(FolderClass)
+          lines - (if (f < 0) 0L else totals(f))
+      }
+
+    /** Per-block matching counts under the same filter. */
+    def blockMatching(wantFolder: Boolean, classFilter: Option[String]): Array[Long] = {
+      if (wantFolder) {
+        val i = classIdx(FolderClass)
+        blocks.map(b => if (i < 0) 0L else b.classCounts(i).toLong)
+      } else classFilter match {
+        case Some(c) =>
+          val i = classIdx(c)
+          blocks.map(b => if (i < 0) 0L else b.classCounts(i).toLong)
+        case None =>
+          val f = classIdx(FolderClass)
+          blocks.map(b => b.lines.toLong - (if (f < 0) 0L else b.classCounts(f).toLong))
+      }
+    }
+  }
+
+  def indexPath(file: Path): Path =
+    new Path(file.getParent, file.getName + ".idx")
+
+  // ── building ─────────────────────────────────────────────────────────
+
+  /** Classify a line from its prefix: folder records → "F", messages →
+    * their message_class (the generator guarantees node_id / record_type /
+    * message_class lead the object — MailboxGen's layout contract).
+    */
+  def classOfPrefix(prefix: String): String =
+    if (prefix.contains("\"record_type\":\"folder\"")) FolderClass
+    else {
+      val k = prefix.indexOf("\"message_class\":\"")
+      if (k < 0) ""
+      else {
+        val start = k + 17
+        val end   = prefix.indexOf('"', start)
+        if (end < 0) "" else prefix.substring(start, end)
+      }
+    }
+
+  /** Build the index by scanning the file once (the indexing pass — run
+    * distributed via [[indexAll]] for large corpora; planning afterwards
+    * never re-reads data). Throws if the first record is not
+    * mailbox-shaped (A20: such files fail the bind).
+    */
+  def build(fs: FileSystem, file: Path): FileIndex = {
+    val status = fs.getFileStatus(file)
+    val in     = fs.open(file)
+    val classes = new ArrayBuffer[String]()
+    val classIdx = scala.collection.mutable.HashMap[String, Int]()
+    val totals  = new ArrayBuffer[Long]()
+    val blocks  = new ArrayBuffer[Block]()
+
+    var blockStart  = 0L
+    var blockLines  = 0
+    var blockCounts = new ArrayBuffer[Int]()
+    var lines       = 0L
+    var first       = true
+
+    def idxOf(c: String): Int = classIdx.getOrElseUpdate(c, {
+      classes += c; totals += 0L; classes.length - 1
+    })
+
+    def flushBlock(nextOffset: Long): Unit = {
+      if (blockLines > 0) {
+        val arr = new Array[Int](classes.length)
+        var i = 0
+        while (i < blockCounts.length) { arr(i) = blockCounts(i); i += 1 }
+        blocks += Block(blockStart, blockLines, arr)
+      }
+      blockStart = nextOffset
+      blockLines = 0
+      blockCounts = new ArrayBuffer[Int]()
+    }
+
+    val buf  = new Array[Byte](1 << 16)
+    val head = new Array[Byte](160)
+    try {
+      var headLen   = 0
+      var lineStart = 0L
+      var abs       = 0L
+      var eof       = false
+
+      def processLine(lineEnd: Long): Unit = {
+        if (headLen > 0) {
+          val prefix = new String(head, 0, headLen, StandardCharsets.UTF_8)
+          if (first && !prefix.startsWith("{\"node_id\":"))
+            throw new IllegalArgumentException(s"not a mailbox dump: $file")
+          first = false
+          val c = idxOf(classOfPrefix(prefix))
+          totals(c) += 1
+          while (blockCounts.length < classes.length) blockCounts += 0
+          blockCounts(c) += 1
+          blockLines += 1
+          lines += 1
+          if (blockLines >= BlockLines) flushBlock(lineEnd)
+        }
+      }
+
+      while (!eof) {
+        val n = in.read(buf)
+        if (n < 0) { processLine(abs); eof = true }
+        else {
+          var i = 0
+          while (i < n) {
+            val b = buf(i)
+            if (b == '\n') {
+              processLine(abs + i + 1)
+              lineStart = abs + i + 1
+              headLen = 0
+            } else if (headLen < 160) {
+              head(headLen) = b
+              headLen += 1
+            }
+            i += 1
+          }
+          abs += n
+        }
+      }
+    } finally in.close()
+    flushBlock(0L)
+    FileIndex(status.getLen, lines, classes.toArray, totals.toArray, blocks.toArray)
+  }
+
+  // ── serialization ────────────────────────────────────────────────────
+
+  def toJson(ix: FileIndex): String = {
+    val sb = new StringBuilder(256)
+    sb.append("{\"v\":").append(Version)
+      .append(",\"size\":").append(ix.size)
+      .append(",\"lines\":").append(ix.lines)
+      .append(",\"classes\":[")
+    sb.append(ix.classes.map(c => "\"" + c.replace("\"", "\\\"") + "\"").mkString(","))
+    sb.append("],\"totals\":[").append(ix.totals.mkString(","))
+    sb.append("],\"blocks\":[")
+    sb.append(ix.blocks.map(b =>
+      (Seq(b.offset, b.lines.toLong) ++ b.classCounts.map(_.toLong)).mkString("[", ",", "]")
+    ).mkString(","))
+    sb.append("]}")
+    sb.toString
+  }
+
+  def fromJson(json: String): FileIndex = {
+    val node = new ObjectMapper().readTree(json)
+    require(node.get("v").asInt() == Version, "unknown mailbox index version")
+    val classes = (0 until node.get("classes").size())
+      .map(node.get("classes").get(_).asText()).toArray
+    val totals = (0 until node.get("totals").size())
+      .map(node.get("totals").get(_).asLong()).toArray
+    val blocks = (0 until node.get("blocks").size()).map { i =>
+      val b = node.get("blocks").get(i)
+      val counts = new Array[Int](b.size() - 2)
+      var j = 2
+      while (j < b.size()) { counts(j - 2) = b.get(j).asInt(); j += 1 }
+      // sparse tail: classes discovered after this block was flushed
+      val full = if (counts.length < classes.length)
+        counts ++ Array.fill(classes.length - counts.length)(0)
+      else counts
+      Block(b.get(0).asLong(), b.get(1).asInt(), full)
+    }.toArray
+    FileIndex(node.get("size").asLong(), node.get("lines").asLong(),
+      classes, totals, blocks)
+  }
+
+  def write(fs: FileSystem, file: Path, ix: FileIndex): Unit = {
+    val out = fs.create(indexPath(file), true)
+    try out.write(toJson(ix).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load the sidecar if present AND fresh (recorded size matches the
+    * file's current size); None → caller falls back to range planning.
+    */
+  def read(fs: FileSystem, file: Path, fileSize: Long): Option[FileIndex] = {
+    val ip = indexPath(file)
+    try {
+      if (!fs.exists(ip)) None
+      else {
+        val in  = fs.open(ip)
+        val len = fs.getFileStatus(ip).getLen.toInt
+        val bytes = new Array[Byte](len)
+        try in.readFully(0, bytes) finally in.close()
+        val ix = fromJson(new String(bytes, StandardCharsets.UTF_8))
+        if (ix.size == fileSize) Some(ix) else None
+      }
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** Index one local file (fixture-generation helper). */
+  def writeLocal(file: java.io.File): Unit = {
+    val p  = new Path(file.getAbsolutePath)
+    val fs = p.getFileSystem(new Configuration())
+    write(fs, p, build(fs, p))
+  }
+
+  /** Distributed indexing job: one task per file, each scanning its file
+    * once and writing the sidecar next to it — how a 100 TB corpus gets
+    * indexed (planning afterwards is O(#files) forever).
+    */
+  def indexAll(spark: SparkSession, pattern: String): Long = {
+    val conf  = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val files = MailboxPlanner.globStatuses(pattern, conf.value).map(_._1)
+    spark.sparkContext
+      .parallelize(files, math.max(1, files.length))
+      .map { f =>
+        val p  = new Path(f)
+        val fs = p.getFileSystem(conf.value)
+        write(fs, p, build(fs, p))
+        1L
+      }
+      .sum()
+      .toLong
+  }
+}

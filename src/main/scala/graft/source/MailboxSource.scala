@@ -1,6 +1,7 @@
 package graft.source
 
-import java.io.{BufferedInputStream, ByteArrayOutputStream, FileInputStream}
+import java.io.BufferedInputStream
+import java.io.ByteArrayOutputStream
 import java.util.Base64
 import java.util.concurrent.Executors
 
@@ -13,17 +14,20 @@ import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.model.MailboxSchema
 import graft.model.MailboxSchema.Mode
@@ -33,34 +37,37 @@ import graft.model.MailboxSchema.Mode
   *
   * `spark.read.format("mailbox").option("mode", "messages").load(glob)`
   * scans `*.mbx` mailbox dumps with:
-  *  - file globbing / multi-file scan (A2), parallel per-file partition
-  *    planning with exact row statistics (A3-A4; reference
-  *    table_function.cpp:100-239),
-  *  - plan-time message-class filtering for typed modes and for pushed
+  *  - file globbing / multi-file scan over any Hadoop FileSystem scheme
+  *    (A2, A19; reference reads PST over any DuckDB filesystem,
+  *    duckdb_filesystem.cpp:12-36),
+  *  - O(#files) planning: with `.idx` sidecars (see [[MailboxIndex]])
+  *    planning reads only per-file metadata — the analog of the
+  *    reference enumerating PST index nodes without reading message
+  *    content (table_function.cpp:100-212). Files without a sidecar get
+  *    size-based byte-range splits; readers discover record boundaries
+  *    with the first-newline-after-offset rule (Hadoop's
+  *    LineRecordReader convention). Planning never reads the corpus.
+  *  - fixed-size row partitions + exact statistics when indexed (A4, A8),
+  *  - plan-time message-class filtering for typed modes and pushed
   *    `message_class = '…'` predicates (A5),
-  *  - plan-time limit pushdown via `read_limit` / SupportsPushDownLimit
-  *    (A6; table_function.cpp:121-131),
+  *  - exact `read_limit` / SupportsPushDownLimit allocation (A6),
   *  - projection pushdown — unprojected columns are never parsed (A7;
   *    row_serializer.cpp:1211-1266),
-  *  - exact cardinality statistics (A8) and count(*) pushdown answered
-  *    from planning statistics without reading data (A9; the reference's
-  *    COLUMN_DATA_SCAN short-circuit, query_optimizations.test:13-17),
+  *  - count(*) pushdown: zero execution IO on indexed files, a
+  *    distributed classify-only scan otherwise (A9),
   *  - virtual row-id columns `__partition`/`__node_id` for late
   *    materialization (A10; schema.hpp:11-17),
+  *  - per-task scan metrics: rows / bytes / files read (A11; reference
+  *    progress reporting, table_function.cpp:359-365),
   *  - scan-description EXPLAIN metadata (A12; table_function.cpp:367-380),
   *  - named scan parameters `read_limit`, `read_body_size_bytes`,
-  *    `read_attachment_body`, `partition_size` (A13; defaults
-  *    table_function.hpp:29-31),
+  *    `read_attachment_body`, `partition_size`, `partition_bytes` (A13),
   *  - per-task readers with null-tolerant row serialization (A15-A18;
   *    any per-field failure yields NULL, row_serializer.cpp:1252-1263),
+  *  - UTF-16 byte-budget body truncation that never splits a surrogate
+  *    pair (row_serializer.cpp:83-114),
   *  - resilient multi-file bind — an unreadable file is logged and
   *    skipped (A20; table_function.cpp:228-235).
-  *
-  * Scale notes: planning is driver-side and reads only line prefixes
-  * (class + offsets), one future per file like the reference's
-  * std::async fan-out; readers stream their byte ranges sequentially.
-  * Spark's scheduler replaces the reference's work-stealing partition
-  * queue (A14) — one task per InputPartition.
   */
 class MailboxSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -76,7 +83,10 @@ class MailboxSource extends TableProvider
       properties: java.util.Map[String, String]): Table =
     new MailboxTable(MailboxOptions(properties.asScala.toMap))
 
-  override def supportsExternalMetadata(): Boolean = true
+  // schema is always derived from `mode`; a user-supplied schema would be
+  // silently ignored, so honestly report no external-metadata support
+  // (Spark then rejects .schema(...) with a clear error)
+  override def supportsExternalMetadata(): Boolean = false
 }
 
 /** Parsed scan options (A13). */
@@ -104,6 +114,27 @@ final case class MailboxOptions(raw: Map[String, String]) {
   val readAttachmentBody: Boolean =
     get("read_attachment_body").exists(_.toBoolean)
   val virtualColumns: Boolean = get("virtual_columns").exists(_.toBoolean)
+  /** Byte-range split size for unindexed files (scale default 32 MiB). */
+  val partitionBytes: Long =
+    get("partition_bytes").map(_.toLong).getOrElse(32L * 1024 * 1024).max(1L << 16)
+}
+
+/** Scalar text helpers shared by the readers. */
+object MailboxText {
+
+  /** Truncate to a byte budget over UTF-16 code units without splitting a
+    * surrogate pair (reference row_serializer.cpp:83-114: wchar-aligned
+    * byte budget; 0 = unlimited, :302-304). 100 bytes → 50 BMP chars; an
+    * astral character on the boundary is dropped whole.
+    */
+  def truncateUtf16(s: String, budgetBytes: Long): String = {
+    if (budgetBytes <= 0) return s
+    val units = (budgetBytes / 2).toInt
+    if (s.length <= units) s
+    else if (units > 0 && Character.isHighSurrogate(s.charAt(units - 1)))
+      s.substring(0, units - 1)
+    else s.substring(0, units)
+  }
 }
 
 object MailboxTable {
@@ -124,34 +155,51 @@ class MailboxTable(opts: MailboxOptions) extends Table with SupportsRead {
     new MailboxScanBuilder(opts)
 }
 
-/** One planned partition: a run of row byte-offsets within one file
-  * (A4; reference PSTInputPartition, table_function.hpp:87-105).
+/** One planned partition (A4; reference PSTInputPartition,
+  * table_function.hpp:87-105). Three shapes:
+  *  - [[IndexedPartition]]: sidecar-planned — starts at a block
+  *    checkpoint, skips `skipMatching` matching rows, emits
+  *    `takeMatching` (exact count known at plan time);
+  *  - [[RangePartition]]: a byte range of an unindexed file — the reader
+  *    discovers record boundaries (first newline after `start`) and
+  *    emits every matching record starting inside the range;
+  *  - [[EnumeratedPartition]]: explicit row offsets (bounded-limit
+  *    planning on unindexed files only).
   */
-final case class MailboxInputPartition(
-    index: Int,
-    file: String,
-    offsets: Array[Long],
-    nodeIds: Array[Long]) extends InputPartition {
-  def rowCount: Long = offsets.length.toLong
+sealed trait MailboxPartition extends InputPartition {
+  def index: Int
+  def file: String
 }
 
-/** Driver-side planning: glob → parallel per-file enumeration →
-  * fixed-size buckets with exact counts (A2-A4, A20).
+final case class IndexedPartition(
+    index: Int, file: String, startOffset: Long,
+    skipMatching: Long, takeMatching: Long) extends MailboxPartition
+
+final case class RangePartition(
+    index: Int, file: String, start: Long, length: Long) extends MailboxPartition
+
+final case class EnumeratedPartition(
+    index: Int, file: String,
+    offsets: Array[Long], nodeIds: Array[Long]) extends MailboxPartition
+
+/** Driver-side planning: glob → per-file metadata (sidecar index or file
+  * size) → partitions. Reads O(#files) bytes — sidecars, or a ≤160-byte
+  * first-record validation probe — never the corpus (A2-A4, A20).
   */
 object MailboxPlanner {
 
-  /** Classify a line from its prefix only (the generator guarantees
-    * node_id / record_type / message_class lead the object) — the analog
-    * of the reference's planning-time class lookup.
+  /** Does a record with this line prefix survive the plan-time record
+    * filter? (A5 — the analog of the reference's planning-time
+    * PR_MESSAGE_CLASS_A lookup.)
     */
-  private def lineMatches(prefix: String, wantFolder: Boolean,
+  def lineMatches(prefix: String, wantFolder: Boolean,
       classFilter: Option[String]): Boolean = {
     val isFolder = prefix.contains("\"record_type\":\"folder\"")
     if (wantFolder) isFolder
     else !isFolder && classFilter.forall(c => prefix.contains(s""""message_class":"$c""""))
   }
 
-  private def nodeIdOf(prefix: String): Long = {
+  def nodeIdOf(prefix: String): Long = {
     val i = prefix.indexOf("\"node_id\":")
     if (i < 0) -1L
     else {
@@ -160,45 +208,74 @@ object MailboxPlanner {
     }
   }
 
-  def globFiles(pattern: String): Seq[String] = {
-    val conf = new Configuration()
-    val p    = new Path(pattern)
-    val fs   = p.getFileSystem(conf)
+  /** Resolve a glob to (path, size) pairs, preserving non-local schemes.
+    * Local paths stay scheme-less so `pst_path` matches user input.
+    */
+  def globStatuses(pattern: String, conf: Configuration): Seq[(String, Long)] = {
+    val p  = new Path(pattern)
+    val fs = p.getFileSystem(conf)
     val statuses = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-    statuses.filter(_.isFile).map(_.getPath.toUri.getPath).sorted
+    statuses.filter(_.isFile).map { st =>
+      val uri = st.getPath.toUri
+      val name =
+        if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
+        else st.getPath.toString
+      name -> st.getLen
+    }.sortBy(_._1)
   }
 
-  /** Enumerate matching (offset, nodeId) pairs of one file, reading line
-    * prefixes only. Throws on IO/parse issues — caller decides skip.
+  def globFiles(pattern: String): Seq[String] =
+    globStatuses(pattern, activeHadoopConf()).map(_._1)
+
+  def activeHadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** First-record probe: read ≤160 bytes and require the mailbox line
+    * shape (A20 — the analog of the reference failing the PST header
+    * check and skipping the file). O(1) bytes per file.
     */
-  def planFile(file: String, wantFolder: Boolean, classFilter: Option[String],
-      limit: Long): (Array[Long], Array[Long]) = {
+  private def validateFile(file: Path, conf: Configuration): Boolean = {
+    val fs = file.getFileSystem(conf)
+    val in = fs.open(file)
+    try {
+      val head = new Array[Byte](11)
+      var got  = 0
+      while (got < head.length) {
+        val n = in.read(head, got, head.length - got)
+        if (n < 0) return false
+        got += n
+      }
+      new String(head, "UTF-8").startsWith("{\"node_id\":")
+    } catch { case NonFatal(_) => false }
+    finally in.close()
+  }
+
+  /** Bounded enumeration for `read_limit` on unindexed files: scans line
+    * prefixes and STOPS at `limit` matches — O(limit) rows per file, not
+    * O(file).
+    */
+  def enumerateBounded(file: Path, conf: Configuration, wantFolder: Boolean,
+      classFilter: Option[String], limit: Long): (Array[Long], Array[Long]) = {
     val offsets = new ArrayBuffer[Long]()
     val nodes   = new ArrayBuffer[Long]()
-    val in      = new FileInputStream(file)
-    // block-scan: read 64 KiB chunks, find newlines in a tight loop,
-    // keep only the first 160 bytes of each line (enough for the
-    // node_id/record_type/message_class prefix keys)
+    val fs = file.getFileSystem(conf)
+    val in = fs.open(file)
     val buf  = new Array[Byte](1 << 16)
     val head = new Array[Byte](160)
     try {
       var headLen   = 0
       var lineStart = 0L
       var abs       = 0L
-      var first     = true
       var done      = false
 
-      def processLine(): Boolean = { // returns true when limit reached
+      def processLine(): Boolean = {
         if (headLen == 0) false
         else {
           val prefix = new String(head, 0, headLen, "UTF-8")
-          val valid  = prefix.startsWith("{\"node_id\":")
-          // A20 analog: a file whose first record is not mailbox-shaped
-          // fails the bind entirely; later bad lines are skipped.
-          if (first && !valid)
-            throw new IllegalArgumentException(s"not a mailbox dump: $file")
-          first = false
-          if (valid && lineMatches(prefix, wantFolder, classFilter)) {
+          if (prefix.startsWith("{\"node_id\":") &&
+              lineMatches(prefix, wantFolder, classFilter)) {
             offsets += lineStart
             nodes += nodeIdOf(prefix)
             offsets.length >= limit
@@ -208,10 +285,8 @@ object MailboxPlanner {
 
       while (!done) {
         val n = in.read(buf)
-        if (n < 0) {
-          processLine() // trailing line without newline
-          done = true
-        } else {
+        if (n < 0) { processLine(); done = true }
+        else {
           var i = 0
           while (i < n && !done) {
             val b = buf(i)
@@ -232,45 +307,116 @@ object MailboxPlanner {
     (offsets.toArray, nodes.toArray)
   }
 
-  /** Full plan: one planning future per file (reference std::async
-    * fan-out, table_function.cpp:214-239), respecting the global limit,
-    * then bucket into partitions of `partitionSize` rows.
+  /** Plan result: partitions + what planning knew exactly. */
+  final case class PlanResult(
+      partitions: Seq[MailboxPartition],
+      exactRows: Option[Long],
+      totalBytes: Long,
+      files: Int)
+
+  /** Full plan: one metadata probe per file in parallel (reference
+    * std::async fan-out, table_function.cpp:214-239), then partitions:
+    * sidecar-indexed files → fixed-size row partitions with exact
+    * counts; others → byte-range splits (or bounded enumeration under a
+    * limit). The global limit is allocated across partitions in file
+    * order, exactly.
     */
-  def plan(opts: MailboxOptions, classFilter: Option[String]): Seq[MailboxInputPartition] = {
-    val files = globFiles(opts.path)
+  def plan(opts: MailboxOptions, classFilter: Option[String],
+      conf: Configuration): PlanResult = {
+    val files      = globStatuses(opts.path, conf)
     val wantFolder = opts.mode == Mode.Folders
+    val limit      = opts.readLimit
+    val limited    = limit != Long.MaxValue
+
+    sealed trait FilePlan { def bytes: Long }
+    case class Indexed(file: String, bytes: Long, ix: MailboxIndex.FileIndex) extends FilePlan
+    case class Ranged(file: String, bytes: Long) extends FilePlan
+    case class Enumerated(file: String, bytes: Long,
+        offsets: Array[Long], nodes: Array[Long]) extends FilePlan
+
     val pool = Executors.newFixedThreadPool(math.max(1, math.min(files.length, 16)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val futures = files.map { f =>
-        Future {
-          try Some(f -> planFile(f, wantFolder, classFilter, opts.readLimit))
-          catch {
-            case NonFatal(e) => // A20: log and skip unreadable files
-              System.err.println(s"[mailbox] skipping unreadable file $f: ${e.getMessage}")
-              None
+    val perFile: Seq[FilePlan] =
+      try {
+        val futures = files.map { case (name, len) =>
+          Future {
+            val p  = new Path(name)
+            val fs = p.getFileSystem(conf)
+            try {
+              MailboxIndex.read(fs, p, len) match {
+                case Some(ix) => Some(Indexed(name, len, ix))
+                case None =>
+                  if (!validateFile(p, conf)) {
+                    System.err.println(s"[mailbox] skipping unreadable file $name")
+                    None
+                  } else if (limited) {
+                    val (off, nid) =
+                      enumerateBounded(p, conf, wantFolder, classFilter, limit)
+                    Some(Enumerated(name, len, off, nid))
+                  } else Some(Ranged(name, len))
+              }
+            } catch {
+              case NonFatal(e) => // A20: log and skip unreadable files
+                System.err.println(s"[mailbox] skipping unreadable file $name: ${e.getMessage}")
+                None
+            }
           }
         }
-      }
-      val perFile = Await.result(Future.sequence(futures), Duration.Inf).flatten
-      // apply the global limit across files in glob order, then bucket
-      var remaining = opts.readLimit
-      val parts     = new ArrayBuffer[MailboxInputPartition]()
-      perFile.foreach { case (file, (offsets, nodes)) =>
-        if (remaining > 0) {
-          val take = math.min(offsets.length.toLong, remaining).toInt
-          remaining -= take
+        Await.result(Future.sequence(futures), Duration.Inf).flatten
+      } finally pool.shutdown()
+
+    val parts   = new ArrayBuffer[MailboxPartition]()
+    var exact   = true
+    var rows    = 0L
+    var remain  = limit
+
+    perFile.foreach {
+      case Indexed(file, _, ix) if remain > 0 =>
+        val total = math.min(ix.matchingCount(wantFolder, classFilter), remain)
+        if (total > 0) {
+          val blockMatch = ix.blockMatching(wantFolder, classFilter)
+          // cumulative matching rows at each block start
+          val cum = new Array[Long](ix.blocks.length)
+          var c = 0L
           var i = 0
-          while (i < take) {
-            val end = math.min(i + opts.partitionSize, take)
-            parts += MailboxInputPartition(parts.length, file,
-              offsets.slice(i, end), nodes.slice(i, end))
-            i = end
+          while (i < ix.blocks.length) { cum(i) = c; c += blockMatch(i); i += 1 }
+          var firstRow = 0L
+          while (firstRow < total) {
+            val take = math.min(opts.partitionSize.toLong, total - firstRow)
+            // latest block whose cumulative count is <= firstRow
+            var b = java.util.Arrays.binarySearch(cum, firstRow)
+            if (b < 0) b = -b - 2
+            parts += IndexedPartition(parts.length, file,
+              ix.blocks(b).offset, firstRow - cum(b), take)
+            firstRow += take
           }
+          rows += total
+          remain -= total
         }
-      }
-      parts.toSeq
-    } finally pool.shutdown()
+      case Enumerated(file, _, offsets, nodes) if remain > 0 =>
+        val take = math.min(offsets.length.toLong, remain).toInt
+        var i = 0
+        while (i < take) {
+          val end = math.min(i + opts.partitionSize, take)
+          parts += EnumeratedPartition(parts.length, file,
+            offsets.slice(i, end), nodes.slice(i, end))
+          i = end
+        }
+        rows += take
+        remain -= take
+      case Ranged(file, bytes) if remain > 0 =>
+        exact = false
+        var start = 0L
+        while (start < bytes) {
+          val len = math.min(opts.partitionBytes, bytes - start)
+          parts += RangePartition(parts.length, file, start, len)
+          start += len
+        }
+      case _ => () // limit exhausted
+    }
+
+    PlanResult(parts.toSeq, if (exact) Some(rows) else None,
+      files.map(_._2).sum, files.length)
   }
 }
 
@@ -314,7 +460,7 @@ class MailboxScanBuilder(opts: MailboxOptions)
 
   override def pushLimit(l: Int): Boolean = {
     limit = Some(math.min(l.toLong, opts.readLimit))
-    true // exact: planning stops enumerating at the limit (A6)
+    true // exact: planning allocates exactly `limit` rows (A6)
   }
 
   /** A9 — count(*) with no grouping is answered from planning statistics;
@@ -333,6 +479,36 @@ class MailboxScanBuilder(opts: MailboxOptions)
     new MailboxScan(opts, requiredSchema, pushedClassFilter, limit, countStar)
 }
 
+/** A11 — scan progress metrics, mirroring the reference's % scanned
+  * reporting (table_function.cpp:359-365) as Spark SQL custom metrics.
+  */
+object MailboxMetrics {
+  final val RowsRead  = "mailboxRowsRead"
+  final val BytesRead = "mailboxBytesRead"
+  final val FilesRead = "mailboxFilesRead"
+
+  def all: Array[CustomMetric] = Array(
+    new MailboxRowsReadMetric, new MailboxBytesReadMetric,
+    new MailboxFilesReadMetric)
+
+  final case class Task(name: String, value: Long) extends CustomTaskMetric
+}
+
+// top-level with 0-arg constructors: the SQL UI re-instantiates metric
+// classes reflectively when aggregating task values
+class MailboxRowsReadMetric extends CustomSumMetric {
+  override def name(): String = MailboxMetrics.RowsRead
+  override def description(): String = "mailbox rows read"
+}
+class MailboxBytesReadMetric extends CustomSumMetric {
+  override def name(): String = MailboxMetrics.BytesRead
+  override def description(): String = "mailbox bytes read"
+}
+class MailboxFilesReadMetric extends CustomSumMetric {
+  override def name(): String = MailboxMetrics.FilesRead
+  override def description(): String = "mailbox files read"
+}
+
 class MailboxScan(
     opts: MailboxOptions,
     requiredSchema: StructType,
@@ -340,13 +516,18 @@ class MailboxScan(
     limit: Option[Long],
     countStar: Boolean) extends Scan with Batch with SupportsReportStatistics {
 
-  private lazy val partitions: Seq[MailboxInputPartition] = {
+  // captured at plan time on the driver; shipped to executors so custom
+  // FileSystem schemes configured on the session work in readers (A19)
+  private val serConf = new SerializableConfiguration(
+    MailboxPlanner.activeHadoopConf())
+
+  private lazy val planned: MailboxPlanner.PlanResult = {
     val effective = limit match {
       case Some(l) => MailboxOptions(opts.raw + ("read_limit" ->
         math.min(l, opts.readLimit).toString))
       case None => opts
     }
-    MailboxPlanner.plan(effective, classFilter)
+    MailboxPlanner.plan(effective, classFilter, serConf.value)
   }
 
   override def readSchema(): StructType =
@@ -360,25 +541,32 @@ class MailboxScan(
     new MailboxMicroBatchStream(opts, requiredSchema, classFilter)
 
   override def planInputPartitions(): Array[InputPartition] =
-    partitions.toArray
+    planned.partitions.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MailboxReaderFactory(readSchema(), opts, countStar)
+    new MailboxReaderFactory(readSchema(), opts, classFilter, countStar, serConf)
 
-  /** A8 — exact cardinality from planning statistics. */
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    MailboxMetrics.all
+
+  /** A8 — exact cardinality when planning knew it (sidecar-indexed or
+    * enumerated); size-only estimate for range-planned files.
+    */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = partitions.map(_.rowCount).sum
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows * 512L)
+      java.util.OptionalLong.of(
+        planned.exactRows.map(_ * 512L).getOrElse(planned.totalBytes))
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows)
+      planned.exactRows
+        .map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
   }
 
   /** A12 — EXPLAIN metadata, mirroring PSTDynamicToString. */
   override def description(): String = {
-    val files = partitions.map(_.file).distinct
-    s"mailbox mode=${opts.mode} files=${files.length} " +
-      s"partitions=${partitions.length} rows=${partitions.map(_.rowCount).sum}" +
+    s"mailbox mode=${opts.mode} files=${planned.files} " +
+      s"partitions=${planned.partitions.length}" +
+      planned.exactRows.map(r => s" rows=$r").getOrElse(" rows=est") +
       (if (countStar) " countStarPushdown=true" else "") +
       limit.map(l => s" limit=$l").getOrElse("") +
       classFilter.map(c => s" classFilter=$c").getOrElse("")
@@ -388,44 +576,162 @@ class MailboxScan(
 class MailboxReaderFactory(
     readSchema: StructType,
     opts: MailboxOptions,
-    countStar: Boolean) extends PartitionReaderFactory {
+    classFilter: Option[String],
+    countStar: Boolean,
+    serConf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[MailboxInputPartition]
-    if (countStar) new CountStarReader(p)
-    else new MailboxPartitionReader(p, readSchema, opts)
+    val p = partition.asInstanceOf[MailboxPartition]
+    if (countStar) p match {
+      case ip: IndexedPartition    => new StaticCountReader(ip.takeMatching)
+      case ep: EnumeratedPartition => new StaticCountReader(ep.offsets.length.toLong)
+      case rp: RangePartition      =>
+        new RangeCountReader(rp, opts, classFilter, serConf.value)
+    }
+    else new MailboxPartitionReader(p, readSchema, opts, classFilter, serConf.value)
   }
 }
 
-/** A9 — the count(*) short-circuit reader: one row with the partition's
+/** A9 — count(*) from planning statistics: one row with the partition's
   * exact planned count; no file IO at execution time.
   */
-class CountStarReader(p: MailboxInputPartition) extends PartitionReader[InternalRow] {
+class StaticCountReader(count: Long) extends PartitionReader[InternalRow] {
   private var emitted = false
   override def next(): Boolean = if (emitted) false else { emitted = true; true }
-  override def get(): InternalRow = new GenericInternalRow(Array[Any](p.rowCount))
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
   override def close(): Unit = ()
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    MailboxMetrics.Task(MailboxMetrics.RowsRead, count),
+    MailboxMetrics.Task(MailboxMetrics.BytesRead, 0L),
+    MailboxMetrics.Task(MailboxMetrics.FilesRead, 0L))
 }
 
-/** Per-task reader (A15-A18): streams its byte ranges sequentially,
-  * parses only projected fields, null-tolerant per field.
+/** Streams lines of one partition's byte span through a Hadoop FS input
+  * stream (A19): seeks once, then reads sequentially. Yields
+  * (lineStartOffset, lineBytes); for `prefixOnly` lines only the first
+  * 160 bytes are materialized (classification without allocation).
+  */
+private[source] final class LineStream(
+    file: String, startAt: Long, conf: Configuration,
+    alignToNewline: Boolean) {
+
+  private val path = new Path(file)
+  private val fsIn = path.getFileSystem(conf).open(path)
+  if (startAt > 0) fsIn.seek(startAt)
+  private val in = new BufferedInputStream(fsIn, 1 << 16)
+  var pos: Long  = startAt
+  var bytesRead: Long = 0L
+
+  // a range partition's first (partial) line belongs to its predecessor
+  if (alignToNewline && startAt > 0) {
+    var b = in.read()
+    while (b != -1 && b != '\n') { b = in.read(); bytesRead += 1 }
+    if (b == '\n') bytesRead += 1
+    pos = startAt + bytesRead
+  }
+
+  /** Next line's prefix (≤160 bytes) plus, when `keepAll`, the full line
+    * bytes. Returns null at EOF. `lineStart` is the line's byte offset.
+    */
+  var lineStart: Long = pos
+  def next(keepAll: Boolean): (String, Array[Byte]) = {
+    lineStart = pos
+    val out  = if (keepAll) new ByteArrayOutputStream(256) else null
+    val head = new Array[Byte](160)
+    var headLen = 0
+    var b = in.read()
+    if (b == -1) return null
+    var n = 0L
+    while (b != -1 && b != '\n') {
+      if (keepAll) out.write(b)
+      if (headLen < 160) { head(headLen) = b.toByte; headLen += 1 }
+      n += 1
+      b = in.read()
+    }
+    val consumed = n + (if (b == '\n') 1 else 0)
+    pos += consumed
+    bytesRead += consumed
+    (new String(head, 0, headLen, "UTF-8"), if (keepAll) out.toByteArray else null)
+  }
+
+  def close(): Unit = in.close()
+}
+
+/** Distributed count(*) over an unindexed byte range: classify-only scan,
+  * no JSON parse, no row materialization.
+  */
+class RangeCountReader(
+    p: RangePartition, opts: MailboxOptions,
+    classFilter: Option[String], conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val wantFolder = opts.mode == Mode.Folders
+  private var counted    = false
+  private var count      = 0L
+  private var bytes      = 0L
+
+  override def next(): Boolean = {
+    if (counted) return false
+    val ls  = new LineStream(p.file, p.start, conf, alignToNewline = true)
+    val end = p.start + p.length
+    try {
+      // Hadoop boundary rule: a line starting at pos <= end belongs to
+      // this split (the next split's align-skip discards it)
+      var line = if (ls.pos <= end) ls.next(keepAll = false) else null
+      while (line != null) {
+        val prefix = line._1
+        if (prefix.startsWith("{\"node_id\":") &&
+            MailboxPlanner.lineMatches(prefix, wantFolder, classFilter))
+          count += 1
+        line = if (ls.pos <= end) ls.next(keepAll = false) else null
+      }
+      bytes = ls.bytesRead
+    } finally ls.close()
+    counted = true
+    true
+  }
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+  override def close(): Unit = ()
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    MailboxMetrics.Task(MailboxMetrics.RowsRead, count),
+    MailboxMetrics.Task(MailboxMetrics.BytesRead, bytes),
+    MailboxMetrics.Task(MailboxMetrics.FilesRead, 1L))
+}
+
+/** Per-task reader (A15-A18): streams its byte span sequentially through
+  * the Hadoop FS, parses only projected fields, null-tolerant per field.
   */
 class MailboxPartitionReader(
-    p: MailboxInputPartition,
+    p: MailboxPartition,
     readSchema: StructType,
-    opts: MailboxOptions) extends PartitionReader[InternalRow] {
+    opts: MailboxOptions,
+    classFilter: Option[String],
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val mapper  = new ObjectMapper()
   private val factory = mapper.getFactory
-  private val in      = new BufferedInputStream(new FileInputStream(p.file), 1 << 16)
-  private var filePos = 0L
-  private var idx     = -1
+  private val wantFolder = opts.mode == Mode.Folders
+
+  private val (startAt, align) = p match {
+    case ip: IndexedPartition => (ip.startOffset, false)
+    case rp: RangePartition   => (rp.start, true)
+    case _: EnumeratedPartition => (0L, false)
+  }
+  private val stream = new LineStream(p.file, startAt, conf, align)
+
+  private var rowsRead = 0L
   private var current: InternalRow = _
+  private var currentNodeId: Long = -1L
+
+  // enumerated-partition cursor
+  private var enumIdx = -1
+  // indexed-partition cursors
+  private var skipped = 0L
+  private var taken   = 0L
 
   private val fileName = new Path(p.file).getName
-  // truncation budget is a *byte* budget over UTF-16 text → chars = bytes/2
-  // (reference row_serializer.cpp:83-114; 0 = read all, :302-304)
-  private val bodyChars: Long =
-    if (opts.bodySizeBytes <= 0) Long.MaxValue else opts.bodySizeBytes / 2
+  private val bodyBudget: Long =
+    if (opts.bodySizeBytes <= 0) 0L else opts.bodySizeBytes
 
   // fast path: if every projected field is a top-level scalar, extract
   // values with the streaming parser and never build a JsonNode tree
@@ -441,21 +747,88 @@ class MailboxPartitionReader(
   private val fieldIndex: Map[String, Int] =
     readSchema.fieldNames.zipWithIndex.toMap
 
-  override def next(): Boolean = {
-    idx += 1
-    if (idx >= p.offsets.length) false
-    else {
-      val target = p.offsets(idx)
-      if (target > filePos) { skipFully(target - filePos); filePos = target }
-      val line = readLineBytes()
-      current =
-        try {
-          if (flatOnly) rowOfStreaming(line)
-          else rowOf(mapper.readTree(line))
-        } catch { case NonFatal(_) => nullRow() }
-      true
+  override def next(): Boolean = p match {
+    case ip: IndexedPartition =>
+      if (taken >= ip.takeMatching) false
+      else {
+        var emitted = false
+        var eof     = false
+        while (!emitted && !eof) {
+          val line = stream.next(keepAll = skipped >= ip.skipMatching)
+          if (line == null) eof = true
+          else {
+            val prefix = line._1
+            if (prefix.startsWith("{\"node_id\":") &&
+                MailboxPlanner.lineMatches(prefix, wantFolder, classFilter)) {
+              if (skipped < ip.skipMatching) skipped += 1
+              else {
+                emit(line._2, MailboxPlanner.nodeIdOf(prefix))
+                taken += 1
+                emitted = true
+              }
+            }
+          }
+        }
+        emitted
+      }
+
+    case rp: RangePartition =>
+      val end = rp.start + rp.length
+      var emitted = false
+      var done    = false
+      while (!emitted && !done) {
+        // Hadoop boundary rule: a record belongs to this range iff it
+        // starts at pos <= end (the next range's align-skip discards it)
+        if (stream.pos > end) done = true
+        else {
+          val line = stream.next(keepAll = true)
+          if (line == null) done = true
+          else {
+            val prefix = line._1
+            if (prefix.startsWith("{\"node_id\":") &&
+                MailboxPlanner.lineMatches(prefix, wantFolder, classFilter)) {
+              emit(line._2, MailboxPlanner.nodeIdOf(prefix))
+              emitted = true
+            }
+          }
+        }
+      }
+      emitted
+
+    case ep: EnumeratedPartition =>
+      enumIdx += 1
+      if (enumIdx >= ep.offsets.length) false
+      else {
+        val target = ep.offsets(enumIdx)
+        if (target > stream.pos) skipTo(target)
+        val line = stream.next(keepAll = true)
+        if (line == null) false
+        else { emit(line._2, ep.nodeIds(enumIdx)); true }
+      }
+  }
+
+  private def skipTo(target: Long): Unit = {
+    // sequential forward skip within the buffered stream
+    var line = true
+    while (line && stream.pos < target) {
+      if (stream.next(keepAll = false) == null) line = false
     }
   }
+
+  private def emit(lineBytes: Array[Byte], nodeId: Long): Unit = {
+    currentNodeId = nodeId
+    rowsRead += 1
+    current =
+      try {
+        if (flatOnly) rowOfStreaming(lineBytes)
+        else rowOf(mapper.readTree(lineBytes))
+      } catch { case NonFatal(_) => nullRow() }
+  }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    MailboxMetrics.Task(MailboxMetrics.RowsRead, rowsRead),
+    MailboxMetrics.Task(MailboxMetrics.BytesRead, stream.bytesRead),
+    MailboxMetrics.Task(MailboxMetrics.FilesRead, 1L))
 
   /** Streaming extraction of projected top-level scalars. */
   private def rowOfStreaming(line: Array[Byte]): InternalRow = {
@@ -485,16 +858,16 @@ class MailboxPartitionReader(
     new GenericInternalRow(values)
   }
 
+  private def truncate(name: String, s: String): String =
+    if (name == "body" || name == "body_html")
+      MailboxText.truncateUtf16(s, bodyBudget)
+    else s
+
   private def scalarValue(
       f: StructField, parser: com.fasterxml.jackson.core.JsonParser): Any =
     f.dataType match {
       case StringType =>
-        val s = parser.getValueAsString
-        val t =
-          if ((f.name == "body" || f.name == "body_html") && s.length > bodyChars)
-            s.substring(0, bodyChars.toInt)
-          else s
-        UTF8String.fromString(t)
+        UTF8String.fromString(truncate(f.name, parser.getValueAsString))
       case LongType      => parser.getValueAsLong
       case IntegerType   => parser.getValueAsInt
       case ShortType     => parser.getValueAsInt.toShort
@@ -511,29 +884,14 @@ class MailboxPartitionReader(
     fieldIndex.get("pst_name").foreach(i =>
       values(i) = UTF8String.fromString(fileName))
     fieldIndex.get("__partition").foreach(i => values(i) = p.index.toLong)
-    fieldIndex.get("__node_id").foreach(i => values(i) = p.nodeIds(idx))
+    fieldIndex.get("__node_id").foreach(i => values(i) = currentNodeId)
   }
 
-  private def skipFully(n: Long): Unit = {
-    var left = n
-    while (left > 0) {
-      val s = in.skip(left)
-      if (s <= 0) { if (in.read() == -1) return else left -= 1 }
-      else left -= s
-    }
+  private def nullRow(): InternalRow = {
+    val values = new Array[Any](readSchema.length)
+    fillMeta(values)
+    new GenericInternalRow(values)
   }
-
-  private def readLineBytes(): Array[Byte] = {
-    val out = new ByteArrayOutputStream(256)
-    var b   = in.read()
-    var n   = 0L
-    while (b != -1 && b != '\n') { out.write(b); n += 1; b = in.read() }
-    filePos += n + (if (b == '\n') 1 else 0)
-    out.toByteArray
-  }
-
-  private def nullRow(): InternalRow =
-    new GenericInternalRow(readSchema.length)
 
   private def rowOf(node: JsonNode): InternalRow = {
     val values = new Array[Any](readSchema.length)
@@ -553,7 +911,7 @@ class MailboxPartitionReader(
     case "pst_path"    => UTF8String.fromString(p.file)
     case "pst_name"    => UTF8String.fromString(fileName)
     case "__partition" => p.index.toLong
-    case "__node_id"   => p.nodeIds(idx)
+    case "__node_id"   => currentNodeId
     case name =>
       val v = node.get(name)
       if (v == null || v.isNull) null
@@ -562,12 +920,7 @@ class MailboxPartitionReader(
 
   private def convert(name: String, dt: DataType, v: JsonNode): Any = dt match {
     case StringType =>
-      val s = v.asText()
-      val truncated =
-        if ((name == "body" || name == "body_html") && s.length > bodyChars)
-          s.substring(0, bodyChars.toInt)
-        else s
-      UTF8String.fromString(truncated)
+      UTF8String.fromString(truncate(name, v.asText()))
     case LongType      => v.asLong()
     case IntegerType   => v.asInt()
     case ShortType     => v.asInt().toShort
@@ -593,5 +946,5 @@ class MailboxPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = stream.close()
 }

@@ -1,8 +1,10 @@
 package graft.source
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
 
 /** Streaming extension of the mailbox source (beyond the batch-only
   * reference): new `*.mbx` files appearing under the glob are picked up
@@ -18,26 +20,42 @@ class MailboxMicroBatchStream(
     readSchema: StructType,
     classFilter: Option[String]) extends MicroBatchStream {
 
-  /** Offset = files seen so far (newline-joined in the JSON form). */
+  private val serConf = new SerializableConfiguration(
+    MailboxPlanner.activeHadoopConf())
+
+  /** Offset = files seen so far. Serialized as a SINGLE-LINE JSON array:
+    * Spark's OffsetSeqLog is line-oriented (one offset JSON per line), so
+    * any newline inside `json()` would corrupt the checkpoint once an
+    * offset holds 2+ files.
+    */
   case class FilesOffset(files: Seq[String]) extends Offset {
-    override def json(): String =
-      files.sorted.mkString("\n")
+    override def json(): String = FilesOffset.write(files)
+  }
+
+  object FilesOffset {
+    private val mapper = new ObjectMapper()
+    def write(files: Seq[String]): String =
+      mapper.writeValueAsString(files.sorted.toArray)
+    def parse(s: String): Seq[String] =
+      if (s.isEmpty || s == "[]") Nil
+      else if (s.startsWith("[")) {
+        val node = mapper.readTree(s)
+        (0 until node.size()).map(node.get(_).asText())
+      } else s.split("\n").toSeq // legacy newline-joined offsets
   }
 
   private def parseOffset(o: Offset): Seq[String] = o match {
     case FilesOffset(fs) => fs
-    case other =>
-      val s = other.json()
-      if (s.isEmpty) Nil else s.split("\n").toSeq
+    case other           => FilesOffset.parse(other.json())
   }
 
   override def initialOffset(): Offset = FilesOffset(Nil)
 
   override def latestOffset(): Offset =
-    FilesOffset(MailboxPlanner.globFiles(opts.path))
+    FilesOffset(MailboxPlanner.globStatuses(opts.path, serConf.value).map(_._1))
 
   override def deserializeOffset(json: String): Offset =
-    FilesOffset(if (json.isEmpty) Nil else json.split("\n").toSeq)
+    FilesOffset(FilesOffset.parse(json))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen    = parseOffset(start).toSet
@@ -47,16 +65,21 @@ class MailboxMicroBatchStream(
       // plan only the new files, one glob-free pass each
       val perFile = newOnes.sorted.flatMap { f =>
         MailboxPlanner
-          .plan(MailboxOptions(opts.raw + ("path" -> f)), classFilter)
+          .plan(MailboxOptions(opts.raw + ("path" -> f)), classFilter, serConf.value)
+          .partitions
       }
       perFile.zipWithIndex
-        .map { case (p, i) => p.copy(index = i) }
+        .map {
+          case (p: IndexedPartition, i)    => p.copy(index = i)
+          case (p: RangePartition, i)      => p.copy(index = i)
+          case (p: EnumeratedPartition, i) => p.copy(index = i)
+        }
         .toArray[InputPartition]
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MailboxReaderFactory(readSchema, opts, countStar = false)
+    new MailboxReaderFactory(readSchema, opts, classFilter, countStar = false, serConf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
