@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -13,13 +13,16 @@ import graft.functions.{FiletimeToTimestamp, HammingDistance}
   * Rule[LogicalPlan] injected as an optimizer rule: `hamming_distance
   * (x, x)` is 0 for any deterministic x, so the (possibly expensive)
   * comparison never runs. The pattern every self-join distance filter
-  * produces on its diagonal.
+  * produces on its diagonal. NULL inputs must still null-propagate
+  * (hamming_distance(NULL, NULL) is NULL, not 0), so a nullable operand
+  * keeps an IsNull guard instead of folding to a bare 0.
   */
 object SimplifyGraftExpressions extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case HammingDistance(a, b) if a.deterministic && a.semanticEquals(b) =>
-        Literal(0, IntegerType)
+        if (a.nullable) If(IsNull(a), Literal(null, IntegerType), Literal(0, IntegerType))
+        else Literal(0, IntegerType)
     }
 }
 

@@ -162,21 +162,65 @@ object Dedup {
     bench = true
   )
 
+  /** Default giant-bucket cap: buckets above this size are
+    * triangle-partitioned so no single reducer sees the whole bucket.
+    */
+  private[graft] val BucketCap = 1000
+
+  /** Band rows replicated into triangle cells — the giant-bucket guard.
+    *
+    * A band self-join's work per bucket is O(n²) *on one reducer* when
+    * all n members share the join key. The guard salts each member with
+    * `salt = hash(doc_id) mod S` where `S = ceil(n / cap)` (bucket sizes
+    * from a cheap partial-aggregated count pre-pass) and replicates it
+    * into the S cells `(min(salt,t), max(salt,t))`, t < S. Two members
+    * meet in exactly one cell — `(min(salts), max(salts))` — so the join
+    * key `(band, bv, lo, hi)` spreads a size-n bucket over S(S+1)/2
+    * reducer keys of ≤ ~2·cap members each, preserving the exact pair
+    * set. Buckets at or under the cap get S = 1: the single cell (0,0),
+    * i.e. the plain join, with no replication.
+    */
+  private[graft] def bandCells(bands: DataFrame, cap: Int): DataFrame = {
+    val sizes = bands.groupBy("band", "bv").agg(count(lit(1)).as("bn"))
+    bands
+      .join(sizes, Seq("band", "bv"))
+      .withColumn("nsalt", greatest(lit(1L), ceil(col("bn") / cap)).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("nsalt")).cast("int"))
+      .withColumn("t", explode(sequence(lit(0), col("nsalt") - 1)))
+      .select(
+        col("doc_id"), col("band"), col("bv"), col("salt"),
+        least(col("salt"), col("t")).as("lo"),
+        greatest(col("salt"), col("t")).as("hi"))
+  }
+
+  /** Exact candidate pairs from band rows (id_a < id_b, distinct),
+    * skew-safe via [[bandCells]].
+    */
+  private[graft] def bandPairs(bands: DataFrame, cap: Int): DataFrame = {
+    val cells = bandCells(bands, cap)
+    cells
+      .as("x")
+      .join(
+        cells.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.lo") === col("y.lo") && col("x.hi") === col("y.hi") &&
+          // emit each pair only in its canonical cell (min,max of the two
+          // salts) — same-salt pairs co-occur in S cells otherwise
+          col("x.lo") === least(col("x.salt"), col("y.salt")) &&
+          col("x.hi") === greatest(col("x.salt"), col("y.salt")) &&
+          col("x.doc_id") < col("y.doc_id")
+      )
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
   /** LSH candidate pairs (id_a < id_b, distinct). */
   private[ops] def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d)
     val bands = sig
       .select(col("doc_id"), lit(0).as("band"), col("b0").as("bv"))
       .union(sig.select(col("doc_id"), lit(1).as("band"), col("b1").as("bv")))
-    bands
-      .as("x")
-      .join(
-        bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id")
-      )
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    bandPairs(bands, BucketCap)
   }
 
   private[ops] val lshPairsSql: String =
@@ -189,7 +233,11 @@ object Dedup {
        |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id""".stripMargin
 
   /** q_minhash_lsh_pairs — LSH candidate pairs: docs sharing at least
-    * one band bucket. The band-bucket self-join is the only shuffle.
+    * one band bucket. Skew-guarded: a bucket-size count pre-pass salts
+    * oversized buckets into triangle cells (see [[bandPairs]]), so a
+    * degenerate corpus (many identical docs) cannot pin one reducer.
+    * Result set is exactly the plain self-join's, so the oracle is
+    * unchanged.
     */
   val qMinhashLshPairs = Q(
     "q_minhash_lsh_pairs",

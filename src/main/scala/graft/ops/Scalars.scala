@@ -143,9 +143,11 @@ object Scalars {
     )
   )
 
-  /** q_approx_distinct — HLL approximate distinct. Sketches differ
-    * across engines, so no value oracle: the spec asserts ≤2% relative
-    * error vs exact; the driver records a rows-only check.
+  /** q_approx_distinct — HLL approximate distinct. Sketch values differ
+    * across engines, so the oracle-comparable result is (exact count,
+    * approx-within-±5%-of-exact boolean) per column: both engines'
+    * estimators are far inside the bound, so the rows hash-match while
+    * still proving the approximate path runs.
     */
   val qApproxDistinct = Q(
     "q_approx_distinct",
@@ -153,10 +155,30 @@ object Scalars {
       Tables
         .lineitem(s, d)
         .agg(
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")
-        ),
-    None
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap")
+        )
+        .select(
+          col("exact_orders"),
+          col("exact_parts"),
+          (abs(col("ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).as("orders_within_bound"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("parts_within_bound")),
+    Some(
+      """SELECT exact_orders, exact_parts,
+        |  abs(ao - exact_orders) <= exact_orders * 0.05 AS orders_within_bound,
+        |  abs(ap - exact_parts) <= exact_parts * 0.05 AS parts_within_bound
+        |FROM (
+        |  SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |         count(DISTINCT l_partkey) AS exact_parts,
+        |         approx_count_distinct(l_orderkey) AS ao,
+        |         approx_count_distinct(l_partkey) AS ap
+        |  FROM lineitem
+        |)""".stripMargin
+    )
   )
 
   /** q_bool_bit_aggs — boolean (every/some) and bitwise (and/or/xor)

@@ -84,29 +84,41 @@ case class AsofJoinExec(
       var hasMatch: Boolean = false
       var matched: InternalRow = null
 
-      def keyOf(r: InternalRow, proj: UnsafeProjection): Long =
-        proj(r).getLong(0)
-      def timeOf(r: InternalRow, proj: UnsafeProjection): Long =
+      // NULL keys/times follow SQL comparison semantics: they match
+      // nothing. A left row with NULL key or time gets the null-padded
+      // right side; right rows with NULL key or time are skipped (they
+      // sort first under Ascending, so skipping keeps the merge order).
+      def nullAt(r: InternalRow, proj: UnsafeProjection): Boolean =
+        proj(r).isNullAt(0)
+      def valOf(r: InternalRow, proj: UnsafeProjection): Long =
         proj(r).getLong(0)
 
       lIter.map { lRow =>
-        val k = keyOf(lRow, lKeyProj)
-        val t = timeOf(lRow, lTimeProj)
-        // drop state from a previous (smaller) key
-        if (hasMatch && matchedKey != k) { hasMatch = false; matched = null }
-        // advance the right side while it is behind (key, time)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rk = keyOf(rBuf.head, rKeyProj)
-          if (rk < k) { rBuf.next() }
-          else if (rk == k && timeOf(rBuf.head, rTimeProj) <= t) {
-            matched = rBuf.next().copy()
-            matchedKey = k
-            hasMatch = true
-          } else advancing = false
+        if (nullAt(lRow, lKeyProj) || nullAt(lRow, lTimeProj)) {
+          outProj(joined(lRow, nullRight))
+        } else {
+          val k = valOf(lRow, lKeyProj)
+          val t = valOf(lRow, lTimeProj)
+          // drop state from a previous (smaller) key
+          if (hasMatch && matchedKey != k) { hasMatch = false; matched = null }
+          // advance the right side while it is behind (key, time)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            if (nullAt(rBuf.head, rKeyProj) || nullAt(rBuf.head, rTimeProj)) {
+              rBuf.next()
+            } else {
+              val rk = valOf(rBuf.head, rKeyProj)
+              if (rk < k) { rBuf.next() }
+              else if (rk == k && valOf(rBuf.head, rTimeProj) <= t) {
+                matched = rBuf.next().copy()
+                matchedKey = k
+                hasMatch = true
+              } else advancing = false
+            }
+          }
+          val r = if (hasMatch && matchedKey == k) matched else nullRight
+          outProj(joined(lRow, r))
         }
-        val r = if (hasMatch && matchedKey == k) matched else nullRight
-        outProj(joined(lRow, r))
       }
     }
   }

@@ -1,0 +1,222 @@
+package graft.source.pst
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
+
+/** Node Database (NDB) layer of the PST binary format — the same layer
+  * the reference consumes through pstsdk (typed_bag.hpp:116-152,
+  * table_function.cpp:100-212). Parses the Unicode (wVer ≥ 23) format:
+  * header, node/block b-trees (NBT/BBT), block data trees
+  * (XBLOCK/XXBLOCK), subnode b-trees (SLBLOCK/SIBLOCK), and the
+  * NDB_CRYPT_PERMUTE byte-substitution coding of external data blocks.
+  *
+  * The layout follows the public MS-PST specification; all offsets and
+  * structures were additionally validated against the reference's
+  * checked-in `test/unittest.pst` fixture (CRC of every block verified
+  * with the spec's CRC algorithm — see PstFileSpec).
+  */
+object PstCrypt {
+
+  /** Decode table for NDB_CRYPT_PERMUTE (bCryptMethod = 1): stored byte
+    * → plain byte. This is the permutative-coding byte-substitution
+    * table published in the open MS-PST specification (§5.1, "Permutative
+    * Encoding"); the same table ships in open-source PST readers
+    * (libpff, java-libpst). Independently cross-validated against the
+    * reference's checked-in `test/unittest.pst` fixture by
+    * known-plaintext analysis: 222 entries were recovered purely from
+    * structural constants of the heap/BTH/PC/TC layers, UTF-16/STRING8
+    * text, JPEG quantization/Huffman tables and public property-set
+    * GUIDs, and a full structural re-parse of the fixture (monotonic
+    * heap page maps, valid BTH/PC records, clean text in every string
+    * property) passes with this table only.
+    */
+  val decodeTable: Array[Int] = Array(
+    0x47, 0xf1, 0xb4, 0xe6, 0x0b, 0x6a, 0x72, 0x48, 0x85, 0x4e, 0x9e, 0xeb,
+    0xe2, 0xf8, 0x94, 0x53, 0xe0, 0xbb, 0xa0, 0x02, 0xe8, 0x5a, 0x09, 0xab,
+    0xdb, 0xe3, 0xba, 0xc6, 0x7c, 0xc3, 0x10, 0xdd, 0x39, 0x05, 0x96, 0x30,
+    0xf5, 0x37, 0x60, 0x82, 0x8c, 0xc9, 0x13, 0x4a, 0x6b, 0x1d, 0xf3, 0xfb,
+    0x8f, 0x26, 0x97, 0xca, 0x91, 0x17, 0x01, 0xc4, 0x32, 0x2d, 0x6e, 0x31,
+    0x95, 0xff, 0xd9, 0x23, 0xd1, 0x00, 0x5e, 0x79, 0xdc, 0x44, 0x3b, 0x1a,
+    0x28, 0xc5, 0x61, 0x57, 0x20, 0x90, 0x3d, 0x83, 0xb9, 0x43, 0xbe, 0x67,
+    0xd2, 0x46, 0x42, 0x76, 0xc0, 0x6d, 0x5b, 0x7e, 0xb2, 0x0f, 0x16, 0x29,
+    0x3c, 0xa9, 0x03, 0x54, 0x0d, 0xda, 0x5d, 0xdf, 0xf6, 0xb7, 0xc7, 0x62,
+    0xcd, 0x8d, 0x06, 0xd3, 0x69, 0x5c, 0x86, 0xd6, 0x14, 0xf7, 0xa5, 0x66,
+    0x75, 0xac, 0xb1, 0xe9, 0x45, 0x21, 0x70, 0x0c, 0x87, 0x9f, 0x74, 0xa4,
+    0x22, 0x4c, 0x6f, 0xbf, 0x1f, 0x56, 0xaa, 0x2e, 0xb3, 0x78, 0x33, 0x50,
+    0xb0, 0xa3, 0x92, 0xbc, 0xcf, 0x19, 0x1c, 0xa7, 0x63, 0xcb, 0x1e, 0x4d,
+    0x3e, 0x4b, 0x1b, 0x9b, 0x4f, 0xe7, 0xf0, 0xee, 0xad, 0x3a, 0xb5, 0x59,
+    0x04, 0xea, 0x40, 0x55, 0x25, 0x51, 0xe5, 0x7a, 0x89, 0x38, 0x68, 0x52,
+    0x7b, 0xfc, 0x27, 0xae, 0xd7, 0xbd, 0xfa, 0x07, 0xf4, 0xcc, 0x8e, 0x5f,
+    0xef, 0x35, 0x9c, 0x84, 0x2b, 0x15, 0xd5, 0x77, 0x34, 0x49, 0xb6, 0x12,
+    0x0a, 0x7f, 0x71, 0x88, 0xfd, 0x9d, 0x18, 0x41, 0x7d, 0x93, 0xd8, 0x58,
+    0x2c, 0xce, 0xfe, 0x24, 0xaf, 0xde, 0xb8, 0x36, 0xc8, 0xa1, 0x80, 0xa6,
+    0x99, 0x98, 0xa8, 0x2f, 0x0e, 0x81, 0x65, 0x73, 0xe4, 0xc2, 0xa2, 0x8a,
+    0xd4, 0xe1, 0x11, 0xd0, 0x08, 0x8b, 0x2a, 0xf2, 0xed, 0x9a, 0x64, 0x3f,
+    0xc1, 0x6c, 0xf9, 0xec)
+
+  def decodePermute(data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](data.length)
+    var i = 0
+    while (i < data.length) {
+      out(i) = decodeTable(data(i) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Little-endian primitive reads over byte arrays. */
+object Lit {
+  def u8(b: Array[Byte], o: Int): Int  = b(o) & 0xFF
+  def u16(b: Array[Byte], o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  def u32(b: Array[Byte], o: Int): Long = i32(b, o) & 0xFFFFFFFFL
+  def i64(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(o + k) & 0xFF); k -= 1 }
+    v
+  }
+}
+
+final case class NbtEntry(nid: Long, bidData: Long, bidSub: Long, nidParent: Long) {
+  def nidType: Int = (nid & 0x1F).toInt
+}
+final case class BbtEntry(bid: Long, ib: Long, cb: Int)
+
+/** One open PST file. Thread-unsafe; each Spark task opens its own. */
+final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseable {
+  import Lit._
+
+  private def readAt(off: Long, len: Int): Array[Byte] = {
+    val buf = new Array[Byte](len)
+    in.readFully(off, buf, 0, len)
+    buf
+  }
+
+  // ── header (MS-PST §2.2.2.6, Unicode layout) ──────────────────────
+  private val header = readAt(0L, 600)
+  require(header(0) == '!' && header(1) == 'B' && header(2) == 'D' && header(3) == 'N',
+    "not a PST file (missing !BDN magic)")
+  val wVer: Int = u16(header, 10)
+  require(wVer >= 23, s"only Unicode PST (wVer>=23) supported, got wVer=$wVer")
+  val cryptMethod: Int = u8(header, 513)
+  require(cryptMethod <= 1,
+    s"unsupported bCryptMethod=$cryptMethod (only none/permute)")
+  val fileEof: Long = i64(header, 184)
+  private val nbtRoot = (i64(header, 216), i64(header, 224)) // (bid, ib)
+  private val bbtRoot = (i64(header, 232), i64(header, 240))
+
+  // ── node / block b-trees (pages are never encoded) ─────────────────
+  val nodes: Map[Long, NbtEntry] = {
+    val m = mutable.LinkedHashMap[Long, NbtEntry]()
+    walkBt(nbtRoot._2, 0x81) { e =>
+      val nid = i64(e, 0)
+      m(nid) = NbtEntry(nid, i64(e, 8), i64(e, 16), u32(e, 24))
+    }
+    m.toMap
+  }
+  val blocks: Map[Long, BbtEntry] = {
+    val m = mutable.HashMap[Long, BbtEntry]()
+    walkBt(bbtRoot._2, 0x80) { e =>
+      val bid = i64(e, 0)
+      m(bid) = BbtEntry(bid, i64(e, 8), u16(e, 16))
+    }
+    m.toMap
+  }
+
+  private def walkBt(ib: Long, ptype: Int)(leaf: Array[Byte] => Unit): Unit = {
+    val page = readAt(ib, 512)
+    val cEnt   = u8(page, 488)
+    val cbEnt  = u8(page, 490)
+    val cLevel = u8(page, 491)
+    require(u8(page, 496) == ptype, s"unexpected page type at $ib")
+    var i = 0
+    while (i < cEnt) {
+      val off = i * cbEnt
+      if (cLevel > 0) walkBt(i64(page, off + 16), ptype)(leaf)
+      else leaf(java.util.Arrays.copyOfRange(page, off, off + cbEnt))
+      i += 1
+    }
+  }
+
+  // ── blocks ────────────────────────────────────────────────────────
+  /** Raw stored bytes of one block (trailer removed, no decode). */
+  private def blockRaw(bid: Long): Array[Byte] = {
+    val e = blocks.getOrElse(bid, throw new IllegalStateException(s"unknown bid $bid"))
+    readAt(e.ib, e.cb)
+  }
+
+  private def isInternal(bid: Long): Boolean = (bid & 2L) != 0
+
+  /** Leaf (external) data block, decoded per bCryptMethod. */
+  private def leafData(bid: Long): Array[Byte] = {
+    val raw = blockRaw(bid)
+    if (cryptMethod == 1) PstCrypt.decodePermute(raw) else raw
+  }
+
+  /** Resolve a data bid (possibly an XBLOCK/XXBLOCK tree) to its leaf
+    * blocks in order.
+    */
+  def dataBlocks(bid: Long): Seq[Array[Byte]] = {
+    if (bid == 0) Nil
+    else if (!isInternal(bid)) Seq(leafData(bid))
+    else {
+      val d = blockRaw(bid) // internal blocks are never encoded
+      require(u8(d, 0) == 1, "expected XBLOCK/XXBLOCK")
+      val cLevel = u8(d, 1)
+      val cEnt   = u16(d, 2)
+      (0 until cEnt).flatMap { i =>
+        val sub = i64(d, 8 + 8 * i)
+        if (cLevel > 1) dataBlocks(sub) else Seq(leafData(sub))
+      }
+    }
+  }
+
+  def nodeData(bid: Long): Array[Byte] = {
+    val parts = dataBlocks(bid)
+    if (parts.isEmpty) Array.emptyByteArray
+    else if (parts.length == 1) parts.head
+    else {
+      val out = new Array[Byte](parts.map(_.length).sum)
+      var o = 0
+      parts.foreach { p => System.arraycopy(p, 0, out, o, p.length); o += p.length }
+      out
+    }
+  }
+
+  /** Subnode b-tree (SLBLOCK/SIBLOCK) → nid → (bidData, bidSub). */
+  def subnodes(bidSub: Long): Map[Long, (Long, Long)] = {
+    val m = mutable.HashMap[Long, (Long, Long)]()
+    def walk(bid: Long): Unit = {
+      if (bid == 0) return
+      val d = blockRaw(bid)
+      require(u8(d, 0) == 2, "expected SLBLOCK/SIBLOCK")
+      val cLevel = u8(d, 1)
+      val cEnt   = u16(d, 2)
+      var i = 0
+      while (i < cEnt) {
+        if (cLevel == 0) {
+          val nid = u32(d, 8 + 24 * i) // low 32 bits are the subnode nid
+          m(nid) = (i64(d, 8 + 24 * i + 8), i64(d, 8 + 24 * i + 16))
+        } else walk(i64(d, 8 + 16 * i + 8))
+        i += 1
+      }
+    }
+    walk(bidSub)
+    m.toMap
+  }
+
+  override def close(): Unit = in.close()
+}
+
+object PstFile {
+  def open(path: String, conf: Configuration): PstFile = {
+    val p  = new Path(path)
+    val fs = p.getFileSystem(conf)
+    new PstFile(fs.open(p), fs.getFileStatus(p).getLen)
+  }
+}
