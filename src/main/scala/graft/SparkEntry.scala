@@ -8,7 +8,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     ops.Relational.all ++ ops.TextOps.all ++ ops.Dedup.all ++
       ops.Similarity.all ++ ops.Analytics.all ++ ops.StreamingOps.all ++
-      ops.MailboxQueries.all ++ ops.Multimodal.all ++
+      ops.MailboxQueries.all ++ ops.PstQueries.all ++ ops.Multimodal.all ++
       ops.CustomFnQueries.all ++ ops.Temporal.all ++ ops.Scalars.all ++
       ops.Collections.all ++ ops.SqlSurface.all ++ ops.Stats.all ++
       ops.Advanced.all ++ ops.Reshape.all ++ ops.Sampling.all ++

@@ -182,6 +182,12 @@ final case class EnumeratedPartition(
     index: Int, file: String,
     offsets: Array[Long], nodeIds: Array[Long]) extends MailboxPartition
 
+/** A slice of a real PST file's plan-enumerated node ids (the analog of
+  * the reference's node-id partition queue; see [[PstScan]]).
+  */
+final case class PstPartition(
+    index: Int, file: String, nodeIds: Array[Long]) extends MailboxPartition
+
 /** Driver-side planning: glob → per-file metadata (sidecar index or file
   * size) → partitions. Reads O(#files) bytes — sidecars, or a ≤160-byte
   * first-record validation probe — never the corpus (A2-A4, A20).
@@ -333,6 +339,7 @@ object MailboxPlanner {
     case class Ranged(file: String, bytes: Long) extends FilePlan
     case class Enumerated(file: String, bytes: Long,
         offsets: Array[Long], nodes: Array[Long]) extends FilePlan
+    case class Pst(file: String, bytes: Long, nids: Array[Long]) extends FilePlan
 
     val pool = Executors.newFixedThreadPool(math.max(1, math.min(files.length, 16)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -346,7 +353,11 @@ object MailboxPlanner {
               MailboxIndex.read(fs, p, len) match {
                 case Some(ix) => Some(Indexed(name, len, ix))
                 case None =>
-                  if (!validateFile(p, conf)) {
+                  if (PstScan.isPst(p, conf)) {
+                    // real PST binary: enumerate node ids from the file's
+                    // own index (O(index) bytes, like the reference)
+                    Some(Pst(name, len, PstScan.enumerate(name, conf, wantFolder)))
+                  } else if (!validateFile(p, conf)) {
                     System.err.println(s"[mailbox] skipping unreadable file $name")
                     None
                   } else if (limited) {
@@ -411,6 +422,30 @@ object MailboxPlanner {
           val len = math.min(opts.partitionBytes, bytes - start)
           parts += RangePartition(parts.length, file, start, len)
           start += len
+        }
+      case Pst(file, _, nids) if remain > 0 =>
+        if (classFilter.isEmpty) {
+          // folders / unfiltered messages: the node enumeration IS the
+          // row set — exact counts, exact limit allocation
+          val total = math.min(nids.length.toLong, remain)
+          var i = 0L
+          while (i < total) {
+            val end = math.min(i + opts.partitionSize, total).toInt
+            parts += PstPartition(parts.length, file, nids.slice(i.toInt, end))
+            i = end
+          }
+          rows += total
+          remain -= total
+        } else {
+          // typed modes: class lives in each node's property context;
+          // the reader filters, Spark applies any limit
+          exact = false
+          var i = 0
+          while (i < nids.length) {
+            val end = math.min(i + opts.partitionSize, nids.length)
+            parts += PstPartition(parts.length, file, nids.slice(i, end))
+            i = end
+          }
         }
       case _ => () // limit exhausted
     }
@@ -586,8 +621,16 @@ class MailboxReaderFactory(
       case ep: EnumeratedPartition => new StaticCountReader(ep.offsets.length.toLong)
       case rp: RangePartition      =>
         new RangeCountReader(rp, opts, classFilter, serConf.value)
+      case pp: PstPartition =>
+        if (classFilter.isEmpty) new StaticCountReader(pp.nodeIds.length.toLong)
+        else new PstCountReader(pp, opts, classFilter, serConf.value)
     }
-    else new MailboxPartitionReader(p, readSchema, opts, classFilter, serConf.value)
+    else p match {
+      case pp: PstPartition =>
+        new PstPartitionReader(pp, readSchema, opts, classFilter, serConf.value)
+      case _ =>
+        new MailboxPartitionReader(p, readSchema, opts, classFilter, serConf.value)
+    }
   }
 }
 

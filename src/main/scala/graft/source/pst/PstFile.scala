@@ -91,9 +91,13 @@ final case class BbtEntry(bid: Long, ib: Long, cb: Int)
 final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseable {
   import Lit._
 
+  /** Bytes read through this handle (scan-metric support). */
+  var bytesRead: Long = 0L
+
   private def readAt(off: Long, len: Int): Array[Byte] = {
     val buf = new Array[Byte](len)
     in.readFully(off, buf, 0, len)
+    bytesRead += len
     buf
   }
 

@@ -109,20 +109,24 @@ final case class PropValue(propType: Int, bytes: Array[Byte], inline: Long) {
   }
 }
 
-/** Property context: propId → value (MS-PST §2.3.3). */
+/** Property context: propId → value (MS-PST §2.3.3). Values are
+  * materialized lazily per property, so classify-only access (e.g. the
+  * scan's message-class filter) reads just that property's bytes —
+  * never bodies or attachments.
+  */
 final class PropertyContext(heap: HeapNode) {
   import Lit._
 
-  val props: Map[Int, PropValue] = {
-    val m = mutable.HashMap[Int, PropValue]()
+  /** propId → (propType, raw 4-byte value/HNID) from the PC's BTH. */
+  private val entries: Map[Int, (Int, Long)] = {
+    val m = mutable.HashMap[Int, (Int, Long)]()
     Bth.records(heap, heap.userRoot).foreach { case (key, ent) =>
-      val propId   = u16(key, 0)
-      val propType = u16(ent, 0)
-      val value    = u32(ent, 2)
-      m(propId) = materialize(propType, value)
+      m(u16(key, 0)) = (u16(ent, 0), u32(ent, 2))
     }
     m.toMap
   }
+
+  private val cache = mutable.HashMap[Int, PropValue]()
 
   private def fixedWidth(t: Int): Int = t match {
     case 0x02 => 2
@@ -138,12 +142,15 @@ final class PropertyContext(heap: HeapNode) {
     else PropValue(t, heap.hnidBytes(v), 0L)
   }
 
-  def get(id: Int): Option[PropValue] = props.get(id)
-  def str(id: Int): Option[String]   = props.get(id).map(_.string).filter(_ != null)
-  def i32p(id: Int): Option[Int]     = props.get(id).map(_.int32)
-  def boolP(id: Int): Option[Boolean] = props.get(id).map(_.bool)
-  def timeP(id: Int): Option[Long]   = props.get(id).filter(_.bytes.length >= 8).map(_.timeMicros)
-  def binP(id: Int): Option[Array[Byte]] = props.get(id).map(_.bytes).filter(_.nonEmpty)
+  def get(id: Int): Option[PropValue] =
+    entries.get(id).map { case (t, v) =>
+      cache.getOrElseUpdate(id, materialize(t, v))
+    }
+  def str(id: Int): Option[String]   = get(id).map(_.string).filter(_ != null)
+  def i32p(id: Int): Option[Int]     = get(id).map(_.int32)
+  def boolP(id: Int): Option[Boolean] = get(id).map(_.bool)
+  def timeP(id: Int): Option[Long]   = get(id).filter(_.bytes.length >= 8).map(_.timeMicros)
+  def binP(id: Int): Option[Array[Byte]] = get(id).map(_.bytes).filter(_.nonEmpty)
 }
 
 /** Table context (MS-PST §2.3.4): column descriptors + row matrix. */
