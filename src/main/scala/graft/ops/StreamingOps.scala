@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * (`date_trunc('day')` ≡ tumbling 1-day window start, epoch-aligned in
   * UTC).
   *
-  * Scale notes: in production this is `readStream` from a stream source
-  * with a watermark bounding state; the tumbling-window group-by shuffles
-  * by (window, event_type) exactly like a batch group-by, and state per
-  * window is O(distinct keys), not O(events).
+  * Scale notes: the production shape — watermark-bounded state, append
+  * mode, a distributed file sink, no driver-side materialization — is
+  * `q_stream_window_prod` below, verified against the same oracle; the
+  * complete-mode memory-sink variant stays as the minimal harness.
   */
 object StreamingOps {
 
@@ -59,6 +59,73 @@ object StreamingOps {
           col("n"),
           col("total_value")
         )
+        .orderBy("day", "event_type")
+    },
+    Some(
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+    )
+  )
+
+  /** q_stream_window_prod — the SAME windowed aggregation in its
+    * production shape: watermark-bounded state, append output mode, a
+    * distributed parquet sink. Nothing materializes on the driver —
+    * each finalized window is written incrementally by executor tasks,
+    * which is the 100 TB-safe formulation (the complete-mode variant
+    * above re-materializes the whole result every micro-batch and
+    * exists as the oracle harness).
+    *
+    * Finite-input mechanics: a single sentinel event 3 days past the
+    * real data advances the event-time watermark beyond every real
+    * window end, so Spark's no-data micro-batch flushes all finalized
+    * windows to the sink; the sentinel's own (never-finalized) window
+    * is excluded from the result.
+    */
+  val qStreamWindowProd = Q(
+    "q_stream_window_prod",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("stream_prod")
+      val inDir   = tmp.resolve("in")
+      val outDir  = tmp.resolve("out").toString
+      val ckptDir = tmp.resolve("ckpt").toString
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "events.parquet"),
+        inDir.resolve("events.parquet"))
+
+      val raw   = Tables.eventsRaw(s, d)
+      val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+      raw
+        .limit(1)
+        .withColumn("ts", lit(maxNs + 3L * 86400 * 1000000000L))
+        .withColumn("event_type", lit("__sentinel__"))
+        .write.mode("append").parquet(inDir.toString)
+
+      val query = s.readStream
+        .schema(raw.schema)
+        .parquet(inDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(Exact.dec(col("value"))).cast("double").as("total_value"))
+        .select(
+          col("window.start").cast("timestamp_ntz").as("day"),
+          col("event_type"), col("n"), col("total_value"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+
+      s.read
+        .parquet(outDir)
+        .filter(col("event_type") =!= "__sentinel__")
         .orderBy("day", "event_type")
     },
     Some(
@@ -123,5 +190,5 @@ object StreamingOps {
     )
   )
 
-  val all: Seq[Q] = Seq(qStreamWindow, qSessionize)
+  val all: Seq[Q] = Seq(qStreamWindow, qStreamWindowProd, qSessionize)
 }
