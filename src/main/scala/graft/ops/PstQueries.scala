@@ -194,7 +194,28 @@ object PstQueries {
     )
   )
 
+  /** Contact typed-extension columns through the named-property map
+    * (PR_GIVEN_NAME/PR_SURNAME/PR_COMPANY_NAME/PR_TITLE + PR_DISPLAY_NAME).
+    */
+  val qPstContacts = Q(
+    "q_pst_contacts",
+    (s, _) =>
+      read(s, "contacts")
+        .select(col("node_id"), col("given_name"), col("surname"),
+          col("display_name"), col("company_name"), col("title"))
+        .orderBy("node_id"),
+    Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(2097348 AS BIGINT), 'Linus', 'Cat', 'Linus Cat', 'Intellekt',
+        |   'Director of Leisure'),
+        |  (2097380, 'Hopper', 'Cat', 'Hopper Cat', 'Intellekt',
+        |   'Director of Environmental Protection')
+        |) AS t(node_id, given_name, surname, display_name, company_name, title)
+        |ORDER BY node_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qPstFolders, qPstModeCounts, qPstStickyNotes, qPstTaskAppointment,
-    qPstDlist, qPstBodyBudget, qPstSubjects)
+    qPstDlist, qPstBodyBudget, qPstSubjects, qPstContacts)
 }

@@ -41,9 +41,16 @@ final class PstReader(pst: PstFile) {
   def messageNids: Seq[Long] =
     pst.nodes.valuesIterator.filter(_.nidType == 0x04).map(_.nid).toSeq.sorted
 
+  // one grouped pass over the node index (not a per-folder scan: a
+  // folder-heavy store would make that quadratic)
+  private lazy val childCounts: Map[(Long, Int), Long] =
+    pst.nodes.valuesIterator
+      .filter(e => e.nid != e.nidParent)
+      .toSeq.groupBy(e => (e.nidParent, e.nidType))
+      .map { case (k, es) => k -> es.size.toLong }
+
   private def childCount(parent: Long, types: Set[Int]): Long =
-    pst.nodes.valuesIterator.count(e =>
-      e.nidParent == parent && e.nid != parent && types.contains(e.nidType)).toLong
+    types.iterator.map(t => childCounts.getOrElse((parent, t), 0L)).sum
 
   // ── helpers ────────────────────────────────────────────────────────
   private def s(v: String): UTF8String = if (v == null) null else UTF8String.fromString(v)
@@ -145,7 +152,7 @@ final class PstReader(pst: PstFile) {
       "subject"              -> s(cleanSubject(pc.str(0x0037).orNull)),
       "body"                 -> s(pc.str(0x1000).orNull),
       "body_html"            -> pc.get(0x1013).map(v => s(v.string)).orNull,
-      "display_name"         -> s(cleanSubject(pc.str(0x0037).orNull)),
+      "display_name"         -> s(pc.str(0x3001).orNull), // PR_DISPLAY_NAME (row_serializer.cpp:251-254)
       "comment"              -> s(pc.str(0x3004).orNull),
       "sender_name"          -> s(pc.str(0x0C1A).orNull),
       "sender_email_address" -> s(pc.str(0x0C1F).orNull),

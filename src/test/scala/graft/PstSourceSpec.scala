@@ -189,6 +189,20 @@ class PstSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     ids.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("mixed glob routes PST and JSONL files by magic bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("mixed_corpus")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(pstFile), dir.resolve("a.pst"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/repo/fixtures/mailbox/unittest.mbx"),
+      dir.resolve("b.mbx"))
+    def count(path: String) = spark.read.format("mailbox")
+      .option("mode", "messages").load(path).count()
+    val both = count(s"$dir/*")
+    assert(both === count(s"$dir/a.pst") + count(s"$dir/b.mbx"))
+    assert(both === 12 + count("/root/repo/fixtures/mailbox/unittest.mbx"))
+  }
+
   test("message subjects strip the PidTagSubject prefix convention") {
     val subjects = read("notes").select("subject").collect().map(_.getString(0)).sorted
     assert(subjects === Array(
