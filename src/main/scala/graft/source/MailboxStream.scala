@@ -7,8 +7,10 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
 /** Streaming extension of the mailbox source (beyond the batch-only
-  * reference): new `*.mbx` files appearing under the glob are picked up
-  * per micro-batch — mail-archive ingestion as a stream.
+  * reference): new mailbox files appearing under the glob — `.mbx`
+  * JSONL dumps or real PST binaries, routed by magic bytes exactly as
+  * in batch — are picked up per micro-batch: mail-archive ingestion as
+  * a stream.
   *
   * Offsets are the sorted set of files already processed (files are
   * immutable drops, like the reference's PST archives); each batch plans
@@ -73,6 +75,7 @@ class MailboxMicroBatchStream(
           case (p: IndexedPartition, i)    => p.copy(index = i)
           case (p: RangePartition, i)      => p.copy(index = i)
           case (p: EnumeratedPartition, i) => p.copy(index = i)
+          case (p: PstPartition, i)        => p.copy(index = i)
         }
         .toArray[InputPartition]
     }

@@ -203,6 +203,46 @@ class PstSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both === 12 + count("/root/repo/fixtures/mailbox/unittest.mbx"))
   }
 
+  test("micro-batch streaming ingests newly arriving PST binaries") {
+    val dir = java.nio.file.Files.createTempDirectory("pst_stream")
+    val stream = spark.readStream
+      .format("mailbox")
+      .option("mode", "messages")
+      .load(s"$dir/*.pst")
+      .groupBy("message_class")
+      .count()
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("pst_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("pst_stream").count() === 0)
+      // a real PST archive drops in → next micro-batch parses it
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(pstFile), dir.resolve("drop.pst"))
+      q.processAllAvailable()
+      val counts = spark.table("pst_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts === Map(
+        "IPM.Note" -> 5L, "IPM.Contact" -> 2L, "IPM.DistList" -> 1L,
+        "IPM.Appointment" -> 1L, "IPM.StickyNote" -> 2L, "IPM.Task" -> 1L))
+    } finally q.stop()
+  }
+
+  test("corrupt PST in a glob is skipped, valid files still scan (A20)") {
+    val dir = java.nio.file.Files.createTempDirectory("pst_corrupt")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(pstFile), dir.resolve("good.pst"))
+    // right magic, garbage body — header parse must fail cleanly
+    java.nio.file.Files.write(dir.resolve("bad.pst"),
+      ("!BDN" + "x" * 1000).getBytes("UTF-8"))
+    val df = spark.read.format("mailbox").option("mode", "messages")
+      .load(s"$dir/*.pst")
+    assert(df.count() === 12)
+  }
+
   test("message subjects strip the PidTagSubject prefix convention") {
     val subjects = read("notes").select("subject").collect().map(_.getString(0)).sorted
     assert(subjects === Array(
