@@ -115,7 +115,13 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
   private val bbtRoot = (i64(header, 232), i64(header, 240))
 
   // ── node / block b-trees (pages are never encoded) ─────────────────
-  val nodes: Map[Long, NbtEntry] = {
+
+  /** Full NBT enumeration — plan-time node discovery and folder child
+    * counting. Readers doing row work use [[nodeEntry]]/[[blockEntry]]
+    * point lookups instead, so a task touching k nodes reads O(k · tree
+    * depth) pages, not the whole index.
+    */
+  lazy val nodes: Map[Long, NbtEntry] = {
     val m = mutable.LinkedHashMap[Long, NbtEntry]()
     walkBt(nbtRoot._2, 0x81) { e =>
       val nid = i64(e, 0)
@@ -123,21 +129,12 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
     }
     m.toMap
   }
-  val blocks: Map[Long, BbtEntry] = {
-    val m = mutable.HashMap[Long, BbtEntry]()
-    walkBt(bbtRoot._2, 0x80) { e =>
-      val bid = i64(e, 0)
-      m(bid) = BbtEntry(bid, i64(e, 8), u16(e, 16))
-    }
-    m.toMap
-  }
 
   private def walkBt(ib: Long, ptype: Int)(leaf: Array[Byte] => Unit): Unit = {
-    val page = readAt(ib, 512)
+    val page = btPage(ib, ptype)
     val cEnt   = u8(page, 488)
     val cbEnt  = u8(page, 490)
     val cLevel = u8(page, 491)
-    require(u8(page, 496) == ptype, s"unexpected page type at $ib")
     var i = 0
     while (i < cEnt) {
       val off = i * cbEnt
@@ -147,10 +144,65 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
     }
   }
 
+  // b-tree pages touched by this handle (bounded by the task's working
+  // set; one 512-byte page per entry)
+  private val pageCache = mutable.HashMap[Long, Array[Byte]]()
+  private def btPage(ib: Long, ptype: Int): Array[Byte] = {
+    val page = pageCache.getOrElseUpdate(ib, readAt(ib, 512))
+    require(u8(page, 496) == ptype, s"unexpected page type at $ib")
+    page
+  }
+
+  /** Descend one b-tree to the leaf entry with the exact `key`
+    * (MS-PST §2.2.2.7.7: entries sorted ascending, internal entries
+    * carry the subtree's first key).
+    */
+  private def btSearch(rootIb: Long, ptype: Int, key: Long): Option[Array[Byte]] = {
+    var ib = rootIb
+    while (true) {
+      val page   = btPage(ib, ptype)
+      val cEnt   = u8(page, 488)
+      val cbEnt  = u8(page, 490)
+      val cLevel = u8(page, 491)
+      if (cEnt == 0) return None
+      // greatest entry with btkey <= key (keys are unsigned but share a
+      // sign region in practice; compare unsigned to be safe)
+      var lo = 0
+      var hi = cEnt - 1
+      var pos = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (java.lang.Long.compareUnsigned(i64(page, mid * cbEnt), key) <= 0) {
+          pos = mid; lo = mid + 1
+        } else hi = mid - 1
+      }
+      if (pos < 0) return None
+      val off = pos * cbEnt
+      if (cLevel > 0) ib = i64(page, off + 16)
+      else {
+        return if (i64(page, off) == key)
+          Some(java.util.Arrays.copyOfRange(page, off, off + cbEnt))
+        else None
+      }
+    }
+    None // unreachable
+  }
+
+  /** Point lookup in the node b-tree. */
+  def nodeEntry(nid: Long): Option[NbtEntry] =
+    btSearch(nbtRoot._2, 0x81, nid).map(e =>
+      NbtEntry(i64(e, 0), i64(e, 8), i64(e, 16), u32(e, 24)))
+
+  /** Point lookup in the block b-tree. */
+  def blockEntry(bid: Long): Option[BbtEntry] =
+    btSearch(bbtRoot._2, 0x80, bid).map(e =>
+      BbtEntry(i64(e, 0), i64(e, 8), u16(e, 16)))
+
   // ── blocks ────────────────────────────────────────────────────────
   /** Raw stored bytes of one block (trailer removed, no decode). */
   private def blockRaw(bid: Long): Array[Byte] = {
-    val e = blocks.getOrElse(bid, throw new IllegalStateException(s"unknown bid $bid"))
+    val e = blockEntry(bid).getOrElse(
+      throw new IllegalStateException(s"unknown bid $bid"))
     readAt(e.ib, e.cb)
   }
 

@@ -17,8 +17,10 @@ import graft.model.MailboxSchema.Mode
 final class PstReader(pst: PstFile) {
 
   private def heapOf(e: NbtEntry) = new HeapNode(pst, e.bidData, e.bidSub)
+  // point lookups (O(tree depth) pages), not the full NBT enumeration —
+  // a task reading k nodes of a huge archive touches only its pages
   private def pcOf(nid: Long): Option[PropertyContext] =
-    pst.nodes.get(nid).flatMap { e =>
+    pst.nodeEntry(nid).flatMap { e =>
       try Some(new PropertyContext(heapOf(e)))
       catch { case scala.util.control.NonFatal(_) => None }
     }
@@ -84,7 +86,8 @@ final class PstReader(pst: PstFile) {
   // ── folders mode ───────────────────────────────────────────────────
   /** One folder row keyed by MailboxSchema column name. */
   def folderRow(nid: Long): Map[String, Any] = {
-    val e  = pst.nodes(nid)
+    val e  = pst.nodeEntry(nid).getOrElse(
+      throw new IllegalStateException(s"unknown nid $nid"))
     val pc = pcOf(nid)
     // subfolder count = hierarchy-table children (includes search
     // folders, matching the reference's golden root count of 3)
@@ -106,7 +109,8 @@ final class PstReader(pst: PstFile) {
     pcOf(nid).flatMap(_.str(0x001A)).getOrElse("")
 
   def messageRow(nid: Long, readAttachmentBody: Boolean): Map[String, Any] = {
-    val e    = pst.nodes(nid)
+    val e    = pst.nodeEntry(nid).getOrElse(
+      throw new IllegalStateException(s"unknown nid $nid"))
     val heap = heapOf(e)
     val pc   = new PropertyContext(heap)
     val sub  = heap.subnodeMap

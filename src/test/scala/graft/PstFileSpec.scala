@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.source.pst.{PstCrypt, PstFile}
+
+/** NDB-layer unit checks against the reference's binary fixture. */
+class PstFileSpec extends AnyFunSuite {
+
+  private val fixture = "/root/reference/test/unittest.pst"
+
+  test("decode table is a permutation") {
+    assert(PstCrypt.decodeTable.length === 256)
+    assert(PstCrypt.decodeTable.sorted.toSeq === (0 until 256))
+  }
+
+  test("b-tree point lookups agree with full enumeration for every node") {
+    val pst = PstFile.open(fixture, new Configuration())
+    try {
+      val all = pst.nodes
+      assert(all.size === 103)
+      all.foreach { case (nid, e) =>
+        assert(pst.nodeEntry(nid) === Some(e), s"nid $nid")
+      }
+      // misses stay misses (between, below, above existing keys)
+      assert(pst.nodeEntry(0L).isEmpty)
+      assert(pst.nodeEntry(all.keys.max + 2).isEmpty)
+      assert(pst.nodeEntry(291L).isEmpty)
+    } finally pst.close()
+  }
+
+  test("block point lookups resolve every bid referenced by nodes") {
+    val pst = PstFile.open(fixture, new Configuration())
+    try {
+      pst.nodes.values.filter(_.bidData != 0).foreach { e =>
+        assert(pst.blockEntry(e.bidData).isDefined, s"bid ${e.bidData}")
+        assert(pst.nodeData(e.bidData).nonEmpty, s"data ${e.bidData}")
+      }
+      assert(pst.blockEntry(1L).isEmpty)
+    } finally pst.close()
+  }
+
+  test("point-lookup reads stay O(touched pages), not O(index)") {
+    val pst = PstFile.open(fixture, new Configuration())
+    try {
+      val e = pst.nodeEntry(0x200024L).get // one message, no enumeration
+      val afterLookup = pst.bytesRead
+      // header + a handful of b-tree pages, nowhere near the 2.3 MB file
+      assert(afterLookup < 16 * 1024, s"read $afterLookup bytes")
+      assert(e.nidType === 0x04)
+    } finally pst.close()
+  }
+}
