@@ -23,23 +23,37 @@ object MailboxSchema {
         DistributionLists = Value
   }
 
-  /** message_class filtered at plan time for typed modes
-    * (typed_bag.hpp:11-25; plan filter table_function.cpp:126-176).
-    * None = no class filter (folders scan folder records; messages scan
-    * every message record).
+  /** The exact message-class string of each typed mode
+    * (typed_bag.hpp:11-25: the six MESSAGE_CLASSES).
     */
-  def planClassFilter(mode: Mode.Value): Option[String] = mode match {
-    case Mode.Notes             => Some("IPM.Note")
-    case Mode.Contacts          => Some("IPM.Contact")
-    case Mode.Appointments      => Some("IPM.Appointment")
-    case Mode.StickyNotes       => Some("IPM.StickyNote")
-    case Mode.Tasks             => Some("IPM.Task")
-    case Mode.DistributionLists => Some("IPM.DistList")
-    case _                      => None
-  }
+  val modeClass: Map[Mode.Value, String] = Map(
+    Mode.Notes             -> "IPM.Note",
+    Mode.Contacts          -> "IPM.Contact",
+    Mode.Appointments      -> "IPM.Appointment",
+    Mode.StickyNotes       -> "IPM.StickyNote",
+    Mode.Tasks             -> "IPM.Task",
+    Mode.DistributionLists -> "IPM.DistList"
+  )
+
+  private val classToMode: Map[String, Mode.Value] = modeClass.map(_.swap)
+
+  /** The reference taxonomy (typed_bag.hpp:32-37,96-105): an EXACT
+    * MESSAGE_CLASS_MAP lookup of the six known classes; every other
+    * string — subclasses like `IPM.Appointment.Foo`, unrelated classes
+    * like `IPM.Schedule.Meeting.Request`, or a missing class — buckets
+    * into BASE_CLASS = Note. So `IPM.Schedule.Meeting.Request` rows
+    * appear in notes mode, not appointments.
+    */
+  def taxonomyOf(messageClass: String): Mode.Value =
+    if (messageClass == null) Mode.Notes
+    else classToMode.getOrElse(messageClass, Mode.Notes)
 
   /** Is this mode backed by message records (vs folder records)? */
   def isMessageMode(mode: Mode.Value): Boolean = mode != Mode.Folders
+
+  /** Modes that class-filter their rows (everything but folders/messages). */
+  def isTypedMode(mode: Mode.Value): Boolean =
+    mode != Mode.Folders && mode != Mode.Messages
 
   private def enumMeta(values: String*): Metadata =
     new MetadataBuilder().putStringArray("enum_values", values.toArray).build()

@@ -22,12 +22,23 @@ object MailboxQueries {
   private def jsonSrc(path: String): String =
     s"read_json_auto('$path', format='newline_delimited')"
 
+  private val taxonomyBox = s"$fixtureDir/taxonomy/mixed.mbx"
+
   /** Regenerate fixtures if missing (first run on a fresh checkout). */
   private def ensureFixtures(): Unit = {
     val dir = new java.io.File(fixtureDir)
-    if (!new java.io.File(dir, "unittest.mbx.idx").exists())
+    if (!new java.io.File(dir, "unittest.mbx.idx").exists() ||
+        !new java.io.File(dir, "taxonomy/mixed.mbx.idx").exists())
       MailboxGen.writeFixtures(dir)
   }
+
+  /** The five non-note exact classes — everything else (subclasses,
+    * unknown strings, missing) is a note under the reference taxonomy
+    * (typed_bag.hpp:32-37: exact MESSAGE_CLASS_MAP lookup, fallback
+    * BASE_CLASS = Note).
+    */
+  private val nonNoteClasses =
+    "'IPM.Contact','IPM.Appointment','IPM.DistList','IPM.StickyNote','IPM.Task'"
 
   /** Folder count via the stats-backed count path (README.md:11-19). */
   val qMailboxCount = Q(
@@ -356,6 +367,70 @@ object MailboxQueries {
     bench = true
   )
 
+  /** Notes mode over the taxonomy box: exact `IPM.Note` PLUS every
+    * subclass / unknown / missing class (the BASE_CLASS=Note fallback,
+    * typed_bag.hpp:96-105) — `IPM.Schedule.Meeting.Request` and
+    * `IPM.Appointment.Foo` are notes here, exactly as in the reference.
+    */
+  val qMailboxTaxonomyNotes = Q(
+    "q_mailbox_taxonomy_notes",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .notes(s, taxonomyBox)
+        .select(col("node_id"), col("message_class"))
+        .orderBy("node_id")
+    },
+    Some(
+      s"""SELECT node_id, message_class FROM ${jsonSrc(taxonomyBox)}
+         |WHERE record_type = 'message'
+         |  AND (message_class IS NULL OR message_class NOT IN ($nonNoteClasses))
+         |ORDER BY node_id""".stripMargin
+    )
+  )
+
+  /** Appointments mode over the taxonomy box: ONLY the exact
+    * `IPM.Appointment` row — the subclass `IPM.Appointment.Foo` must
+    * not appear (a prefix match would wrongly include it).
+    */
+  val qMailboxTaxonomyAppointments = Q(
+    "q_mailbox_taxonomy_appointments",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .appointments(s, taxonomyBox)
+        .select(col("node_id"), col("message_class"))
+        .orderBy("node_id")
+    },
+    Some(
+      s"""SELECT node_id, message_class FROM ${jsonSrc(taxonomyBox)}
+         |WHERE record_type = 'message' AND message_class = 'IPM.Appointment'
+         |ORDER BY node_id""".stripMargin
+    )
+  )
+
+  /** A pushed `message_class = '…'` predicate is EXACT string equality
+    * on the raw column (layered on the mode taxonomy), so selecting an
+    * unknown class inside notes mode returns exactly those rows.
+    */
+  val qMailboxTaxonomyClassEq = Q(
+    "q_mailbox_taxonomy_class_eq",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .notes(s, taxonomyBox)
+        .filter(col("message_class") === "IPM.Schedule.Meeting.Request")
+        .select(col("node_id"), col("subject"))
+        .orderBy("node_id")
+    },
+    Some(
+      s"""SELECT node_id, subject FROM ${jsonSrc(taxonomyBox)}
+         |WHERE record_type = 'message'
+         |  AND message_class = 'IPM.Schedule.Meeting.Request'
+         |ORDER BY node_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qMailboxCount,
     qMailboxCountLarge,
@@ -368,6 +443,9 @@ object MailboxQueries {
     qMailboxContacts,
     qMailboxAppointments,
     qMailboxReadLimit,
-    qMailboxBodyTruncation
+    qMailboxBodyTruncation,
+    qMailboxTaxonomyNotes,
+    qMailboxTaxonomyAppointments,
+    qMailboxTaxonomyClassEq
   )
 }

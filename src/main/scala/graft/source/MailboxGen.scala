@@ -219,13 +219,43 @@ object MailboxGen {
     if (writeIndex) MailboxIndex.writeLocal(path)
   }
 
+  /** Messages exercising the typed_bag.hpp message-class taxonomy: the
+    * six exact classes, subclasses (`IPM.Appointment.Foo`), unrelated
+    * classes (`IPM.Schedule.Meeting.Request`), a case mismatch, and a
+    * missing class — everything non-exact buckets into notes
+    * (BASE_CLASS), never prefix-matched into a typed mode.
+    */
+  def taxonomyLines: Seq[String] = {
+    val folder = folderLine(400, 400, "Taxonomy Root", null, 0, 12, 0)
+    val cases = Seq[(Long, String)](
+      (501, "IPM.Note"),                     // exact note
+      (502, "IPM.Schedule.Meeting.Request"), // unrelated → notes
+      (503, "IPM.Appointment"),              // exact appointment
+      (504, "IPM.Appointment.Foo"),          // subclass → notes
+      (505, "IPM.Task"),                     // exact task
+      (506, null),                           // missing class → notes
+      (507, "IPM.Contact"),                  // exact contact
+      (508, "REPORT.IPM.Note.NDR"),          // unrelated → notes
+      (509, "IPM.Note.SMIME"),               // subclass → notes
+      (510, "IPM.StickyNote"),               // exact sticky note
+      (511, "IPM.DistList"),                 // exact distribution list
+      (512, "ipm.note")                      // case mismatch → notes
+    )
+    folder +: cases.map { case (nid, klass) =>
+      messageProps(nid, 400, klass, s"Taxonomy case $nid", s"body $nid", Nil)
+    }
+  }
+
   /** Write the standard fixture set into `dir`: the unittest-equivalent
-    * box plus two synthetic boxes (for multi-file and partition tests).
+    * box, two synthetic boxes (for multi-file and partition tests), and
+    * the taxonomy box in its own subdirectory (kept out of the main glob
+    * so the unittest goldens stay stable).
     */
   def writeFixtures(dir: File): Unit = {
     writeFile(new File(dir, "unittest.mbx"), unittestLines)
     writeFile(new File(dir, "synth_a.mbx"), syntheticLines(8, 500, 0))
     writeFile(new File(dir, "synth_b.mbx"), syntheticLines(4, 300, 3))
+    writeFile(new File(new File(dir, "taxonomy"), "mixed.mbx"), taxonomyLines)
   }
 
   def main(args: Array[String]): Unit = {

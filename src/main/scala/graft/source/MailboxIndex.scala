@@ -39,7 +39,9 @@ import org.apache.spark.sql.SparkSession
   */
 object MailboxIndex {
 
-  val Version    = 1
+  // v2 adds the content fingerprint; v1 sidecars (no fingerprint) are
+  // rejected and planning falls back to range splits — never stale rows
+  val Version    = 2
   val BlockLines = 512
   val FolderClass = "F"
 
@@ -50,45 +52,64 @@ object MailboxIndex {
 
   final case class FileIndex(
       size: Long,
+      fingerprint: Long,
       lines: Long,
       classes: Array[String],
       totals: Array[Long],
       blocks: Array[Block]) {
 
-    private def classIdx(c: String): Int = classes.indexOf(c)
-
-    /** Exact number of rows a scan with this record filter yields.
-      * wantFolder = folders mode; classFilter = plan-time message class.
+    /** Index positions of message classes (never the folder marker "F")
+      * matching the plan filter — taxonomy + exact-equality semantics
+      * live in [[RecordFilter.matchesClass]], so the sidecar's exact
+      * per-class counts answer taxonomy-bucketed modes too (e.g. notes
+      * mode sums `IPM.Note` + every unknown-class total).
       */
-    def matchingCount(wantFolder: Boolean, classFilter: Option[String]): Long =
-      if (wantFolder) {
-        val i = classIdx(FolderClass); if (i < 0) 0L else totals(i)
-      } else classFilter match {
-        case Some(c) =>
-          val i = classIdx(c); if (i < 0) 0L else totals(i)
-        case None =>
-          val f = classIdx(FolderClass)
-          lines - (if (f < 0) 0L else totals(f))
-      }
+    private def matchingClasses(filter: RecordFilter): Array[Int] =
+      classes.indices
+        .filter(i => classes(i) != FolderClass && filter.matchesClass(classes(i)))
+        .toArray
+
+    /** Exact number of rows a scan with this record filter yields. */
+    def matchingCount(filter: RecordFilter): Long =
+      if (filter.wantFolder) {
+        val i = classes.indexOf(FolderClass); if (i < 0) 0L else totals(i)
+      } else matchingClasses(filter).map(totals).sum
 
     /** Per-block matching counts under the same filter. */
-    def blockMatching(wantFolder: Boolean, classFilter: Option[String]): Array[Long] = {
-      if (wantFolder) {
-        val i = classIdx(FolderClass)
+    def blockMatching(filter: RecordFilter): Array[Long] =
+      if (filter.wantFolder) {
+        val i = classes.indexOf(FolderClass)
         blocks.map(b => if (i < 0) 0L else b.classCounts(i).toLong)
-      } else classFilter match {
-        case Some(c) =>
-          val i = classIdx(c)
-          blocks.map(b => if (i < 0) 0L else b.classCounts(i).toLong)
-        case None =>
-          val f = classIdx(FolderClass)
-          blocks.map(b => b.lines.toLong - (if (f < 0) 0L else b.classCounts(f).toLong))
+      } else {
+        val ms = matchingClasses(filter)
+        blocks.map(b => ms.map(b.classCounts(_).toLong).sum)
       }
-    }
   }
 
   def indexPath(file: Path): Path =
     new Path(file.getParent, file.getName + ".idx")
+
+  /** Cheap content fingerprint: CRC32 of the file's head and tail 512
+    * bytes. Catches in-place rewrites that preserve byte length (size
+    * alone cannot), without reading the corpus — O(1 KiB) per file at
+    * plan time. Modification time is deliberately NOT used: VCS
+    * checkouts and copies rewrite mtimes, which would spuriously
+    * invalidate every sidecar after a clone.
+    */
+  def fingerprint(fs: FileSystem, file: Path, size: Long): Long = {
+    val n    = math.min(512L, size).toInt
+    val head = new Array[Byte](n)
+    val tail = new Array[Byte](n)
+    val in   = fs.open(file)
+    try {
+      in.readFully(0, head)
+      if (size > n) in.readFully(size - n, tail)
+    } finally in.close()
+    val crc = new java.util.zip.CRC32
+    crc.update(head)
+    if (size > n) crc.update(tail)
+    crc.getValue
+  }
 
   // ── building ─────────────────────────────────────────────────────────
 
@@ -189,7 +210,8 @@ object MailboxIndex {
       }
     } finally in.close()
     flushBlock(0L)
-    FileIndex(status.getLen, lines, classes.toArray, totals.toArray, blocks.toArray)
+    FileIndex(status.getLen, fingerprint(fs, file, status.getLen), lines,
+      classes.toArray, totals.toArray, blocks.toArray)
   }
 
   // ── serialization ────────────────────────────────────────────────────
@@ -198,6 +220,7 @@ object MailboxIndex {
     val sb = new StringBuilder(256)
     sb.append("{\"v\":").append(Version)
       .append(",\"size\":").append(ix.size)
+      .append(",\"fp\":").append(ix.fingerprint)
       .append(",\"lines\":").append(ix.lines)
       .append(",\"classes\":[")
     sb.append(ix.classes.map(c => "\"" + c.replace("\"", "\\\"") + "\"").mkString(","))
@@ -228,8 +251,8 @@ object MailboxIndex {
       else counts
       Block(b.get(0).asLong(), b.get(1).asInt(), full)
     }.toArray
-    FileIndex(node.get("size").asLong(), node.get("lines").asLong(),
-      classes, totals, blocks)
+    FileIndex(node.get("size").asLong(), node.get("fp").asLong(),
+      node.get("lines").asLong(), classes, totals, blocks)
   }
 
   def write(fs: FileSystem, file: Path, ix: FileIndex): Unit = {
@@ -238,8 +261,10 @@ object MailboxIndex {
     finally out.close()
   }
 
-  /** Load the sidecar if present AND fresh (recorded size matches the
-    * file's current size); None → caller falls back to range planning.
+  /** Load the sidecar if present AND fresh: recorded size AND head/tail
+    * content fingerprint must both match the file's current state (size
+    * alone misses an in-place rewrite that preserves byte length);
+    * None → caller falls back to range planning.
     */
   def read(fs: FileSystem, file: Path, fileSize: Long): Option[FileIndex] = {
     val ip = indexPath(file)
@@ -251,7 +276,9 @@ object MailboxIndex {
         val bytes = new Array[Byte](len)
         try in.readFully(0, bytes) finally in.close()
         val ix = fromJson(new String(bytes, StandardCharsets.UTF_8))
-        if (ix.size == fileSize) Some(ix) else None
+        if (ix.size == fileSize &&
+            ix.fingerprint == fingerprint(fs, file, fileSize)) Some(ix)
+        else None
       }
     } catch { case NonFatal(_) => None }
   }

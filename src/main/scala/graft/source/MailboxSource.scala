@@ -137,6 +137,41 @@ object MailboxText {
   }
 }
 
+/** Plan-time record filter (A5): the scan mode's taxonomy class plus any
+  * pushed exact `message_class = '…'` equalities.
+  *
+  * Two distinct semantics, mirroring the reference:
+  *  - the MODE filter is the typed_bag.hpp taxonomy — an exact lookup of
+  *    the six known classes with unknown/subclass/missing strings
+  *    bucketed into notes (BASE_CLASS), so `IPM.Appointment.Foo` is a
+  *    note, not an appointment;
+  *  - a pushed SQL equality is a predicate on the raw column value —
+  *    plain string equality, never prefix or taxonomy matching.
+  */
+final case class RecordFilter(
+    mode: MailboxSchema.Mode.Value,
+    exacts: Seq[String] = Nil) {
+
+  def wantFolder: Boolean = mode == Mode.Folders
+
+  /** Does this filter reject any message record at all? (false = plain
+    * folders/messages scan with no pushed predicate)
+    */
+  def filtersClass: Boolean = MailboxSchema.isTypedMode(mode) || exacts.nonEmpty
+
+  /** Does a message record with this class survive? `cls` may be null or
+    * "" for a missing PR_MESSAGE_CLASS_A — the taxonomy buckets those
+    * into notes; an equality predicate never matches them.
+    */
+  def matchesClass(cls: String): Boolean =
+    (!MailboxSchema.isTypedMode(mode) || MailboxSchema.taxonomyOf(cls) == mode) &&
+      exacts.forall(e => cls != null && e == cls)
+
+  def describe: String =
+    (if (MailboxSchema.isTypedMode(mode)) Seq(s"taxonomy=${MailboxSchema.modeClass(mode)}") else Nil) ++
+      exacts.map(e => s"class='$e'") mkString ","
+}
+
 object MailboxTable {
   def schemaFor(opts: MailboxOptions): StructType = {
     val base = MailboxSchema.schemaFor(opts.mode)
@@ -169,24 +204,37 @@ class MailboxTable(opts: MailboxOptions) extends Table with SupportsRead {
 sealed trait MailboxPartition extends InputPartition {
   def index: Int
   def file: String
+
+  /** True on exactly one partition per planned file, so the sum of the
+    * files-read task metric counts distinct files, not partitions (a
+    * file split into N ranges is still one file).
+    */
+  def firstInFile: Boolean
 }
 
 final case class IndexedPartition(
     index: Int, file: String, startOffset: Long,
-    skipMatching: Long, takeMatching: Long) extends MailboxPartition
+    skipMatching: Long, takeMatching: Long,
+    firstInFile: Boolean = false) extends MailboxPartition
 
 final case class RangePartition(
-    index: Int, file: String, start: Long, length: Long) extends MailboxPartition
+    index: Int, file: String, start: Long, length: Long,
+    firstInFile: Boolean = false) extends MailboxPartition
 
 final case class EnumeratedPartition(
     index: Int, file: String,
-    offsets: Array[Long], nodeIds: Array[Long]) extends MailboxPartition
+    offsets: Array[Long], nodeIds: Array[Long],
+    firstInFile: Boolean = false) extends MailboxPartition
 
 /** A slice of a real PST file's plan-enumerated node ids (the analog of
-  * the reference's node-id partition queue; see [[PstScan]]).
+  * the reference's node-id partition queue; see [[PstScan]]). When
+  * `exact` the node ids ARE the row set (already mode-classified at plan
+  * time), so counts and limits are exact.
   */
 final case class PstPartition(
-    index: Int, file: String, nodeIds: Array[Long]) extends MailboxPartition
+    index: Int, file: String, nodeIds: Array[Long],
+    exact: Boolean = true,
+    firstInFile: Boolean = false) extends MailboxPartition
 
 /** Driver-side planning: glob → per-file metadata (sidecar index or file
   * size) → partitions. Reads O(#files) bytes — sidecars, or a ≤160-byte
@@ -196,13 +244,14 @@ object MailboxPlanner {
 
   /** Does a record with this line prefix survive the plan-time record
     * filter? (A5 — the analog of the reference's planning-time
-    * PR_MESSAGE_CLASS_A lookup.)
+    * PR_MESSAGE_CLASS_A lookup.) The class string is extracted exactly
+    * and classified through the typed_bag.hpp taxonomy — never a
+    * substring/prefix match.
     */
-  def lineMatches(prefix: String, wantFolder: Boolean,
-      classFilter: Option[String]): Boolean = {
-    val isFolder = prefix.contains("\"record_type\":\"folder\"")
-    if (wantFolder) isFolder
-    else !isFolder && classFilter.forall(c => prefix.contains(s""""message_class":"$c""""))
+  def lineMatches(prefix: String, filter: RecordFilter): Boolean = {
+    val cls = MailboxIndex.classOfPrefix(prefix)
+    if (filter.wantFolder) cls == MailboxIndex.FolderClass
+    else cls != MailboxIndex.FolderClass && filter.matchesClass(cls)
   }
 
   def nodeIdOf(prefix: String): Long = {
@@ -262,8 +311,8 @@ object MailboxPlanner {
     * prefixes and STOPS at `limit` matches — O(limit) rows per file, not
     * O(file).
     */
-  def enumerateBounded(file: Path, conf: Configuration, wantFolder: Boolean,
-      classFilter: Option[String], limit: Long): (Array[Long], Array[Long]) = {
+  def enumerateBounded(file: Path, conf: Configuration,
+      filter: RecordFilter, limit: Long): (Array[Long], Array[Long]) = {
     val offsets = new ArrayBuffer[Long]()
     val nodes   = new ArrayBuffer[Long]()
     val fs = file.getFileSystem(conf)
@@ -281,7 +330,7 @@ object MailboxPlanner {
         else {
           val prefix = new String(head, 0, headLen, "UTF-8")
           if (prefix.startsWith("{\"node_id\":") &&
-              lineMatches(prefix, wantFolder, classFilter)) {
+              lineMatches(prefix, filter)) {
             offsets += lineStart
             nodes += nodeIdOf(prefix)
             offsets.length >= limit
@@ -327,10 +376,9 @@ object MailboxPlanner {
     * limit). The global limit is allocated across partitions in file
     * order, exactly.
     */
-  def plan(opts: MailboxOptions, classFilter: Option[String],
+  def plan(opts: MailboxOptions, filter: RecordFilter,
       conf: Configuration): PlanResult = {
     val files      = globStatuses(opts.path, conf)
-    val wantFolder = opts.mode == Mode.Folders
     val limit      = opts.readLimit
     val limited    = limit != Long.MaxValue
 
@@ -339,7 +387,8 @@ object MailboxPlanner {
     case class Ranged(file: String, bytes: Long) extends FilePlan
     case class Enumerated(file: String, bytes: Long,
         offsets: Array[Long], nodes: Array[Long]) extends FilePlan
-    case class Pst(file: String, bytes: Long, nids: Array[Long]) extends FilePlan
+    case class Pst(file: String, bytes: Long, nids: Array[Long],
+        classified: Boolean) extends FilePlan
 
     val pool = Executors.newFixedThreadPool(math.max(1, math.min(files.length, 16)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -356,13 +405,24 @@ object MailboxPlanner {
                   if (PstScan.isPst(p, conf)) {
                     // real PST binary: enumerate node ids from the file's
                     // own index (O(index) bytes, like the reference)
-                    Some(Pst(name, len, PstScan.enumerate(name, conf, wantFolder)))
+                    val nids = PstScan.enumerate(name, conf, filter.wantFolder)
+                    if (filter.filtersClass && !filter.wantFolder && limited) {
+                      // bounded classification so read_limit stays exact
+                      // and GLOBAL across partitions (the reference's
+                      // limit break is global, table_function.cpp):
+                      // read each candidate's class property until
+                      // `limit` matches — O(limit) property reads, the
+                      // PST analog of enumerateBounded
+                      Some(Pst(name, len,
+                        PstScan.classifyBounded(name, conf, nids, filter, limit),
+                        classified = true))
+                    } else Some(Pst(name, len, nids, classified = false))
                   } else if (!validateFile(p, conf)) {
                     System.err.println(s"[mailbox] skipping unreadable file $name")
                     None
                   } else if (limited) {
                     val (off, nid) =
-                      enumerateBounded(p, conf, wantFolder, classFilter, limit)
+                      enumerateBounded(p, conf, filter, limit)
                     Some(Enumerated(name, len, off, nid))
                   } else Some(Ranged(name, len))
               }
@@ -380,12 +440,16 @@ object MailboxPlanner {
     var exact   = true
     var rows    = 0L
     var remain  = limit
+    var fileStart = true
+    def mark(): Boolean = { val f = fileStart; fileStart = false; f }
 
-    perFile.foreach {
+    perFile.foreach { fp =>
+      fileStart = true
+      fp match {
       case Indexed(file, _, ix) if remain > 0 =>
-        val total = math.min(ix.matchingCount(wantFolder, classFilter), remain)
+        val total = math.min(ix.matchingCount(filter), remain)
         if (total > 0) {
-          val blockMatch = ix.blockMatching(wantFolder, classFilter)
+          val blockMatch = ix.blockMatching(filter)
           // cumulative matching rows at each block start
           val cum = new Array[Long](ix.blocks.length)
           var c = 0L
@@ -398,7 +462,7 @@ object MailboxPlanner {
             var b = java.util.Arrays.binarySearch(cum, firstRow)
             if (b < 0) b = -b - 2
             parts += IndexedPartition(parts.length, file,
-              ix.blocks(b).offset, firstRow - cum(b), take)
+              ix.blocks(b).offset, firstRow - cum(b), take, mark())
             firstRow += take
           }
           rows += total
@@ -410,7 +474,7 @@ object MailboxPlanner {
         while (i < take) {
           val end = math.min(i + opts.partitionSize, take)
           parts += EnumeratedPartition(parts.length, file,
-            offsets.slice(i, end), nodes.slice(i, end))
+            offsets.slice(i, end), nodes.slice(i, end), mark())
           i = end
         }
         rows += take
@@ -420,34 +484,39 @@ object MailboxPlanner {
         var start = 0L
         while (start < bytes) {
           val len = math.min(opts.partitionBytes, bytes - start)
-          parts += RangePartition(parts.length, file, start, len)
+          parts += RangePartition(parts.length, file, start, len, mark())
           start += len
         }
-      case Pst(file, _, nids) if remain > 0 =>
-        if (classFilter.isEmpty) {
-          // folders / unfiltered messages: the node enumeration IS the
-          // row set — exact counts, exact limit allocation
+      case Pst(file, _, nids, classified) if remain > 0 =>
+        if (!filter.filtersClass || filter.wantFolder || classified) {
+          // the node enumeration IS the row set (folders, unfiltered
+          // messages, or plan-classified typed nodes): exact counts,
+          // exact GLOBAL limit allocation
           val total = math.min(nids.length.toLong, remain)
           var i = 0L
           while (i < total) {
             val end = math.min(i + opts.partitionSize, total).toInt
-            parts += PstPartition(parts.length, file, nids.slice(i.toInt, end))
+            parts += PstPartition(parts.length, file, nids.slice(i.toInt, end),
+              exact = true, mark())
             i = end
           }
           rows += total
           remain -= total
         } else {
-          // typed modes: class lives in each node's property context;
-          // the reader filters, Spark applies any limit
+          // unlimited typed modes: class lives in each node's property
+          // context; the reader classifies on the executors (plan-time
+          // classification would re-read the corpus on the driver)
           exact = false
           var i = 0
           while (i < nids.length) {
             val end = math.min(i + opts.partitionSize, nids.length)
-            parts += PstPartition(parts.length, file, nids.slice(i, end))
+            parts += PstPartition(parts.length, file, nids.slice(i, end),
+              exact = false, mark())
             i = end
           }
         }
       case _ => () // limit exhausted
+      }
     }
 
     PlanResult(parts.toSeq, if (exact) Some(rows) else None,
@@ -463,16 +532,19 @@ class MailboxScanBuilder(opts: MailboxOptions)
     with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = MailboxTable.schemaFor(opts)
-  private var pushedClassFilter: Option[String] = MailboxSchema.planClassFilter(opts.mode)
+  private var exactClasses: Seq[String] = Nil
   private var accepted: Array[Filter] = Array.empty
   private var limit: Option[Long] = None
   private var countStar: Boolean = false
 
+  private def filter: RecordFilter = RecordFilter(opts.mode, exactClasses)
+
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
 
-  /** A5 — `message_class = '…'` becomes a plan-time row filter (exact),
-    * everything else stays residual for Spark to evaluate.
+  /** A5 — `message_class = '…'` becomes a plan-time row filter: exact
+    * string equality on the raw column, layered on top of the mode's
+    * taxonomy filter. Everything else stays residual for Spark.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition {
@@ -481,11 +553,7 @@ class MailboxScanBuilder(opts: MailboxOptions)
       case _ => false
     }
     ok.foreach { case EqualTo(_, v: String) =>
-      pushedClassFilter = pushedClassFilter match {
-        // typed mode + contradicting class → impossible, matches nothing
-        case Some(existing) if existing != v => Some("<contradiction>")
-        case _                               => Some(v)
-      }
+      if (!exactClasses.contains(v)) exactClasses :+= v
     }
     accepted = ok
     residual
@@ -511,7 +579,7 @@ class MailboxScanBuilder(opts: MailboxOptions)
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def build(): Scan =
-    new MailboxScan(opts, requiredSchema, pushedClassFilter, limit, countStar)
+    new MailboxScan(opts, requiredSchema, filter, limit, countStar)
 }
 
 /** A11 — scan progress metrics, mirroring the reference's % scanned
@@ -547,7 +615,7 @@ class MailboxFilesReadMetric extends CustomSumMetric {
 class MailboxScan(
     opts: MailboxOptions,
     requiredSchema: StructType,
-    classFilter: Option[String],
+    filter: RecordFilter,
     limit: Option[Long],
     countStar: Boolean) extends Scan with Batch with SupportsReportStatistics {
 
@@ -562,7 +630,7 @@ class MailboxScan(
         math.min(l, opts.readLimit).toString))
       case None => opts
     }
-    MailboxPlanner.plan(effective, classFilter, serConf.value)
+    MailboxPlanner.plan(effective, filter, serConf.value)
   }
 
   override def readSchema(): StructType =
@@ -573,13 +641,13 @@ class MailboxScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MailboxMicroBatchStream(opts, requiredSchema, classFilter)
+    new MailboxMicroBatchStream(opts, requiredSchema, filter)
 
   override def planInputPartitions(): Array[InputPartition] =
     planned.partitions.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MailboxReaderFactory(readSchema(), opts, classFilter, countStar, serConf)
+    new MailboxReaderFactory(readSchema(), opts, filter, countStar, serConf)
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     MailboxMetrics.all
@@ -604,14 +672,14 @@ class MailboxScan(
       planned.exactRows.map(r => s" rows=$r").getOrElse(" rows=est") +
       (if (countStar) " countStarPushdown=true" else "") +
       limit.map(l => s" limit=$l").getOrElse("") +
-      classFilter.map(c => s" classFilter=$c").getOrElse("")
+      (if (filter.filtersClass) s" classFilter=${filter.describe}" else "")
   }
 }
 
 class MailboxReaderFactory(
     readSchema: StructType,
     opts: MailboxOptions,
-    classFilter: Option[String],
+    filter: RecordFilter,
     countStar: Boolean,
     serConf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -620,16 +688,16 @@ class MailboxReaderFactory(
       case ip: IndexedPartition    => new StaticCountReader(ip.takeMatching)
       case ep: EnumeratedPartition => new StaticCountReader(ep.offsets.length.toLong)
       case rp: RangePartition      =>
-        new RangeCountReader(rp, opts, classFilter, serConf.value)
+        new RangeCountReader(rp, opts, filter, serConf.value)
       case pp: PstPartition =>
-        if (classFilter.isEmpty) new StaticCountReader(pp.nodeIds.length.toLong)
-        else new PstCountReader(pp, opts, classFilter, serConf.value)
+        if (pp.exact) new StaticCountReader(pp.nodeIds.length.toLong)
+        else new PstCountReader(pp, opts, filter, serConf.value)
     }
     else p match {
       case pp: PstPartition =>
-        new PstPartitionReader(pp, readSchema, opts, classFilter, serConf.value)
+        new PstPartitionReader(pp, readSchema, opts, filter, serConf.value)
       case _ =>
-        new MailboxPartitionReader(p, readSchema, opts, classFilter, serConf.value)
+        new MailboxPartitionReader(p, readSchema, opts, filter, serConf.value)
     }
   }
 }
@@ -660,9 +728,20 @@ private[source] final class LineStream(
   private val path = new Path(file)
   private val fsIn = path.getFileSystem(conf).open(path)
   if (startAt > 0) fsIn.seek(startAt)
-  private val in = new BufferedInputStream(fsIn, 1 << 16)
+  private var in = new BufferedInputStream(fsIn, 1 << 16)
   var pos: Long  = startAt
   var bytesRead: Long = 0L
+
+  /** Jump to a known exact record offset: one FS seek, dropping the read
+    * buffer — never re-reads the bytes in between (enumerated partitions
+    * carry exact line-start offsets from planning).
+    */
+  def seekTo(target: Long): Unit = {
+    fsIn.seek(target)
+    in = new BufferedInputStream(fsIn, 1 << 16)
+    pos = target
+    lineStart = target
+  }
 
   // a range partition's first (partial) line belongs to its predecessor
   if (alignToNewline && startAt > 0) {
@@ -704,10 +783,9 @@ private[source] final class LineStream(
   */
 class RangeCountReader(
     p: RangePartition, opts: MailboxOptions,
-    classFilter: Option[String], conf: Configuration)
+    filter: RecordFilter, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val wantFolder = opts.mode == Mode.Folders
   private var counted    = false
   private var count      = 0L
   private var bytes      = 0L
@@ -723,7 +801,7 @@ class RangeCountReader(
       while (line != null) {
         val prefix = line._1
         if (prefix.startsWith("{\"node_id\":") &&
-            MailboxPlanner.lineMatches(prefix, wantFolder, classFilter))
+            MailboxPlanner.lineMatches(prefix, filter))
           count += 1
         line = if (ls.pos <= end) ls.next(keepAll = false) else null
       }
@@ -738,7 +816,7 @@ class RangeCountReader(
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     MailboxMetrics.Task(MailboxMetrics.RowsRead, count),
     MailboxMetrics.Task(MailboxMetrics.BytesRead, bytes),
-    MailboxMetrics.Task(MailboxMetrics.FilesRead, 1L))
+    MailboxMetrics.Task(MailboxMetrics.FilesRead, if (p.firstInFile) 1L else 0L))
 }
 
 /** Per-task reader (A15-A18): streams its byte span sequentially through
@@ -748,17 +826,17 @@ class MailboxPartitionReader(
     p: MailboxPartition,
     readSchema: StructType,
     opts: MailboxOptions,
-    classFilter: Option[String],
+    filter: RecordFilter,
     conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val mapper  = new ObjectMapper()
   private val factory = mapper.getFactory
-  private val wantFolder = opts.mode == Mode.Folders
 
   private val (startAt, align) = p match {
     case ip: IndexedPartition => (ip.startOffset, false)
     case rp: RangePartition   => (rp.start, true)
-    case _: EnumeratedPartition => (0L, false)
+    // enumerated offsets are exact line starts — open at the first one
+    case ep: EnumeratedPartition => (ep.offsets.headOption.getOrElse(0L), false)
   }
   private val stream = new LineStream(p.file, startAt, conf, align)
 
@@ -802,7 +880,7 @@ class MailboxPartitionReader(
           else {
             val prefix = line._1
             if (prefix.startsWith("{\"node_id\":") &&
-                MailboxPlanner.lineMatches(prefix, wantFolder, classFilter)) {
+                MailboxPlanner.lineMatches(prefix, filter)) {
               if (skipped < ip.skipMatching) skipped += 1
               else {
                 emit(line._2, MailboxPlanner.nodeIdOf(prefix))
@@ -829,7 +907,7 @@ class MailboxPartitionReader(
           else {
             val prefix = line._1
             if (prefix.startsWith("{\"node_id\":") &&
-                MailboxPlanner.lineMatches(prefix, wantFolder, classFilter)) {
+                MailboxPlanner.lineMatches(prefix, filter)) {
               emit(line._2, MailboxPlanner.nodeIdOf(prefix))
               emitted = true
             }
@@ -843,19 +921,13 @@ class MailboxPartitionReader(
       if (enumIdx >= ep.offsets.length) false
       else {
         val target = ep.offsets(enumIdx)
-        if (target > stream.pos) skipTo(target)
+        // offsets are exact line starts from planning: seek, never
+        // re-read the bytes between enumerated records
+        if (target != stream.pos) stream.seekTo(target)
         val line = stream.next(keepAll = true)
         if (line == null) false
         else { emit(line._2, ep.nodeIds(enumIdx)); true }
       }
-  }
-
-  private def skipTo(target: Long): Unit = {
-    // sequential forward skip within the buffered stream
-    var line = true
-    while (line && stream.pos < target) {
-      if (stream.next(keepAll = false) == null) line = false
-    }
   }
 
   private def emit(lineBytes: Array[Byte], nodeId: Long): Unit = {
@@ -871,7 +943,7 @@ class MailboxPartitionReader(
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     MailboxMetrics.Task(MailboxMetrics.RowsRead, rowsRead),
     MailboxMetrics.Task(MailboxMetrics.BytesRead, stream.bytesRead),
-    MailboxMetrics.Task(MailboxMetrics.FilesRead, 1L))
+    MailboxMetrics.Task(MailboxMetrics.FilesRead, if (p.firstInFile) 1L else 0L))
 
   /** Streaming extraction of projected top-level scalars. */
   private def rowOfStreaming(line: Array[Byte]): InternalRow = {

@@ -20,7 +20,7 @@ import org.apache.spark.util.SerializableConfiguration
 class MailboxMicroBatchStream(
     opts: MailboxOptions,
     readSchema: StructType,
-    classFilter: Option[String]) extends MicroBatchStream {
+    filter: RecordFilter) extends MicroBatchStream {
 
   private val serConf = new SerializableConfiguration(
     MailboxPlanner.activeHadoopConf())
@@ -67,7 +67,7 @@ class MailboxMicroBatchStream(
       // plan only the new files, one glob-free pass each
       val perFile = newOnes.sorted.flatMap { f =>
         MailboxPlanner
-          .plan(MailboxOptions(opts.raw + ("path" -> f)), classFilter, serConf.value)
+          .plan(MailboxOptions(opts.raw + ("path" -> f)), filter, serConf.value)
           .partitions
       }
       perFile.zipWithIndex
@@ -82,7 +82,7 @@ class MailboxMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MailboxReaderFactory(readSchema, opts, classFilter, countStar = false, serConf)
+    new MailboxReaderFactory(readSchema, opts, filter, countStar = false, serConf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -61,12 +61,34 @@ object PstScan {
     } finally pst.close()
   }
 
-  /** Prefix-match a message class against the plan filter — the same
-    * semantics the JSONL path's `lineMatches` applies (typed_bag.hpp
-    * taxonomy: `IPM.Note` matches `IPM.Note` and subclasses).
+  /** Plan-time bounded classification for `read_limit` on typed modes:
+    * read each candidate node's class property (lazy PropertyContext —
+    * no recipient/attachment/body materialization) in node-id order,
+    * stopping at `limit` matches. Keeps the limit exact and GLOBAL
+    * across partitions, the same discipline as the reference's limit
+    * break (table_function.cpp) and the JSONL path's enumerateBounded.
+    * A node whose classification throws is kept: the reader serializes
+    * it as a null-tolerant row (A16), so it occupies a limit slot there
+    * too.
     */
-  def classMatches(cls: String, classFilter: Option[String]): Boolean =
-    classFilter.forall(f => cls != null && cls.startsWith(f))
+  def classifyBounded(file: String, conf: Configuration, nids: Array[Long],
+      filter: RecordFilter, limit: Long): Array[Long] = {
+    val pst = PstFile.open(file, conf)
+    try {
+      val reader  = new PstReader(pst)
+      val matched = new scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < nids.length && matched.length < limit) {
+        val nid = nids(i)
+        val ok =
+          try filter.matchesClass(reader.messageClass(nid))
+          catch { case NonFatal(_) => true }
+        if (ok) matched += nid
+        i += 1
+      }
+      matched.toArray
+    } finally pst.close()
+  }
 }
 
 /** Row reader over assigned node ids: opens the PST through the Hadoop
@@ -77,10 +99,10 @@ class PstPartitionReader(
     p: PstPartition,
     readSchema: StructType,
     opts: MailboxOptions,
-    classFilter: Option[String],
+    filter: RecordFilter,
     conf: Configuration) extends PartitionReader[InternalRow] {
 
-  private val wantFolder = opts.mode == Mode.Folders
+  private val wantFolder = filter.wantFolder
   private lazy val pst    = PstFile.open(p.file, conf)
   private lazy val reader = new PstReader(pst)
 
@@ -92,10 +114,12 @@ class PstPartitionReader(
   private var i = -1
   private var rowsRead = 0L
   private var current: InternalRow = _
-  private var emittedLimit = 0L
 
+  // Any read_limit is allocated exactly and globally at plan time (the
+  // planner classifies nodes when a typed mode is limited), so the
+  // reader itself never caps rows — a cap here would be per-partition
+  // and could multiply the limit by the partition count.
   override def next(): Boolean = {
-    if (emittedLimit >= opts.readLimit) return false
     var found = false
     while (!found && i < p.nodeIds.length - 1) {
       i += 1
@@ -104,7 +128,7 @@ class PstPartitionReader(
         if (wantFolder) {
           current = project(reader.folderRow(nid), nid)
           found = true
-        } else if (PstScan.classMatches(reader.messageClass(nid), classFilter)) {
+        } else if (p.exact || filter.matchesClass(reader.messageClass(nid))) {
           current = project(
             reader.messageRow(nid, opts.readAttachmentBody), nid)
           found = true
@@ -115,7 +139,7 @@ class PstPartitionReader(
           found = true
       }
     }
-    if (found) { rowsRead += 1; emittedLimit += 1 }
+    if (found) rowsRead += 1
     found
   }
 
@@ -156,7 +180,8 @@ class PstPartitionReader(
     MailboxMetrics.Task(MailboxMetrics.RowsRead, rowsRead),
     MailboxMetrics.Task(MailboxMetrics.BytesRead,
       if (i >= 0) pst.bytesRead else 0L),
-    MailboxMetrics.Task(MailboxMetrics.FilesRead, if (i >= 0) 1L else 0L))
+    MailboxMetrics.Task(MailboxMetrics.FilesRead,
+      if (p.firstInFile) 1L else 0L))
 }
 
 /** Distributed count(*) for class-filtered PST scans: reads only each
@@ -165,7 +190,7 @@ class PstPartitionReader(
   */
 class PstCountReader(
     p: PstPartition, opts: MailboxOptions,
-    classFilter: Option[String], conf: Configuration)
+    filter: RecordFilter, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private var counted = false
@@ -179,9 +204,13 @@ class PstCountReader(
       val reader = new PstReader(pst)
       p.nodeIds.foreach { nid =>
         try {
-          if (PstScan.classMatches(reader.messageClass(nid), classFilter))
+          if (filter.matchesClass(reader.messageClass(nid)))
             count += 1
-        } catch { case NonFatal(_) => () }
+        } catch {
+          // the row reader serializes a malformed node as a null row, so
+          // it must count here too (count(*) parity with the full scan)
+          case NonFatal(_) => count += 1
+        }
       }
       bytes = pst.bytesRead
     } finally pst.close()
@@ -194,5 +223,6 @@ class PstCountReader(
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     MailboxMetrics.Task(MailboxMetrics.RowsRead, count),
     MailboxMetrics.Task(MailboxMetrics.BytesRead, bytes),
-    MailboxMetrics.Task(MailboxMetrics.FilesRead, 1L))
+    MailboxMetrics.Task(MailboxMetrics.FilesRead,
+      if (p.firstInFile) 1L else 0L))
 }

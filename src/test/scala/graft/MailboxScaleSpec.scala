@@ -163,16 +163,17 @@ class MailboxScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scan = new MailboxScan(
       MailboxOptions(Map("path" -> new File(dir, "unittest.mbx").getPath)),
       MailboxSchema.schemaFor(MailboxSchema.Mode.Messages),
-      None, None, countStar = false)
+      RecordFilter(MailboxSchema.Mode.Messages), None, countStar = false)
     assert(scan.supportedCustomMetrics().map(_.name()).toSet ===
       Set("mailboxRowsRead", "mailboxBytesRead", "mailboxFilesRead"))
 
     val conf = spark.sessionState.newHadoopConf()
-    val part = IndexedPartition(0, new File(dir, "unittest.mbx").getPath, 0L, 0L, 12L)
+    val part = IndexedPartition(0, new File(dir, "unittest.mbx").getPath, 0L, 0L, 12L,
+      firstInFile = true)
     val reader = new MailboxPartitionReader(part,
       MailboxSchema.schemaFor(MailboxSchema.Mode.Messages),
       MailboxOptions(Map("path" -> new File(dir, "unittest.mbx").getPath)),
-      None, conf)
+      RecordFilter(MailboxSchema.Mode.Messages), conf)
     var rows = 0
     while (reader.next()) rows += 1
     val metrics = reader.currentMetricsValues().map(m => m.name() -> m.value()).toMap

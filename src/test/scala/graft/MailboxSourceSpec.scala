@@ -219,7 +219,7 @@ class MailboxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Mailbox.messages(spark, glob)
       .filter(col("message_class") === "IPM.Contact")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("classFilter=IPM.Contact"), s"plan was:\n$plan")
+    assert(plan.contains("classFilter=class='IPM.Contact'"), s"plan was:\n$plan")
     val typed = Mailbox.contacts(spark, glob)
     assert(df.count() === typed.count())
   }
