@@ -399,12 +399,91 @@ object Dedup {
     )
   )
 
+  /** Bloom-prefiltered anti-join: the rows of `batch` whose `digest` is
+    * NOT present in `corpus` — equal to a plain left-anti join, but the
+    * batch side is first split by a broadcast Bloom sketch of the corpus
+    * digests:
+    *  - might_contain = false → definitely new (Bloom has no false
+    *    negatives), emitted with NO join at all;
+    *  - might_contain = true → duplicate or false positive, confirmed by
+    *    the exact anti-join — only this residue (dup fraction + fpp)
+    *    ever reaches the shuffle.
+    *
+    * 100 TB shape: re-deduplicating a daily batch against a corpus of
+    * N digests shuffles only ~(dupRate + fpp) of the batch instead of
+    * all of it. The sketch is one aggregated row (`numBits/8` bytes —
+    * ~1.2 MB per 10⁶ expected items at 1% fpp); beyond ~10⁹ corpus keys
+    * shard the sketch by digest prefix rather than growing one filter.
+    */
+  /** Aggregation column building the Bloom sketch of `xxhash64(digest)`. */
+  private[graft] def digestSketch(expectedItems: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("digest"))),
+        Literal(expectedItems),
+        Literal(math.max(expectedItems * 10L, 1L << 16))
+      ).toAggregateExpression())
+  }
+
+  /** Probe predicate: may `digest` be in the sketch? (no false negatives) */
+  private[graft] def digestMightContain(sketch: Array[Byte]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(sketch, BinaryType),
+      ColumnBridge.expression(xxhash64(col("digest")))))
+  }
+
+  def incrementalNew(corpus: DataFrame, batch: DataFrame,
+      expectedItems: Long): DataFrame = {
+    // one sketch row to the driver (the size of the filter, never the
+    // corpus), then folded into the probe as a literal → broadcast
+    val sketch = corpus.agg(digestSketch(expectedItems).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val might = digestMightContain(sketch)
+
+    val definitelyNew = batch.filter(!might)
+    val confirmedNew  = batch.filter(might)
+      .join(corpus.select("digest"), Seq("digest"), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+  }
+
+  /** q_dedup_incremental — incremental batch-vs-corpus dedup: documents
+    * with doc_id % 10 == 0 are "today's batch", the rest the standing
+    * corpus; result = batch rows whose content digest is new.
+    */
+  val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      val docs   = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(md5(col("text")).as("digest"))
+      val batch  = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      incrementalNew(corpus, batch, expectedItems = 100000L)
+        .select(col("doc_id"), col("digest"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, md5(text) AS digest FROM documents b
+        |WHERE doc_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 10 <> 0 AND md5(c.text) = md5(b.text))
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qDedupExact,
     qMinhashSignature,
     qMinhashLshPairs,
     qDedupClusters,
     qSimhash,
-    qNgramJaccard
+    qNgramJaccard,
+    qDedupIncremental
   )
 }

@@ -190,5 +190,50 @@ object StreamingOps {
     )
   )
 
-  val all: Seq[Q] = Seq(qStreamWindow, qStreamWindowProd, qSessionize)
+  /** q_stream_dedup — streaming exact deduplication, the dedup-on-ingest
+    * shape of a training-data pipeline: first occurrence of each key is
+    * emitted immediately (append mode), duplicates arriving within the
+    * watermark are dropped by keyed state, and the watermark bounds that
+    * state so it cannot grow forever (`dropDuplicatesWithinWatermark`).
+    * At 100 TB this is the only tenable formulation: state holds one
+    * entry per LIVE key in the dedup horizon, not per event ever seen.
+    *
+    * Batch-verifiable contract: only the dedup key columns are emitted
+    * (whichever physical row survives is nondeterministic, the key set
+    * is not), so the oracle is a plain DISTINCT.
+    */
+  val qStreamDedup = Q(
+    "q_stream_dedup",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("stream_dedup")
+      val outDir  = tmp.resolve("out").toString
+      val ckptDir = tmp.resolve("ckpt").toString
+      val docSchema = Tables.documents(s, d).schema
+      val query = s.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        // documents carry no event time; a constant ingest timestamp
+        // keeps every row inside one dedup horizon for the finite run
+        .withColumn("ingest_ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+        .withWatermark("ingest_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("lang", "source")
+        .select(col("lang"), col("source"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      s.read.parquet(outDir).orderBy("lang", "source")
+    },
+    Some(
+      """SELECT DISTINCT lang, source FROM documents
+        |ORDER BY lang, source""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup)
 }

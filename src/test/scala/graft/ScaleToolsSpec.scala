@@ -106,4 +106,32 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxCell <= 3L * (1000 / 10), s"hot cell of $maxCell rows")
     assert(maxCell < 1000, "guard did not split the bucket")
   }
+
+  test("bloom-prefiltered incremental dedup equals the plain anti-join") {
+    import graft.ops.Dedup
+    // corpus 0..799; batch 600..999 → 200 dups, 200 new
+    val corpus = spark.range(800)
+      .select(md5(concat(lit("doc"), col("id"))).as("digest"))
+    val batch = spark.range(600, 1000)
+      .select(col("id").as("doc_id"),
+        md5(concat(lit("doc"), col("id"))).as("digest"))
+
+    val viaBloom = Dedup.incrementalNew(corpus, batch, expectedItems = 1000L)
+    val plain = batch.join(corpus, Seq("digest"), "left_anti")
+    assert(viaBloom.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(viaBloom.count() === 200L)
+
+    // the sketch probe is in the plan: the definitely-new branch is a
+    // scan + filter with might_contain and NO join operator
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"plan was:\n$plan")
+
+    // Bloom has no false negatives: every true dup is caught by the
+    // prefilter, so the exact join's input is only might-contain rows
+    val sketch = corpus.agg(Dedup.digestSketch(1000L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val mightRows = batch.filter(Dedup.digestMightContain(sketch)).count()
+    assert(mightRows >= 200L, "a true duplicate escaped the Bloom prefilter")
+  }
 }
