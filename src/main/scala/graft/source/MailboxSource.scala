@@ -1,6 +1,5 @@
 package graft.source
 
-import java.io.BufferedInputStream
 import java.io.ByteArrayOutputStream
 import java.util.Base64
 import java.util.concurrent.Executors
@@ -717,9 +716,12 @@ class StaticCountReader(count: Long) extends PartitionReader[InternalRow] {
 }
 
 /** Streams lines of one partition's byte span through a Hadoop FS input
-  * stream (A19): seeks once, then reads sequentially. Yields
-  * (lineStartOffset, lineBytes); for `prefixOnly` lines only the first
-  * 160 bytes are materialized (classification without allocation).
+  * stream (A19): seeks once, then reads sequentially in 64 KiB chunks
+  * scanned in-place for newlines — no per-byte stream calls on the hot
+  * path (this is the connector's innermost loop: every byte of the
+  * corpus passes through it). Yields the line's ≤160-byte prefix (for
+  * classification without allocation) plus, when `keepAll`, the full
+  * line bytes.
   */
 private[source] final class LineStream(
     file: String, startAt: Long, conf: Configuration,
@@ -728,9 +730,20 @@ private[source] final class LineStream(
   private val path = new Path(file)
   private val fsIn = path.getFileSystem(conf).open(path)
   if (startAt > 0) fsIn.seek(startAt)
-  private var in = new BufferedInputStream(fsIn, 1 << 16)
-  var pos: Long  = startAt
+  private val buf    = new Array[Byte](1 << 16)
+  private var bufLen = 0
+  private var bufPos = 0
+  var pos: Long       = startAt
   var bytesRead: Long = 0L
+  var lineStart: Long = startAt
+
+  /** Refill the chunk buffer; false at EOF. */
+  private def fill(): Boolean = {
+    var n = fsIn.read(buf)
+    while (n == 0) n = fsIn.read(buf)
+    if (n < 0) false
+    else { bufLen = n; bufPos = 0; true }
+  }
 
   /** Jump to a known exact record offset: one FS seek, dropping the read
     * buffer — never re-reads the bytes in between (enumerated partitions
@@ -738,44 +751,74 @@ private[source] final class LineStream(
     */
   def seekTo(target: Long): Unit = {
     fsIn.seek(target)
-    in = new BufferedInputStream(fsIn, 1 << 16)
+    bufLen = 0
+    bufPos = 0
     pos = target
     lineStart = target
   }
 
   // a range partition's first (partial) line belongs to its predecessor
   if (alignToNewline && startAt > 0) {
-    var b = in.read()
-    while (b != -1 && b != '\n') { b = in.read(); bytesRead += 1 }
-    if (b == '\n') bytesRead += 1
-    pos = startAt + bytesRead
+    var skipped = 0L
+    var done    = false
+    while (!done) {
+      if (bufPos >= bufLen && !fill()) done = true
+      else {
+        var i = bufPos
+        while (i < bufLen && buf(i) != '\n') i += 1
+        skipped += i - bufPos
+        if (i < bufLen) { skipped += 1; bufPos = i + 1; done = true }
+        else bufPos = bufLen
+      }
+    }
+    bytesRead += skipped
+    pos = startAt + skipped
   }
 
-  /** Next line's prefix (≤160 bytes) plus, when `keepAll`, the full line
-    * bytes. Returns null at EOF. `lineStart` is the line's byte offset.
+  /** Next line's (prefix, fullBytes-or-null). Returns null at EOF.
+    * `lineStart` is the line's byte offset in the file.
     */
-  var lineStart: Long = pos
   def next(keepAll: Boolean): (String, Array[Byte]) = {
     lineStart = pos
-    val out  = if (keepAll) new ByteArrayOutputStream(256) else null
-    val head = new Array[Byte](160)
-    var headLen = 0
-    var b = in.read()
-    if (b == -1) return null
-    var n = 0L
-    while (b != -1 && b != '\n') {
-      if (keepAll) out.write(b)
-      if (headLen < 160) { head(headLen) = b.toByte; headLen += 1 }
-      n += 1
-      b = in.read()
+    var out: ByteArrayOutputStream = null
+    val head     = new Array[Byte](160)
+    var headLen  = 0
+    var consumed = 0L
+    var sawBytes = false
+    var done     = false
+    while (!done) {
+      if (bufPos >= bufLen && !fill()) done = true
+      else {
+        sawBytes = true
+        var i = bufPos
+        while (i < bufLen && buf(i) != '\n') i += 1
+        val len = i - bufPos
+        if (len > 0) {
+          if (keepAll) {
+            if (out == null) out = new ByteArrayOutputStream(math.max(256, len))
+            out.write(buf, bufPos, len)
+          }
+          val copy = math.min(len, 160 - headLen)
+          if (copy > 0) {
+            System.arraycopy(buf, bufPos, head, headLen, copy)
+            headLen += copy
+          }
+          consumed += len
+        }
+        if (i < bufLen) { consumed += 1; bufPos = i + 1; done = true }
+        else bufPos = bufLen
+      }
     }
-    val consumed = n + (if (b == '\n') 1 else 0)
+    if (!sawBytes) return null
     pos += consumed
     bytesRead += consumed
-    (new String(head, 0, headLen, "UTF-8"), if (keepAll) out.toByteArray else null)
+    (new String(head, 0, headLen, "UTF-8"),
+      if (!keepAll) null
+      else if (out == null) Array.emptyByteArray
+      else out.toByteArray)
   }
 
-  def close(): Unit = in.close()
+  def close(): Unit = fsIn.close()
 }
 
 /** Distributed count(*) over an unindexed byte range: classify-only scan,
