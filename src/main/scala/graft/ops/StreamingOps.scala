@@ -235,5 +235,46 @@ object StreamingOps {
     )
   )
 
-  val all: Seq[Q] = Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup)
+  /** q_stream_enrich — stream-static enrichment join: the event stream
+    * joins a broadcast dimension (customers) row-by-row in append mode
+    * to a distributed sink. The streaming-ETL staple: no stream state at
+    * all — the static side is broadcast once per micro-batch plan, each
+    * event is enriched and written by executor tasks, nothing touches
+    * the driver. Batch-equivalent by construction, so the oracle is the
+    * plain join.
+    */
+  val qStreamEnrich = Q(
+    "q_stream_enrich",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("stream_enrich")
+      val outDir  = tmp.resolve("out").toString
+      val ckptDir = tmp.resolve("ckpt").toString
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      val query = s.readStream
+        .schema(Tables.eventsRaw(s, d).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("event_type"), col("c_name"),
+          col("c_mktsegment"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      s.read.parquet(outDir).orderBy("event_id")
+    },
+    Some(
+      """SELECT event_id, event_type, c_name, c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup, qStreamEnrich)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Layout
+
+/** Physical-layout assertions for the curated writer: directory
+  * partitioning, bounded file sizes, and in-file ordering (the
+  * properties that make a 100 TB curated corpus cheap to scan).
+  */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("layout-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  test("curated write: partition dirs, file row caps, in-file sort order") {
+    val out = Files.createTempDirectory("layout_spec").resolve("docs").toString
+    val docs = Tables.documents(spark, sf)
+    Layout.curatedWrite(docs, out,
+      partCol = "lang", sortCol = "doc_id", maxRecordsPerFile = 20L)
+
+    // one directory per lang value
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val dirs = new File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === langs.map(l => s"lang=$l"))
+
+    // every data file respects the row cap
+    val files = dirs.toSeq.flatMap { d =>
+      new File(out, d).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+    }
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 20L,
+        s"${f.getName} exceeds maxRecordsPerFile")
+    }
+
+    // rows are sorted by doc_id within each file → tight footer min/max
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getPath)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted by doc_id")
+    }
+
+    // partition pruning: the lang predicate becomes a PartitionFilter
+    // on the scan (directory-level pruning, no data-file IO elsewhere)
+    val one = langs.head
+    val pruned = spark.read.parquet(out).filter(col("lang") === one)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains(s"PartitionFilters: [isnotnull(lang") &&
+      scan.contains(s"= $one)"),
+      s"lang predicate did not become a partition filter:\n$scan")
+
+    // content round trip
+    assert(spark.read.parquet(out).count() === docs.count())
+  }
+}
