@@ -58,5 +58,65 @@ object Layout {
     )
   )
 
-  val all: Seq[Q] = Seq(qCuratedWrite)
+  /** Write both join sides bucketed by the join key into `db` (created
+    * if needed): co-located layout, the 100 TB answer to a repeated
+    * fact-fact join — each side's files are hash-clustered into the
+    * same `buckets` on disk, so the join needs NO exchange on either
+    * side, ever (vs paying a full shuffle of both tables per query).
+    */
+  def writeBucketed(spark: SparkSession, df: DataFrame, db: String,
+      table: String, key: String, buckets: Int): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    // a fresh session's in-memory catalog does not know tables written
+    // by a previous run, but their warehouse directory persists and
+    // blocks saveAsTable — clear the orphaned location
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getDatabaseMetadata(db).locationUri.toString,
+      table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(s"$db.$table")
+  }
+
+  /** q_bucketed_join — lineitem ⋈ orders through the bucketed layout:
+    * revenue per order date off the co-located tables. Same result as
+    * the plain join (the oracle); the shuffle-free plan shape is
+    * asserted in LayoutSpec.
+    */
+  val qBucketedJoin = Q(
+    "q_bucketed_join",
+    (s, d) => {
+      import graft.Exact
+      val db = "graft_buckets"
+      writeBucketed(s, Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        db, "orders_b", "o_orderkey", buckets = 8)
+      writeBucketed(s, Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        db, "lineitem_b", "l_orderkey", buckets = 8)
+      s.table(s"$db.lineitem_b")
+        .join(s.table(s"$db.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          // decimal-exact operands BEFORE the multiply (Exact parity rule)
+          sum(Exact.dec(col("l_extendedprice")) *
+            (lit(1) - Exact.dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin)
 }

@@ -70,4 +70,33 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // content round trip
     assert(spark.read.parquet(out).count() === docs.count())
   }
+
+  test("bucketed co-located join runs with no exchange on either side") {
+    val db = "graft_buckets_spec"
+    Layout.writeBucketed(spark, Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority")),
+      db, "orders_b", "o_orderkey", buckets = 4)
+    Layout.writeBucketed(spark, Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity")),
+      db, "lineitem_b", "l_orderkey", buckets = 4)
+
+    // force the join operator (no broadcast) to expose the bucket layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(s"$db.lineitem_b")
+        .join(spark.table(s"$db.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"plan was:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"plan was:\n$plan")
+      // result parity with the plain (shuffled) join
+      val plain = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() === plain.count())
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }
