@@ -266,6 +266,59 @@ object TextOps {
     )
   )
 
+  /** q_decontaminate — benchmark decontamination, the standard 13-gram
+    * collision check run before any training corpus ships: a training
+    * document is contaminated if it shares at least one word-level
+    * 13-gram with the held-out benchmark set (docs with doc_id % 20 == 0
+    * stand in for the benchmark here). Output: contaminated training
+    * docs with their distinct shared-gram counts.
+    *
+    * 100 TB shape: grams travel as 16-byte md5 digests, the benchmark
+    * gram set is tiny relative to the corpus (eval sets are thousands
+    * of docs) and is broadcast — the training side is scanned once,
+    * map-side joined, and only per-doc counts are aggregated; the
+    * corpus text never shuffles.
+    */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), wsTokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 13)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("t")) - 12),
+            i => md5(concat_ws(" ", slice(col("t"), i, lit(13)))))).as("g"))
+        .distinct()
+      val g = grams(docs)
+      val train = g.filter(col("doc_id") % 20 =!= 0)
+        .withColumnRenamed("doc_id", "train_id")
+      val bench = g.filter(col("doc_id") % 20 === 0).select("g").distinct()
+      train
+        .join(broadcast(bench), "g")
+        .groupBy("train_id")
+        .agg(count_distinct(col("g")).as("n_shared"))
+        .orderBy("train_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+12], ' ')) AS g
+        |  FROM toks, UNNEST(range(1, len(t) - 11)) AS u(i)
+        |  WHERE len(t) >= 13)
+        |SELECT tr.doc_id AS train_id, count(DISTINCT tr.g) AS n_shared
+        |FROM grams tr
+        |JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0) be
+        |  ON tr.g = be.g
+        |WHERE tr.doc_id % 20 <> 0
+        |GROUP BY 1 ORDER BY train_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize, qRedact)
+    Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
+      qRedact, qDecontaminate)
 }

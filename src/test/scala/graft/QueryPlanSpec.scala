@@ -83,4 +83,16 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("entry() returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q_decontaminate broadcasts the benchmark gram set") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"),
+      "per-doc collision counts must partial-aggregate before the exchange")
+  }
+
+  test("q_dedup_incremental probes the bloom sketch before any join") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("might_contain"), p)
+  }
 }
