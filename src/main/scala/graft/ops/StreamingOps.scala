@@ -275,6 +275,59 @@ object StreamingOps {
     )
   )
 
+  /** q_stream_stream_join — stream-stream interval join: clicks joined
+    * to the SAME user's purchases occurring within the following hour,
+    * both sides streaming. The event-time interval condition plus the
+    * two watermarks let Spark bound each side's join state to the hour
+    * horizon (state eviction is what makes this runnable forever);
+    * inner-join matches emit eagerly in append mode. Batch-equivalent
+    * by construction → plain interval-join oracle.
+    */
+  val qStreamStreamJoin = Q(
+    "q_stream_stream_join",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("stream_ssjoin")
+      val outDir  = tmp.resolve("out").toString
+      val ckptDir = tmp.resolve("ckpt").toString
+      val schema = Tables.eventsRaw(s, d).schema
+      def src = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("bu"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"))
+        .withWatermark("buy_ts", "1 hour")
+      val query = clicks
+        .join(buys, expr(
+          "cu = bu AND click_ts BETWEEN buy_ts - INTERVAL 1 HOUR AND buy_ts"))
+        .select(col("click_id"), col("buy_id"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      s.read.parquet(outDir).orderBy("click_id", "buy_id")
+    },
+    Some(
+      """SELECT c.event_id AS click_id, b.event_id AS buy_id
+        |FROM events c JOIN events b
+        |  ON c.user_id = b.user_id
+        | AND c.event_type = 'click' AND b.event_type = 'purchase'
+        | AND c.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts
+        |ORDER BY click_id, buy_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup, qStreamEnrich)
+    Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
+      qStreamEnrich, qStreamStreamJoin)
 }
