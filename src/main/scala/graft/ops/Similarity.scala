@@ -266,7 +266,10 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment by cosine (tie → smaller cid). */
-  private def assignToCentroids(
+  /** Per-vector centroid ranking (vec_id, cid, rn) — rn=1 is the
+    * assignment; rn<=nprobe drives multi-probe search.
+    */
+  private def rankedCentroids(
       v: DataFrame, nv: DataFrame, cent: DataFrame): DataFrame = {
     val nc = cent.groupBy("cid").agg(sum(col("cq") * col("cq")).as("nc"))
     val dots = v
@@ -280,11 +283,14 @@ object Similarity {
         cosine(col("dot"), col("nv"), col("nc")).as("cos_sim"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_sim").desc, col("cid").asc)
-    scored
-      .withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
+  }
+
+  private def assignToCentroids(
+      v: DataFrame, nv: DataFrame, cent: DataFrame): DataFrame =
+    rankedCentroids(v, nv, cent)
       .filter(col("rn") === 1)
       .select("vec_id", "cid")
-  }
 
   /** 2 Lloyd iterations from seeds 0..7; exact integer centroids. */
   private def trainKmeans(v: DataFrame, nv: DataFrame): DataFrame = {
@@ -416,6 +422,73 @@ object Similarity {
     )
   )
 
+  /** q_ivf_search_probe2 — multi-probe IVF: each query probes its TWO
+    * nearest centroids' inverted lists (nprobe=2), the standard
+    * recall/latency knob — a query near a Voronoi boundary recovers
+    * neighbors assigned to the adjacent cell, reading 2/k of the corpus
+    * instead of 1/k. Probed lists are disjoint (corpus assignment is
+    * unique), so candidates need no dedup.
+    */
+  val qIvfSearchProbe2 = Q(
+    "q_ivf_search_probe2",
+    (s, d) => {
+      val (v, nv) = quantized(s, d)
+      val ranked = rankedCentroids(v, nv, trainKmeans(v, nv)).localCheckpoint()
+      val qa = ranked.filter(col("vec_id") < 8 && col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val ca = ranked.filter(col("vec_id") >= 8 && col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val cand = qa.join(ca, Seq("cid"))
+        .select(col("qid"), col("vec_id").as("nid"))
+      val dots = cand
+        .join(v.as("vq"), col("qid") === col("vq.vec_id"))
+        .join(v.as("vc"),
+          col("nid") === col("vc.vec_id") && col("vq.pos") === col("vc.pos"))
+        .groupBy("qid", "nid")
+        .agg(sum(col("vq.q") * col("vc.q")).as("dot"))
+      val scored = dots
+        .join(nv.as("nq"), col("qid") === col("nq.vec_id"))
+        .join(nv.as("nn"), col("nid") === col("nn.vec_id"))
+        .select(col("qid"), col("nid").as("neighbor_id"),
+          cosine(col("dot"), col("nq.nv"), col("nn.nv")).as("cos_sim"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 3)
+        .select("qid", "nrank", "neighbor_id", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some(
+      s"""$kmeansCtes,
+         |qrank AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+         |  FROM scored2 WHERE vec_id < 8),
+         |qa AS (SELECT vec_id AS qid, cid FROM qrank WHERE rn <= 2),
+         |ca AS (SELECT vec_id AS nid, cid FROM assign2 WHERE vec_id >= 8),
+         |cand AS (SELECT q.qid, c.nid FROM qa q JOIN ca c ON q.cid = c.cid),
+         |pdots AS (
+         |  SELECT cd.qid, cd.nid, CAST(sum(vq.q * vc.q) AS BIGINT) AS dot
+         |  FROM cand cd
+         |  JOIN v vq ON vq.vec_id = cd.qid
+         |  JOIN v vc ON vc.vec_id = cd.nid AND vc.pos = vq.pos
+         |  GROUP BY 1, 2),
+         |pscored AS (
+         |  SELECT d.qid, d.nid AS neighbor_id,
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nv AS DOUBLE) * CAST(nn.nv AS DOUBLE)) AS cos_sim
+         |  FROM pdots d
+         |  JOIN nv nq ON nq.vec_id = d.qid
+         |  JOIN nv nn ON nn.vec_id = d.nid),
+         |pranked AS (
+         |  SELECT qid, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+         |  FROM pscored)
+         |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, cos_sim
+         |FROM pranked WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+    )
+  )
+
   /** q_dedup_embedding — embedding-cosine near-duplicate pairs (the
     * semantic-dedup method): vector pairs above a cosine threshold.
     * Candidate generation is the sign-LSH bucket (each vector compares
@@ -462,5 +535,6 @@ object Similarity {
   )
 
   val all: Seq[Q] =
-    Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch, qDedupEmbedding)
+    Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
+      qIvfSearchProbe2, qDedupEmbedding)
 }
