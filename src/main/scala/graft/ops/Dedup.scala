@@ -444,6 +444,10 @@ object Dedup {
     // corpus), then folded into the probe as a literal → broadcast
     val sketch = corpus.agg(digestSketch(expectedItems).as("bf"))
       .head.getAs[Array[Byte]](0)
+    // empty corpus → the aggregate yields null, and a null
+    // might_contain would drop EVERY batch row from both branches;
+    // day-one bootstrap must emit the whole batch as new
+    if (sketch == null) return batch
     val might = digestMightContain(sketch)
 
     val definitelyNew = batch.filter(!might)

@@ -24,6 +24,34 @@ object StreamingOps {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** The ns→µs event-time conversion every events-stream query needs
+    * (same truncation DuckDB applies reading the nanosecond parquet).
+    */
+  private def withTsMicros(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Shared production-shape scaffold: run a streaming DataFrame in
+    * append mode to a throwaway checkpointed parquet sink (executor
+    * tasks write, nothing materializes on the driver), then read the
+    * finished result back for verification.
+    */
+  private def runToParquetSink(
+      s: org.apache.spark.sql.SparkSession, name: String)(
+      stream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(name)
+    val outDir  = tmp.resolve("out").toString
+    val ckptDir = tmp.resolve("ckpt").toString
+    val query = stream.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.read.parquet(outDir)
+  }
+
   /** q_stream_window — tumbling 1-day window counts + exact value sums
     * per event_type, computed by a real streaming query (memory sink,
     * complete mode).
@@ -34,11 +62,10 @@ object StreamingOps {
       val rawSchema = Tables.eventsRaw(s, d).schema
       val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
       // FileStreamSource needs a directory; glob-filter to the one table
-      val stream = s.readStream
+      val stream = withTsMicros(s.readStream
         .schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .parquet(d))
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
@@ -85,10 +112,8 @@ object StreamingOps {
   val qStreamWindowProd = Q(
     "q_stream_window_prod",
     (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("stream_prod")
-      val inDir   = tmp.resolve("in")
-      val outDir  = tmp.resolve("out").toString
-      val ckptDir = tmp.resolve("ckpt").toString
+      val tmp   = java.nio.file.Files.createTempDirectory("stream_prod")
+      val inDir = tmp.resolve("in")
       java.nio.file.Files.createDirectories(inDir)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(d, "events.parquet"),
@@ -102,10 +127,8 @@ object StreamingOps {
         .withColumn("event_type", lit("__sentinel__"))
         .write.mode("append").parquet(inDir.toString)
 
-      val query = s.readStream
-        .schema(raw.schema)
-        .parquet(inDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = withTsMicros(
+        s.readStream.schema(raw.schema).parquet(inDir.toString))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(
@@ -114,17 +137,7 @@ object StreamingOps {
         .select(
           col("window.start").cast("timestamp_ntz").as("day"),
           col("event_type"), col("n"), col("total_value"))
-        .writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckptDir)
-        .start()
-      try query.processAllAvailable()
-      finally query.stop()
-
-      s.read
-        .parquet(outDir)
+      runToParquetSink(s, "stream_prod_sink")(stream)
         .filter(col("event_type") =!= "__sentinel__")
         .orderBy("day", "event_type")
     },
@@ -205,12 +218,8 @@ object StreamingOps {
   val qStreamDedup = Q(
     "q_stream_dedup",
     (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("stream_dedup")
-      val outDir  = tmp.resolve("out").toString
-      val ckptDir = tmp.resolve("ckpt").toString
-      val docSchema = Tables.documents(s, d).schema
-      val query = s.readStream
-        .schema(docSchema)
+      val stream = s.readStream
+        .schema(Tables.documents(s, d).schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(d)
         // documents carry no event time; a constant ingest timestamp
@@ -219,15 +228,7 @@ object StreamingOps {
         .withWatermark("ingest_ts", "1 hour")
         .dropDuplicatesWithinWatermark("lang", "source")
         .select(col("lang"), col("source"))
-        .writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckptDir)
-        .start()
-      try query.processAllAvailable()
-      finally query.stop()
-      s.read.parquet(outDir).orderBy("lang", "source")
+      runToParquetSink(s, "stream_dedup")(stream).orderBy("lang", "source")
     },
     Some(
       """SELECT DISTINCT lang, source FROM documents
@@ -246,27 +247,16 @@ object StreamingOps {
   val qStreamEnrich = Q(
     "q_stream_enrich",
     (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("stream_enrich")
-      val outDir  = tmp.resolve("out").toString
-      val ckptDir = tmp.resolve("ckpt").toString
       val dim = broadcast(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
-      val query = s.readStream
+      val stream = s.readStream
         .schema(Tables.eventsRaw(s, d).schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .join(dim, col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("event_type"), col("c_name"),
           col("c_mktsegment"))
-        .writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckptDir)
-        .start()
-      try query.processAllAvailable()
-      finally query.stop()
-      s.read.parquet(outDir).orderBy("event_id")
+      runToParquetSink(s, "stream_enrich")(stream).orderBy("event_id")
     },
     Some(
       """SELECT event_id, event_type, c_name, c_mktsegment
@@ -286,15 +276,11 @@ object StreamingOps {
   val qStreamStreamJoin = Q(
     "q_stream_stream_join",
     (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("stream_ssjoin")
-      val outDir  = tmp.resolve("out").toString
-      val ckptDir = tmp.resolve("ckpt").toString
       val schema = Tables.eventsRaw(s, d).schema
-      def src = s.readStream
+      def src = withTsMicros(s.readStream
         .schema(schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .parquet(d))
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("cu"), col("ts").as("click_ts"),
           col("event_id").as("click_id"))
@@ -303,19 +289,12 @@ object StreamingOps {
         .select(col("user_id").as("bu"), col("ts").as("buy_ts"),
           col("event_id").as("buy_id"))
         .withWatermark("buy_ts", "1 hour")
-      val query = clicks
+      val stream = clicks
         .join(buys, expr(
           "cu = bu AND click_ts BETWEEN buy_ts - INTERVAL 1 HOUR AND buy_ts"))
         .select(col("click_id"), col("buy_id"))
-        .writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckptDir)
-        .start()
-      try query.processAllAvailable()
-      finally query.stop()
-      s.read.parquet(outDir).orderBy("click_id", "buy_id")
+      runToParquetSink(s, "stream_ssjoin")(stream)
+        .orderBy("click_id", "buy_id")
     },
     Some(
       """SELECT c.event_id AS click_id, b.event_id AS buy_id

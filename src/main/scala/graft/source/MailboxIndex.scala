@@ -39,11 +39,21 @@ import org.apache.spark.sql.SparkSession
   */
 object MailboxIndex {
 
-  // v2 adds the content fingerprint; v1 sidecars (no fingerprint) are
-  // rejected and planning falls back to range splits — never stale rows
+  // v2 adds the content fingerprint and namespaces message classes
+  // ("m:" prefix) so the folder marker can never collide with a message
+  // whose class string is literally "F"; older sidecars are rejected
+  // and planning falls back to range splits — never stale rows
   val Version    = 2
   val BlockLines = 512
   val FolderClass = "F"
+  private val MsgPrefix = "m:"
+
+  /** Sidecar storage key for a record: folders → the "F" marker,
+    * messages → their namespaced class string.
+    */
+  def storageClass(prefix: String): String =
+    if (prefix.contains("\"record_type\":\"folder\"")) FolderClass
+    else MsgPrefix + classOfPrefix(prefix)
 
   /** One block checkpoint: byte offset, line count, per-class line counts
     * (indices into `classes`).
@@ -58,15 +68,17 @@ object MailboxIndex {
       totals: Array[Long],
       blocks: Array[Block]) {
 
-    /** Index positions of message classes (never the folder marker "F")
-      * matching the plan filter — taxonomy + exact-equality semantics
-      * live in [[RecordFilter.matchesClass]], so the sidecar's exact
-      * per-class counts answer taxonomy-bucketed modes too (e.g. notes
-      * mode sums `IPM.Note` + every unknown-class total).
+    /** Index positions of message classes (stored namespaced as "m:…",
+      * so the folder marker can never collide) matching the plan
+      * filter — taxonomy + exact-equality semantics live in
+      * [[RecordFilter.matchesClass]], so the sidecar's exact per-class
+      * counts answer taxonomy-bucketed modes too (e.g. notes mode sums
+      * `IPM.Note` + every unknown-class total).
       */
     private def matchingClasses(filter: RecordFilter): Array[Int] =
       classes.indices
-        .filter(i => classes(i) != FolderClass && filter.matchesClass(classes(i)))
+        .filter(i => classes(i).startsWith("m:") &&
+          filter.matchesClass(classes(i).substring(2)))
         .toArray
 
     /** Exact number of rows a scan with this record filter yields. */
@@ -89,45 +101,51 @@ object MailboxIndex {
   def indexPath(file: Path): Path =
     new Path(file.getParent, file.getName + ".idx")
 
-  /** Cheap content fingerprint: CRC32 of the file's head and tail 512
-    * bytes. Catches in-place rewrites that preserve byte length (size
-    * alone cannot), without reading the corpus — O(1 KiB) per file at
-    * plan time. Modification time is deliberately NOT used: VCS
-    * checkouts and copies rewrite mtimes, which would spuriously
-    * invalidate every sidecar after a clone.
+  /** Cheap content fingerprint: CRC32 of the file's head, middle, and
+    * tail 512-byte blocks. Catches in-place rewrites that preserve byte
+    * length (size alone cannot) without reading the corpus — O(1.5 KiB)
+    * per file at plan time. Sampled, not exhaustive: an adversarial
+    * rewrite confined to unsampled byte ranges passes; full certainty
+    * requires re-indexing (`indexAll`), which reads everything anyway.
+    * Modification time is deliberately NOT used: VCS checkouts and
+    * copies rewrite mtimes, which would spuriously invalidate every
+    * sidecar after a clone.
     */
   def fingerprint(fs: FileSystem, file: Path, size: Long): Long = {
     val n    = math.min(512L, size).toInt
     val head = new Array[Byte](n)
+    val mid  = new Array[Byte](n)
     val tail = new Array[Byte](n)
     val in   = fs.open(file)
     try {
       in.readFully(0, head)
+      if (size > 2L * n) in.readFully(size / 2 - n / 2, mid)
       if (size > n) in.readFully(size - n, tail)
     } finally in.close()
     val crc = new java.util.zip.CRC32
     crc.update(head)
+    if (size > 2L * n) crc.update(mid)
     if (size > n) crc.update(tail)
     crc.getValue
   }
 
   // ── building ─────────────────────────────────────────────────────────
 
-  /** Classify a line from its prefix: folder records → "F", messages →
-    * their message_class (the generator guarantees node_id / record_type /
-    * message_class lead the object — MailboxGen's layout contract).
+  /** Extract a message record's class from its line prefix ("" when
+    * absent/null — the taxonomy buckets that into notes, like the
+    * reference's missing PR_MESSAGE_CLASS_A). The format contract
+    * (MailboxGen layout) puts node_id / record_type / message_class in
+    * the first 160 bytes, so classification never needs a full parse.
     */
-  def classOfPrefix(prefix: String): String =
-    if (prefix.contains("\"record_type\":\"folder\"")) FolderClass
+  def classOfPrefix(prefix: String): String = {
+    val k = prefix.indexOf("\"message_class\":\"")
+    if (k < 0) ""
     else {
-      val k = prefix.indexOf("\"message_class\":\"")
-      if (k < 0) ""
-      else {
-        val start = k + 17
-        val end   = prefix.indexOf('"', start)
-        if (end < 0) "" else prefix.substring(start, end)
-      }
+      val start = k + 17
+      val end   = prefix.indexOf('"', start)
+      if (end < 0) "" else prefix.substring(start, end)
     }
+  }
 
   /** Build the index by scanning the file once (the indexing pass — run
     * distributed via [[indexAll]] for large corpora; planning afterwards
@@ -178,7 +196,7 @@ object MailboxIndex {
           if (first && !prefix.startsWith("{\"node_id\":"))
             throw new IllegalArgumentException(s"not a mailbox dump: $file")
           first = false
-          val c = idxOf(classOfPrefix(prefix))
+          val c = idxOf(storageClass(prefix))
           totals(c) += 1
           while (blockCounts.length < classes.length) blockCounts += 0
           blockCounts(c) += 1

@@ -228,11 +228,13 @@ final case class EnumeratedPartition(
 /** A slice of a real PST file's plan-enumerated node ids (the analog of
   * the reference's node-id partition queue; see [[PstScan]]). When
   * `exact` the node ids ARE the row set (already mode-classified at plan
-  * time), so counts and limits are exact.
+  * time), so counts and limits are exact and the reader skips
+  * re-classification. Defaults to false — the fail-safe direction: an
+  * unmarked partition is re-filtered by the reader (slower, never wrong).
   */
 final case class PstPartition(
     index: Int, file: String, nodeIds: Array[Long],
-    exact: Boolean = true,
+    exact: Boolean = false,
     firstInFile: Boolean = false) extends MailboxPartition
 
 /** Driver-side planning: glob → per-file metadata (sidecar index or file
@@ -248,9 +250,9 @@ object MailboxPlanner {
     * substring/prefix match.
     */
   def lineMatches(prefix: String, filter: RecordFilter): Boolean = {
-    val cls = MailboxIndex.classOfPrefix(prefix)
-    if (filter.wantFolder) cls == MailboxIndex.FolderClass
-    else cls != MailboxIndex.FolderClass && filter.matchesClass(cls)
+    val isFolder = prefix.contains("\"record_type\":\"folder\"")
+    if (filter.wantFolder) isFolder
+    else !isFolder && filter.matchesClass(MailboxIndex.classOfPrefix(prefix))
   }
 
   def nodeIdOf(prefix: String): Long = {

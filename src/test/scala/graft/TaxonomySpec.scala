@@ -117,6 +117,13 @@ class TaxonomySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() === 2L)
     // exact plan-time stats for the classified limited scan
     assert(limited.queryExecution.optimizedPlan.stats.rowCount.exists(_.toLong == 3L))
+
+    // a DataFrame .limit() pushed into the scan (SupportsPushDownLimit
+    // reports fully-pushed, so Spark drops its own LIMIT operator) must
+    // be equally exact across partitions
+    val pushed = Mailbox.notes(spark, pst, Map("partition_size" -> "1")).limit(3)
+    assert(pushed.count() === 3L)
+    assert(pushed.collect().length === 3)
   }
 
   test("same-size in-place rewrite invalidates the sidecar (fingerprint)") {
