@@ -261,36 +261,12 @@ object Dedup {
   val qDedupClusters = Q(
     "q_dedup_clusters",
     (s, d) => {
-      val pairs = lshPairs(s, d)
-      val edges = pairs
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b"), col("id_a")))
-        .localCheckpoint()
-      var labels = edges
-        .select(col("src").as("node"))
-        .distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint()
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
-      var prevSum = labelSum(labels)
-      var done    = labels.isEmpty
-      while (!done) {
-        val prop = edges
-          .join(labels, edges("dst") === labels("node"))
-          .select(edges("src").as("node"), col("label"))
-        val next = labels
-          .union(prop)
-          .groupBy("node")
-          .agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        val nextSum = labelSum(next)
-        labels = next
-        if (nextSum == prevSum) done = true
-        prevSum = nextSum
-      }
-      labels
-        .select(col("node").as("doc_id"), col("label").as("component_id"))
+      // large-star/small-star: O(log n) shuffle rounds regardless of
+      // component diameter (plain min-label propagation, kept as the
+      // equivalence baseline in ScaleToolsSpec, needs O(diameter))
+      connectedComponentsStar(
+        lshPairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("node").as("doc_id"), col("component_id"))
         .orderBy("doc_id")
     },
     Some(
@@ -415,6 +391,69 @@ object Dedup {
     * ~1.2 MB per 10⁶ expected items at 1% fpp); beyond ~10⁹ corpus keys
     * shard the sketch by digest prefix rather than growing one filter.
     */
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the scale path for dedup clustering: each
+    * round is two shuffles and the edge set converges in O(log n)
+    * rounds on real graphs, vs O(graph diameter) rounds for plain
+    * min-label propagation (a 10k-long near-dup chain needs ~14 star
+    * rounds instead of 10k propagation rounds).
+    *
+    * Input: undirected edges (src, dst); output: (node, component_id)
+    * with component_id = the component's minimum node id — identical
+    * labels to the propagation in `q_dedup_clusters` (equivalence is
+    * spec-tested on chains, stars, and the fixture's LSH pair graph).
+    * Isolated nodes don't appear (no edges), matching the propagation.
+    */
+  def connectedComponentsStar(edges0: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .union(df.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    var e = canon(edges0.select(col("src"), col("dst"))).localCheckpoint()
+
+    // convergence probe: one tiny row (count + order-independent hash
+    // sum) per round — never the edge set on the driver
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = checksum(e)
+    var done = prev._1 == 0L
+    while (!done) {
+      // large-star: every strictly-larger neighbor of u links to
+      // m(u) = min(N(u) ∪ {u})
+      val minsAll = e.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val large = e.filter(col("dst") > col("src"))
+        .join(minsAll, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val e1 = canon(large).localCheckpoint()
+
+      // small-star: every ≤-neighbor of u (and u itself) links to
+      // m(u) = min over those neighbors
+      val smallNbrs = e1.filter(col("dst") <= col("src"))
+      val minsSmall = smallNbrs.groupBy("src").agg(min(col("dst")).as("m"))
+      val small = smallNbrs.join(minsSmall, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(minsSmall.select(col("src"), col("m").as("dst")))
+      val e2 = canon(small).localCheckpoint()
+
+      val cur = checksum(e2)
+      if (cur == prev) done = true
+      prev = cur
+      e = e2
+    }
+    e.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"),
+        least(col("src"), col("mn")).as("component_id"))
+  }
+
   /** Aggregation column building the Bloom sketch of `xxhash64(digest)`. */
   private[graft] def digestSketch(expectedItems: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -107,6 +107,57 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxCell < 1000, "guard did not split the bucket")
   }
 
+  test("large-star/small-star components match label propagation") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+
+    def propagation(edges: DataFrame): Map[Long, Long] = {
+      // the q_dedup_clusters formulation, for equivalence
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")).localCheckpoint()
+      var prevSum = labels.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
+      var done = labels.isEmpty
+      while (!done) {
+        val prop = sym.join(labels, sym("dst") === labels("node"))
+          .select(sym("src").as("node"), col("label"))
+        val next = labels.union(prop).groupBy("node")
+          .agg(min("label").as("label")).localCheckpoint()
+        val s = next.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
+        if (s == prevSum) done = true
+        prevSum = s; labels = next
+      }
+      labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def star(edges: DataFrame): Map[Long, Long] =
+      Dedup.connectedComponentsStar(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // worst case for propagation: one long chain (diameter = n)
+    val chain = spark.range(99)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    assert(star(chain) === propagation(chain))
+    assert(star(chain).values.toSet === Set(0L))
+
+    // star graph + disjoint components + reversed/duplicate edges
+    val mixed = Seq(
+      (10L, 11L), (11L, 10L), (10L, 12L), (12L, 13L), // component 10
+      (20L, 21L),                                      // component 20
+      (31L, 30L), (32L, 31L), (33L, 30L)               // component 30
+    ).toDF("src", "dst")
+    val m = star(mixed)
+    assert(m === propagation(mixed))
+    assert(m(13L) === 10L && m(21L) === 20L && m(32L) === 30L)
+
+    // deterministic pseudo-random graph
+    val rand = spark.range(400).select(
+      (hash(col("id")).cast("long") % 200 + 200).as("src"),
+      (hash(col("id") + 7).cast("long") % 200 + 200).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    assert(star(rand) === propagation(rand))
+  }
+
   test("bloom-prefiltered incremental dedup equals the plain anti-join") {
     import graft.ops.Dedup
     // corpus 0..799; batch 600..999 → 200 dups, 200 new
