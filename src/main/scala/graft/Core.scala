@@ -52,6 +52,45 @@ object Tables {
     table(s, d, "embeddings")
 }
 
+/** Process-scoped scratch directories for queries that round-trip
+  * through a filesystem sink (curated writes, streaming file sinks).
+  *
+  * Two properties bound disk usage across repeated bench/verify runs:
+  * the path for a given `name` is STABLE within and across processes
+  * (so re-running a query overwrites the previous output instead of
+  * accumulating a fresh temp dir per invocation), and the whole root
+  * is recursively deleted on JVM exit.
+  */
+object Scratch {
+  private val root: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch")
+    java.nio.file.Files.createDirectories(p)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+
+  /** A stable scratch dir for `name`, cleared of any previous contents. */
+  def dir(name: String): java.nio.file.Path = {
+    val p = root.resolve(name)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+}
+
 /** Cross-engine deterministic numeric helpers.
   *
   * Summing IEEE doubles is order-dependent, so a Spark shuffle-order sum

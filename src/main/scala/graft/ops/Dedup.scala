@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators for a training-data pipeline (builder-brief
   * extension; the reference has no dedup surface, SURVEY.md §2 notes).
@@ -375,22 +376,6 @@ object Dedup {
     )
   )
 
-  /** Bloom-prefiltered anti-join: the rows of `batch` whose `digest` is
-    * NOT present in `corpus` — equal to a plain left-anti join, but the
-    * batch side is first split by a broadcast Bloom sketch of the corpus
-    * digests:
-    *  - might_contain = false → definitely new (Bloom has no false
-    *    negatives), emitted with NO join at all;
-    *  - might_contain = true → duplicate or false positive, confirmed by
-    *    the exact anti-join — only this residue (dup fraction + fpp)
-    *    ever reaches the shuffle.
-    *
-    * 100 TB shape: re-deduplicating a daily batch against a corpus of
-    * N digests shuffles only ~(dupRate + fpp) of the batch instead of
-    * all of it. The sketch is one aggregated row (`numBits/8` bytes —
-    * ~1.2 MB per 10⁶ expected items at 1% fpp); beyond ~10⁹ corpus keys
-    * shard the sketch by digest prefix rather than growing one filter.
-    */
   /** Connected components via alternating large-star / small-star
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the scale path for dedup clustering: each
@@ -413,14 +398,22 @@ object Dedup {
 
     var e = canon(edges0.select(col("src"), col("dst"))).localCheckpoint()
 
-    // convergence probe: one tiny row (count + order-independent hash
-    // sum) per round — never the edge set on the driver
-    def checksum(df: DataFrame): (Long, Long) = {
+    // convergence probe: one tiny row (count + two order-independent
+    // 64-bit sums) per round — never the edge set on the driver. Both
+    // xxhash64 over the pair and the raw endpoint sum must collide
+    // simultaneously for two different edge sets to compare equal, so a
+    // premature stop needs a joint 128-bit collision (vs the old single
+    // 32-bit hash sum, where one collision could emit wrong labels).
+    // (decimal(38,0) sums: a plain BIGINT sum of full-range xxhash64
+    // values overflows — an ANSI-mode error — after a handful of rows)
+    def checksum(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val dec = DecimalType(38, 0)
       val r = df.agg(
         count(lit(1)),
-        coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)))
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast(dec)), lit(0L).cast(dec)),
+        coalesce(sum((col("src") + col("dst")).cast(dec)), lit(0L).cast(dec)))
         .collect()(0)
-      (r.getLong(0), r.getLong(1))
+      (r.getLong(0), BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)))
     }
 
     var prev = checksum(e)
@@ -477,6 +470,22 @@ object Dedup {
       ColumnBridge.expression(xxhash64(col("digest")))))
   }
 
+  /** Bloom-prefiltered anti-join: the rows of `batch` whose `digest` is
+    * NOT present in `corpus` — equal to a plain left-anti join, but the
+    * batch side is first split by a broadcast Bloom sketch of the corpus
+    * digests:
+    *  - might_contain = false → definitely new (Bloom has no false
+    *    negatives), emitted with NO join at all;
+    *  - might_contain = true → duplicate or false positive, confirmed by
+    *    the exact anti-join — only this residue (dup fraction + fpp)
+    *    ever reaches the shuffle.
+    *
+    * 100 TB shape: re-deduplicating a daily batch against a corpus of
+    * N digests shuffles only ~(dupRate + fpp) of the batch instead of
+    * all of it. The sketch is one aggregated row (`numBits/8` bytes —
+    * ~1.2 MB per 10⁶ expected items at 1% fpp); beyond ~10⁹ corpus keys
+    * shard the sketch by digest prefix rather than growing one filter.
+    */
   def incrementalNew(corpus: DataFrame, batch: DataFrame,
       expectedItems: Long): DataFrame = {
     // one sketch row to the driver (the size of the filter, never the

@@ -44,8 +44,9 @@ object Layout {
   val qCuratedWrite = Q(
     "q_curated_write",
     (s, d) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("curated_write").resolve("docs").toString
+      // stable per-process scratch path: re-runs overwrite rather than
+      // accumulate temp dirs, and the root is deleted on JVM exit
+      val out = graft.Scratch.dir("curated_write").resolve("docs").toString
       curatedWrite(Tables.documents(s, d), out,
         partCol = "lang", sortCol = "doc_id", maxRecordsPerFile = 100L)
       s.read.parquet(out)

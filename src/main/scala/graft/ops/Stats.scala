@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Exact, Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,10 +192,13 @@ object Stats {
     * aggregates in O(1/ε) memory per group with no per-group value
     * materialization — contrast `q_quantiles`, whose exact collect_list
     * formulation holds a group's values in one task. Sketches differ
-    * across engines, so (as with q_approx_distinct) the hash-compared
-    * row is the exact discrete quantile plus each engine's own
-    * estimator-within-bound boolean; both estimators sit far inside the
-    * bound, so rows match while proving the approximate path runs.
+    * across engines, so only DETERMINISTIC values are hash-compared:
+    * the exact discrete quantiles the sketch targets, computed by both
+    * engines from the same sorted lists. The estimator itself is
+    * asserted within its error bound in ScaleToolsSpec ("approximate
+    * quantile sketch stays within bound") — an estimator-dependent
+    * boolean in the hashed row would flip spuriously on a distribution
+    * where either engine's sketch drifts near the bound edge.
     */
   val qApproxQuantiles = Q(
     "q_approx_quantiles",
@@ -204,21 +207,15 @@ object Stats {
         element_at(
           col("vals"),
           greatest(ceil(size(col("vals")) * lit(p)), lit(1L)).cast("int"))
-      def bound(approx: Column, exact: Column): Column =
-        abs(approx - exact) <= greatest(lit(1.0), exact * 0.05)
       Tables
         .lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          sort_array(collect_list(col("l_quantity"))).as("vals"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("a50"),
-          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("a90"))
+          sort_array(collect_list(col("l_quantity"))).as("vals"))
         .select(
           col("l_returnflag"),
           qAt(0.5).as("e50"),
           qAt(0.9).as("e90"),
-          bound(col("a50"), qAt(0.5)).as("within50"),
-          bound(col("a90"), qAt(0.9)).as("within90"),
           size(col("vals")).as("n"))
         .orderBy("l_returnflag")
     },
@@ -226,19 +223,26 @@ object Stats {
       """SELECT l_returnflag,
         |  vals[CAST(greatest(ceil(len(vals) * 0.5), 1) AS INT)] AS e50,
         |  vals[CAST(greatest(ceil(len(vals) * 0.9), 1) AS INT)] AS e90,
-        |  abs(a50 - vals[CAST(greatest(ceil(len(vals) * 0.5), 1) AS INT)])
-        |    <= greatest(1.0, vals[CAST(greatest(ceil(len(vals) * 0.5), 1) AS INT)] * 0.05) AS within50,
-        |  abs(a90 - vals[CAST(greatest(ceil(len(vals) * 0.9), 1) AS INT)])
-        |    <= greatest(1.0, vals[CAST(greatest(ceil(len(vals) * 0.9), 1) AS INT)] * 0.05) AS within90,
         |  CAST(len(vals) AS INT) AS n
         |FROM (
-        |  SELECT l_returnflag, list_sort(list(l_quantity)) AS vals,
-        |    approx_quantile(l_quantity, 0.5) AS a50,
-        |    approx_quantile(l_quantity, 0.9) AS a90
+        |  SELECT l_returnflag, list_sort(list(l_quantity)) AS vals
         |  FROM lineitem GROUP BY l_returnflag) t
         |ORDER BY l_returnflag""".stripMargin
     )
   )
+
+  /** The sketch path of q_approx_quantiles, exposed for the spec that
+    * asserts the Greenwald-Khanna estimate lands within 5% of the exact
+    * discrete quantile (the bound the hashed row no longer carries).
+    */
+  def approxQuantileSketch(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sort_array(collect_list(col("l_quantity"))).as("vals"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("a90"))
 
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,

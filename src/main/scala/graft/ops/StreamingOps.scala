@@ -38,7 +38,9 @@ object StreamingOps {
   private def runToParquetSink(
       s: org.apache.spark.sql.SparkSession, name: String)(
       stream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(name)
+    // stable, cleared-per-call scratch (bounded disk across re-runs;
+    // clearing also prevents a stale checkpoint pairing with a new run)
+    val tmp = graft.Scratch.dir(name)
     val outDir  = tmp.resolve("out").toString
     val ckptDir = tmp.resolve("ckpt").toString
     val query = stream.writeStream
@@ -112,7 +114,7 @@ object StreamingOps {
   val qStreamWindowProd = Q(
     "q_stream_window_prod",
     (s, d) => {
-      val tmp   = java.nio.file.Files.createTempDirectory("stream_prod")
+      val tmp   = graft.Scratch.dir("stream_prod")
       val inDir = tmp.resolve("in")
       java.nio.file.Files.createDirectories(inDir)
       java.nio.file.Files.copy(

@@ -22,13 +22,16 @@ import org.apache.spark.sql.SparkSession
   * execution IO (A9), exact `read_limit` allocation (A6), and fixed-size
   * row partitions (A4).
   *
-  * Format (one JSON document):
+  * Format (one JSON document, v2):
   * {{{
-  * {"v":1,"size":<bytes>,"lines":<n>,
-  *  "classes":["F","IPM.Note",...],          // "F" = folder records
+  * {"v":2,"size":<bytes>,"fp":<crc>,"lines":<n>,
+  *  "classes":["F","m:IPM.Note",...],        // "F" = folder records;
+  *                                           // messages "m:"-namespaced
   *  "totals":[16,5,...],                     // per-class line counts
   *  "blocks":[[offset,lines,c0,c1,...],...]} // checkpoint every 512 lines
   * }}}
+  * `fp` is the head/tail CRC content fingerprint checked (with `size`)
+  * for sidecar freshness.
   *
   * Block checkpoints let the planner cut partitions at exact matching-row
   * boundaries: a partition starts at the latest block at-or-before its

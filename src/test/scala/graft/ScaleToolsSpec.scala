@@ -185,4 +185,25 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mightRows = batch.filter(Dedup.digestMightContain(sketch)).count()
     assert(mightRows >= 200L, "a true duplicate escaped the Bloom prefilter")
   }
+
+  test("approximate quantile sketch stays within bound") {
+    // the bound q_approx_quantiles' hashed row deliberately does NOT
+    // carry (it would be estimator-dependent): Greenwald-Khanna at
+    // accuracy 10000 must land within max(1.0, 5%) of the exact
+    // discrete quantile on every group
+    import graft.ops.Stats
+    val rows = Stats.approxQuantileSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val vals = r.getAs[scala.collection.Seq[Double]]("vals")
+      def exactAt(p: Double): Double =
+        vals(math.max(math.ceil(vals.size * p).toInt, 1) - 1)
+      for ((p, field) <- Seq((0.5, "a50"), (0.9, "a90"))) {
+        val approx = r.getAs[Double](field)
+        val exact  = exactAt(p)
+        assert(math.abs(approx - exact) <= math.max(1.0, exact * 0.05),
+          s"group ${r.get(0)}: $field=$approx vs exact p$p=$exact")
+      }
+    }
+  }
 }
