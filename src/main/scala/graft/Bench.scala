@@ -14,13 +14,21 @@ import org.apache.spark.sql.SparkSession
   * the ordering work).
   *
   * Hardening against environment noise (round-1 bench artifact was 6×
-  * its reproducible value under scheduler contention):
-  *  - median of 3 timed runs per query, per-run times emitted in the
-  *    JSON (`runs`) so spread is visible in the artifact,
+  * its reproducible value under scheduler contention; round-3 showed a
+  * multi-second contention burst poisoning all back-to-back samples of
+  * single queries):
+  *  - median of 5 timed runs per query, with the runs INTERLEAVED
+  *    round-robin (pass 1 over all queries, then pass 2, ...) so a
+  *    transient burst lands on one sample of many queries — which the
+  *    per-query median discards — instead of every sample of one query,
+  *  - per-run times emitted in the JSON (`runs`, in pass order) so
+  *    spread is visible in the artifact,
   *  - JVM/codegen warmup on the smallest available fixture, derived
   *    from SPARK_GRAFT_SF_DIR rather than hardcoded,
   *  - a pre-bench page-cache touch streams every parquet input once so
   *    run 1 is not charged for cold IO the others skip,
+  *  - a GC between passes so collector debt from one pass is not
+  *    charged to whichever query runs next,
   *  - a query that fails is reported `"failed"` with its error instead
   *    of masquerading as a fast success; failures exit nonzero.
   */
@@ -55,15 +63,20 @@ object Bench {
     final case class R(name: String, runs: Seq[Double], err: Option[String]) {
       def median: Double = runs.sorted.apply(runs.length / 2)
     }
-    val results = bench.map { q =>
-      var err: Option[String] = None
-      val times = (0 until 3).map { _ =>
+    val passes = 5
+    val times = Array.fill(bench.length)(Vector.empty[Double])
+    val errs  = Array.fill[Option[String]](bench.length)(None)
+    for (_ <- 0 until passes) {
+      for ((q, i) <- bench.zipWithIndex) {
         val t0 = System.nanoTime()
         try run(q, sfDir)
-        catch { case t: Throwable => err = Some(t.toString.take(200)) }
-        (System.nanoTime() - t0) / 1e9
+        catch { case t: Throwable => errs(i) = Some(t.toString.take(200)) }
+        times(i) :+= (System.nanoTime() - t0) / 1e9
       }
-      R(q.name, times, err)
+      System.gc()
+    }
+    val results = bench.zipWithIndex.map { case (q, i) =>
+      R(q.name, times(i), errs(i))
     }
     val ok = results.filter(_.err.isEmpty)
     val qs = ok.map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
