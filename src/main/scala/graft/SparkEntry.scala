@@ -12,7 +12,8 @@ object SparkEntry {
       ops.CustomFnQueries.all ++ ops.Temporal.all ++ ops.Scalars.all ++
       ops.Collections.all ++ ops.SqlSurface.all ++ ops.Stats.all ++
       ops.Advanced.all ++ ops.Reshape.all ++ ops.Sampling.all ++
-      ops.Extras.all ++ ops.EventAnalytics.all ++ ops.Layout.all
+      ops.Extras.all ++ ops.EventAnalytics.all ++ ops.Layout.all ++
+      ops.Ranking.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

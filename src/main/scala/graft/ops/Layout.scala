@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Output-side data layout for curated corpora (builder-brief extension):
@@ -119,5 +119,54 @@ object Layout {
     )
   )
 
-  val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin)
+  /** Morton (Z-order) key interleaving the low 8 bits of two columns:
+    * bit i of `x` lands at position 2i, bit i of `y` at 2i+1. Sorting
+    * by this key clusters rows so any contiguous key range is a small
+    * rectangle in (x, y) space — the multi-dimensional layout trick
+    * single-column sorting cannot give.
+    */
+  def zorder8(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** q_zorder — the Z-order key computed over lineitem's (partkey,
+    * orderkey) low bytes, the clustering key a curated corpus would
+    * sort by before writing so parquet footer min/max stats prune on
+    * BOTH dimensions. The cross-engine check verifies the bit
+    * interleave exactly; the layout benefit itself (per-file span of
+    * each dimension shrinking vs a single-column sort) is asserted in
+    * LayoutSpec.
+    *
+    * 100 TB shape: the key is a map-only expression; the sort is the
+    * same one global range-partitioned sort any sorted write pays, and
+    * downstream scans of a z-written table prune files on min/max of
+    * either dimension — turning two-predicate scans from full-corpus
+    * reads into rectangle reads.
+    */
+  val qZorder = Q(
+    "q_zorder",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(256L)).as("zx"),
+          pmod(col("l_orderkey"), lit(256L)).as("zy"))
+        .withColumn("zkey", zorder8(col("zx"), col("zy")))
+        .orderBy("zkey", "l_orderkey", "l_linenumber"),
+    Some {
+      val terms = (0 until 8).map { i =>
+        s"(((zx >> $i) & 1) * ${1L << (2 * i)}) + (((zy >> $i) & 1) * ${1L << (2 * i + 1)})"
+      }.mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, zx, zy, $terms AS zkey
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 256 AS zx, l_orderkey % 256 AS zy
+         |  FROM lineitem)
+         |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder)
 }

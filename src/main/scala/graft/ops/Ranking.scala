@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance ranking over the documents corpus — TF-IDF and
+  * BM25, the retrieval primitives a training-data pipeline uses for
+  * query-based corpus curation (mining documents similar to a seed set,
+  * scoring against quality probes) before any embedding model exists.
+  *
+  * Scale shape (100 TB): one tokenize+explode pass over the corpus →
+  * per-(doc, term) counts partial-aggregated; document frequencies are
+  * per-term aggregates of that same stream; the query-term table is a
+  * handful of rows and is broadcast. The corpus text itself never
+  * shuffles — only (term, doc_id, tf) triples, and only for terms in
+  * the query set after the broadcast semi-join.
+  *
+  * Cross-engine exactness: tf, df, N, dl are exact ints; avgdl is one
+  * division of exact ints; the only transcendental (ln in idf) is
+  * quantized to 1e-6 via floor(x*1e6 + 0.5) — the same guard the vector
+  * ops use — so a last-ulp ln() difference between engines cannot leak
+  * into the hashed result. All remaining arithmetic is IEEE +,-,*,/ on
+  * identical inputs → bit-identical doubles.
+  */
+object Ranking {
+
+  private def wsTokens(c: org.apache.spark.sql.Column) =
+    filter(split(lower(c), "\\s+"), t => t =!= lit(""))
+
+  /** Query terms used by both ranking queries (literals, not data). */
+  private val terms = Seq("spark", "join", "window")
+
+  /** q_tfidf — classic tf-idf for the query terms: tf/dl × ln(N/df),
+    * idf ln-quantized (see object doc). Emits every (doc, term) pair
+    * with tf > 0, ranked per term.
+    */
+  val qTfidf = Q(
+    "q_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+      val n = docs.count() // corpus size: one scalar to the driver
+      val tf = docs
+        .select(col("doc_id"), size(col("t")).as("dl"),
+          explode(col("t")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val idfQ = floor(log(lit(n.toDouble) / col("df")) * 1e6 + 0.5)
+      tf.join(broadcast(df.select(col("term"), (idfQ / 1e6).as("idf"),
+          col("df"))), "term")
+        .select(
+          col("doc_id"), col("term"), col("tf").cast("int").as("tf"),
+          col("df").cast("int").as("df"),
+          (col("tf").cast("double") / col("dl") * col("idf")).as("tfidf"))
+        .orderBy(col("term"), desc("tfidf"), col("doc_id"))
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+        |  FROM toks, UNNEST(t) AS u(term)
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY 1, 2, 3),
+        |df AS (
+        |  SELECT term, count(*) AS df,
+        |    floor(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / count(*))
+        |      * 1e6 + 0.5) / 1e6 AS idf
+        |  FROM tf GROUP BY term)
+        |SELECT doc_id, tf.term AS term, CAST(tf AS INT) AS tf,
+        |  CAST(df AS INT) AS df,
+        |  CAST(tf AS DOUBLE) / dl * idf AS tfidf
+        |FROM tf JOIN df ON tf.term = df.term
+        |ORDER BY term, tfidf DESC, doc_id""".stripMargin
+    )
+  )
+
+  /** q_bm25 — Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's non-negative
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5))) for the same query terms,
+    * summed per document into one relevance score. The per-term score
+    * sum is order-independent: each (doc, term) contributes exactly one
+    * value, picked into a fixed column slot by conditional aggregation
+    * and added in a fixed order — never a shuffle-ordered float sum.
+    */
+  val qBm25 = Q(
+    "q_bm25",
+    (s, d) => {
+      val k1 = 1.2
+      val b  = 0.75
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+      val n = docs.count()
+      val dls = docs.select(col("doc_id"), size(col("t")).as("dl"))
+      // avgdl = exact-int sum / exact count → identical double
+      val dlRow = dls.agg(sum(col("dl")), count(lit(1))).head
+      val avgdl = dlRow.getLong(0).toDouble / dlRow.getLong(1)
+      val tf = docs
+        .select(col("doc_id"), size(col("t")).as("dl"),
+          explode(col("t")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val idfQ = floor(
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+          * 1e6 + 0.5)
+      val scored = tf
+        .join(broadcast(df.select(col("term"), (idfQ / 1e6).as("idf"))), "term")
+        .select(col("doc_id"), col("term"),
+          (col("idf") * (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+            .as("s"))
+      scored
+        .groupBy("doc_id")
+        .agg(
+          coalesce(max(when(col("term") === "spark", col("s"))), lit(0.0))
+            .as("s1"),
+          coalesce(max(when(col("term") === "join", col("s"))), lit(0.0))
+            .as("s2"),
+          coalesce(max(when(col("term") === "window", col("s"))), lit(0.0))
+            .as("s3"))
+        .select(col("doc_id"),
+          (col("s1") + col("s2") + col("s3")).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+        |  FROM toks, UNNEST(t) AS u(term)
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY 1, 2, 3),
+        |df AS (
+        |  SELECT term,
+        |    floor(ln(1.0 + ((SELECT n FROM stats) - count(*) + 0.5)
+        |      / (count(*) + 0.5)) * 1e6 + 0.5) / 1e6 AS idf
+        |  FROM tf GROUP BY term),
+        |scored AS (
+        |  -- e-notation literals: DuckDB parses bare 1.2/2.2 as exact
+        |  -- DECIMAL, which would round differently from double math
+        |  SELECT doc_id, tf.term AS term,
+        |    idf * (tf * 2.2e0) / (tf + 1.2e0 * (1 - 0.75e0
+        |      + 0.75e0 * dl / (SELECT avgdl FROM stats))) AS s
+        |  FROM tf JOIN df ON tf.term = df.term)
+        |SELECT doc_id,
+        |  coalesce(max(s) FILTER (WHERE term = 'spark'), 0.0)
+        |  + coalesce(max(s) FILTER (WHERE term = 'join'), 0.0)
+        |  + coalesce(max(s) FILTER (WHERE term = 'window'), 0.0) AS bm25
+        |FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qTfidf, qBm25)
+}

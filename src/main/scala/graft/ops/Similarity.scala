@@ -534,7 +534,117 @@ object Similarity {
     )
   )
 
+  /** q_ann_sq8 — scalar-quantized (SQ8) ANN, the memory-compression
+    * path of a vector index: every dimension is linearly quantized to
+    * an 8-bit code against the corpus' per-dimension min/max, candidate
+    * generation scores the 1-byte codes (integer dot — 4× smaller than
+    * float32, 24× smaller than the 1e-6 BIGINT form), and only the
+    * top-10 candidates per query are re-ranked with the exact quantized
+    * cosine. Output: exact-reranked top-3 with the approx score that
+    * found them.
+    *
+    * 100 TB shape: dimension stats are one tiny aggregate (O(dims)
+    * rows) broadcast back over the corpus scan; code vectors are what a
+    * real SQ8 index materializes in RAM — at 1 byte/dim a 768-dim
+    * embedding costs 768 bytes instead of 3 KB float32, so a corpus
+    * that would not fit in cluster memory as floats serves ANN from
+    * codes, with the exact vectors only touched for the candidate set
+    * (here: 10 per query, not 500).
+    *
+    * Cross-engine exactness: min/max of exact doubles; the quantizer
+    * `floor((x-mn)/(mx-mn)*255 + 0.5)` is IEEE ops on identical inputs
+    * → identical codes; code dots are exact BIGINT sums; the rerank is
+    * the established exact-integer cosine.
+    */
+  val qAnnSq8 = Q(
+    "q_ann_sq8",
+    (s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"),
+          col("col").cast("double").as("x"))
+      val dims = ex.groupBy("pos")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val codes = ex.join(broadcast(dims), "pos")
+        .select(col("vec_id"), col("pos"),
+          when(col("mx") > col("mn"),
+            floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+              * lit(255.0) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L)).as("c"))
+      val qCodes = codes.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("pos"), col("c").as("qc"))
+      val adot = codes.filter(col("vec_id") >= 8)
+        .join(broadcast(qCodes), "pos")
+        .groupBy(col("qid"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("qc") * col("c")).as("adot"))
+      val wA = Window.partitionBy("qid")
+        .orderBy(col("adot").desc, col("neighbor_id").asc)
+      val cand = adot.withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= 10)
+        .select("qid", "neighbor_id", "adot")
+      // exact rerank of the candidate set only
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+      val rer = cand
+        .join(e.select(col("vec_id").as("qid"), col("qv").as("quv"),
+          col("nq").as("qn")), "qid")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("qv"),
+          col("nq")), "neighbor_id")
+        .select(col("qid"), col("neighbor_id"), col("adot"),
+          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq"))
+            .as("cos_sim"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      rer.withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 3)
+        .select("qid", "nrank", "neighbor_id", "adot", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some(
+      s"""WITH ex AS (
+         |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
+         |dims AS (
+         |  SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+         |codes AS (
+         |  SELECT vec_id, ex.pos AS pos,
+         |    CASE WHEN mx > mn THEN
+         |      CAST(floor((x - mn) / (mx - mn) * 255.0e0 + 0.5e0) AS BIGINT)
+         |    ELSE 0 END AS c
+         |  FROM ex JOIN dims ON ex.pos = dims.pos),
+         |adot AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         |    CAST(sum(q.c * c.c) AS BIGINT) AS adot
+         |  FROM codes q JOIN codes c
+         |    ON q.pos = c.pos AND q.vec_id < 8 AND c.vec_id >= 8
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT qid, neighbor_id, adot,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY adot DESC, neighbor_id ASC) AS arank
+         |  FROM adot),
+         |n AS (
+         |  SELECT vec_id, qv, ${dotqSql("qv", "qv")} AS nq
+         |  FROM (SELECT vec_id, $qvecSql AS qv FROM embeddings)),
+         |rer AS (
+         |  SELECT cand.qid, cand.neighbor_id, cand.adot,
+         |    CAST(${dotqSql("q.qv", "c.qv")} AS DOUBLE)
+         |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos_sim
+         |  FROM cand JOIN n q ON q.vec_id = cand.qid
+         |    JOIN n c ON c.vec_id = cand.neighbor_id
+         |  WHERE cand.arank <= 10),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, adot, cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+         |  FROM rer)
+         |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, adot, cos_sim
+         |FROM ranked WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
-      qIvfSearchProbe2, qDedupEmbedding)
+      qIvfSearchProbe2, qDedupEmbedding, qAnnSq8)
 }

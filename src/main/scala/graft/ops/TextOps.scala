@@ -318,7 +318,95 @@ object TextOps {
     )
   )
 
+  /** q_repetition — Gopher-style within-document repetition signals,
+    * the quality filters a pretraining pipeline applies before dedup
+    * (Rae et al. 2021 §A1.1: documents dominated by repeated lines or
+    * n-grams are low-quality): per document,
+    *  - `dup_word_frac`   — fraction of word occurrences beyond each
+    *    word's first (1 - distinct/total),
+    *  - `top_bigram_frac` — share of bigram occurrences taken by the
+    *    single most frequent bigram,
+    *  - `dup_trigram_frac` — fraction of trigram occurrences whose gram
+    *    appears more than once.
+    *
+    * Shape: one exploded (doc_id, n, gram) stream for n ∈ {1,2,3} →
+    * count per gram → per-doc stats, every step partial-aggregated, so
+    * the shuffle carries gram counts (bounded by vocabulary per doc),
+    * never document text. Fractions are single divisions of exact ints
+    * → bit-identical doubles in both engines.
+    */
+  val qRepetition = Q(
+    "q_repetition",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), wsTokens(lower(col("text"))).as("t"))
+      // word n-grams; empty (not descending!) when the doc is shorter
+      // than n — Spark sequence(1, 0) would count DOWN
+      def grams(n: Int) = toks.select(
+        col("doc_id"),
+        lit(n).as("n"),
+        explode(
+          when(size(col("t")) >= n,
+            transform(sequence(lit(1), size(col("t")) - (n - 1)),
+              i => concat_ws(" ", slice(col("t"), i, lit(n)))))
+            .otherwise(array())).as("g"))
+      val counts = grams(1).unionAll(grams(2)).unionAll(grams(3))
+        .groupBy("doc_id", "n", "g")
+        .agg(count(lit(1)).as("c"))
+      counts
+        .groupBy("doc_id", "n")
+        .agg(
+          sum(col("c")).as("total"),
+          count(lit(1)).as("distinct_"),
+          max(col("c")).as("maxc"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_occ"))
+        .groupBy("doc_id")
+        .agg(
+          max(when(col("n") === 1, col("total"))).as("n_words"),
+          max(when(col("n") === 1, col("total") - col("distinct_"))).as("dup_w"),
+          max(when(col("n") === 2, col("maxc"))).as("top_bg"),
+          max(when(col("n") === 2, col("total"))).as("n_bg"),
+          max(when(col("n") === 3, col("dup_occ"))).as("dup_tg"),
+          max(when(col("n") === 3, col("total"))).as("n_tg"))
+        .select(
+          col("doc_id"),
+          col("n_words").cast("int").as("n_words"),
+          (col("dup_w").cast("double") / col("n_words")).as("dup_word_frac"),
+          (col("top_bg").cast("double") / col("n_bg")).as("top_bigram_frac"),
+          (col("dup_tg").cast("double") / col("n_tg")).as("dup_trigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, n.n AS n, array_to_string(t[i:i+n.n-1], ' ') AS g
+        |  FROM toks
+        |  CROSS JOIN (SELECT UNNEST(ARRAY[1,2,3]) AS n) n,
+        |  UNNEST(range(1, len(t) - n.n + 2)) AS u(i)
+        |  WHERE len(t) >= n.n),
+        |counts AS (
+        |  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+        |per_n AS (
+        |  SELECT doc_id, n, sum(c) AS total, count(*) AS distinct_,
+        |    max(c) AS maxc,
+        |    coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_occ
+        |  FROM counts GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(max(total) FILTER (WHERE n = 1) AS INT) AS n_words,
+        |  CAST(max(total - distinct_) FILTER (WHERE n = 1) AS DOUBLE)
+        |    / max(total) FILTER (WHERE n = 1) AS dup_word_frac,
+        |  CAST(max(maxc) FILTER (WHERE n = 2) AS DOUBLE)
+        |    / max(total) FILTER (WHERE n = 2) AS top_bigram_frac,
+        |  CAST(max(dup_occ) FILTER (WHERE n = 3) AS DOUBLE)
+        |    / max(total) FILTER (WHERE n = 3) AS dup_trigram_frac
+        |FROM per_n GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
-      qRedact, qDecontaminate)
+      qRedact, qDecontaminate, qRepetition)
 }

@@ -99,4 +99,40 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("z-order sort clusters BOTH dimensions; single-key sort only one") {
+    // 8 range partitions stand in for 8 output files; span = per-file
+    // (max - min) of each dimension, averaged over files — what parquet
+    // footer min/max pruning sees
+    val base = Tables.lineitem(spark, sf)
+      .select(
+        pmod(col("l_partkey"), lit(256L)).as("zx"),
+        pmod(col("l_orderkey"), lit(256L)).as("zy"))
+    def avgSpans(sorted: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = sorted
+        .withColumn("f", spark_partition_id())
+        .groupBy("f")
+        .agg((max(col("zx")) - min(col("zx"))).as("sx"),
+          (max(col("zy")) - min(col("zy"))).as("sy"))
+        .agg(avg(col("sx")), avg(col("sy")))
+        .collect()(0)
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+    val zed = base.withColumn("zkey", Layout.zorder8(col("zx"), col("zy")))
+      .repartitionByRange(8, col("zkey"))
+      .sortWithinPartitions("zkey")
+    val linear = base.repartitionByRange(8, col("zx"))
+      .sortWithinPartitions("zx")
+
+    val (zxSpan, zySpan) = avgSpans(zed)
+    val (lxSpan, lySpan) = avgSpans(linear)
+    // z-order: every file is a rectangle — both dims well under the
+    // full 0..255 range; linear: the sort key is tight but the other
+    // dimension spans essentially everything
+    assert(zxSpan < 180.0, s"z-order zx span $zxSpan")
+    assert(zySpan < 180.0, s"z-order zy span $zySpan")
+    assert(lySpan > 200.0, s"linear-sort zy span $lySpan (should be ~full)")
+    assert(zySpan < lySpan - 40.0,
+      s"z-order must beat linear on the second dimension: $zySpan vs $lySpan")
+  }
 }
