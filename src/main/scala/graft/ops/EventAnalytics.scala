@@ -87,5 +87,51 @@ object EventAnalytics {
     )
   )
 
-  val all: Seq[Q] = Seq(qDailyUniques, qRetention, qTopUsersPerType)
+  /** q_transitions — behavioral transition matrix: for each user's
+    * event sequence (event-time order, event_id tie-break), count
+    * (previous event_type → event_type) pairs across the corpus, with
+    * each type's share of outgoing transitions. The Markov-chain view
+    * of product flows (what follows a click?).
+    *
+    * 100 TB shape: one shuffle to co-locate each user's events, a lag
+    * window per user (linear in the partition), then a tiny global
+    * aggregate over |types|² rows — partial-aggregated, so the wire
+    * carries transition counts, not events. Shares are single
+    * divisions of exact counts.
+    */
+  val qTransitions = Q(
+    "q_transitions",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val counts = pairs.groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w2 = Window.partitionBy("prev_type")
+      counts
+        .withColumn("share",
+          col("n").cast("double") / sum(col("n")).over(w2))
+        .select(col("prev_type"), col("event_type"), col("n"), col("share"))
+        .orderBy("prev_type", "event_type")
+    },
+    Some(
+      """WITH pairs AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT prev_type, event_type, count(*) AS n
+        |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS share
+        |FROM counts ORDER BY prev_type, event_type""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(qDailyUniques, qRetention, qTopUsersPerType, qTransitions)
 }

@@ -644,7 +644,179 @@ object Similarity {
     )
   )
 
+  /** q_ann_pq — product quantization (Jégou et al., TPAMI 2011), the
+    * codebook-compression path real vector indexes (FAISS IVF-PQ) use:
+    * the 64-dim space is split into m=8 subspaces of 8 dims; each
+    * subspace trains its own k=8 codebook (deterministic k-means: seed
+    * centroids = vectors 0..7's subvectors, one exact-integer Lloyd
+    * step); every vector is encoded as 8 one-byte codes (3 bits used).
+    * Search is asymmetric distance computation (ADC): per query, one
+    * m×k lookup table of exact subspace dots against the codebooks;
+    * a corpus vector's approximate score is the sum of 8 table
+    * lookups keyed by its codes — no float math against the corpus at
+    * all. Top-10 ADC candidates are re-ranked with the exact quantized
+    * cosine; top-3 emitted.
+    *
+    * 100 TB shape: codebooks are m×k×(dims/m) = one tiny broadcast;
+    * encoded corpus is 8 bytes/vector (384× smaller than float32×64);
+    * ADC scoring shuffles only (sub, code) joins against a 64-row
+    * broadcast table, partial-aggregated; exact vectors are touched
+    * only for the 10-per-query candidate set.
+    *
+    * Cross-engine exactness: subspace assignment minimizes the exact
+    * BIGINT L2 form nx + nc − 2·dot (ties → smaller cid); Lloyd means
+    * round via floor(x+0.5); ADC sums are exact BIGINTs; rerank is the
+    * established exact-integer cosine.
+    */
+  val qAnnPq = Q(
+    "q_ann_pq",
+    (s, d) => {
+      val (v0, _) = quantized(s, d)
+      val v = v0.withColumn("sub", floor(col("pos") / 8).cast("int"))
+      val nx = v.groupBy("vec_id", "sub")
+        .agg(sum(col("q") * col("q")).as("nx"))
+
+      def withSub(c: DataFrame): DataFrame =
+        c.withColumn("sub", floor(col("pos") / 8).cast("int"))
+      // per-(vec, subspace) nearest codebook entry by exact integer L2
+      def encode(cent: DataFrame): DataFrame = {
+        val nc = withSub(cent).groupBy("sub", "cid")
+          .agg(sum(col("cq") * col("cq")).as("nc"))
+        val dots = v.join(broadcast(cent.select("cid", "pos", "cq")), Seq("pos"))
+          .groupBy(col("vec_id"), col("sub"), col("cid"))
+          .agg(sum(col("q") * col("cq")).as("dot"))
+        val w = Window.partitionBy("vec_id", "sub")
+          .orderBy((col("nx") + col("nc") - lit(2L) * col("dot")).asc,
+            col("cid").asc)
+        dots.join(nx, Seq("vec_id", "sub"))
+          .join(broadcast(nc), Seq("sub", "cid"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      }
+
+      val c0 = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+        .localCheckpoint()
+      // one Lloyd step; empty cells keep their seed row
+      val means = encode(c0)
+        .join(v, Seq("vec_id", "sub"))
+        .select(col("code").as("cid"), col("pos"), col("q"))
+        .groupBy("cid", "pos")
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("mq"))
+      val c1 = c0
+        .join(means, Seq("cid", "pos"), "left_outer")
+        .select(col("cid"), col("pos"), coalesce(col("mq"), col("cq")).as("cq"))
+        .localCheckpoint()
+
+      val codes = encode(c1)
+      // ADC lookup table: query × codebook subspace dots (m×k rows/query)
+      val tq = v.filter(col("vec_id") < 8)
+        .join(broadcast(c1), Seq("pos"))
+        .groupBy(col("vec_id").as("qid"), col("sub"), col("cid"))
+        .agg(sum(col("q") * col("cq")).as("t"))
+      val adot = codes.filter(col("vec_id") >= 8).as("k")
+        .join(broadcast(tq.as("lut")),
+          col("k.sub") === col("lut.sub") && col("k.code") === col("lut.cid"))
+        .select(col("lut.qid").as("qid"),
+          col("k.vec_id").as("neighbor_id"), col("lut.t").as("t"))
+        .groupBy("qid", "neighbor_id")
+        .agg(sum(col("t")).as("adot"))
+      val wA = Window.partitionBy("qid")
+        .orderBy(col("adot").desc, col("neighbor_id").asc)
+      val cand = adot.withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= 10)
+        .select("qid", "neighbor_id", "adot")
+
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+      val rer = cand
+        .join(e.select(col("vec_id").as("qid"), col("qv").as("quv"),
+          col("nq").as("qn")), "qid")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("qv"),
+          col("nq")), "neighbor_id")
+        .select(col("qid"), col("neighbor_id"), col("adot"),
+          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq"))
+            .as("cos_sim"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      rer.withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 3)
+        .select("qid", "nrank", "neighbor_id", "adot", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some {
+      def encodeSql(cn: String, out: String): String =
+        s"""nc_$out AS (
+           |  SELECT sub, cid, CAST(sum(cq * cq) AS BIGINT) AS nc
+           |  FROM $cn GROUP BY 1, 2),
+           |dot_$out AS (
+           |  SELECT v.vec_id, v.sub, c.cid, CAST(sum(v.q * c.cq) AS BIGINT) AS dot
+           |  FROM v JOIN $cn c ON v.pos = c.pos GROUP BY 1, 2, 3),
+           |$out AS (
+           |  SELECT vec_id, sub, cid AS code FROM (
+           |    SELECT d.vec_id, d.sub, d.cid,
+           |      row_number() OVER (PARTITION BY d.vec_id, d.sub
+           |        ORDER BY nx.nx + nc.nc - 2 * d.dot ASC, d.cid ASC) AS rn
+           |    FROM dot_$out d
+           |    JOIN nx ON d.vec_id = nx.vec_id AND d.sub = nx.sub
+           |    JOIN nc_$out nc ON d.sub = nc.sub AND d.cid = nc.cid) t
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+         |    CAST((i - 1) // 8 AS INT) AS sub, qv[i] AS q
+         |  FROM e, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) r),
+         |nx AS (
+         |  SELECT vec_id, sub, CAST(sum(q * q) AS BIGINT) AS nx
+         |  FROM v GROUP BY 1, 2),
+         |c0 AS (SELECT vec_id AS cid, pos, sub, q AS cq FROM v WHERE vec_id < 8),
+         |${encodeSql("c0", "a0")},
+         |c1 AS (
+         |  SELECT c.cid, c.pos, c.sub, COALESCE(m.mq, c.cq) AS cq
+         |  FROM c0 c LEFT JOIN (
+         |    SELECT a.code AS cid, v.pos,
+         |      CAST(floor(CAST(sum(v.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mq
+         |    FROM a0 a JOIN v ON a.vec_id = v.vec_id AND a.sub = v.sub
+         |    GROUP BY 1, 2) m ON c.cid = m.cid AND c.pos = m.pos),
+         |${encodeSql("c1", "codes")},
+         |tq AS (
+         |  SELECT v.vec_id AS qid, v.sub, c.cid, CAST(sum(v.q * c.cq) AS BIGINT) AS t
+         |  FROM v JOIN c1 c ON v.pos = c.pos
+         |  WHERE v.vec_id < 8 GROUP BY 1, 2, 3),
+         |adot AS (
+         |  SELECT t.qid, k.vec_id AS neighbor_id, CAST(sum(t.t) AS BIGINT) AS adot
+         |  FROM codes k JOIN tq t ON t.sub = k.sub AND t.cid = k.code
+         |  WHERE k.vec_id >= 8 GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT qid, neighbor_id, adot,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY adot DESC, neighbor_id ASC) AS arank
+         |  FROM adot),
+         |n AS (
+         |  SELECT vec_id, qv, ${dotqSql("qv", "qv")} AS nq
+         |  FROM (SELECT vec_id, $qvecSql AS qv FROM embeddings)),
+         |rer AS (
+         |  SELECT cand.qid, cand.neighbor_id, cand.adot,
+         |    CAST(${dotqSql("q.qv", "c.qv")} AS DOUBLE)
+         |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos_sim
+         |  FROM cand JOIN n q ON q.vec_id = cand.qid
+         |    JOIN n c ON c.vec_id = cand.neighbor_id
+         |  WHERE cand.arank <= 10),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, adot, cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+         |  FROM rer)
+         |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, adot, cos_sim
+         |FROM ranked WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
-      qIvfSearchProbe2, qDedupEmbedding, qAnnSq8)
+      qIvfSearchProbe2, qDedupEmbedding, qAnnSq8, qAnnPq)
 }

@@ -308,7 +308,77 @@ object StreamingOps {
     )
   )
 
+  /** q_stream_stream_left — stream-stream LEFT OUTER interval join:
+    * every click, with its same-user purchase in the following hour or
+    * NULL if none arrived. The semantics the inner join above cannot
+    * exercise: an unmatched click may only be emitted once the
+    * event-time watermark has passed its join horizon (a later purchase
+    * could still match), so null rows are produced by state EVICTION,
+    * not by data arrival. Finite-input mechanics: sentinel click +
+    * purchase rows 3 days out advance both sides' watermarks so every
+    * real click's horizon closes and its row (matched or null) is
+    * flushed; the sentinels themselves are filtered from the result.
+    *
+    * 100 TB shape: identical state bound to the inner join — each
+    * side's state holds one hour of events per the watermark; the null
+    * emission adds no state, only an eviction-time emit.
+    */
+  val qStreamStreamLeft = Q(
+    "q_stream_stream_left",
+    (s, d) => {
+      val tmp   = graft.Scratch.dir("stream_ssleft")
+      val inDir = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "events.parquet"),
+        inDir.resolve("events.parquet"))
+      val raw   = Tables.eventsRaw(s, d)
+      val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+      val farNs = maxNs + 3L * 86400 * 1000000000L
+      // one sentinel per side (click then purchase, 1 h apart so the
+      // pair cannot even interval-match each other)
+      raw.limit(1)
+        .select(lit(-1L).as("event_id"), lit(farNs).as("ts"),
+          lit(-1L).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .unionByName(raw.limit(1)
+          .select(lit(-2L).as("event_id"),
+            lit(farNs + 7200L * 1000000000L).as("ts"),
+            lit(-2L).as("user_id"), lit("purchase").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props")))
+        .write.mode("append").parquet(inDir.toString)
+
+      def src = withTsMicros(
+        s.readStream.schema(raw.schema).parquet(inDir.toString))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("bu"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"))
+        .withWatermark("buy_ts", "1 hour")
+      val stream = clicks
+        .join(buys, expr(
+          "cu = bu AND click_ts BETWEEN buy_ts - INTERVAL 1 HOUR AND buy_ts"),
+          "left_outer")
+        .select(col("click_id"), col("buy_id"))
+      runToParquetSink(s, "stream_ssleft_sink")(stream)
+        .filter(col("click_id") >= 0)
+        .orderBy(col("click_id"), col("buy_id"))
+    },
+    Some(
+      """SELECT c.event_id AS click_id, b.event_id AS buy_id
+        |FROM events c LEFT JOIN events b
+        |  ON c.user_id = b.user_id
+        | AND b.event_type = 'purchase'
+        | AND c.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts
+        |WHERE c.event_type = 'click'
+        |ORDER BY click_id, buy_id NULLS FIRST""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
-      qStreamEnrich, qStreamStreamJoin)
+      qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft)
 }
