@@ -340,17 +340,19 @@ object TextOps {
     (s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), wsTokens(lower(col("text"))).as("t"))
-      // word n-grams; empty (not descending!) when the doc is shorter
-      // than n — Spark sequence(1, 0) would count DOWN
-      def grams(n: Int) = toks.select(
-        col("doc_id"),
-        lit(n).as("n"),
-        explode(
-          when(size(col("t")) >= n,
-            transform(sequence(lit(1), size(col("t")) - (n - 1)),
-              i => concat_ws(" ", slice(col("t"), i, lit(n)))))
-            .otherwise(array())).as("g"))
-      val counts = grams(1).unionAll(grams(2)).unionAll(grams(3))
+      // word n-grams as (n, gram) structs; empty (not descending!) when
+      // the doc is shorter than n — Spark sequence(1, 0) would count
+      // DOWN. All three gram sizes concat into ONE exploded stream so
+      // the corpus is scanned once, not once per n.
+      def grams(n: Int) = when(size(col("t")) >= n,
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("t"), i, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+      val counts = toks
+        .select(col("doc_id"),
+          explode(concat(grams(1), grams(2), grams(3))).as("ng"))
+        .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
         .groupBy("doc_id", "n", "g")
         .agg(count(lit(1)).as("c"))
       counts
