@@ -81,5 +81,47 @@ object Sampling {
     )
   )
 
-  val all: Seq[Q] = Seq(qHashSample, qStratifiedSample, qTrainValSplit)
+  /** q_importance_sample — per-row varying-probability sampling, the
+    * quality-weighted downsampling step of corpus curation (keep long /
+    * high-quality documents with higher probability): row kept iff its
+    * content-hash uniform u ∈ [0,1) is below the row's own acceptance
+    * probability p = min(1, n_chars/400). Fully deterministic and
+    * re-derivable: u is the first 8 md5 hex digits as a 32-bit integer
+    * over 2³², p a single exact division — no RNG anywhere, identical
+    * keep-set in both engines, stable under repartitioning.
+    *
+    * 100 TB shape: pure map-side filter on the scan — no shuffle, no
+    * state; expected output size is Σp without a separate sizing pass.
+    */
+  val qImportanceSample = Q(
+    "q_importance_sample",
+    (s, d) => {
+      val u = conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      val p = least(lit(1.0), col("n_chars").cast("double") / lit(400.0))
+      Tables.documents(s, d)
+        .withColumn("u", u)
+        .withColumn("p", p)
+        .filter(col("u") < col("p"))
+        .select(col("doc_id"), col("u"), col("p"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // hex→int64 positional arithmetic (DuckDB has no conv())
+      val hexToLong = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr(h, ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""SELECT doc_id, u, p FROM (
+         |  SELECT doc_id,
+         |    CAST($hexToLong AS DOUBLE) / 4294967296.0e0 AS u,
+         |    least(1.0e0, CAST(n_chars AS DOUBLE) / 400.0e0) AS p
+         |  FROM (SELECT doc_id, n_chars, substr(md5(text), 1, 8) AS h
+         |        FROM documents))
+         |WHERE u < p ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] =
+    Seq(qHashSample, qStratifiedSample, qTrainValSplit, qImportanceSample)
 }
