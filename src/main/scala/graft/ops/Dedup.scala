@@ -504,6 +504,48 @@ object Dedup {
     definitelyNew.unionByName(confirmedNew)
   }
 
+  /** q_edit_verify — exact edit-distance verification of the LSH
+    * candidate pairs: the confirm stage of a near-dup pipeline
+    * (candidates come from bucketing, the KEEP/DROP decision from an
+    * exact metric on the candidate set only). Levenshtein runs on
+    * 200-char prefixes — the O(len²) DP cost is bounded per pair
+    * regardless of document size — and a pair is confirmed when the
+    * prefix distance is within 20% of the prefix length. Both engines
+    * implement classic Levenshtein → exact integer parity.
+    *
+    * 100 TB shape: the quadratic metric touches ONLY candidate pairs
+    * (LSH-bounded, skew-guarded), never the corpus cross product; the
+    * join ships 200-char prefixes, not documents.
+    */
+  val qEditVerify = Q(
+    "q_edit_verify",
+    (s, d) => {
+      val pref = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("pref"))
+      val pairs = lshPairs(s, d)
+      pairs
+        .join(pref.select(col("doc_id").as("id_a"), col("pref").as("pa")), "id_a")
+        .join(pref.select(col("doc_id").as("id_b"), col("pref").as("pb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pa"), col("pb")).as("edit_dist"),
+          greatest(length(col("pa")), length(col("pb"))).as("pref_len"))
+        .withColumn("confirmed",
+          col("edit_dist") * lit(5) <= col("pref_len"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      s"""WITH pairs AS ($lshPairsSql),
+         |pref AS (SELECT doc_id, substr(text, 1, 200) AS pref FROM documents)
+         |SELECT id_a, id_b,
+         |  CAST(levenshtein(a.pref, b.pref) AS INT) AS edit_dist,
+         |  CAST(greatest(length(a.pref), length(b.pref)) AS INT) AS pref_len,
+         |  levenshtein(a.pref, b.pref) * 5 <= greatest(length(a.pref), length(b.pref)) AS confirmed
+         |FROM pairs JOIN pref a ON a.doc_id = id_a
+         |JOIN pref b ON b.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   /** q_dedup_incremental — incremental batch-vs-corpus dedup: documents
     * with doc_id % 10 == 0 are "today's batch", the rest the standing
     * corpus; result = batch rows whose content digest is new.
@@ -536,6 +578,7 @@ object Dedup {
     qDedupClusters,
     qSimhash,
     qNgramJaccard,
-    qDedupIncremental
+    qDedupIncremental,
+    qEditVerify
   )
 }

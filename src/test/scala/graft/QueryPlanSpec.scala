@@ -95,4 +95,45 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q_dedup_incremental")
     assert(p.contains("might_contain"), p)
   }
+
+  test("q_bm25 broadcasts term stats and partial-aggregates tf") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "the tf stream must not shuffle for the idf join")
+    assert(p.contains("partial_count"), "tf counts must partial-aggregate")
+  }
+
+  test("q_repetition scans the corpus exactly once") {
+    val p = plan("q_repetition")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"expected one corpus scan:\n$p")
+    assert(p.contains("partial_sum"), "gram stats must partial-aggregate")
+  }
+
+  test("q_ann_sq8 and q_ann_pq rank candidates with pre-shuffle group limits") {
+    for (n <- Seq("q_ann_sq8", "q_ann_pq")) {
+      val p = plan(n)
+      assert(p.contains("WindowGroupLimit"), s"$n: $p")
+      assert(p.contains("Partial"), s"$n: top-k must drop rows before the exchange")
+      assert(p.contains("BroadcastHashJoin"), s"$n: rerank joins must broadcast")
+    }
+  }
+
+  test("q_profile computes all column stats in one scan") {
+    val p = plan("q_profile")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"expected one orders scan:\n$p")
+  }
+
+  test("q_gap_fill joins the generated spine without shuffling the daily aggregate") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"spine join should broadcast:\n$p")
+  }
+
+  test("q_importance_sample is a map-only filter over the scan") {
+    val p = plan("q_importance_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no shuffle expected before the output sort:\n$p")
+  }
 }
