@@ -40,6 +40,40 @@ object Scalars {
     )
   )
 
+  /** q_string_funcs3 — translate/rpad/left/right/split_part/ascii/chr
+    * (the complement of q_string_funcs2's batch). split_part is the
+    * SQL-function form: both engines return '' (not NULL, not an
+    * error) for an out-of-range index.
+    */
+  val qStringFuncs3 = Q(
+    "q_string_funcs3",
+    (s, d) =>
+      Tables
+        .part(s, d)
+        .select(
+          col("p_partkey"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+          rpad(col("p_brand"), 12, ".").as("rpadded"),
+          expr("left(p_name, 4)").as("head4"),
+          expr("right(p_name, 4)").as("tail4"),
+          expr("split_part(p_name, ' ', 2)").as("word2"),
+          ascii(col("p_type")).as("first_code"),
+          expr("chr(ascii(p_type) + 1)").as("next_char")
+        )
+        .orderBy("p_partkey"),
+    Some(
+      """SELECT p_partkey,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+        |  rpad(p_brand, 12, '.') AS rpadded,
+        |  left(p_name, 4) AS head4,
+        |  right(p_name, 4) AS tail4,
+        |  split_part(p_name, ' ', 2) AS word2,
+        |  CAST(ascii(p_type) AS INT) AS first_code,
+        |  chr(ascii(p_type) + 1) AS next_char
+        |FROM part ORDER BY p_partkey""".stripMargin
+    )
+  )
+
   /** q_null_funcs — coalesce/nullif/nvl over derived NULLs. */
   val qNullFuncs = Q(
     "q_null_funcs",
@@ -211,6 +245,7 @@ object Scalars {
 
   val all: Seq[Q] = Seq(
     qStringFuncs2,
+    qStringFuncs3,
     qNullFuncs,
     qInBetween,
     qCasts,

@@ -231,6 +231,37 @@ object Stats {
     )
   )
 
+  /** q_window_firstlast — frame-boundary window navigation: first /
+    * last / 2nd value of each status partition in orderkey order, over
+    * the full-partition frame (last_value on the default frame would be
+    * the current row — the classic trap; the explicit unbounded frame
+    * is asserted here to match DuckDB's semantics exactly).
+    */
+  val qWindowFirstlast = Q(
+    "q_window_firstlast",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(
+          col("o_orderstatus"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    },
+    Some(
+      """SELECT o_orderstatus, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+    )
+  )
+
   /** The sketch path of q_approx_quantiles, exposed for the spec that
     * asserts the Greenwald-Khanna estimate lands within 5% of the exact
     * discrete quantile (the bound the hashed row no longer carries).
@@ -246,5 +277,5 @@ object Stats {
 
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
-      qApproxQuantiles)
+      qApproxQuantiles, qWindowFirstlast)
 }
