@@ -77,7 +77,7 @@ object Dedup {
     * the shuffle carries one 8-slice row per (partition, doc) — this is
     * the 100 TB-safe formulation.
     */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+  private[ops] def signatures(s: SparkSession, d: String): DataFrame = {
     val exploded = Tables
       .documents(s, d)
       // 1-element explode = materialization barrier: split runs once
@@ -107,7 +107,7 @@ object Dedup {
       )
   }
 
-  private val signaturesSql: String = {
+  private[ops] val signaturesSql: String = {
     // hex→int64 without conv(): 8-term positional arithmetic
     def hexToLong(expr: String, start: Int): String =
       (0 until 8).map { k =>

@@ -378,7 +378,98 @@ object StreamingOps {
     )
   )
 
+  /** q_stream_neardup — streaming NEAR-duplicate detection against a
+    * standing corpus: each arriving document is MinHash-banded
+    * per-row (a stateless map — array lambdas compute the 8 min-hash
+    * slices with no explode, no aggregation, no stream state) and its
+    * two band keys probe a static band index of the corpus; matches
+    * (arriving doc, corpus doc) flow append-mode to a distributed sink.
+    * The per-row signature is bit-identical to the batch
+    * explode+min-aggregate form, so the corpus index (built by the
+    * batch path) and the stream side share one key space — and the
+    * oracle is the plain batch band join.
+    *
+    * 100 TB shape: corpus bands are a compact (band, digest → doc_id)
+    * index; arriving docs never shuffle — each emits ≤2 band keys that
+    * hash-join the index; duplicates of a pair across bands collapse in
+    * the downstream read (batch distinct over the tiny match set).
+    */
+  val qStreamNeardup = Q(
+    "q_stream_neardup",
+    (s, d) => {
+      import graft.ops.{Dedup => D}
+      val tmp   = graft.Scratch.dir("stream_neardup")
+      val inDir = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "documents.parquet"),
+        inDir.resolve("documents.parquet"))
+
+      // per-row signature: shingles → per-prefix digest arrays →
+      // min of each 8-hex-digit slice (two selects keep the digest
+      // arrays as named columns so the four slice-mins share them
+      // instead of re-hashing per slice)
+      def perRowBands(df: org.apache.spark.sql.DataFrame) = {
+        val digs = df
+          .withColumn("toks", split(col("text"), "\\s+"))
+          .withColumn("sh", D.shinglesOfTokens(col("toks")))
+          .withColumn("ds0", transform(col("sh"),
+            g => md5(concat(lit("0|"), g))))
+          .withColumn("ds1", transform(col("sh"),
+            g => md5(concat(lit("1|"), g))))
+        val hs = (0 until 8).map { j =>
+          val dsc   = if (j < 4) "ds0" else "ds1"
+          val start = (j % 4) * 8 + 1
+          array_min(transform(col(dsc),
+            m => conv(substring(m, start, 8), 16, 10).cast("long")))
+            .as(s"h$j")
+        }
+        digs.select(col("doc_id") +: hs: _*)
+          .select(col("doc_id"),
+            explode(array(
+              struct(lit(0).as("band"),
+                md5(concat_ws("|", (0 until 4).map(j => col(s"h$j")): _*))
+                  .as("bv")),
+              struct(lit(1).as("band"),
+                md5(concat_ws("|", (4 until 8).map(j => col(s"h$j")): _*))
+                  .as("bv")))).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bv").as("bv"))
+      }
+
+      // standing corpus index, built by the BATCH signature path
+      val sig = D.signatures(s, d).filter(col("doc_id") % 10 =!= 0)
+      val corpusBands = sig
+        .select(col("doc_id").as("corpus_id"), lit(0).as("band"),
+          col("b0").as("bv"))
+        .union(sig.select(col("doc_id").as("corpus_id"), lit(1).as("band"),
+          col("b1").as("bv")))
+
+      val stream = perRowBands(
+        s.readStream.schema(Tables.documents(s, d).schema)
+          .parquet(inDir.toString)
+          .filter(col("doc_id") % 10 === 0))
+        .join(corpusBands, Seq("band", "bv"))
+        .select(col("doc_id").as("batch_id"), col("corpus_id"))
+
+      runToParquetSink(s, "stream_neardup_sink")(stream)
+        .distinct()
+        .orderBy("batch_id", "corpus_id")
+    },
+    Some(
+      s"""WITH sigs AS (${graft.ops.Dedup.signaturesSql}),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, b0 AS bv FROM sigs
+         |  UNION ALL SELECT doc_id, 1 AS band, b1 AS bv FROM sigs)
+         |SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |FROM bands b JOIN bands c
+         |  ON b.band = c.band AND b.bv = c.bv
+         | AND b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |ORDER BY batch_id, corpus_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
-      qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft)
+      qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup)
 }
