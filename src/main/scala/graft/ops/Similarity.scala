@@ -551,10 +551,19 @@ object Similarity {
     * codes, with the exact vectors only touched for the candidate set
     * (here: 10 per query, not 500).
     *
+    * Candidate scoring DEQUANTIZES in exact integers: a raw code dot
+    * would drop each dimension's affine offset and scale (measured
+    * recall@3 collapsed to 1/24); instead each code is expanded to
+    * e = 255·mnq + c·Δq (mnq, Δq = the dimension's min and span in
+    * 1e-6 integer units), so Σ e_q·e_c is exactly 255²·⟨x̂_q, x̂_c⟩ of
+    * the dequantized vectors — the FAISS-style ADC score — while
+    * remaining an exact BIGINT (|e| ≤ ~2.6e8 at unit-scale inputs →
+    * the 64-dim sum is far inside int64).
+    *
     * Cross-engine exactness: min/max of exact doubles; the quantizer
     * `floor((x-mn)/(mx-mn)*255 + 0.5)` is IEEE ops on identical inputs
-    * → identical codes; code dots are exact BIGINT sums; the rerank is
-    * the established exact-integer cosine.
+    * → identical codes; dequantized dots are exact BIGINT sums; the
+    * rerank is the established exact-integer cosine.
     */
   val qAnnSq8 = Q(
     "q_ann_sq8",
@@ -565,18 +574,25 @@ object Similarity {
           col("col").cast("double").as("x"))
       val dims = ex.groupBy("pos")
         .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .select(col("pos"), col("mn"), col("mx"),
+          floor(col("mn") * 1e6 + 0.5).cast("long").as("mnq"),
+          floor((col("mx") - col("mn")) * 1e6 + 0.5).cast("long").as("dq"))
       val codes = ex.join(broadcast(dims), "pos")
         .select(col("vec_id"), col("pos"),
           when(col("mx") > col("mn"),
             floor((col("x") - col("mn")) / (col("mx") - col("mn"))
               * lit(255.0) + lit(0.5)).cast("long"))
             .otherwise(lit(0L)).as("c"))
-      val qCodes = codes.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("pos"), col("c").as("qc"))
-      val adot = codes.filter(col("vec_id") >= 8)
+      // dequantized integer component: e = 255*mnq + c*dq
+      val codesE = codes.join(broadcast(dims.select("pos", "mnq", "dq")), "pos")
+        .select(col("vec_id"), col("pos"),
+          (lit(255L) * col("mnq") + col("c") * col("dq")).as("e"))
+      val qCodes = codesE.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("pos"), col("e").as("qe"))
+      val adot = codesE.filter(col("vec_id") >= 8)
         .join(broadcast(qCodes), "pos")
         .groupBy(col("qid"), col("vec_id").as("neighbor_id"))
-        .agg(sum(col("qc") * col("c")).as("adot"))
+        .agg(sum(col("qe") * col("e")).as("adot"))
       val wA = Window.partitionBy("qid")
         .orderBy(col("adot").desc, col("neighbor_id").asc)
       val cand = adot.withColumn("arank", row_number().over(wA))
@@ -606,16 +622,19 @@ object Similarity {
          |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
          |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)),
          |dims AS (
-         |  SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+         |  SELECT pos, min(x) AS mn, max(x) AS mx,
+         |    CAST(floor(min(x) * 1e6 + 0.5e0) AS BIGINT) AS mnq,
+         |    CAST(floor((max(x) - min(x)) * 1e6 + 0.5e0) AS BIGINT) AS dq
+         |  FROM ex GROUP BY pos),
          |codes AS (
          |  SELECT vec_id, ex.pos AS pos,
-         |    CASE WHEN mx > mn THEN
+         |    255 * mnq + (CASE WHEN mx > mn THEN
          |      CAST(floor((x - mn) / (mx - mn) * 255.0e0 + 0.5e0) AS BIGINT)
-         |    ELSE 0 END AS c
+         |    ELSE 0 END) * dq AS e
          |  FROM ex JOIN dims ON ex.pos = dims.pos),
          |adot AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
-         |    CAST(sum(q.c * c.c) AS BIGINT) AS adot
+         |    CAST(sum(q.e * c.e) AS BIGINT) AS adot
          |  FROM codes q JOIN codes c
          |    ON q.pos = c.pos AND q.vec_id < 8 AND c.vec_id >= 8
          |  GROUP BY 1, 2),
@@ -816,7 +835,55 @@ object Similarity {
     }
   )
 
+  /** q_ann_recall — the evaluation harness for the approximate search
+    * paths: recall@3 of each ANN method (sign-LSH, SQ8, PQ) against the
+    * exact brute-force top-3, as (method, n_hits, recall_at_3) rows.
+    * Composed directly from the SAME query definitions the registry
+    * serves (Spark side calls the Q functions; the oracle nests the Q
+    * oracle SQL as subqueries), so the measured recall is exactly the
+    * recall of the shipped operators — not of a reimplementation.
+    *
+    * 100 TB shape: each method's candidate economics are its own (see
+    * their entries); the comparison joins are per-query top-k sets —
+    * k×#queries rows, trivially broadcast.
+    */
+  val qAnnRecall = Q(
+    "q_ann_recall",
+    (s, d) => {
+      def top3(df: DataFrame): DataFrame =
+        df.filter(col("nrank") <= 3).select("qid", "neighbor_id")
+      val exact = top3(qCosineKnn.fn(s, d))
+      val denom = 24.0 // 8 queries × 3
+      def row(m: String, df: DataFrame): DataFrame =
+        top3(df).join(exact, Seq("qid", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(m).as("method"), col("n_hits"),
+            (col("n_hits") / lit(denom)).as("recall_at_3"))
+      row("lsh", qAnnLsh.fn(s, d))
+        .unionByName(row("pq", qAnnPq.fn(s, d)))
+        .unionByName(row("sq8", qAnnSq8.fn(s, d)))
+        .orderBy("method")
+    },
+    Some {
+      def top3(sql: String) =
+        s"SELECT qid, neighbor_id FROM ($sql) WHERE nrank <= 3"
+      def row(m: String, sql: String) =
+        s"""SELECT '$m' AS method, CAST(count(*) AS BIGINT) AS n_hits,
+           |  count(*) / 24.0e0 AS recall_at_3
+           |FROM (${top3(sql)}) a
+           |JOIN (${top3(qCosineKnn.oracle.get)}) e
+           |  USING (qid, neighbor_id)""".stripMargin
+      s"""SELECT * FROM (
+         |${row("lsh", qAnnLsh.oracle.get)}
+         |UNION ALL
+         |${row("pq", qAnnPq.oracle.get)}
+         |UNION ALL
+         |${row("sq8", qAnnSq8.oracle.get)})
+         |ORDER BY method""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
-      qIvfSearchProbe2, qDedupEmbedding, qAnnSq8, qAnnPq)
+      qIvfSearchProbe2, qDedupEmbedding, qAnnSq8, qAnnPq, qAnnRecall)
 }
