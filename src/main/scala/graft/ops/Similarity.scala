@@ -835,6 +835,71 @@ object Similarity {
     }
   )
 
+  /** q_ann_lsh_multiprobe — multi-probe sign-LSH: each query probes its
+    * own bucket PLUS the four buckets at Hamming distance 1 (flip each
+    * sign bit), reading 5/16 of the corpus instead of 1/16 — the
+    * standard recall dial of LSH search (probe count trades IO for
+    * recall with the same index; measured by q_ann_recall). A corpus
+    * vector lives in exactly one bucket, so the 5 probes produce
+    * disjoint candidate sets — no dedup needed before ranking.
+    */
+  val qAnnLshMultiprobe = Q(
+    "q_ann_lsh_multiprobe",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), signBucket(col("embedding")).as("bucket"),
+          qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
+          col("qv").as("quv"), col("nq").as("qn"))
+        .withColumn("k", explode(sequence(lit(0), lit(4))))
+        .withColumn("probe", when(col("k") === 0, col("qbucket"))
+          .otherwise(expr(
+            """concat(substr(qbucket, 1, k - 1),
+              |  CASE substr(qbucket, k, 1) WHEN '1' THEN '0' ELSE '1' END,
+              |  substr(qbucket, k + 1, 4 - k))""".stripMargin)))
+      val scored = e.filter(col("vec_id") >= 8)
+        .join(broadcast(queries), col("bucket") === col("probe"))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq"))
+            .as("cos_sim"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 3)
+        .select("qid", "nrank", "neighbor_id", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, $signBucketSql AS bucket, $qvecSql AS qv
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, bucket, qv, ${dotqSql("qv", "qv")} AS nq FROM e),
+         |probes AS (
+         |  SELECT vec_id AS qid, qv, nq,
+         |    CASE WHEN k = 0 THEN bucket
+         |    ELSE substr(bucket, 1, k - 1) ||
+         |      (CASE substr(bucket, k, 1) WHEN '1' THEN '0' ELSE '1' END) ||
+         |      substr(bucket, k + 1, 4 - k) END AS probe
+         |  FROM n, UNNEST(range(0, 5)) u(k)
+         |  WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT p.qid, c.vec_id AS neighbor_id,
+         |    CAST(${dotqSql("p.qv", "c.qv")} AS DOUBLE)
+         |      / sqrt(CAST(p.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos_sim
+         |  FROM probes p JOIN n c ON c.bucket = p.probe AND c.vec_id >= 8),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+         |  FROM scored)
+         |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, cos_sim
+         |FROM ranked WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+    )
+  )
+
   /** q_ann_recall — the evaluation harness for the approximate search
     * paths: recall@3 of each ANN method (sign-LSH, SQ8, PQ) against the
     * exact brute-force top-3, as (method, n_hits, recall_at_3) rows.
@@ -860,6 +925,7 @@ object Similarity {
           .select(lit(m).as("method"), col("n_hits"),
             (col("n_hits") / lit(denom)).as("recall_at_3"))
       row("lsh", qAnnLsh.fn(s, d))
+        .unionByName(row("lsh_mp", qAnnLshMultiprobe.fn(s, d)))
         .unionByName(row("pq", qAnnPq.fn(s, d)))
         .unionByName(row("sq8", qAnnSq8.fn(s, d)))
         .orderBy("method")
@@ -876,6 +942,8 @@ object Similarity {
       s"""SELECT * FROM (
          |${row("lsh", qAnnLsh.oracle.get)}
          |UNION ALL
+         |${row("lsh_mp", qAnnLshMultiprobe.oracle.get)}
+         |UNION ALL
          |${row("pq", qAnnPq.oracle.get)}
          |UNION ALL
          |${row("sq8", qAnnSq8.oracle.get)})
@@ -885,5 +953,6 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
-      qIvfSearchProbe2, qDedupEmbedding, qAnnSq8, qAnnPq, qAnnRecall)
+      qIvfSearchProbe2, qDedupEmbedding, qAnnSq8, qAnnPq,
+      qAnnLshMultiprobe, qAnnRecall)
 }
