@@ -48,7 +48,11 @@ object Bench {
     def run(q: Q, dir: String): Unit =
       q.fn(spark, dir).write.format("noop").mode("overwrite").save()
 
-    val bench = SparkEntry.benchQueries
+    // default: the headline set (driver contract); args name specific
+    // registry queries for ad-hoc local timing
+    val bench =
+      if (args.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.registry.filter(q => args.contains(q.name))
 
     // warmup fixture: smallest sf* sibling of the bench dir (falls back
     // to the bench dir itself if none)
