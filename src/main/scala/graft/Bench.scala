@@ -52,7 +52,13 @@ object Bench {
     // registry queries for ad-hoc local timing
     val bench =
       if (args.isEmpty) SparkEntry.benchQueries
-      else SparkEntry.registry.filter(q => args.contains(q.name))
+      else {
+        val byName  = SparkEntry.registry.map(q => q.name -> q).toMap
+        val unknown = args.filterNot(byName.contains)
+        require(unknown.isEmpty,
+          s"unknown bench queries: ${unknown.mkString(", ")}")
+        args.toSeq.map(byName)
+      }
 
     // warmup fixture: smallest sf* sibling of the bench dir (falls back
     // to the bench dir itself if none)

@@ -55,36 +55,31 @@ object Tables {
 /** Process-scoped scratch directories for queries that round-trip
   * through a filesystem sink (curated writes, streaming file sinks).
   *
-  * Two properties bound disk usage across repeated bench/verify runs:
-  * the path for a given `name` is STABLE within and across processes
-  * (so re-running a query overwrites the previous output instead of
-  * accumulating a fresh temp dir per invocation), and the whole root
-  * is recursively deleted on JVM exit.
+  * Disk usage is bounded two ways: within a process the path for a
+  * given `name` is stable and cleared per call (re-running a query
+  * overwrites its previous output instead of accumulating temp dirs),
+  * and the whole root is recursively deleted on JVM exit. The root
+  * itself is a fresh per-process temp dir — a fixed shared path would
+  * let concurrent graft JVMs clear each other's live streaming state.
   */
 object Scratch {
+  private def rm(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rm)
+    f.delete(): Unit
+  }
+
   private val root: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_scratch")
-    java.nio.file.Files.createDirectories(p)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    sys.addShutdownHook(rm(p.toFile))
     p
   }
 
-  /** A stable scratch dir for `name`, cleared of any previous contents. */
+  /** A stable-within-process scratch dir for `name`, cleared of any
+    * previous contents.
+    */
   def dir(name: String): java.nio.file.Path = {
     val p = root.resolve(name)
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rm)
-      f.delete(): Unit
-    }
     rm(p.toFile)
     java.nio.file.Files.createDirectories(p)
     p

@@ -411,7 +411,9 @@ object Dedup {
       val r = df.agg(
         count(lit(1)),
         coalesce(sum(xxhash64(col("src"), col("dst")).cast(dec)), lit(0L).cast(dec)),
-        coalesce(sum((col("src") + col("dst")).cast(dec)), lit(0L).cast(dec)))
+        // cast each endpoint BEFORE adding: a 64-bit add first would
+        // itself be the ANSI overflow for node ids near 2^63
+        coalesce(sum(col("src").cast(dec) + col("dst").cast(dec)), lit(0L).cast(dec)))
         .collect()(0)
       (r.getLong(0), BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)))
     }

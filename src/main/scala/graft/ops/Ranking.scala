@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Lowercased tokens via the shared TextOps tokenization rule. */
   private def wsTokens(c: org.apache.spark.sql.Column) =
-    filter(split(lower(c), "\\s+"), t => t =!= lit(""))
+    TextOps.wsTokens(lower(c))
 
   /** Query terms used by both ranking queries (literals, not data). */
   private val terms = Seq("spark", "join", "window")

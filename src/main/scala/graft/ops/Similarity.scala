@@ -577,16 +577,15 @@ object Similarity {
         .select(col("pos"), col("mn"), col("mx"),
           floor(col("mn") * 1e6 + 0.5).cast("long").as("mnq"),
           floor((col("mx") - col("mn")) * 1e6 + 0.5).cast("long").as("dq"))
-      val codes = ex.join(broadcast(dims), "pos")
+      // one dims join computes the code AND its dequantized integer
+      // component e = 255*mnq + c*dq (mirrors the oracle's single CTE)
+      val codesE = ex.join(broadcast(dims), "pos")
         .select(col("vec_id"), col("pos"),
-          when(col("mx") > col("mn"),
-            floor((col("x") - col("mn")) / (col("mx") - col("mn"))
-              * lit(255.0) + lit(0.5)).cast("long"))
-            .otherwise(lit(0L)).as("c"))
-      // dequantized integer component: e = 255*mnq + c*dq
-      val codesE = codes.join(broadcast(dims.select("pos", "mnq", "dq")), "pos")
-        .select(col("vec_id"), col("pos"),
-          (lit(255L) * col("mnq") + col("c") * col("dq")).as("e"))
+          (lit(255L) * col("mnq") +
+            when(col("mx") > col("mn"),
+              floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+                * lit(255.0) + lit(0.5)).cast("long"))
+              .otherwise(lit(0L)) * col("dq")).as("e"))
       val qCodes = codesE.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("pos"), col("e").as("qe"))
       val adot = codesE.filter(col("vec_id") >= 8)
@@ -917,7 +916,9 @@ object Similarity {
     (s, d) => {
       def top3(df: DataFrame): DataFrame =
         df.filter(col("nrank") <= 3).select("qid", "neighbor_id")
-      val exact = top3(qCosineKnn.fn(s, d))
+      // checkpoint: the exact KNN subtree is joined by all four union
+      // branches — without this Catalyst would re-run it four times
+      val exact = top3(qCosineKnn.fn(s, d)).localCheckpoint()
       val denom = 24.0 // 8 queries × 3
       def row(m: String, df: DataFrame): DataFrame =
         top3(df).join(exact, Seq("qid", "neighbor_id"))

@@ -335,8 +335,8 @@ object StreamingOps {
       val raw   = Tables.eventsRaw(s, d)
       val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
       val farNs = maxNs + 3L * 86400 * 1000000000L
-      // one sentinel per side (click then purchase, 1 h apart so the
-      // pair cannot even interval-match each other)
+      // one sentinel per side (click then purchase, 2 h apart — past
+      // the 1 h join horizon, so the pair cannot interval-match)
       raw.limit(1)
         .select(lit(-1L).as("event_id"), lit(farNs).as("ts"),
           lit(-1L).as("user_id"), lit("click").as("event_type"),

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Non-empty whitespace-separated tokens of `c`. */
-  private def wsTokens(c: Column): Column =
+  /** Non-empty whitespace-separated tokens of `c` — THE tokenization
+    * rule; shared with Ranking so text stats, dedup shingling, and
+    * relevance scoring can never drift apart.
+    */
+  private[ops] def wsTokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= lit(""))
 
   /** q_token_count — whitespace tokenization + BPE-ish size estimate
