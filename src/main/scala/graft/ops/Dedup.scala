@@ -77,7 +77,7 @@ object Dedup {
     * the shuffle carries one 8-slice row per (partition, doc) — this is
     * the 100 TB-safe formulation.
     */
-  private[ops] def signatures(s: SparkSession, d: String): DataFrame = {
+  private[graft] def signatures(s: SparkSession, d: String): DataFrame = {
     val exploded = Tables
       .documents(s, d)
       // 1-element explode = materialization barrier: split runs once

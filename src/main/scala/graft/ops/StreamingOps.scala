@@ -394,6 +394,43 @@ object StreamingOps {
     * hash-join the index; duplicates of a pair across bands collapse in
     * the downstream read (batch distinct over the tiny match set).
     */
+  /** Per-row MinHash band keys: shingles → per-prefix digest arrays →
+    * min of each 8-hex-digit slice (two selects keep the digest arrays
+    * as named columns so the four slice-mins share them instead of
+    * re-hashing per slice). Stateless — usable on a stream side —
+    * and bit-identical to the batch explode+min-aggregate signatures
+    * (spec-asserted in StreamingSpec).
+    */
+  private[graft] def perRowBands(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.ops.{Dedup => D}
+    val digs = df
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("sh", D.shinglesOfTokens(col("toks")))
+      .withColumn("ds0", transform(col("sh"),
+        g => md5(concat(lit("0|"), g))))
+      .withColumn("ds1", transform(col("sh"),
+        g => md5(concat(lit("1|"), g))))
+    val hs = (0 until 8).map { j =>
+      val dsc   = if (j < 4) "ds0" else "ds1"
+      val start = (j % 4) * 8 + 1
+      array_min(transform(col(dsc),
+        m => conv(substring(m, start, 8), 16, 10).cast("long")))
+        .as(s"h$j")
+    }
+    digs.select(col("doc_id") +: hs: _*)
+      .select(col("doc_id"),
+        explode(array(
+          struct(lit(0).as("band"),
+            md5(concat_ws("|", (0 until 4).map(j => col(s"h$j")): _*))
+              .as("bv")),
+          struct(lit(1).as("band"),
+            md5(concat_ws("|", (4 until 8).map(j => col(s"h$j")): _*))
+              .as("bv")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+  }
+
   val qStreamNeardup = Q(
     "q_stream_neardup",
     (s, d) => {
@@ -404,38 +441,6 @@ object StreamingOps {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(d, "documents.parquet"),
         inDir.resolve("documents.parquet"))
-
-      // per-row signature: shingles → per-prefix digest arrays →
-      // min of each 8-hex-digit slice (two selects keep the digest
-      // arrays as named columns so the four slice-mins share them
-      // instead of re-hashing per slice)
-      def perRowBands(df: org.apache.spark.sql.DataFrame) = {
-        val digs = df
-          .withColumn("toks", split(col("text"), "\\s+"))
-          .withColumn("sh", D.shinglesOfTokens(col("toks")))
-          .withColumn("ds0", transform(col("sh"),
-            g => md5(concat(lit("0|"), g))))
-          .withColumn("ds1", transform(col("sh"),
-            g => md5(concat(lit("1|"), g))))
-        val hs = (0 until 8).map { j =>
-          val dsc   = if (j < 4) "ds0" else "ds1"
-          val start = (j % 4) * 8 + 1
-          array_min(transform(col(dsc),
-            m => conv(substring(m, start, 8), 16, 10).cast("long")))
-            .as(s"h$j")
-        }
-        digs.select(col("doc_id") +: hs: _*)
-          .select(col("doc_id"),
-            explode(array(
-              struct(lit(0).as("band"),
-                md5(concat_ws("|", (0 until 4).map(j => col(s"h$j")): _*))
-                  .as("bv")),
-              struct(lit(1).as("band"),
-                md5(concat_ws("|", (4 until 8).map(j => col(s"h$j")): _*))
-                  .as("bv")))).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"),
-            col("bb.bv").as("bv"))
-      }
 
       // standing corpus index, built by the BATCH signature path
       val sig = D.signatures(s, d).filter(col("doc_id") % 10 =!= 0)

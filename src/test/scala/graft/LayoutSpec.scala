@@ -100,6 +100,23 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("zorder8 matches a direct bit-interleave") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    import spark.implicits._
+    val cases = Seq((0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L),
+      (1L, 2L), (170L, 85L), (200L, 13L))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorder8(col("x"), col("y")).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z === ref(x, y), s"($x,$y)") }
+    // interleave bounds: 16-bit key, monotone corners
+    assert(ref(255, 255) === 65535L && ref(0, 0) === 0L)
+  }
+
   test("z-order sort clusters BOTH dimensions; single-key sort only one") {
     // 8 range partitions stand in for 8 output files; span = per-file
     // (max - min) of each dimension, averaged over files — what parquet

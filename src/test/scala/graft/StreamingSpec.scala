@@ -172,4 +172,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s.getAs[Long]("n") === b.getAs[Long]("n"))
     }
   }
+
+  test("per-row stream bands are bit-identical to batch signatures") {
+    // the invariant q_stream_neardup rests on: the stateless per-row
+    // MinHash banding (stream side) and the explode+min-aggregate
+    // batch signatures (corpus index) must produce the same key space
+    import graft.ops.{Dedup, StreamingOps}
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getString(2))
+    val perRow = StreamingOps
+      .perRowBands(Tables.documents(spark, sf))
+      .collect().map(key).sortBy(identity)
+    val sig = Dedup.signatures(spark, sf)
+    val batch = sig
+      .select(col("doc_id"), lit(0).as("band"), col("b0").as("bv"))
+      .union(sig.select(col("doc_id"), lit(1).as("band"), col("b1").as("bv")))
+      .collect().map(key).sortBy(identity)
+    assert(perRow.length === batch.length)
+    assert(perRow.toSeq === batch.toSeq)
+  }
 }
