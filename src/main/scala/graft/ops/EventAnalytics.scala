@@ -132,6 +132,110 @@ object EventAnalytics {
     )
   )
 
+  /** q_cohort_matrix — the full cohort retention triangle: users
+    * grouped by first-activity day, tracked as distinct actives at
+    * each day offset. Generalizes q_retention's next-day pair to the
+    * whole matrix.
+    *
+    * 100 TB shape: one aggregate to (user, day) distinct activity, one
+    * to first-activity cohorts, a co-partitioned join on user, then a
+    * tiny (days × offsets) count matrix — partial-aggregated
+    * throughout; raw events shuffle once.
+    */
+  val qCohortMatrix = Q(
+    "q_cohort_matrix",
+    (s, d) => {
+      val activity = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val cohorts = activity.groupBy("user_id")
+        .agg(min(col("day")).as("cohort_day"))
+      activity.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day").cast("date"), col("cohort_day").cast("date"))
+            .as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some(
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+    )
+  )
+
+  /** q_rfm — RFM segmentation: per user, recency (days from last
+    * purchase to the corpus' last day — a deterministic anchor),
+    * frequency (purchase count), monetary (exact decimal sum), each
+    * quartiled by a global ntile with user_id tie-breaks.
+    *
+    * Scale note: the quartile ntile is a GLOBAL rank — one sort of the
+    * per-user aggregate (users, not events), the same contract as any
+    * ORDER BY; the event-level work before it is partial-aggregated.
+    */
+  val qRfm = Q(
+    "q_rfm",
+    (s, d) => {
+      val buys = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+      // corpus anchor stays in-plan: a 1-row aggregate broadcast by the
+      // cross join (the oracle's scalar subquery), no driver collect
+      val anchor = buys
+        .agg(max(date_trunc("day", col("ts"))).as("anchor"))
+      val perUser = buys.groupBy("user_id")
+        .agg(
+          max(date_trunc("day", col("ts"))).cast("date").as("last_day"),
+          count(lit(1)).as("frequency"),
+          graft.Exact.dsum(col("value")).as("monetary"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          datediff(col("anchor").cast("date"), col("last_day"))
+            .as("recency_days"),
+          col("frequency"), col("monetary"))
+      def quartile(c: String, ascending: Boolean) = {
+        val key = if (ascending) col(c).asc else col(c).desc
+        ntile(4).over(Window.orderBy(key, col("user_id").asc))
+      }
+      perUser
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          quartile("recency_days", ascending = true).as("r_quartile"),
+          quartile("frequency", ascending = false).as("f_quartile"),
+          quartile("monetary", ascending = false).as("m_quartile"))
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH buys AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |per_user AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', max(day), (SELECT max(day) FROM buys)) AS INT)
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM buys GROUP BY 1)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS INT)
+        |    AS r_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS INT)
+        |    AS f_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS INT)
+        |    AS m_quartile
+        |FROM per_user ORDER BY user_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qDailyUniques, qRetention, qTopUsersPerType, qTransitions)
+    Seq(qDailyUniques, qRetention, qTopUsersPerType, qTransitions,
+      qCohortMatrix, qRfm)
 }
