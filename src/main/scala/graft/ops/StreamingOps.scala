@@ -474,7 +474,60 @@ object StreamingOps {
     )
   )
 
+  /** q_stream_sliding — SLIDING-window streaming aggregation (24 h
+    * windows every 12 h): each event lands in exactly two overlapping
+    * windows, watermark-bounded state, append mode to a file sink
+    * (sentinel-flushed like q_stream_window_prod). The oracle expands
+    * each event into its two epoch-aligned candidate window starts —
+    * Spark's own `window()` boundary rule — and aggregates in batch.
+    */
+  val qStreamSliding = Q(
+    "q_stream_sliding",
+    (s, d) => {
+      val tmp   = graft.Scratch.dir("stream_sliding")
+      val inDir = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "events.parquet"),
+        inDir.resolve("events.parquet"))
+      val raw   = Tables.eventsRaw(s, d)
+      val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+      raw.limit(1)
+        .withColumn("ts", lit(maxNs + 3L * 86400 * 1000000000L))
+        .withColumn("event_type", lit("__sentinel__"))
+        .write.mode("append").parquet(inDir.toString)
+
+      val stream = withTsMicros(
+        s.readStream.schema(raw.schema).parquet(inDir.toString))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"))
+      runToParquetSink(s, "stream_sliding_sink")(stream)
+        .filter(col("event_type") =!= "__sentinel__")
+        .orderBy("w_start", "event_type")
+    },
+    Some(
+      // each event belongs to windows starting at floor_12h(ts) and
+      // floor_12h(ts) - 12h (duration 24 h, epoch-aligned) — Spark's
+      // window() assignment rule, expanded via UNNEST
+      """WITH starts AS (
+        |  SELECT event_type,
+        |    unnest(ARRAY[
+        |      make_timestamp(CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT)
+        |        * 1000000),
+        |      make_timestamp((CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT)
+        |        - 43200) * 1000000)]) AS w_start
+        |  FROM events)
+        |SELECT w_start, event_type, count(*) AS n
+        |FROM starts GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
-      qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup)
+      qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
+      qStreamSliding)
 }

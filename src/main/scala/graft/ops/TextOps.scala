@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -411,7 +412,54 @@ object TextOps {
     )
   )
 
+  /** q_vocab_coverage — corpus vocabulary coverage curve: the top-50
+    * words by frequency with each prefix's cumulative share of all
+    * token occurrences — the "how big must the vocab be to cover X% of
+    * the corpus" curve a tokenizer design starts from.
+    *
+    * 100 TB shape: one tokenize+explode pass partial-aggregated to
+    * (word, count); the ranking touches vocabulary-sized data (≪
+    * corpus); shares are single divisions of exact counts.
+    */
+  val qVocabCoverage = Q(
+    "q_vocab_coverage",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(wsTokens(lower(col("text")))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val w = Window.orderBy(col("n").desc, col("word").asc)
+      counts
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_n", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank") <= 50)
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("word"), col("n"),
+          (col("cum_n").cast("double") / col("total")).as("cum_share"))
+        .orderBy("rank")
+    },
+    Some(
+      """WITH counts AS (
+        |  SELECT word, count(*) AS n
+        |  FROM (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |ranked AS (
+        |  SELECT word, n,
+        |    row_number() OVER (ORDER BY n DESC, word ASC) AS rank,
+        |    sum(n) OVER (ORDER BY n DESC, word ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |  FROM counts)
+        |SELECT CAST(rank AS INT) AS rank, word, n,
+        |  CAST(cum_n AS DOUBLE) / (SELECT sum(n) FROM counts) AS cum_share
+        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
-      qRedact, qDecontaminate, qRepetition)
+      qRedact, qDecontaminate, qRepetition, qVocabCoverage)
 }
