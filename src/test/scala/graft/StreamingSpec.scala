@@ -173,6 +173,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("checkpointed query restart resumes exactly-once (no loss, no dupes)") {
+    // production recovery path: a streaming aggregation-free pipeline
+    // writes N input files through a checkpointed file sink; the query
+    // is KILLED after the first micro-batch and a new query object is
+    // started on the same checkpoint — the sink must end up with every
+    // input row exactly once
+    val tmp    = graft.Scratch.dir("restart_spec")
+    val inDir  = tmp.resolve("in");   java.nio.file.Files.createDirectories(inDir)
+    val outDir = tmp.resolve("out").toString
+    val ckpt   = tmp.resolve("ckpt").toString
+    import spark.implicits._
+    // 3 input files, 100 rows each
+    for (i <- 0 until 3)
+      spark.range(i * 100, (i + 1) * 100).toDF("v")
+        .coalesce(1).write.parquet(inDir.resolve(s"f$i").toString)
+
+    def start() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString + "/*")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // first run: exactly one micro-batch, then hard stop
+    val q1 = start()
+    try {
+      var waited = 0
+      while (q1.recentProgress.forall(_.numInputRows == 0) && waited < 300) {
+        Thread.sleep(100); waited += 1
+      }
+    } finally q1.stop()
+    // at least one batch committed before the kill (usually exactly
+    // one; a fast scheduler may get further — exactly-once across the
+    // restart is what the final assert checks either way)
+    val afterKill = spark.read.parquet(outDir).count()
+    assert(afterKill >= 100, s"no batch committed before the kill ($afterKill)")
+
+    // recovery: new query object, same checkpoint
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val rows = spark.read.parquet(outDir).select("v")
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.length === 300, s"expected 300 exactly-once rows, got ${rows.length}")
+    assert(rows.toSeq === (0L until 300L))
+  }
+
   test("per-row stream bands are bit-identical to batch signatures") {
     // the invariant q_stream_neardup rests on: the stateless per-row
     // MinHash banding (stream side) and the explode+min-aggregate
