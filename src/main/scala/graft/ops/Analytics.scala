@@ -279,6 +279,44 @@ object Analytics {
     )
   )
 
+  /** q_date_funcs2 — calendar-arithmetic complement: month-end, ISO
+    * week/day-of-week, quarter, day/month offsets with end-of-month
+    * clamping. (Spark `weekday`+1 ≡ DuckDB `isodow`; plain `dayofweek`
+    * disagrees across engines on the week start.)
+    */
+  val qDateFuncs2 = Q(
+    "q_date_funcs2",
+    (s, d) =>
+      Tables
+        .orders(s, d)
+        .select(
+          col("o_orderkey"),
+          // date-valued results surface as timestamp_ntz: the compare
+          // canonicalizes timestamps but not raw DATE objects
+          last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end"),
+          quarter(col("o_orderdate")).as("qtr"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          expr("weekday(o_orderdate) + 1").as("iso_dow"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          date_add(col("o_orderdate"), 30).cast("timestamp_ntz").as("plus_30d"),
+          add_months(col("o_orderdate"), 1).cast("timestamp_ntz").as("plus_1mo")
+        )
+        .orderBy("o_orderkey"),
+    Some(
+      """SELECT o_orderkey,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  -- DATE + 30, not "+ INTERVAL 30 DAY": DuckDB 1.0 collapses two
+        |  -- same-shaped t + INTERVAL casts in one SELECT to one value
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus_30d,
+        |  CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS TIMESTAMP) AS plus_1mo
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+    )
+  )
+
   /** q_json_extract — JSON field extraction from the events props blob. */
   val qJsonExtract = Q(
     "q_json_extract",
@@ -337,6 +375,7 @@ object Analytics {
     qHaving,
     qScalarSubquery,
     qDateFuncs,
+    qDateFuncs2,
     qJsonExtract,
     qMathFuncs
   )
