@@ -262,6 +262,54 @@ object Stats {
     )
   )
 
+  /** q_winsorize — outlier-robust aggregation: per group, values are
+    * clamped to the exact discrete [p05, p95] quantiles before the
+    * aggregate (the data-cleaning step before any mean-based feature).
+    * Quantile bounds come from the same sorted-list formulation as
+    * q_quantiles, broadcast back over the row stream; the clamped sum
+    * is decimal-exact.
+    */
+  val qWinsorize = Q(
+    "q_winsorize",
+    (s, d) => {
+      def qAt(p: Double): Column =
+        element_at(
+          col("vals"),
+          greatest(ceil(size(col("vals")) * lit(p)), lit(1L)).cast("int"))
+      val bounds = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sort_array(collect_list(col("l_quantity"))).as("vals"))
+        .select(col("l_returnflag"), qAt(0.05).as("p05"), qAt(0.95).as("p95"))
+      Tables.lineitem(s, d)
+        .join(broadcast(bounds), "l_returnflag")
+        .select(col("l_returnflag"),
+          least(greatest(col("l_quantity"), col("p05")), col("p95"))
+            .as("clamped"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("clamped")).as("sum_clamped"),
+          min(col("clamped")).as("min_clamped"),
+          max(col("clamped")).as("max_clamped"))
+        .orderBy("l_returnflag")
+    },
+    Some(
+      """WITH bounds AS (
+        |  SELECT l_returnflag,
+        |    vals[CAST(greatest(ceil(len(vals) * 0.05), 1) AS INT)] AS p05,
+        |    vals[CAST(greatest(ceil(len(vals) * 0.95), 1) AS INT)] AS p95
+        |  FROM (SELECT l_returnflag, list_sort(list(l_quantity)) AS vals
+        |        FROM lineitem GROUP BY l_returnflag)),
+        |clamped AS (
+        |  SELECT l.l_returnflag AS l_returnflag,
+        |    least(greatest(l_quantity, p05), p95) AS c
+        |  FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(c AS DECIMAL(18,2))) AS DOUBLE) AS sum_clamped,
+        |  min(c) AS min_clamped, max(c) AS max_clamped
+        |FROM clamped GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
   /** The sketch path of q_approx_quantiles, exposed for the spec that
     * asserts the Greenwald-Khanna estimate lands within 5% of the exact
     * discrete quantile (the bound the hashed row no longer carries).
@@ -277,5 +325,5 @@ object Stats {
 
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
-      qApproxQuantiles, qWindowFirstlast)
+      qApproxQuantiles, qWindowFirstlast, qWinsorize)
 }

@@ -163,5 +163,64 @@ object Temporal {
     )
   )
 
-  val all: Seq[Q] = Seq(qAsofJoin, qRangeJoin, qPivot, qAsofJoinCustom)
+  /** q_interval_join — interval-OVERLAP self-join (both sides are
+    * spans, not points): each order opens a 7-day fulfillment window;
+    * emit same-customer order pairs whose windows overlap
+    * (`a.start < b.end AND b.start < a.end`). The banded-join pattern
+    * for it: each interval explodes to the (≤2) week buckets it
+    * covers, candidates pair inside (customer, bucket), the exact
+    * overlap predicate filters, and DISTINCT collapses pairs that met
+    * in two buckets.
+    *
+    * 100 TB shape: the cross product is bounded per (customer, week)
+    * cell — never all-pairs; bucket width ≈ interval length keeps the
+    * per-interval bucket fan-out at ~2 rows.
+    */
+  val qIntervalJoin = Q(
+    "q_interval_join",
+    (s, d) => {
+      val week = 7L * 86400L * 1000000L
+      val iv = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("st"))
+        .withColumn("en", col("st") + lit(week))
+      val bucketed = iv.withColumn("bkt",
+        explode(array(floor(col("st") / week), floor(col("en") / week))))
+        .distinct()
+      val a = bucketed.select(col("o_custkey"), col("bkt"),
+        col("o_orderkey").as("okey_a"), col("st").as("st_a"),
+        col("en").as("en_a"))
+      val b = bucketed.select(col("o_custkey"), col("bkt"),
+        col("o_orderkey").as("okey_b"), col("st").as("st_b"),
+        col("en").as("en_b"))
+      a.join(b, Seq("o_custkey", "bkt"))
+        .filter(col("okey_a") < col("okey_b") &&
+          col("st_a") < col("en_b") && col("st_b") < col("en_a"))
+        .select(col("o_custkey"), col("okey_a"), col("okey_b"))
+        .distinct()
+        .orderBy("o_custkey", "okey_a", "okey_b")
+    },
+    Some(
+      """WITH iv AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS st,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) + 604800000000 AS en
+        |  FROM orders),
+        |bucketed AS (
+        |  SELECT DISTINCT o_custkey, o_orderkey, st, en, b.bkt
+        |  FROM iv, LATERAL (SELECT unnest(ARRAY[
+        |    CAST(floor(st / 604800000000) AS BIGINT),
+        |    CAST(floor(en / 604800000000) AS BIGINT)]) AS bkt) b)
+        |SELECT DISTINCT a.o_custkey AS o_custkey,
+        |  a.o_orderkey AS okey_a, b.o_orderkey AS okey_b
+        |FROM bucketed a JOIN bucketed b
+        |  ON a.o_custkey = b.o_custkey AND a.bkt = b.bkt
+        | AND a.o_orderkey < b.o_orderkey
+        | AND a.st < b.en AND b.st < a.en
+        |ORDER BY o_custkey, okey_a, okey_b""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(qAsofJoin, qRangeJoin, qPivot, qAsofJoinCustom, qIntervalJoin)
 }
