@@ -226,6 +226,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq === (0L until 300L))
   }
 
+  test("observe() metrics report per-batch rows and sums on a stream") {
+    // the observability surface (A11-adjacent): named metrics attached
+    // to the stream are reported per micro-batch via QueryProgress
+    // without a separate counting pass
+    val raw = Tables.eventsRaw(spark, sf)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("ingest")
+        if (m != null) seen.addAndGet(m.getAs[Long]("rows")): Unit
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .observe("ingest", count(lit(1)).as("rows"),
+          sum(col("value").cast("double")).as("total_value"))
+        .writeStream.format("noop").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // listener delivery is async; wait for the metric to arrive
+      var waited = 0
+      while (seen.get() < raw.count() && waited < 100) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(seen.get() === raw.count(),
+        "observed row metric must equal the full input count")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("per-row stream bands are bit-identical to batch signatures") {
     // the invariant q_stream_neardup rests on: the stateless per-row
     // MinHash banding (stream side) and the explode+min-aggregate
