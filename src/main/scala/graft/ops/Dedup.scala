@@ -506,6 +506,42 @@ object Dedup {
     definitelyNew.unionByName(confirmedNew)
   }
 
+  /** q_cluster_stats — the dedup report: distribution of near-dup
+    * cluster sizes (how much of the corpus is duplicated, and in what
+    * shape — many pairs vs few giant clusters). Sizes come from the
+    * same star-CC labels as q_dedup_clusters; the histogram is two
+    * tiny aggregates over (node, component) rows.
+    */
+  val qClusterStats = Q(
+    "q_cluster_stats",
+    (s, d) =>
+      connectedComponentsStar(
+        lshPairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst")))
+        .groupBy("component_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size"),
+    Some(
+      s"""WITH RECURSIVE pairs AS ($lshPairsSql),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+         |),
+         |comp AS (
+         |  SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+         |sizes AS (
+         |  SELECT component_id, count(*) AS cluster_size
+         |  FROM comp GROUP BY component_id)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+    )
+  )
+
   /** q_edit_verify — exact edit-distance verification of the LSH
     * candidate pairs: the confirm stage of a near-dup pipeline
     * (candidates come from bucketing, the KEEP/DROP decision from an
@@ -581,6 +617,7 @@ object Dedup {
     qSimhash,
     qNgramJaccard,
     qDedupIncremental,
-    qEditVerify
+    qEditVerify,
+    qClusterStats
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical relevance ranking over the documents corpus — TF-IDF and
@@ -162,5 +163,68 @@ object Ranking {
     )
   )
 
-  val all: Seq[Q] = Seq(qTfidf, qBm25)
+  /** q_source_terms — characteristic terms per source (c-TF-IDF-style
+    * lift): a word's share of its source's tokens over its share of
+    * the whole corpus, top-5 per source — the "what is this domain
+    * about" signature a curation pipeline uses to label and balance
+    * mixture sources. All shares are single divisions of exact counts;
+    * the lift divides two such doubles in a fixed order.
+    *
+    * 100 TB shape: one tokenize pass partial-aggregated to
+    * (source, word) counts; word totals are vocabulary-sized; the
+    * final rank touches |sources| × vocab rows at most.
+    */
+  val qSourceTerms = Q(
+    "q_source_terms",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(wsTokens(col("text"))).as("word"))
+      val bySrcWord = tok.groupBy("source", "word")
+        .agg(count(lit(1)).as("n_sw"))
+      val bySrc  = bySrcWord.groupBy("source").agg(sum(col("n_sw")).as("n_s"))
+      val byWord = bySrcWord.groupBy("word").agg(sum(col("n_sw")).as("n_w"))
+      val total  = byWord.agg(sum(col("n_w")).as("n_t"))
+      val scored = bySrcWord
+        .join(bySrc, "source")
+        .join(byWord, "word")
+        .crossJoin(broadcast(total))
+        .filter(col("n_sw") >= 5)
+        .select(col("source"), col("word"), col("n_sw"),
+          ((col("n_sw").cast("double") / col("n_s")) /
+            (col("n_w").cast("double") / col("n_t"))).as("lift"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("lift").desc, col("word").asc)
+      scored.withColumn("trank", row_number().over(w))
+        .filter(col("trank") <= 5)
+        .select(col("source"), col("trank"), col("word"), col("n_sw"),
+          col("lift"))
+        .orderBy("source", "trank")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS word
+        |  FROM documents),
+        |bsw AS (
+        |  SELECT source, word, count(*) AS n_sw FROM tok GROUP BY 1, 2),
+        |bs AS (SELECT source, sum(n_sw) AS n_s FROM bsw GROUP BY source),
+        |bw AS (SELECT word, sum(n_sw) AS n_w FROM bsw GROUP BY word),
+        |tot AS (SELECT sum(n_w) AS n_t FROM bw),
+        |scored AS (
+        |  SELECT bsw.source AS source, bsw.word AS word, n_sw,
+        |    (CAST(n_sw AS DOUBLE) / n_s) / (CAST(n_w AS DOUBLE) / n_t) AS lift
+        |  FROM bsw JOIN bs ON bsw.source = bs.source
+        |  JOIN bw ON bsw.word = bw.word CROSS JOIN tot
+        |  WHERE n_sw >= 5),
+        |ranked AS (
+        |  SELECT source, word, n_sw, lift,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY lift DESC, word ASC) AS trank
+        |  FROM scored)
+        |SELECT source, CAST(trank AS INT) AS trank, word, n_sw, lift
+        |FROM ranked WHERE trank <= 5 ORDER BY source, trank""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qTfidf, qBm25, qSourceTerms)
 }
