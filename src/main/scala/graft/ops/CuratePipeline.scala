@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation: the operators of this library
   * chained the way a 100 TB pretraining pipeline runs them —
   *
-  *   ingest → quality filter → exact dedup → near-dup cluster dedup →
-  *   language filter → length filter → curated corpus (partitioned).
+  *   ingest → quality filter → repetition filter → exact dedup →
+  *   near-dup cluster dedup → language filter → length filter →
+  *   benchmark decontamination → curated corpus (partitioned).
   *
   * Every stage reuses a verified `SparkEntry` operator, so the pipeline
   * inherits their oracle-checked semantics; the composition stays lazy
@@ -19,9 +20,11 @@ object CuratePipeline {
   final case class CurateStats(
       nInput: Long,
       nAfterQuality: Long,
+      nAfterRepetition: Long,
       nAfterExactDedup: Long,
       nAfterNearDedup: Long,
       nAfterLanguage: Long,
+      nAfterTokens: Long,
       nCurated: Long)
 
   def curate(
@@ -30,7 +33,8 @@ object CuratePipeline {
       outDir: Option[String] = None,
       minQuality: Double = 0.45,
       keepLangs: Seq[String] = Seq("en"),
-      minTokens: Int = 10): (DataFrame, CurateStats) = {
+      minTokens: Int = 10,
+      maxTopBigramFrac: Double = 0.08): (DataFrame, CurateStats) = {
     val docs = Tables.documents(s, sfDir)
 
     // stage 1 — quality scoring (oracle-checked op)
@@ -40,10 +44,17 @@ object CuratePipeline {
       .join(quality, Seq("doc_id"))
       .filter(col("quality") >= minQuality)
 
+    // stage 1b — repetition filter (Gopher-style): drop docs dominated
+    // by one bigram
+    val lowRep = TextOps.qRepetition.fn(s, sfDir)
+      .filter(col("top_bigram_frac") <= maxTopBigramFrac)
+      .select("doc_id")
+    val afterRepetition = afterQuality.join(lowRep, Seq("doc_id"), "left_semi")
+
     // stage 2 — exact dedup: keep the representative per content hash
     val keepers = Dedup.qDedupExact.fn(s, sfDir)
       .select(col("keep_id").as("doc_id"))
-    val afterExact = afterQuality.join(keepers, Seq("doc_id"), "left_semi")
+    val afterExact = afterRepetition.join(keepers, Seq("doc_id"), "left_semi")
 
     // stage 3 — near-dup dedup: keep cluster representatives
     val nearKeep = Advanced.qDedupDecision.fn(s, sfDir)
@@ -60,9 +71,16 @@ object CuratePipeline {
     // stage 5 — token-count floor
     val tokens = TextOps.qTokenCount.fn(s, sfDir)
       .select(col("doc_id"), col("n_tokens"))
-    val curated = afterLang
+    val afterTokens = afterLang
       .join(tokens, Seq("doc_id"))
       .filter(col("n_tokens") >= minTokens)
+
+    // stage 6 — benchmark decontamination: drop training docs sharing
+    // a 13-gram with the held-out benchmark set
+    val contaminated = TextOps.qDecontaminate.fn(s, sfDir)
+      .select(col("train_id").as("doc_id"))
+    val curated = afterTokens
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .select(docs.columns.map(col) :+ col("quality") :+ col("n_tokens"): _*)
 
     outDir.foreach { dir =>
@@ -72,9 +90,11 @@ object CuratePipeline {
     val stats = CurateStats(
       docs.count(),
       afterQuality.count(),
+      afterRepetition.count(),
       afterExact.count(),
       afterNear.count(),
       afterLang.count(),
+      afterTokens.count(),
       curated.count())
     (curated, stats)
   }

@@ -31,10 +31,12 @@ class CuratePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(stats.nInput === 500L)
     assert(stats.nAfterQuality <= stats.nInput)
-    assert(stats.nAfterExactDedup <= stats.nAfterQuality)
+    assert(stats.nAfterRepetition <= stats.nAfterQuality)
+    assert(stats.nAfterExactDedup <= stats.nAfterRepetition)
     assert(stats.nAfterNearDedup <= stats.nAfterExactDedup)
     assert(stats.nAfterLanguage <= stats.nAfterNearDedup)
-    assert(stats.nCurated <= stats.nAfterLanguage)
+    assert(stats.nAfterTokens <= stats.nAfterLanguage)
+    assert(stats.nCurated <= stats.nAfterTokens)
     assert(stats.nCurated > 0, s"pipeline emptied the corpus: $stats")
 
     // written corpus is readable, partitioned by lang, and matches
