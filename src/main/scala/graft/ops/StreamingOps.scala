@@ -378,22 +378,6 @@ object StreamingOps {
     )
   )
 
-  /** q_stream_neardup — streaming NEAR-duplicate detection against a
-    * standing corpus: each arriving document is MinHash-banded
-    * per-row (a stateless map — array lambdas compute the 8 min-hash
-    * slices with no explode, no aggregation, no stream state) and its
-    * two band keys probe a static band index of the corpus; matches
-    * (arriving doc, corpus doc) flow append-mode to a distributed sink.
-    * The per-row signature is bit-identical to the batch
-    * explode+min-aggregate form, so the corpus index (built by the
-    * batch path) and the stream side share one key space — and the
-    * oracle is the plain batch band join.
-    *
-    * 100 TB shape: corpus bands are a compact (band, digest → doc_id)
-    * index; arriving docs never shuffle — each emits ≤2 band keys that
-    * hash-join the index; duplicates of a pair across bands collapse in
-    * the downstream read (batch distinct over the tiny match set).
-    */
   /** Per-row MinHash band keys: shingles → per-prefix digest arrays →
     * min of each 8-hex-digit slice (two selects keep the digest arrays
     * as named columns so the four slice-mins share them instead of
@@ -431,6 +415,20 @@ object StreamingOps {
         col("bb.bv").as("bv"))
   }
 
+  /** q_stream_neardup — streaming NEAR-duplicate detection against a
+    * standing corpus: each arriving document is MinHash-banded per-row
+    * via [[perRowBands]] (no stream state) and its two band keys probe
+    * a static band index of the corpus; matches (arriving doc, corpus
+    * doc) flow append-mode to a distributed sink. The per-row signature
+    * is bit-identical to the batch explode+min-aggregate form, so the
+    * corpus index (built by the batch path) and the stream side share
+    * one key space — and the oracle is the plain batch band join.
+    *
+    * 100 TB shape: corpus bands are a compact (band, digest → doc_id)
+    * index; arriving docs never shuffle — each emits ≤2 band keys that
+    * hash-join the index; duplicates of a pair across bands collapse in
+    * the downstream read (batch distinct over the tiny match set).
+    */
   val qStreamNeardup = Q(
     "q_stream_neardup",
     (s, d) => {

@@ -184,9 +184,11 @@ object Temporal {
         .select(col("o_custkey"), col("o_orderkey"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("st"))
         .withColumn("en", col("st") + lit(week))
+      // no distinct here: length == bucket width, so the two bucket
+      // values always differ by exactly 1 and orderkeys are unique —
+      // the only real dedup is the final pair-level one
       val bucketed = iv.withColumn("bkt",
         explode(array(floor(col("st") / week), floor(col("en") / week))))
-        .distinct()
       val a = bucketed.select(col("o_custkey"), col("bkt"),
         col("o_orderkey").as("okey_a"), col("st").as("st_a"),
         col("en").as("en_a"))
@@ -207,7 +209,7 @@ object Temporal {
         |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) + 604800000000 AS en
         |  FROM orders),
         |bucketed AS (
-        |  SELECT DISTINCT o_custkey, o_orderkey, st, en, b.bkt
+        |  SELECT o_custkey, o_orderkey, st, en, b.bkt
         |  FROM iv, LATERAL (SELECT unnest(ARRAY[
         |    CAST(floor(st / 604800000000) AS BIGINT),
         |    CAST(floor(en / 604800000000) AS BIGINT)]) AS bkt) b)

@@ -212,8 +212,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q1.stop()
     // at least one batch committed before the kill (usually exactly
     // one; a fast scheduler may get further — exactly-once across the
-    // restart is what the final assert checks either way)
-    val afterKill = spark.read.parquet(outDir).count()
+    // restart is what the final assert checks either way). The sink dir
+    // only exists after the first commit, so probe before reading.
+    val afterKill =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir)))
+        spark.read.parquet(outDir).count()
+      else 0L
     assert(afterKill >= 100, s"no batch committed before the kill ($afterKill)")
 
     // recovery: new query object, same checkpoint
