@@ -120,6 +120,44 @@ object SqlSurface {
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
   )
 
+  /** q_sql_promo — TPC-H Q14-shaped promotion-revenue share: the
+    * fraction of one month's revenue from ECONOMY-type parts
+    * (conditional decimal-exact sums, one final double division).
+    */
+  val qSqlPromo = sqlQ(
+    "q_sql_promo",
+    """SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |  AS DOUBLE) AS promo_share,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= DATE '1996-01-01'
+      |  AND l_shipdate < DATE '1996-02-01'""".stripMargin
+  )
+
+  /** q_sql_big_orders — TPC-H Q18-shaped large-quantity orders: the
+    * customers behind orders whose total quantity clears a threshold
+    * (group-having subquery feeding a three-way join).
+    */
+  val qSqlBigOrders = sqlQ(
+    "q_sql_big_orders",
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |GROUP BY c_custkey, c_name, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(qSqlPricing, qSqlNested, qSqlUnionAll, qSqlCaseAgg,
-    qSqlLocalSupply, qSqlReturnedItems)
+    qSqlLocalSupply, qSqlReturnedItems, qSqlPromo, qSqlBigOrders)
 }
