@@ -41,7 +41,9 @@ object Ranking {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), wsTokens(col("text")).as("t"))
-      val n = docs.count() // corpus size: one scalar to the driver
+      // corpus size stays in-plan: one 1-row aggregate cross-joined
+      // onto the (tiny) term-stats side — the oracle's scalar subquery
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = docs
         .select(col("doc_id"), size(col("t")).as("dl"),
           explode(col("t")).as("term"))
@@ -49,7 +51,8 @@ object Ranking {
         .groupBy("doc_id", "dl", "term")
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val idfQ = floor(log(lit(n.toDouble) / col("df")) * 1e6 + 0.5)
+        .crossJoin(broadcast(stats))
+      val idfQ = floor(log(col("n_docs") / col("df")) * 1e6 + 0.5)
       tf.join(broadcast(df.select(col("term"), (idfQ / 1e6).as("idf"),
           col("df"))), "term")
         .select(
@@ -95,11 +98,12 @@ object Ranking {
       val b  = 0.75
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), wsTokens(col("text")).as("t"))
-      val n = docs.count()
-      val dls = docs.select(col("doc_id"), size(col("t")).as("dl"))
-      // avgdl = exact-int sum / exact count → identical double
-      val dlRow = dls.agg(sum(col("dl")), count(lit(1))).head
-      val avgdl = dlRow.getLong(0).toDouble / dlRow.getLong(1)
+      // corpus stats (N, avgdl = exact-int sum / exact count) stay
+      // in-plan: one 1-row aggregate broadcast by cross joins — no
+      // driver collect
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(size(col("t"))).cast("double") / count(lit(1))).as("avgdl"))
       val tf = docs
         .select(col("doc_id"), size(col("t")).as("dl"),
           explode(col("t")).as("term"))
@@ -107,14 +111,16 @@ object Ranking {
         .groupBy("doc_id", "dl", "term")
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
       val idfQ = floor(
-        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
           * 1e6 + 0.5)
       val scored = tf
-        .join(broadcast(df.select(col("term"), (idfQ / 1e6).as("idf"))), "term")
+        .join(broadcast(df.select(col("term"), (idfQ / 1e6).as("idf"),
+          col("avgdl"))), "term")
         .select(col("doc_id"), col("term"),
           (col("idf") * (col("tf") * lit(k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
             .as("s"))
       scored
         .groupBy("doc_id")
