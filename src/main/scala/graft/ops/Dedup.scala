@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -542,6 +543,54 @@ object Dedup {
     )
   )
 
+  /** q_dedup_survivorship — representative choice as a POLICY, not an
+    * artifact: within each near-dup cluster keep the longest document
+    * (ties → smallest doc_id) instead of the arbitrary min-id the
+    * cluster label happens to use. The real-pipeline concern this
+    * captures: which copy of a duplicated document survives decides
+    * corpus quality, so survivorship must be an explicit ranked choice
+    * over document attributes.
+    *
+    * Shape: cluster labels (star-CC) joined to per-doc attributes, one
+    * row_number window per cluster — the window partition is a cluster
+    * (bounded), never the corpus.
+    */
+  val qDedupSurvivorship = Q(
+    "q_dedup_survivorship",
+    (s, d) => {
+      val comp = connectedComponentsStar(
+        lshPairs(s, d).select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("node").as("doc_id"), col("component_id"))
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      val w = Window.partitionBy("component_id")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      comp.join(docs, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .select(col("component_id"), col("doc_id"), col("n_chars"),
+          (col("rk") === 1).as("survivor"))
+        .orderBy("component_id", "doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE pairs AS ($lshPairsSql),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+         |),
+         |comp AS (
+         |  SELECT node AS doc_id, min(r) AS component_id
+         |  FROM reach GROUP BY node)
+         |SELECT component_id, comp.doc_id AS doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY component_id
+         |    ORDER BY n_chars DESC, comp.doc_id ASC) = 1 AS survivor
+         |FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+         |ORDER BY component_id, doc_id""".stripMargin
+    )
+  )
+
   /** q_edit_verify — exact edit-distance verification of the LSH
     * candidate pairs: the confirm stage of a near-dup pipeline
     * (candidates come from bucketing, the KEEP/DROP decision from an
@@ -618,6 +667,7 @@ object Dedup {
     qNgramJaccard,
     qDedupIncremental,
     qEditVerify,
-    qClusterStats
+    qClusterStats,
+    qDedupSurvivorship
   )
 }
