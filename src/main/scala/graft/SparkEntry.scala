@@ -10,7 +10,8 @@ object SparkEntry {
       ops.Similarity.all ++ ops.Analytics.all ++ ops.StreamingOps.all ++
       ops.MailboxQueries.all ++ ops.PstQueries.all ++ ops.Multimodal.all ++
       ops.CustomFnQueries.all ++ ops.Temporal.all ++ ops.Scalars.all ++
-      ops.Collections.all ++ ops.SqlSurface.all ++ ops.Stats.all ++
+      ops.Collections.all ++ ops.SqlSurface.all ++ ops.SqlSurface2.all ++
+      ops.Stats.all ++
       ops.Advanced.all ++ ops.Reshape.all ++ ops.Sampling.all ++
       ops.Extras.all ++ ops.EventAnalytics.all ++ ops.Layout.all ++
       ops.Ranking.all ++ ops.Profiling.all

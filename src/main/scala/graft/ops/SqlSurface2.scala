@@ -1,0 +1,311 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** TPC-H-shaped SQL surface, part 2 — the decision-support query shapes
+  * not yet covered by [[SqlSurface]]: EXISTS / NOT EXISTS semi- and
+  * anti-joins, left-outer count distributions, CTE + scalar-max
+  * selection, disjunctive pushdown predicates, nested semi-join chains,
+  * and exact-arithmetic threshold subqueries.
+  *
+  * The synthetic schema has no partsupp table and no
+  * l_commitdate/l_receiptdate/l_shipmode columns, so the shapes that
+  * need them (Q2/Q9/Q11/Q12/Q16/Q20/Q21) are re-expressed over the
+  * columns that exist: "late" means `l_shipdate > o_orderdate +
+  * INTERVAL n DAY`, and supplier/part capability comes from lineitem
+  * itself. The *plan shapes* — which is what these queries exercise —
+  * are unchanged.
+  *
+  * Cross-engine exactness rules (same as [[SqlSurface]]):
+  * - money math in DECIMAL(18,2), cast to DOUBLE only at the end;
+  * - conditional counts cast to BIGINT (DuckDB sums INTEGER→HUGEINT);
+  * - EXTRACT(...) cast to INT (DuckDB yields BIGINT, Spark INT);
+  * - no floating-point value may decide row membership: every
+  *   threshold against an average is restated as an exact
+  *   decimal-integer cross-multiplication (qty * 5 * cnt < sum instead
+  *   of qty < 0.2 * avg).
+  */
+object SqlSurface2 {
+
+  private def registerViews(s: SparkSession, d: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents").foreach { t =>
+      Tables.table(s, d, t).createOrReplaceTempView(t)
+    }
+
+  private def sqlQ(name: String, sparkSql: String,
+      duckSql: Option[String] = None, bench: Boolean = false): Q =
+    Q(
+      name,
+      (s, d) => { registerViews(s, d); s.sql(sparkSql) },
+      Some(duckSql.getOrElse(sparkSql)),
+      bench)
+
+  /** q_sql_waiting_orders — TPC-H Q4 shape: orders in a quarter with at
+    * least one line shipped after the order date (correlated EXISTS →
+    * left-semi hash join on the fact's key; the date range is pushed to
+    * the orders scan).
+    */
+  val qSqlWaitingOrders = sqlQ(
+    "q_sql_waiting_orders",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  )
+
+  /** q_sql_volume_shipping — TPC-H Q7 shape: shipping volume between two
+    * nations by year. The nation dimension joins twice (supplier side
+    * and customer side) — both broadcast; the disjunctive nation-pair
+    * predicate is evaluated after both joins.
+    */
+  val qSqlVolumeShipping = sqlQ(
+    "q_sql_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+  )
+
+  /** q_sql_market_share — TPC-H Q8 shape: one nation's share of a
+    * region's revenue in PROMO parts per year. The share is a division
+    * of two decimal-exact conditional sums, taken as DOUBLE only at the
+    * end (both engines divide the same two exact values).
+    */
+  val qSqlMarketShare = sqlQ(
+    "q_sql_market_share",
+    """SELECT o_year,
+      |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+      |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n1.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region   ON n2.n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+  )
+
+  /** q_sql_late_lines — TPC-H Q12 shape: high/low-priority line counts
+    * among late shipments (no l_shipmode column; the grouping key is
+    * l_linestatus and "late" is shipdate > orderdate + 60 days).
+    */
+  val qSqlLateLines = sqlQ(
+    "q_sql_late_lines",
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+  )
+
+  /** q_sql_cust_distribution — TPC-H Q13 shape: distribution of
+    * per-customer order counts, keeping zero-order customers via the
+    * left outer join (the join predicate filters orders *inside* the
+    * join so those customers still appear with count 0).
+    */
+  val qSqlCustDistribution = sqlQ(
+    "q_sql_cust_distribution",
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+  )
+
+  /** q_sql_top_supplier — TPC-H Q15 shape: the supplier(s) with maximum
+    * revenue in a quarter. The CTE is referenced twice (join input and
+    * scalar-max subquery); revenue stays DECIMAL through the equality so
+    * the max comparison is exact on both engines.
+    */
+  val qSqlTopSupplier = sqlQ(
+    "q_sql_top_supplier",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+  )
+
+  /** q_sql_parts_suppliers — TPC-H Q16 shape: distinct supplier counts
+    * per part attribute combo, excluding suppliers matched by a NOT IN
+    * subquery (null-aware anti-join; s_acctbal < 0 plays the role of
+    * the comment-pattern exclusion).
+    */
+  val qSqlPartsSuppliers = sqlQ(
+    "q_sql_parts_suppliers",
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_size IN (1, 2, 3, 4, 5)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+  )
+
+  /** q_sql_small_qty_revenue — TPC-H Q17 shape: revenue from lines whose
+    * quantity is below 20% of the part's average. The avg threshold is
+    * cross-multiplied into exact decimal-integer form
+    * (qty * 5 * cnt < sum ⇔ qty < 0.2 * sum/cnt) so no floating-point
+    * average can flip row membership between engines.
+    */
+  val qSqlSmallQtyRevenue = sqlQ(
+    "q_sql_small_qty_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / 7.0 AS avg_yearly,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN (
+      |  SELECT l_partkey AS agg_pk,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |    count(*) AS cnt_qty
+      |  FROM lineitem GROUP BY l_partkey) part_agg
+      |  ON agg_pk = p_partkey
+      |WHERE p_brand = 'Brand#9'
+      |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty""".stripMargin
+  )
+
+  /** q_sql_disjunctive — TPC-H Q19 shape: an OR of three conjunctive
+    * brand/size/quantity clauses. The whole disjunction references only
+    * scan columns of the two tables, so Catalyst pushes the
+    * brand∨brand∨brand and quantity-range envelopes into both scans and
+    * evaluates the full predicate after the (broadcast) join.
+    */
+  val qSqlDisjunctive = sqlQ(
+    "q_sql_disjunctive",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 21)
+      |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity >= 10 AND l_quantity <= 40)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 50
+      |       AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin
+  )
+
+  /** q_sql_excess_shipments — TPC-H Q20 shape: suppliers who shipped
+    * more than a threshold quantity of 'red' parts — a two-level
+    * semi-join chain (supplier IN (lineitem⋉part group-having)).
+    */
+  val qSqlExcessShipments = sqlQ(
+    "q_sql_excess_shipments",
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (
+      |    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+      |ORDER BY s_suppkey""".stripMargin
+  )
+
+  /** q_sql_waiting_suppliers — TPC-H Q21 shape: suppliers whose line was
+    * late on a multi-supplier finished order where no OTHER supplier was
+    * late — EXISTS plus NOT EXISTS against the same fact table
+    * (left-semi then left-anti join in the plan).
+    */
+  val qSqlWaitingSuppliers = sqlQ(
+    "q_sql_waiting_suppliers",
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3 JOIN orders o3
+      |      ON o3.o_orderkey = l3.l_orderkey
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 25""".stripMargin
+  )
+
+  /** q_sql_no_order_customers — TPC-H Q22 shape: well-funded customers
+    * who never ordered, by nation. The "above average balance" cut is
+    * cross-multiplied into exact decimal form (bal * cnt > sum ⇔
+    * bal > avg) and the no-orders test is a NOT EXISTS anti-join.
+    */
+  val qSqlNoOrderCustomers = sqlQ(
+    "q_sql_no_order_customers",
+    """SELECT c_nationkey, count(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      |    * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      |  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |     FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(qSqlWaitingOrders, qSqlVolumeShipping,
+    qSqlMarketShare, qSqlLateLines, qSqlCustDistribution, qSqlTopSupplier,
+    qSqlPartsSuppliers, qSqlSmallQtyRevenue, qSqlDisjunctive,
+    qSqlExcessShipments, qSqlWaitingSuppliers, qSqlNoOrderCustomers)
+}
