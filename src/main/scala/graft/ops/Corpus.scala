@@ -1,0 +1,278 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators a large-scale training-data pipeline
+  * runs between raw text and the tokenizer: span-level exact dedup
+  * (C4/RefinedWeb-style repeated-span removal), unigram LM quality
+  * scoring, sequence packing, overlapping context-window chunking, and
+  * source-mixture resampling.
+  *
+  * Cross-engine exactness: spans/tokens are exact strings, positions
+  * and budgets exact ints, survivorship keys exact integer minima; the
+  * only transcendental (ln in the LM score) is quantized to 1e-6
+  * before aggregation (the [[Ranking]] guard), and sampling uses the
+  * md5-prefix uniform (the [[Sampling]] guard) — no RNG, no
+  * engine-dependent float may decide row membership or ordering.
+  */
+object Corpus {
+
+  private val SpanW = 5
+
+  /** DuckDB-side hex→int64 for the first 8 md5 hex digits (no conv()). */
+  private val hexToLong = (0 until 8).map { k =>
+    val mult = 1L << (4 * (7 - k))
+    s"(strpos('0123456789abcdef', substr(h, ${1 + k}, 1)) - 1) * $mult"
+  }.mkString("(", " + ", ")")
+
+  /** q_span_dedup — C4-style repeated-span removal: each document is
+    * segmented into consecutive 5-token spans; a span text that occurs
+    * anywhere else in the corpus survives only at its lexicographically
+    * first position (min over the exact integer key doc_id*100000+idx);
+    * every other occurrence is cut and the document re-assembled from
+    * its surviving spans in order.
+    *
+    * 100 TB shape: the shuffle carries (span, key) pairs — never
+    * documents; the survivor choice is one partial-aggregated min per
+    * span text, and re-assembly groups by doc_id, the same key the
+    * corpus is already laid out on. The span→min(key) map could
+    * alternatively be a broadcast Bloom prefilter when the duplicate
+    * rate is low ([[Dedup.incrementalNew]] pattern).
+    */
+  val qSpanDedup = Q(
+    "q_span_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+      val nSpans = (floor((size(col("t")) - 1) / SpanW) + 1).cast("int")
+      val spans = docs
+        .select(col("doc_id"), nSpans.as("n_spans"),
+          posexplode(transform(
+            sequence(lit(0), nSpans - 1),
+            k => concat_ws(" ", slice(col("t"), k * SpanW + 1, lit(SpanW))))))
+        .withColumnRenamed("pos", "idx")
+        .withColumnRenamed("col", "span")
+        .withColumn("k", col("doc_id") * 100000L + col("idx"))
+      val surv = spans.groupBy("span").agg(min(col("k")).as("mk"))
+      val kept = spans.join(surv, "span").filter(col("k") === col("mk"))
+      val rebuilt = kept.groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_spans_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("span")))),
+            x => x.getField("span")), " ").as("text_dedup"))
+      docs.select(col("doc_id"), nSpans.as("n_spans"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_spans_kept"), lit(0)).as("n_spans_kept"),
+          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+         |  FROM documents),
+         |spans AS (
+         |  SELECT doc_id, CAST(u.k AS INT) AS idx,
+         |    array_to_string(t[u.k*$SpanW+1 : u.k*$SpanW+$SpanW], ' ') AS span,
+         |    doc_id*100000 + u.k AS k
+         |  FROM toks, UNNEST(range(0, (len(t)-1)//$SpanW + 1)) AS u(k)),
+         |surv AS (SELECT span, min(k) AS mk FROM spans GROUP BY span),
+         |kept AS (
+         |  SELECT doc_id, idx, spans.span FROM spans
+         |  JOIN surv ON spans.span = surv.span AND spans.k = surv.mk),
+         |rebuilt AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_spans_kept,
+         |    string_agg(span, ' ' ORDER BY idx) AS text_dedup
+         |  FROM kept GROUP BY doc_id)
+         |SELECT toks.doc_id AS doc_id,
+         |  CAST((len(t)-1)//$SpanW + 1 AS INT) AS n_spans,
+         |  coalesce(n_spans_kept, 0) AS n_spans_kept,
+         |  coalesce(text_dedup, '') AS text_dedup
+         |FROM toks LEFT JOIN rebuilt ON toks.doc_id = rebuilt.doc_id
+         |ORDER BY toks.doc_id""".stripMargin
+    )
+  )
+
+  /** q_lm_quality — unigram language-model quality score: the corpus
+    * itself is the LM (token → count over all documents), and each
+    * document scores the mean log-probability of its own tokens —
+    * the KenLM-style perplexity filter of CCNet/RedPajama, with the
+    * n-gram model degenerated to unigrams so both engines can train it
+    * in one aggregation.
+    *
+    * 100 TB shape: the vocabulary is tiny relative to the corpus
+    * (Heaps' law), so token→logprob is a broadcast join against the
+    * exploded token stream; per-doc aggregation is partial-aggregated
+    * on the corpus's own doc_id layout. ln is quantized to 1e-6 into
+    * exact BIGINTs, so the per-doc sum is exact integer math and the
+    * final division is one IEEE op on identical inputs.
+    */
+  val qLmQuality = Q(
+    "q_lm_quality",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.wsTokens(col("text"))).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+      val lm = vocab.crossJoin(broadcast(total))
+        .select(col("token"),
+          floor(log(col("cnt") / col("total")) * 1e6 + 0.5)
+            .cast("long").as("lpq"))
+      toks.join(broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          sum(col("lpq")).as("sumq"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("sumq").cast("double") / 1e6 / col("n_tokens"))
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, token
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |    FROM documents), UNNEST(t) AS u(token)),
+        |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |lm AS (
+        |  SELECT token,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)
+        |      / (SELECT CAST(sum(cnt) AS DOUBLE) FROM vocab)) * 1e6 + 0.5)
+        |      AS BIGINT) AS lpq
+        |  FROM vocab)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |  CAST(sum(lpq) AS DOUBLE) / 1e6 / count(*) AS avg_logprob
+        |FROM toks JOIN lm USING (token)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_pack_sequences — training-sequence packing by concatenation:
+    * within each source shard, documents are concatenated in doc_id
+    * order and split into fixed 256-token training sequences; each
+    * document reports its token offset and the first/last sequence it
+    * lands in (documents cross sequence boundaries, as in GPT-style
+    * pretraining packing).
+    *
+    * 100 TB shape: the running offset is a window partitioned by the
+    * shard key — each shard's prefix sum is independent, so the window
+    * distributes; no global single-partition sort exists. Budget math
+    * is exact integer division.
+    */
+  val qPackSequences = Q(
+    "q_pack_sequences",
+    (s, d) => {
+      val B = 256
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(TextOps.wsTokens(col("text"))).as("n_tok"))
+        .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tok"), col("off"),
+          floor(col("off") / B).cast("int").as("seq_start"),
+          floor((col("off") + col("n_tok") - 1) / B).cast("int")
+            .as("seq_end"))
+        .orderBy("source", "doc_id")
+    },
+    Some(
+      """SELECT source, doc_id, n_tok, off,
+        |  CAST(off // 256 AS INT) AS seq_start,
+        |  CAST((off + n_tok - 1) // 256 AS INT) AS seq_end
+        |FROM (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS INT) AS n_tok,
+        |    coalesce(sum(CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS INT)) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM documents)
+        |ORDER BY source, doc_id""".stripMargin
+    )
+  )
+
+  /** q_chunk_windows — overlapping context windows: each document's
+    * token stream is cut into windows of 64 tokens at stride 32 (the
+    * sliding-window chunking of long-document embedding/eval
+    * pipelines); emits each window's start, length, and first token.
+    *
+    * 100 TB shape: pure map-side explode — windows of a document never
+    * leave its partition, and the output size is a fixed ~2× multiple
+    * of the token count set by the stride/window ratio.
+    */
+  val qChunkWindows = Q(
+    "q_chunk_windows",
+    (s, d) => {
+      val (win, stride) = (64, 32)
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).as("n"),
+          posexplode(sequence(lit(0), floor((size(col("t")) - 1) / stride)
+            .cast("int"))))
+        .select(col("doc_id"),
+          col("pos").cast("int").as("win_id"),
+          (col("pos") * stride).cast("int").as("tok_start"),
+          least(lit(win), col("n") - col("pos") * stride).cast("int")
+            .as("tok_len"),
+          element_at(col("t"), col("pos") * stride + 1).as("first_tok"))
+        .orderBy("doc_id", "win_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(u.k AS INT) AS win_id,
+        |  CAST(u.k * 32 AS INT) AS tok_start,
+        |  CAST(least(64, len(t) - u.k * 32) AS INT) AS tok_len,
+        |  t[u.k * 32 + 1] AS first_tok
+        |FROM toks, UNNEST(range(0, (len(t)-1)//32 + 1)) AS u(k)
+        |ORDER BY doc_id, win_id""".stripMargin
+    )
+  )
+
+  /** q_mixture_sample — source-mixture resampling: curation pins a
+    * target corpus mix (keep the head sources whole, downsample the
+    * tail to 40%) and the filter decides membership from the md5-prefix
+    * uniform against an exact integer threshold — deterministic,
+    * stable under repartitioning, identical keep-set in both engines.
+    *
+    * 100 TB shape: map-side filter on the scan, then a partial-agg
+    * count per source; no shuffle of document text.
+    */
+  val qMixtureSample = Q(
+    "q_mixture_sample",
+    (s, d) => {
+      val headSrc = Seq("src0", "src1", "src2", "src3", "src4")
+      // floor(0.4 * 2^32) — tail sources keep u32 < this
+      val tailThresh = 1717986918L
+      val u32 = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      val kept = Tables.documents(s, d)
+        .withColumn("u32", u32)
+        .filter(col("source").isin(headSrc: _*) || col("u32") < tailThresh)
+      kept.groupBy("source")
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy("source")
+    },
+    Some(
+      s"""SELECT source, CAST(count(*) AS INT) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |FROM (SELECT source, n_chars, substr(md5(text), 1, 8) AS h
+         |      FROM documents)
+         |WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+         |   OR $hexToLong < 1717986918
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
+    qChunkWindows, qMixtureSample)
+}
