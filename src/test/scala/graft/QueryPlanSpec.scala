@@ -136,4 +136,51 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"),
       s"no shuffle expected before the output sort:\n$p")
   }
+
+  test("q_sql_waiting_orders plans EXISTS as a semi join with pushed dates") {
+    val p = plan("q_sql_waiting_orders")
+    assert(p.contains("LeftSemi"), s"EXISTS should become a semi join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date range should reach the scan:\n$p")
+  }
+
+  test("q_sql_parts_suppliers plans NOT IN as an anti join on the filtered build side") {
+    val p = plan("q_sql_parts_suppliers")
+    assert(p.contains("LeftAnti"), s"NOT IN should become an anti join:\n$p")
+    assert(p.contains("LessThan(s_acctbal,0.0)"),
+      s"the exclusion filter should reach the supplier scan:\n$p")
+  }
+
+  test("q_sql_cust_distribution keeps zero-order customers via left outer join") {
+    val p = plan("q_sql_cust_distribution")
+    assert(p.contains("LeftOuter"), s"expected a left outer join:\n$p")
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"the join-side order filter should reach the orders scan:\n$p")
+  }
+
+  test("q_sql_disjunctive pushes the OR-of-brands envelope to the part scan") {
+    val p = plan("q_sql_disjunctive")
+    assert(p.contains("Or(") && p.contains("p_brand"),
+      s"disjunctive predicate should be pushed:\n$p")
+  }
+
+  test("q_lm_quality broadcasts the vocabulary to the token stream") {
+    val p = plan("q_lm_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      s"token->logprob join should broadcast the vocab:\n$p")
+  }
+
+  test("q_pack_sequences windows per source shard (no global single partition)") {
+    val p = plan("q_pack_sequences")
+    assert(p.contains("hashpartitioning(source"),
+      s"the running offset must partition by the shard key:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no global single-partition window allowed:\n$p")
+  }
+
+  test("q_chunk_windows explodes map-side (no shuffle before the output sort)") {
+    val p = plan("q_chunk_windows")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"windows of a document must not leave its partition:\n$p")
+  }
 }
