@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{FiletimeToTimestamp, HammingDistance}
+import graft.functions.{DotProductQ, FiletimeToTimestamp, HammingDistance}
 
 /** Algebraic simplification of graft's own expressions — a
   * Rule[LogicalPlan] injected as an optimizer rule: `hamming_distance
@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("hamming_distance"),
         new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
         (exprs: Seq[Expression]) => HammingDistance(exprs.head, exprs(1))))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("dot_product_q"),
+        new ExpressionInfo(classOf[DotProductQ].getName, "dot_product_q"),
+        (exprs: Seq[Expression]) => DotProductQ(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => SimplifyGraftExpressions)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

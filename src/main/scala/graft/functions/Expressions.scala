@@ -97,6 +97,73 @@ case class HammingDistance(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Exact integer dot product of two ARRAY<BIGINT> vectors — the hot
+  * inner loop of every vector-similarity operator (KNN scoring, IVF
+  * probe, semantic dedup). The higher-order-function formulation
+  * (`aggregate(zip_with(a, b, _*_), 0, _+_)`) materializes an
+  * intermediate array and evaluates two lambdas per element outside
+  * whole-stage codegen; this expression is one fused loop over the two
+  * `ArrayData`, codegen'd, no allocation.
+  *
+  * Semantics match the HOF form exactly: null if either array is null,
+  * length mismatch → null (zip_with pads with null, poisoning the sum),
+  * any null element → null.
+  */
+case class DotProductQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "dot_product_q needs (ARRAY<BIGINT>, ARRAY<BIGINT>)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Column-API and SQL-registry surface for the custom expressions. */
 object GraftFunctions {
 
@@ -106,6 +173,10 @@ object GraftFunctions {
   def hamming_distance(a: Column, b: Column): Column =
     ColumnBridge.column(
       HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dot_product_q(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductQ(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Register `filetime_to_timestamp` / `hamming_distance` for SQL use. */
   def register(spark: SparkSession): Unit = {
@@ -117,6 +188,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "hamming_distance",
       exprs => HammingDistance(exprs.head, exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "dot_product_q",
+      exprs => DotProductQ(exprs.head, exprs(1)),
       "built-in")
   }
 }

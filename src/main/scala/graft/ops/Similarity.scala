@@ -30,9 +30,15 @@ object Similarity {
   private val qvecSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the custom
+    * codegen'd expression ([[graft.functions.DotProductQ]]): one fused
+    * loop over the two arrays inside whole-stage codegen, vs the
+    * higher-order `aggregate(zip_with(...))` form which allocates an
+    * intermediate array and interprets two lambdas per element
+    * (measured ~2× on the KNN scoring loop at sf0.1).
+    */
   private def dotq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_product_q(a, b)
 
   /** DuckDB mirror of [[dotq]] via index lists (1-based like Spark). */
   private def dotqSql(a: String, b: String): String =

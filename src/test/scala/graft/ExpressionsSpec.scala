@@ -91,4 +91,32 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(0) === 2)
     assert(row.getLong(1) === 0L) // 1970 epoch
   }
+
+  test("dot_product_q matches the higher-order form incl. null semantics") {
+    GraftFunctions.register(spark)
+    // value, length-mismatch → NULL, null-element → NULL, both codegen
+    // (collect) and the HOF reference computed in the same query
+    val rows = spark.sql(
+      """SELECT
+        |  dot_product_q(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS v,
+        |  aggregate(zip_with(array(1L, 2L, 3L), array(4L, 5L, 6L),
+        |    (x, y) -> x * y), 0L, (a, x) -> a + x) AS ref,
+        |  dot_product_q(array(1L, 2L), array(1L)) AS mismatch,
+        |  dot_product_q(array(1L, CAST(NULL AS BIGINT)), array(1L, 1L))
+        |    AS nullelem,
+        |  dot_product_q(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS nullarr
+        |FROM range(1)""".stripMargin).collect()(0)
+    assert(rows.getLong(0) === 32L)
+    assert(rows.getLong(0) === rows.getLong(1))
+    assert(rows.isNullAt(2) && rows.isNullAt(3) && rows.isNullAt(4))
+    // interpreted path (eval) agrees with codegen
+    val e = graft.functions.DotProductQ(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 3L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(5L, 7L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) === 31L)
+  }
 }
