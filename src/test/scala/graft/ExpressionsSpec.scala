@@ -119,4 +119,35 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
           org.apache.spark.sql.types.LongType)))
     assert(e.eval(null) === 31L)
   }
+
+  test("FuseDotProduct rewrites the HOF idiom into dot_product_q") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .appName("fuse-dot").config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try {
+      // non-foldable input (id column) so the fused form is observable
+      val df = s2.sql(
+        """SELECT aggregate(zip_with(array(id, 2L, 3L), array(4L, 5L, id),
+          |  (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS dot
+          |FROM range(7, 8)""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("dotproductq"),
+        df.queryExecution.optimizedPlan.toString)
+      assert(df.collect()(0).getLong(0) === 7L * 4 + 2 * 5 + 3 * 7)
+      // non-matching shape (sum of plain elements) is left alone
+      val other = s2.sql(
+        """SELECT aggregate(array(1L, 2L), 0L, (acc, x) -> acc + x) AS s
+          |FROM range(1)""".stripMargin)
+      assert(!other.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("dotproductq"))
+      assert(other.collect()(0).getLong(0) === 3L)
+    } finally {
+      s2.stop()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
 }
