@@ -168,5 +168,46 @@ object Layout {
     }
   )
 
-  val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder)
+  /** q_format_roundtrip — sink/source breadth across Spark's built-in
+    * columnar and text formats: the documents table is written to ORC,
+    * CSV (with header), and JSON line files, read back through each
+    * reader with an explicit schema, and all three read-backs must be
+    * value-identical to the source (the oracle is the source table
+    * replicated per format). Exercises the writer/reader pair end to
+    * end — type mapping, quoting/escaping, null handling.
+    *
+    * 100 TB shape: format conversion is an embarrassingly parallel
+    * map of files; no shuffle in either direction (the final orderBy is
+    * only the oracle-comparison contract).
+    */
+  val qFormatRoundtrip = Q(
+    "q_format_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = graft.Scratch.dir("format_roundtrip")
+      val (orc, csv, json) = (root.resolve("orc").toString,
+        root.resolve("csv").toString, root.resolve("json").toString)
+      docs.write.mode("overwrite").orc(orc)
+      docs.write.mode("overwrite").option("header", "true").csv(csv)
+      docs.write.mode("overwrite").json(json)
+      val cols = Seq(col("fmt"), col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      s.read.orc(orc).withColumn("fmt", lit("orc")).select(cols: _*)
+        .unionByName(s.read.schema(docs.schema).option("header", "true")
+          .csv(csv).withColumn("fmt", lit("csv")).select(cols: _*))
+        .unionByName(s.read.schema(docs.schema).json(json)
+          .withColumn("fmt", lit("json")).select(cols: _*))
+        .orderBy("fmt", "doc_id")
+    },
+    Some(
+      """SELECT fmt, doc_id, text, lang, source, n_chars FROM (
+        |  SELECT 'orc' AS fmt, * FROM documents
+        |  UNION ALL SELECT 'csv' AS fmt, * FROM documents
+        |  UNION ALL SELECT 'json' AS fmt, * FROM documents)
+        |ORDER BY fmt, doc_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
+    qFormatRoundtrip)
 }
