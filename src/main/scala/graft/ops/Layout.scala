@@ -208,6 +208,83 @@ object Layout {
     )
   )
 
+  /** Delete the rows matching `killPred` from a `partCol`-partitioned
+    * parquet table by rewriting ONLY the partitions that contain them:
+    * dynamic partition overwrite replaces exactly the partition dirs
+    * the filtered write emits and leaves every other dir untouched
+    * (spec-asserted via file mtimes in LayoutSpec).
+    *
+    * The 100 TB right-to-be-forgotten shape: a delete of k user-keys
+    * costs a scan+rewrite of the partitions holding them — never a
+    * full-table rewrite, never a driver-side file loop.
+    */
+  def targetedDelete(spark: SparkSession, dir: String, partCol: String,
+      killPred: Column): Unit = {
+    val table = spark.read.parquet(dir)
+    val affected = table.filter(killPred).select(partCol).distinct()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      table
+        .join(broadcast(affected), Seq(partCol), "left_semi")
+        .filter(!killPred)
+        .write.partitionBy(partCol).mode("overwrite").parquet(dir)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** q_targeted_delete — end-to-end partition-pruned delete: documents
+    * written source-partitioned, every doc with doc_id ≡ 7 (mod 131)
+    * deleted via [[targetedDelete]], table read back. The oracle is the
+    * anti-filtered source table; only partitions containing a killed
+    * doc were rewritten.
+    */
+  val qTargetedDelete = Q(
+    "q_targeted_delete",
+    (s, d) => {
+      val dir = graft.Scratch.dir("targeted_delete").resolve("docs").toString
+      Tables.documents(s, d).write.partitionBy("source")
+        .mode("overwrite").parquet(dir)
+      targetedDelete(s, dir, "source", pmod(col("doc_id"), lit(131L)) === 7)
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 131 <> 7 ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_compact — small-file compaction: a fragmented write (50 files)
+    * is rewritten into a few large files (repartition to a target file
+    * count), contents bit-identical — the table-maintenance pass any
+    * long-lived 100 TB corpus needs after incremental appends, done as
+    * one distributed rewrite (file-count shrink asserted in
+    * LayoutSpec).
+    */
+  val qCompact = Q(
+    "q_compact",
+    (s, d) => {
+      val root = graft.Scratch.dir("compact")
+      val frag = root.resolve("frag").toString
+      val tight = root.resolve("tight").toString
+      Tables.documents(s, d).repartition(50)
+        .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).repartition(2)
+        .write.mode("overwrite").parquet(tight)
+      s.read.parquet(tight)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
-    qFormatRoundtrip)
+    qFormatRoundtrip, qTargetedDelete, qCompact)
 }

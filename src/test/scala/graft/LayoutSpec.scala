@@ -152,4 +152,56 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zySpan < lySpan - 40.0,
       s"z-order must beat linear on the second dimension: $zySpan vs $lySpan")
   }
+
+  test("targeted delete rewrites only the partitions holding killed rows") {
+    import graft.ops.Layout
+    val dir = Files.createTempDirectory("layout_del").resolve("docs").toString
+    val docs = Tables.documents(spark, sf)
+    docs.write.partitionBy("source").mode("overwrite").parquet(dir)
+
+    // pick one doc to kill; note its source and some untouched source
+    val victim = docs.orderBy("doc_id").limit(1)
+      .select("doc_id", "source").collect()(0)
+    val (killId, killSrc) = (victim.getLong(0), victim.getString(1))
+    val otherSrc = docs.filter(col("source") =!= killSrc)
+      .select("source").distinct().orderBy("source").limit(1)
+      .collect()(0).getString(0)
+
+    def files(src: String): Map[String, Long] = {
+      val d = new File(s"$dir/source=$src")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val beforeOther = files(otherSrc)
+    val beforeKill  = files(killSrc)
+
+    Layout.targetedDelete(spark, dir, "source", col("doc_id") === killId)
+
+    // untouched partition: identical files, identical mtimes
+    assert(files(otherSrc) === beforeOther,
+      s"partition source=$otherSrc was rewritten but holds no killed rows")
+    // affected partition: rewritten (different file set or mtimes)
+    assert(files(killSrc) !== beforeKill,
+      s"partition source=$killSrc should have been rewritten")
+    // data: exactly the one row gone
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("doc_id") === killId).count() === 0)
+    assert(back.count() === docs.count() - 1)
+  }
+
+  test("compaction shrinks file count without changing content") {
+    val root = Files.createTempDirectory("layout_compact")
+    val frag = root.resolve("frag").toString
+    val tight = root.resolve("tight").toString
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(20).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(2)
+      .write.mode("overwrite").parquet(tight)
+    def nFiles(p: String): Int =
+      new File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles(frag) === 20)
+    assert(nFiles(tight) === 2)
+    assert(spark.read.parquet(tight).orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+  }
 }
