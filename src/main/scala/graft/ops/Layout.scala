@@ -221,17 +221,31 @@ object Layout {
   def targetedDelete(spark: SparkSession, dir: String, partCol: String,
       killPred: Column): Unit = {
     val table = spark.read.parquet(dir)
+    // survivors per affected partition; a partition whose every row is
+    // killed emits nothing, so dynamic overwrite would LEAVE its old dir
+    // (and the killed rows) — those must be dropped explicitly below
     val affected = table.filter(killPred).select(partCol).distinct()
+      .collect().map(_.get(0)).toSeq
+    val survivors = table
+      .filter(col(partCol).isin(affected: _*))
+      .filter(!killPred)
+    val nonEmpty = survivors.select(partCol).distinct()
+      .collect().map(_.get(0)).toSet
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      table
-        .join(broadcast(affected), Seq(partCol), "left_semi")
-        .filter(!killPred)
-        .write.partitionBy(partCol).mode("overwrite").parquet(dir)
-    } finally prev match {
+    try survivors.write.partitionBy(partCol).mode("overwrite").parquet(dir)
+    finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val emptied = affected.filterNot(nonEmpty)
+    if (emptied.nonEmpty) {
+      val conf = spark.sessionState.newHadoopConf()
+      emptied.foreach { v =>
+        val p = new org.apache.hadoop.fs.Path(dir, s"$partCol=$v")
+        val fs = p.getFileSystem(conf)
+        fs.delete(p, true): Unit
+      }
     }
   }
 

@@ -187,6 +187,15 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = spark.read.parquet(dir)
     assert(back.filter(col("doc_id") === killId).count() === 0)
     assert(back.count() === docs.count() - 1)
+
+    // killing EVERY row of a partition must remove its directory, not
+    // leave the pre-delete files behind (dynamic overwrite writes
+    // nothing for an emptied partition — the explicit drop covers it)
+    Layout.targetedDelete(spark, dir, "source", col("source") === otherSrc)
+    assert(!new File(s"$dir/source=$otherSrc").exists(),
+      s"emptied partition dir source=$otherSrc must be dropped")
+    val back2 = spark.read.parquet(dir)
+    assert(back2.filter(col("source") === otherSrc).count() === 0)
   }
 
   test("compaction shrinks file count without changing content") {
