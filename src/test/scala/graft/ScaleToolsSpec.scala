@@ -206,4 +206,31 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the runtime-replan path that complements Skew.saltedJoin: one key
+    // holds ~95% of the left side; with skew-join thresholds scaled to
+    // the fixture, AQE must mark the join skew=true and split the hot
+    // partition instead of leaving one straggler task
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val skewed = s2.range(0, 300000)
+      .select(when(col("id") < 285000, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val dim = s2.range(0, 64).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val j = skewed.join(dim, "k")
+    // collect() runs j's OWN QueryExecution, so the adaptive plan below
+    // is the final one (count() would plan a different query)
+    assert(j.collect().length === 285000)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE should have split the skewed partition:\n${plan.take(2500)}")
+  }
 }
