@@ -304,7 +304,31 @@ object SqlSurface2 {
       |ORDER BY c_nationkey""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(qSqlWaitingOrders, qSqlVolumeShipping,
+  /** q_sql_recursive — native `WITH RECURSIVE` (Spark 4 supports the
+    * ANSI form; same text in DuckDB): each part node walks the implicit
+    * binary-heap ancestry k → ⌊k/2⌋ to the root, emitting path length
+    * and path sum. Complements `q_recursive_tree`, which implements the
+    * same fixpoint as an iterative DataFrame loop — here the engine's
+    * own recursion operator does the driving.
+    *
+    * (floor() before the BIGINT cast: DuckDB CAST rounds half-up while
+    * Spark truncates, so a bare CAST(cur/2) would diverge.)
+    */
+  val qSqlRecursive = sqlQ(
+    "q_sql_recursive",
+    """WITH RECURSIVE anc AS (
+      |  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
+      |  FROM part WHERE p_partkey < 64
+      |  UNION ALL
+      |  SELECT node, CAST(floor(cur / 2) AS BIGINT) AS cur, depth + 1
+      |  FROM anc WHERE cur > 1)
+      |SELECT node, CAST(count(*) AS BIGINT) AS path_len,
+      |  CAST(sum(cur) AS BIGINT) AS path_sum,
+      |  CAST(max(depth) AS INT) AS height
+      |FROM anc GROUP BY node ORDER BY node""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(qSqlRecursive, qSqlWaitingOrders, qSqlVolumeShipping,
     qSqlMarketShare, qSqlLateLines, qSqlCustDistribution, qSqlTopSupplier,
     qSqlPartsSuppliers, qSqlSmallQtyRevenue, qSqlDisjunctive,
     qSqlExcessShipments, qSqlWaitingSuppliers, qSqlNoOrderCustomers)
