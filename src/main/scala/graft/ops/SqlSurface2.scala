@@ -238,21 +238,29 @@ object SqlSurface2 {
   )
 
   /** q_sql_excess_shipments — TPC-H Q20 shape: suppliers who shipped
-    * more than a threshold quantity of 'red' parts — a two-level
-    * semi-join chain (supplier IN (lineitem⋉part group-having)).
+    * disproportionately much of the 'red' parts — a two-level semi-join
+    * chain (supplier IN (lineitem⋉part group-having)). The threshold is
+    * scale-relative (supplier's red volume > 1.5× the mean red volume
+    * per shipping supplier), restated as an exact decimal
+    * cross-multiplication so it stays selective AND float-free at every
+    * scale factor.
     */
   val qSqlExcessShipments = sqlQ(
     "q_sql_excess_shipments",
-    """SELECT s_suppkey, s_name
-      |FROM supplier
-      |WHERE s_suppkey IN (
-      |  SELECT l_suppkey FROM lineitem
+    """WITH red AS (
+      |  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      |  FROM lineitem
       |  WHERE l_partkey IN (
       |    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      |  GROUP BY l_suppkey
-      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM red
+      |  WHERE q * (SELECT count(*) FROM red) * 2
+      |      > (SELECT SUM(q) FROM red) * 3)
       |ORDER BY s_suppkey""".stripMargin
   )
 
