@@ -273,6 +273,109 @@ object Corpus {
     )
   )
 
+  /** q_entropy — per-source token-distribution Shannon entropy, the
+    * corpus-diversity metric of curation dashboards. Exactness: the
+    * per-token term is cnt × lnq(cnt/total) with lnq the 1e-6-quantized
+    * ln — an exact BIGINT product summed exactly; entropy surfaces as
+    * −Σ/1e6/total, one double division chain on identical inputs.
+    * (A naive Σ p·ln p sums doubles in engine-dependent order.)
+    */
+  val qEntropy = Q(
+    "q_entropy",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.wsTokens(col("text"))).as("token"))
+      val cnts = toks.groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      val totals = cnts.groupBy("source").agg(sum(col("cnt")).as("total"))
+      cnts.join(broadcast(totals), "source")
+        .select(col("source"), col("total"),
+          (col("cnt") * floor(log(col("cnt") / col("total")) * 1e6 + 0.5)
+            .cast("long")).as("term"))
+        .groupBy("source", "total")
+        .agg(sum(col("term")).as("sumq"), count(lit(1)).as("n_types"))
+        .select(col("source"),
+          (-col("sumq").cast("double") / 1e6 / col("total")).as("entropy"),
+          col("n_types").cast("int").as("n_types"),
+          col("total").as("n_tokens"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT source, token
+        |  FROM (SELECT source,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |    FROM documents), UNNEST(t) AS u(token)),
+        |cnts AS (
+        |  SELECT source, token, count(*) AS cnt
+        |  FROM toks GROUP BY source, token),
+        |totals AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+        |           FROM cnts GROUP BY source)
+        |SELECT source,
+        |  -CAST(SUM(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE) / total)
+        |      * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / total AS entropy,
+        |  CAST(count(*) AS INT) AS n_types,
+        |  total AS n_tokens
+        |FROM cnts JOIN totals USING (source)
+        |GROUP BY source, total
+        |ORDER BY source""".stripMargin
+    )
+  )
+
+  /** q_domain_shift — KL divergence of each source's token distribution
+    * from the whole-corpus distribution: KL(s‖c) = Σ_t p_s(t) ·
+    * (ln p_s(t) − ln p_c(t)) — the domain-shift score curation uses to
+    * spot outlier sources before mixing. Same exact-BIGINT shape as
+    * [[qEntropy]]: Σ cnt_s × (lnqS − lnqC), one final division. Every
+    * source token also occurs in the corpus distribution by
+    * construction, so no term is undefined.
+    */
+  val qDomainShift = Q(
+    "q_domain_shift",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.wsTokens(col("text"))).as("token"))
+      val srcCnt = toks.groupBy("source", "token").agg(count(lit(1)).as("cs"))
+      val srcTot = srcCnt.groupBy("source").agg(sum(col("cs")).as("ts"))
+      val corpCnt = srcCnt.groupBy("token").agg(sum(col("cs")).as("cc"))
+      val corpTot = corpCnt.agg(sum(col("cc")).as("tc"))
+      def lnq(p: Column): Column = floor(log(p) * 1e6 + 0.5).cast("long")
+      srcCnt.join(broadcast(corpCnt), "token")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(corpTot))
+        .select(col("source"), col("ts"),
+          (col("cs") * (lnq(col("cs") / col("ts"))
+            - lnq(col("cc") / col("tc")))).as("term"))
+        .groupBy("source", "ts")
+        .agg(sum(col("term")).as("sumq"))
+        .select(col("source"),
+          (col("sumq").cast("double") / 1e6 / col("ts")).as("kl_from_corpus"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT source, token
+        |  FROM (SELECT source,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |    FROM documents), UNNEST(t) AS u(token)),
+        |sc AS (SELECT source, token, count(*) AS cs
+        |       FROM toks GROUP BY source, token),
+        |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts
+        |       FROM sc GROUP BY source),
+        |cc AS (SELECT token, CAST(sum(cs) AS BIGINT) AS cc
+        |       FROM sc GROUP BY token),
+        |ct AS (SELECT CAST(sum(cc) AS BIGINT) AS tc FROM cc)
+        |SELECT source,
+        |  CAST(SUM(cs * (CAST(floor(ln(CAST(cs AS DOUBLE) / ts) * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(cc.cc AS DOUBLE) / tc) * 1e6 + 0.5) AS BIGINT)))
+        |    AS DOUBLE) / 1e6 / ts AS kl_from_corpus
+        |FROM sc JOIN cc USING (token) JOIN st USING (source) CROSS JOIN ct
+        |GROUP BY source, ts
+        |ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
-    qChunkWindows, qMixtureSample)
+    qChunkWindows, qMixtureSample, qEntropy, qDomainShift)
 }

@@ -323,7 +323,104 @@ object Stats {
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("a50"),
         percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("a90"))
 
+  /** q_correlation — Pearson correlation per group from exact decimal
+    * sums: n, Σx, Σy, Σxx, Σyy, Σxy aggregate exactly (order-free);
+    * the closed form then runs in double on identical inputs in both
+    * engines (IEEE multiply/subtract/sqrt/divide are deterministic) —
+    * never the engines' own order-sensitive `corr()` streams.
+    */
+  val qCorrelation = Q(
+    "q_correlation",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(Exact.dec(col("l_quantity"))).as("sx"),
+          sum(Exact.dec(col("l_extendedprice"))).as("sy"),
+          sum(Exact.dec(col("l_quantity")) * Exact.dec(col("l_quantity"))).as("sxx"),
+          sum(Exact.dec(col("l_extendedprice")) * Exact.dec(col("l_extendedprice"))).as("syy"),
+          sum(Exact.dec(col("l_quantity")) * Exact.dec(col("l_extendedprice"))).as("sxy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag, n,
+        |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
+  /** q_linreg — per-group OLS fit (price on quantity) from the same
+    * exact-sums closed form: slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²),
+    * intercept = (Σy − slope·Σx)/n; sums exact, final math double.
+    */
+  val qLinreg = Q(
+    "q_linreg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(Exact.dec(col("l_quantity"))).as("sx"),
+          sum(Exact.dec(col("l_extendedprice"))).as("sy"),
+          sum(Exact.dec(col("l_quantity")) * Exact.dec(col("l_quantity"))).as("sxx"),
+          sum(Exact.dec(col("l_quantity")) * Exact.dec(col("l_extendedprice"))).as("sxy"))
+        .select(
+          col("l_linestatus"), col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+            .as("slope"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / col("n"))
+        .select(col("l_linestatus"), col("n"), col("slope"), col("intercept"))
+        .orderBy("l_linestatus"),
+    Some(
+      """SELECT l_linestatus, n, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n AS intercept
+        |FROM (
+        |  SELECT l_linestatus, n, sx, sy,
+        |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      AS slope
+        |  FROM (
+        |    SELECT l_linestatus, count(*) AS n,
+        |      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |      SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |      SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |      SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |    FROM lineitem GROUP BY l_linestatus))
+        |ORDER BY l_linestatus""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
-      qApproxQuantiles, qWindowFirstlast, qWinsorize)
+      qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg)
 }
