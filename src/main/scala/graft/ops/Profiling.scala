@@ -149,5 +149,105 @@ object Profiling {
     )
   )
 
-  val all: Seq[Q] = Seq(qProfile, qGapFill)
+  /** q_ewma — exponentially weighted moving average (α = 1/2) of each
+    * user's event values over their last 16 events, in EXACT integer
+    * arithmetic: values quantized to cents, weights are powers of two
+    * (2^15, 2^14, …), the weighted sum and the weight sum are exact
+    * BIGINTs, and the EWMA is their one double division. A recursive
+    * EWMA (each row from the previous row's state) can't distribute;
+    * the bounded-window form is one partitioned window — and with
+    * α = 1/2 the dropped tail beyond 16 lags is below 2^-16, under the
+    * cent quantum itself.
+    */
+  val qEwma = Q(
+    "q_ewma",
+    (s, d) => {
+      val wRn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .select(col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cv"),
+          col("event_id"),
+          row_number().over(wRn).as("rn"))
+      val cur = base.select(col("user_id"), col("event_id"),
+        col("rn").as("rn_t"))
+      cur.join(base.select(col("user_id"), col("rn"), col("cv")),
+          Seq("user_id"))
+        .filter(col("rn") > col("rn_t") - 16 && col("rn") <= col("rn_t"))
+        .groupBy("user_id", "event_id", "rn_t")
+        .agg(
+          sum(col("cv") * expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(15 - (rn_t - rn) AS INT))"))
+            .as("num"),
+          sum(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(15 - (rn_t - rn) AS INT))"))
+            .as("den"))
+        .select(col("user_id"), col("event_id"),
+          (col("num").cast("double") / col("den") / 100.0).as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id < 50)
+        |SELECT c.user_id, c.event_id,
+        |  CAST(SUM(p.cv * (CAST(1 AS BIGINT) << CAST(15 - (c.rn - p.rn) AS INT)))
+        |      AS DOUBLE)
+        |    / SUM(CAST(1 AS BIGINT) << CAST(15 - (c.rn - p.rn) AS INT))
+        |    / 100.0 AS ewma
+        |FROM base c JOIN base p
+        |  ON c.user_id = p.user_id AND p.rn > c.rn - 16 AND p.rn <= c.rn
+        |GROUP BY c.user_id, c.event_id, c.rn
+        |ORDER BY c.user_id, c.event_id""".stripMargin
+    )
+  )
+
+  /** q_outliers — per-type z-score anomaly flagging: mean and stddev
+    * derive from exact decimal sums (μ = Σx/n, σ² = (nΣx² − (Σx)²)/n²),
+    * every engine computes the identical doubles, and the |x−μ| > 3σ
+    * cut is a deterministic double comparison — so the outlier SET
+    * (not just the scores) is bit-stable cross-engine.
+    */
+  val qOutliers = Q(
+    "q_outliers",
+    (s, d) => {
+      val stats = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.dec(col("value"))).as("sx"),
+          sum(Exact.dec(col("value")) * Exact.dec(col("value"))).as("sxx"))
+        .select(col("event_type"),
+          (col("sx").cast("double") / col("n")).as("mu"),
+          (sqrt(col("n") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / col("n")).as("sigma"))
+      Tables.events(s, d)
+        .join(broadcast(stats), "event_type")
+        .filter(abs(col("value") - col("mu")) > col("sigma") * 3)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("mu"), col("sigma"))
+        .orderBy("event_type", "event_id")
+    },
+    Some(
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(sx AS DOUBLE) / n AS mu,
+        |    sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / n AS sigma
+        |  FROM (
+        |    SELECT event_type, count(*) AS n,
+        |      SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+        |      SUM(CAST(value AS DECIMAL(18,2))
+        |        * CAST(value AS DECIMAL(18,2))) AS sxx
+        |    FROM events GROUP BY event_type))
+        |SELECT event_type, event_id, value, mu, sigma
+        |FROM events JOIN stats USING (event_type)
+        |WHERE abs(value - mu) > sigma * 3
+        |ORDER BY event_type, event_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qProfile, qGapFill, qEwma, qOutliers)
 }
