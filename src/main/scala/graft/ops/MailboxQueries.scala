@@ -431,7 +431,36 @@ object MailboxQueries {
     )
   )
 
+  /** q_mailbox_sql_view — the reference's SQL UX
+    * (`SELECT ... FROM read_pst_messages('f.pst')`,
+    * README.md:25-37) through Spark's own SQL path: the DSv2 source is
+    * `DataSourceRegister`ed as `mailbox`, so
+    * `CREATE TEMPORARY VIEW ... USING mailbox OPTIONS (...)` makes the
+    * connector a plain SQL table — pushdowns and stats identical to the
+    * DataFrame route (same Table implementation underneath).
+    */
+  val qMailboxSqlView = Q(
+    "q_mailbox_sql_view",
+    (s, _) => {
+      ensureFixtures()
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW mailbox_sql_view
+           |USING mailbox
+           |OPTIONS (path '$unittest', mode 'messages')""".stripMargin)
+      s.sql(
+        """SELECT message_class, count(*) AS n, min(subject) AS first_subject
+          |FROM mailbox_sql_view
+          |GROUP BY message_class ORDER BY message_class""".stripMargin)
+    },
+    Some(
+      s"""SELECT message_class, count(*) AS n, min(subject) AS first_subject
+         |FROM ${jsonSrc(unittest)} WHERE record_type = 'message'
+         |GROUP BY message_class ORDER BY message_class""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
+    qMailboxSqlView,
     qMailboxCount,
     qMailboxCountLarge,
     qMailboxScanLarge,
