@@ -42,6 +42,55 @@ object SqlSurface2 {
       Some(duckSql.getOrElse(sparkSql)),
       bench)
 
+  /** q_sql_pricing_summary — the full TPC-H Q1 pricing-summary report:
+    * all eight aggregates (conditional sums, three averages, count) per
+    * (returnflag, linestatus). Sums are decimal-exact; each average is
+    * one division of an exact sum by an exact count, in double, so both
+    * engines produce the identical IEEE result.
+    */
+  val qSqlPricingSummary = sqlQ(
+    "q_sql_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |    AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |    AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    bench = false
+  )
+
+  /** q_sql_forecast_revenue — TPC-H Q6 forecasting-revenue change: one
+    * range-band scan-side filter (year × discount band × quantity cap),
+    * no join, one global conditional sum — every predicate reaches the
+    * parquet scan.
+    */
+  val qSqlForecastRevenue = sqlQ(
+    "q_sql_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.08
+      |  AND l_quantity < 24""".stripMargin
+  )
+
   /** q_sql_waiting_orders — TPC-H Q4 shape: orders in a quarter with at
     * least one line shipped after the order date (correlated EXISTS →
     * left-semi hash join on the fact's key; the date range is pushed to
@@ -336,7 +385,8 @@ object SqlSurface2 {
       |FROM anc GROUP BY node ORDER BY node""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(qSqlRecursive, qSqlWaitingOrders, qSqlVolumeShipping,
+  val all: Seq[Q] = Seq(qSqlPricingSummary, qSqlForecastRevenue,
+    qSqlRecursive, qSqlWaitingOrders, qSqlVolumeShipping,
     qSqlMarketShare, qSqlLateLines, qSqlCustDistribution, qSqlTopSupplier,
     qSqlPartsSuppliers, qSqlSmallQtyRevenue, qSqlDisjunctive,
     qSqlExcessShipments, qSqlWaitingSuppliers, qSqlNoOrderCustomers)
