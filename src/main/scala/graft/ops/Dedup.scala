@@ -658,7 +658,86 @@ object Dedup {
     )
   )
 
+  /** q_substr_regions — ExactSubstr-style duplicated-region detection
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": remove exact substrings repeated across the corpus). The
+    * distributed formulation replaces the suffix array with stride-1
+    * token 8-grams: an 8-gram occurring in more than one document marks
+    * token positions [o, o+7] as duplicated; per document, consecutive
+    * duplicated offsets merge into maximal regions via the
+    * offset−row_number island trick. Emits each document's duplicated
+    * regions in token coordinates — the spans a substring-dedup pass
+    * would cut.
+    *
+    * 100 TB shape: the shuffle carries md5(8-gram) digests + offsets,
+    * never text; the >1-document test is one partial-aggregated
+    * count(DISTINCT doc) per digest (a Bloom-side prefilter fits the
+    * [[incrementalNew]] pattern when the duplicate rate is low); island
+    * merging is a per-doc window on data already grouped by doc_id.
+    */
+  val qSubstrRegions = Q(
+    "q_substr_regions",
+    (s, d) => {
+      val k = 8
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= k)
+      val grams = toks.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("t")) - k),
+          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))))
+        .withColumnRenamed("pos", "off")
+        .withColumnRenamed("col", "g")
+      val dup = grams.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+      val marked = grams.join(dup, "g")
+        .select(col("doc_id"), col("off"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("off")
+      marked
+        .withColumn("island", col("off") - row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg(min(col("off")).as("region_start"),
+          (max(col("off")) + lit(k - 1)).as("region_end"))
+        .select(col("doc_id"), col("region_start").cast("int").as("region_start"),
+          col("region_end").cast("int").as("region_end"),
+          (col("region_end") - col("region_start") + 1).cast("int")
+            .as("region_len"))
+        .orderBy("doc_id", "region_start")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS "off",
+        |    md5(array_to_string(t[u.i+1 : u.i+8], ' ')) AS g
+        |  FROM toks, UNNEST(range(0, len(t) - 8 + 1)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |marked AS (
+        |  SELECT doc_id, "off" FROM grams JOIN dup USING (g)),
+        |islands AS (
+        |  SELECT doc_id, "off",
+        |    "off" - row_number() OVER (PARTITION BY doc_id ORDER BY "off")
+        |      AS island
+        |  FROM marked)
+        |SELECT doc_id,
+        |  CAST(min("off") AS INT) AS region_start,
+        |  CAST(max("off") + 7 AS INT) AS region_end,
+        |  CAST(max("off") + 7 - min("off") + 1 AS INT) AS region_len
+        |FROM islands
+        |GROUP BY doc_id, island
+        |ORDER BY doc_id, region_start""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
+    qSubstrRegions,
     qDedupExact,
     qMinhashSignature,
     qMinhashLshPairs,
