@@ -120,6 +120,24 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.eval(null) === 31L)
   }
 
+  test("dot_product_q equals the HOF form on random vectors (property)") {
+    GraftFunctions.register(spark)
+    // elements within the 1e-6 quantization contract (|e| ≤ 2^21)
+    val gen = Gen.listOfN(64, Gen.choose(-2097152L, 2097152L))
+    val vecs = (0 until 60).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(7L + i)))
+    import spark.implicits._
+    val df = vecs.grouped(2).collect { case scala.collection.Seq(a, b) =>
+      (a, b)
+    }.toSeq.toDF("a", "b")
+    val rows = df.selectExpr(
+      "dot_product_q(a, b) AS fused",
+      """aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
+        |  (acc, x) -> acc + x) AS hof""".stripMargin).collect()
+    assert(rows.length === 30)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("FuseDotProduct rewrites the HOF idiom into dot_product_q") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
