@@ -688,9 +688,12 @@ object Dedup {
           i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))))
         .withColumnRenamed("pos", "off")
         .withColumnRenamed("col", "g")
+      // "appears in >1 document" as min≠max — one partial-aggregated
+      // pass, vs count(DISTINCT doc_id)'s two-phase expansion
       val dup = grams.groupBy("g")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1)
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
+        .select(col("g"))
       val marked = grams.join(dup, "g")
         .select(col("doc_id"), col("off"))
       val w = org.apache.spark.sql.expressions.Window
@@ -736,8 +739,103 @@ object Dedup {
     )
   )
 
+  /** q_substr_cut — the APPLY half of ExactSubstr dedup: every repeated
+    * 8-gram occurrence except its global first (min over the exact key
+    * doc_id·100000+offset) is cut; a token survives unless every
+    * covering decision says cut — implemented as cover-position
+    * expansion (each cut occurrence covers [o, o+7]) anti-joined
+    * against the token stream, then per-doc re-assembly in order.
+    * Within-doc repeats count as repeats, per the paper.
+    *
+    * 100 TB shape: gram stats and cut offsets shuffle digests and
+    * ints; cover expansion is a bounded ×8 map-side explode; the final
+    * anti-join and re-assembly are co-partitioned on doc_id.
+    */
+  val qSubstrCut = Q(
+    "q_substr_cut",
+    (s, d) => {
+      val k = 8
+      // toks keeps EVERY doc (short docs pass through uncut, like the
+      // oracle); only gram generation needs ≥ k tokens
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+      val grams = toks.filter(size(col("t")) >= k)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), size(col("t")) - k),
+            i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))))
+        .withColumnRenamed("pos", "off")
+        .withColumnRenamed("col", "g")
+        .withColumn("key", col("doc_id") * 100000L + col("off"))
+      val stats = grams.groupBy("g")
+        .agg(count(lit(1)).as("cnt"), min(col("key")).as("mk"))
+        .filter(col("cnt") > 1)
+      val cuts = grams.join(stats, "g")
+        .filter(col("key") =!= col("mk"))
+        .select(col("doc_id"), col("off"))
+      val cover = cuts
+        .select(col("doc_id"),
+          explode(sequence(col("off"), col("off") + (k - 1))).as("p"))
+        .distinct()
+      val pos = toks.select(col("doc_id"), posexplode(col("t")))
+        .withColumnRenamed("pos", "p")
+        .withColumnRenamed("col", "tok")
+      pos.join(cover, Seq("doc_id", "p"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+              x => x.getField("tok")), " ").as("text_clean"))
+        .join(toks.select(col("doc_id"), size(col("t")).as("n_tokens")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS o,
+        |    md5(array_to_string(t[u.i+1 : u.i+8], ' ')) AS g,
+        |    doc_id*100000 + u.i AS key
+        |  FROM toks, UNNEST(range(0, len(t) - 8 + 1)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |stats AS (
+        |  SELECT g, min(key) AS mk FROM grams GROUP BY g
+        |  HAVING count(*) > 1),
+        |cuts AS (
+        |  SELECT doc_id, o FROM grams JOIN stats USING (g)
+        |  WHERE key <> mk),
+        |cover AS (
+        |  SELECT DISTINCT doc_id, CAST(o + u.j AS INT) AS p
+        |  FROM cuts, UNNEST(range(0, 8)) AS u(j)),
+        |pos AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS INT) AS p, t[u.i] AS tok
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT pos.doc_id, pos.p, pos.tok
+        |  FROM pos LEFT JOIN cover
+        |    ON pos.doc_id = cover.doc_id AND pos.p = cover.p
+        |  WHERE cover.p IS NULL)
+        |SELECT toks.doc_id AS doc_id,
+        |  CAST(len(t) AS INT) AS n_tokens,
+        |  CAST(coalesce(cnt, 0) AS INT) AS n_kept,
+        |  coalesce(txt, '') AS text_clean
+        |FROM toks LEFT JOIN (
+        |  SELECT doc_id, count(*) AS cnt,
+        |    string_agg(tok, ' ' ORDER BY p) AS txt
+        |  FROM kept GROUP BY doc_id) r ON toks.doc_id = r.doc_id
+        |ORDER BY toks.doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qSubstrRegions,
+    qSubstrCut,
     qDedupExact,
     qMinhashSignature,
     qMinhashLshPairs,
