@@ -14,7 +14,8 @@ object SparkEntry {
       ops.Stats.all ++
       ops.Advanced.all ++ ops.Reshape.all ++ ops.Sampling.all ++
       ops.Extras.all ++ ops.EventAnalytics.all ++ ops.Layout.all ++
-      ops.Ranking.all ++ ops.Profiling.all ++ ops.Corpus.all
+      ops.Ranking.all ++ ops.Profiling.all ++ ops.Corpus.all ++
+      ops.CuratePipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

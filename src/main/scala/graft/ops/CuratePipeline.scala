@@ -119,6 +119,76 @@ object CuratePipeline {
     (curated, stats)
   }
 
+  /** q_curation_funnel — the WHOLE pipeline, oracle-verified: runs
+    * [[curate]] with its defaults and emits the per-stage retention
+    * funnel; the DuckDB oracle recomputes every stage by composing the
+    * stage operators' own oracle SQL as CTEs (quality, repetition,
+    * exact-dedup keepers, near-dup decision, language ID, token floor,
+    * decontamination) and chains the same filters. One hash-matched
+    * result proves the end-to-end composition, not just each stage.
+    */
+  val qCurationFunnel = graft.Q(
+    "q_curation_funnel",
+    (s, d) => {
+      val (_, st) = curate(s, d)
+      import s.implicits._
+      Seq(
+        (0, "input", st.nInput),
+        (1, "quality", st.nAfterQuality),
+        (2, "repetition", st.nAfterRepetition),
+        (3, "exact_dedup", st.nAfterExactDedup),
+        (4, "near_dedup", st.nAfterNearDedup),
+        (5, "language", st.nAfterLanguage),
+        (6, "token_floor", st.nAfterTokens),
+        (7, "decontaminated", st.nCurated)
+      ).toDF("stage", "stage_name", "n")
+        .orderBy("stage")
+    },
+    Some {
+      val qual = TextOps.qQualityScore.oracle.get
+      val rep  = TextOps.qRepetition.oracle.get
+      val ex   = Dedup.qDedupExact.oracle.get
+      val near = Advanced.qDedupDecision.oracle.get
+      val lang = TextOps.qLangId.oracle.get
+      val tok  = TextOps.qTokenCount.oracle.get
+      val cont = TextOps.qDecontaminate.oracle.get
+      s"""WITH qual AS ($qual),
+         |rep AS ($rep),
+         |ex AS ($ex),
+         |near AS ($near),
+         |lang AS ($lang),
+         |tok AS ($tok),
+         |cont AS ($cont),
+         |s1 AS (SELECT d.doc_id FROM documents d JOIN qual USING (doc_id)
+         |       WHERE quality >= 0.45),
+         |s2 AS (SELECT s1.doc_id FROM s1 JOIN rep USING (doc_id)
+         |       WHERE coalesce(top_bigram_frac <= 0.20, true)),
+         |s3 AS (SELECT s2.doc_id FROM s2
+         |       JOIN (SELECT keep_id AS doc_id FROM ex) k USING (doc_id)),
+         |s4 AS (SELECT s3.doc_id FROM s3
+         |       JOIN (SELECT doc_id FROM near WHERE keep) nk USING (doc_id)),
+         |s5 AS (SELECT s4.doc_id FROM s4 JOIN lang USING (doc_id)
+         |       WHERE predicted = 'en'),
+         |s6 AS (SELECT s5.doc_id FROM s5 JOIN tok USING (doc_id)
+         |       WHERE n_tokens >= 10),
+         |s7 AS (SELECT s6.doc_id FROM s6
+         |       WHERE doc_id NOT IN (SELECT train_id FROM cont))
+         |SELECT stage, stage_name, n FROM (
+         |  SELECT 0 AS stage, 'input' AS stage_name,
+         |    CAST(count(*) AS BIGINT) AS n FROM documents
+         |  UNION ALL SELECT 1, 'quality', count(*) FROM s1
+         |  UNION ALL SELECT 2, 'repetition', count(*) FROM s2
+         |  UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
+         |  UNION ALL SELECT 4, 'near_dedup', count(*) FROM s4
+         |  UNION ALL SELECT 5, 'language', count(*) FROM s5
+         |  UNION ALL SELECT 6, 'token_floor', count(*) FROM s6
+         |  UNION ALL SELECT 7, 'decontaminated', count(*) FROM s7)
+         |ORDER BY stage""".stripMargin
+    }
+  )
+
+  val all: Seq[graft.Q] = Seq(qCurationFunnel)
+
   def main(args: Array[String]): Unit = {
     val sfDir  = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 1) Some(args(1)) else None
