@@ -376,6 +376,60 @@ object Corpus {
     )
   )
 
+  /** q_source_overlap — vocabulary Jaccard between every source pair:
+    * |V_a ∩ V_b| from a self-join of the (source, token) distinct set
+    * on token, |V_a ∪ V_b| = |V_a| + |V_b| − |∩| from exact counts —
+    * the source-similarity matrix curation consults when collapsing
+    * near-identical crawls. Counts exact; one final double division.
+    *
+    * 100 TB shape: the shuffle carries distinct (source, token) pairs
+    * (vocabulary-sized, Heaps-law small); the token self-join groups
+    * by pair with partial aggregation; no document text moves.
+    */
+  val qSourceOverlap = Q(
+    "q_source_overlap",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.wsTokens(col("text"))).as("token"))
+        .distinct()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("vs"))
+      val inter = vocab.as("a")
+        .join(vocab.as("b"), Seq("token"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("vs").as("va"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("vs").as("vb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_inter"),
+          (col("va") + col("vb") - col("n_inter")).as("n_union"),
+          (col("n_inter").cast("double")
+            / (col("va") + col("vb") - col("n_inter"))).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(
+      """WITH vocab AS (
+        |  SELECT DISTINCT source, token
+        |  FROM (SELECT source,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |    FROM documents), UNNEST(t) AS u(token)),
+        |sizes AS (SELECT source, count(*) AS vs FROM vocab GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |  FROM vocab a JOIN vocab b ON a.token = b.token
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_inter,
+        |  sa.vs + sb.vs - n_inter AS n_union,
+        |  CAST(n_inter AS DOUBLE) / (sa.vs + sb.vs - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
-    qChunkWindows, qMixtureSample, qEntropy, qDomainShift)
+    qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap)
 }
