@@ -235,7 +235,65 @@ object EventAnalytics {
     )
   )
 
+  /** q_attribution — first/last-touch conversion attribution: each
+    * purchase is credited to the user's first and most recent preceding
+    * click within a 7-day lookback. The per-user ordered scan is one
+    * window (`last_value` of click times over preceding rows) — no
+    * self-join of the event stream; purchases with no in-window click
+    * report null touches (kept, as unattributed conversions).
+    *
+    * 100 TB shape: one shuffle by user_id, then a map-side window over
+    * each user's ordered events; state is one running click pair.
+    */
+  val qAttribution = Q(
+    "q_attribution",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val clickTs = when(col("event_type") === "click", col("ts"))
+      val clickId = when(col("event_type") === "click", col("event_id"))
+      Tables.events(s, d)
+        .withColumn("last_click_ts", last(clickTs, ignoreNulls = true).over(w))
+        .withColumn("last_click_id", last(clickId, ignoreNulls = true).over(w))
+        .withColumn("first_click_ts", first(clickTs, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("in_window",
+          col("last_click_ts") >= col("ts") - expr("INTERVAL 7 DAY"))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").cast("timestamp_ntz").as("purchase_ts"),
+          when(col("in_window"), col("last_click_id")).as("last_touch_id"),
+          when(col("in_window"), col("last_click_ts"))
+            .cast("timestamp_ntz").as("last_touch_ts"),
+          when(col("in_window"), col("first_click_ts"))
+            .cast("timestamp_ntz").as("first_touch_ts"))
+        .orderBy("user_id", "purchase_id")
+    },
+    Some(
+      """SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |  CASE WHEN in_window THEN last_click_id END AS last_touch_id,
+        |  CASE WHEN in_window THEN last_click_ts END AS last_touch_ts,
+        |  CASE WHEN in_window THEN first_click_ts END AS first_touch_ts
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_click_ts >= ts - INTERVAL 7 DAY AS in_window,
+        |    last_click_ts, last_click_id, first_click_ts
+        |  FROM (
+        |    SELECT user_id, event_id, ts, event_type,
+        |      last_value(CASE WHEN event_type = 'click' THEN ts END
+        |        IGNORE NULLS) OVER w AS last_click_ts,
+        |      last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |        IGNORE NULLS) OVER w AS last_click_id,
+        |      first_value(CASE WHEN event_type = 'click' THEN ts END
+        |        IGNORE NULLS) OVER w AS first_click_ts
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qDailyUniques, qRetention, qTopUsersPerType, qTransitions,
-      qCohortMatrix, qRfm)
+      qCohortMatrix, qRfm, qAttribution)
 }
