@@ -749,7 +749,12 @@ object Dedup {
     *
     * 100 TB shape: gram stats and cut offsets shuffle digests and
     * ints; cover expansion is a bounded ×8 map-side explode; the final
-    * anti-join and re-assembly are co-partitioned on doc_id.
+    * anti-join and re-assembly are co-partitioned on doc_id. The gram
+    * stream feeds both the stats aggregate and the cut join, so this
+    * plan explodes it twice — a production run would persist `grams`
+    * (or write it as a shuffle-stage byproduct) to pay the tokenize +
+    * md5 once; left uncached here because Verify runs 200 queries in
+    * one session and per-query caches would accumulate.
     */
   val qSubstrCut = Q(
     "q_substr_cut",

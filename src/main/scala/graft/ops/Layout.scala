@@ -226,6 +226,7 @@ object Layout {
     // (and the killed rows) — those must be dropped explicitly below
     val affected = table.filter(killPred).select(partCol).distinct()
       .collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return // nothing matches: zero partitions rewritten
     val survivors = table
       .filter(col(partCol).isin(affected: _*))
       .filter(!killPred)
