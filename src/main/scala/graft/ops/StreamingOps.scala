@@ -524,8 +524,88 @@ object StreamingOps {
     )
   )
 
+  /** Typed rows for the streaming attribution operator. */
+  final case class AttEv(
+      user_id: Long, event_id: Long, ts_us: Long, event_type: String)
+  final case class AttState(
+      firstClickUs: Long, lastClickUs: Long, lastClickId: Long,
+      hasClick: Boolean)
+  final case class AttOut(
+      user_id: Long, purchase_id: Long, purchase_ts_us: Long,
+      last_touch_id: Option[Long], last_touch_ts_us: Option[Long],
+      first_touch_ts_us: Option[Long])
+
+  /** Per-user attribution state machine: clicks update an O(1) state
+    * (first click ever, most recent click); purchases emit an
+    * attribution row gated by the 7-day lookback. Events are ordered by
+    * (ts, event_id) within the batch iterator, matching the batch
+    * window's frame exactly.
+    */
+  private[graft] def attribute(uid: Long, rows: Iterator[AttEv],
+      state: org.apache.spark.sql.streaming.GroupState[AttState])
+      : Iterator[AttOut] = {
+    val evs = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.getOrElse(AttState(0L, 0L, 0L, hasClick = false))
+    val out = scala.collection.mutable.ListBuffer[AttOut]()
+    for (e <- evs) {
+      if (e.event_type == "click") {
+        st =
+          if (!st.hasClick) AttState(e.ts_us, e.ts_us, e.event_id, hasClick = true)
+          else st.copy(lastClickUs = e.ts_us, lastClickId = e.event_id)
+      } else if (e.event_type == "purchase") {
+        val inWindow =
+          st.hasClick && st.lastClickUs >= e.ts_us - 7L * 86400L * 1000000L
+        out += AttOut(uid, e.event_id, e.ts_us,
+          if (inWindow) Some(st.lastClickId) else None,
+          if (inWindow) Some(st.lastClickUs) else None,
+          if (inWindow) Some(st.firstClickUs) else None)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** q_stream_attribution — the stateful-streaming form of
+    * [[EventAnalytics.qAttribution]]: `flatMapGroupsWithState` carries
+    * one tiny state record per user (first/last click — NOT the event
+    * history), purchases emit attribution rows in append mode to a file
+    * sink, and the result must hash-match the SAME oracle as the batch
+    * window formulation. The 100 TB ingest shape: state is O(users),
+    * each micro-batch touches only the users present in it.
+    */
+  val qStreamAttribution = Q(
+    "q_stream_attribution",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val raw = Tables.eventsRaw(s, d)
+      val stream = s.readStream
+        .schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+        .as[AttEv]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(attribute)
+        .toDF()
+      runToParquetSink(s, "stream_attribution")(stream)
+        .select(col("user_id"), col("purchase_id"),
+          expr("timestamp_micros(purchase_ts_us)").cast("timestamp_ntz")
+            .as("purchase_ts"),
+          col("last_touch_id"),
+          expr("timestamp_micros(last_touch_ts_us)").cast("timestamp_ntz")
+            .as("last_touch_ts"),
+          expr("timestamp_micros(first_touch_ts_us)").cast("timestamp_ntz")
+            .as("first_touch_ts"))
+        .orderBy("user_id", "purchase_id")
+    },
+    EventAnalytics.qAttribution.oracle
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
-      qStreamSliding)
+      qStreamSliding, qStreamAttribution)
 }
