@@ -688,13 +688,14 @@ object Dedup {
           i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))))
         .withColumnRenamed("pos", "off")
         .withColumnRenamed("col", "g")
-      // "appears in >1 document" as min≠max — one partial-aggregated
-      // pass, vs count(DISTINCT doc_id)'s two-phase expansion
-      val dup = grams.groupBy("g")
-        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      // "appears in >1 document" as min≠max over a window by gram —
+      // ONE shuffle of the gram stream, vs aggregate + join-back which
+      // would explode the token stream twice and shuffle twice
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val marked = grams
+        .withColumn("d0", min(col("doc_id")).over(wg))
+        .withColumn("d1", max(col("doc_id")).over(wg))
         .filter(col("d0") =!= col("d1"))
-        .select(col("g"))
-      val marked = grams.join(dup, "g")
         .select(col("doc_id"), col("off"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("off")
@@ -747,14 +748,10 @@ object Dedup {
     * against the token stream, then per-doc re-assembly in order.
     * Within-doc repeats count as repeats, per the paper.
     *
-    * 100 TB shape: gram stats and cut offsets shuffle digests and
-    * ints; cover expansion is a bounded ×8 map-side explode; the final
-    * anti-join and re-assembly are co-partitioned on doc_id. The gram
-    * stream feeds both the stats aggregate and the cut join, so this
-    * plan explodes it twice — a production run would persist `grams`
-    * (or write it as a shuffle-stage byproduct) to pay the tokenize +
-    * md5 once; left uncached here because Verify runs 200 queries in
-    * one session and per-query caches would accumulate.
+    * 100 TB shape: the gram stream shuffles ONCE (window by gram digest
+    * computes occurrence count + global first occurrence together);
+    * cover expansion is a bounded ×8 map-side explode; the final
+    * anti-join and re-assembly are co-partitioned on doc_id.
     */
   val qSubstrCut = Q(
     "q_substr_cut",
@@ -772,11 +769,14 @@ object Dedup {
         .withColumnRenamed("pos", "off")
         .withColumnRenamed("col", "g")
         .withColumn("key", col("doc_id") * 100000L + col("off"))
-      val stats = grams.groupBy("g")
-        .agg(count(lit(1)).as("cnt"), min(col("key")).as("mk"))
-        .filter(col("cnt") > 1)
-      val cuts = grams.join(stats, "g")
-        .filter(col("key") =!= col("mk"))
+      // occurrence count + global first occurrence via ONE window pass
+      // by gram (single shuffle of the gram stream; the aggregate +
+      // join-back alternative would tokenize and shuffle twice)
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val cuts = grams
+        .withColumn("cnt", count(lit(1)).over(wg))
+        .withColumn("mk", min(col("key")).over(wg))
+        .filter(col("cnt") > 1 && col("key") =!= col("mk"))
         .select(col("doc_id"), col("off"))
       val cover = cuts
         .select(col("doc_id"),
