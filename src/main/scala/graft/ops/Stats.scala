@@ -420,7 +420,53 @@ object Stats {
     )
   )
 
+  /** q_weighted_median — revenue-weighted median quantity per group:
+    * the value at which the running weight (decimal-exact revenue
+    * cumsum over quantity-sorted rows) first reaches half the group
+    * total — one sort-window pass per group, no per-group value
+    * collection. The 2·cum ≥ total comparison is exact decimal
+    * arithmetic, so the selected row (not just the value) is
+    * cross-engine stable.
+    */
+  val qWeightedMedian = Q(
+    "q_weighted_median",
+    (s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"),
+          Exact.dec(col("l_extendedprice")).as("wt"))
+        .withColumn("cum", sum(col("wt")).over(w))
+        .withColumn("tot", sum(col("wt")).over(wAll))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_quantity")).as("weighted_median_qty"),
+          max(col("tot")).cast("double").as("total_weight"))
+        .orderBy("l_returnflag")
+    },
+    Some(
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY l_returnflag
+        |        ORDER BY l_quantity, l_orderkey, l_linenumber
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag, min(l_quantity) AS weighted_median_qty,
+        |  CAST(max(tot) AS DOUBLE) AS total_weight
+        |FROM ranked WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
-      qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg)
+      qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
+      qWeightedMedian)
 }
