@@ -183,4 +183,24 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"),
       s"windows of a document must not leave its partition:\n$p")
   }
+
+  test("q_entropy broadcasts per-source totals to the count stream") {
+    val p = plan("q_entropy")
+    assert(p.contains("BroadcastHashJoin"),
+      s"totals join should broadcast:\n$p")
+  }
+
+  test("q_attribution is one shuffle by user then a map-side window") {
+    val p = plan("q_attribution")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"expected exactly one user_id shuffle, got $shuffles:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q_substr_regions shuffles gram digests once for the dup window") {
+    val p = plan("q_substr_regions")
+    assert(p.contains("hashpartitioning(g#") || p.contains("hashpartitioning(g,"),
+      s"expected the single window shuffle by gram digest:\n$p")
+  }
 }
