@@ -51,4 +51,31 @@ class PstFileSpec extends AnyFunSuite {
       assert(e.nidType === 0x04)
     } finally pst.close()
   }
+
+  test("truncation fuzz: every cut point fails cleanly, never hangs") {
+    // resilient multi-file bind (A20) depends on corrupt inputs raising
+    // promptly: open+enumerate a file truncated at assorted offsets and
+    // require either a clean parse (cut past the data we touch) or an
+    // exception — within a time budget, with no JVM damage
+    import java.nio.file.{Files, Paths}
+    val bytes = Files.readAllBytes(Paths.get(fixture))
+    val dir = Files.createTempDirectory("pst_fuzz")
+    val rnd = new scala.util.Random(42)
+    val cuts = Seq(0, 1, 100, 512, 4096, 64 * 1024, bytes.length / 2) ++
+      (0 until 10).map(_ => 1 + rnd.nextInt(bytes.length - 1))
+    for (cut <- cuts) {
+      val p = dir.resolve(s"cut_$cut.pst")
+      Files.write(p, bytes.take(cut).toArray)
+      val started = System.nanoTime()
+      try {
+        val pst = PstFile.open(p.toString, new Configuration())
+        try pst.nodes.size // force full NBT/BBT enumeration
+        finally pst.close()
+      } catch {
+        case _: Throwable => () // clean failure is the contract
+      }
+      val elapsedMs = (System.nanoTime() - started) / 1000000
+      assert(elapsedMs < 10000, s"cut=$cut took ${elapsedMs}ms")
+    }
+  }
 }
