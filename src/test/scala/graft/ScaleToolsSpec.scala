@@ -233,4 +233,21 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("skew=true"),
       s"AQE should have split the skewed partition:\n${plan.take(2500)}")
   }
+
+  test("AQE converts a sort-merge join to broadcast from runtime stats") {
+    // the static planner is forbidden from broadcasting (threshold -1);
+    // only AQE's exact post-shuffle size may make the call — the 100 TB
+    // safety net when pre-plan size estimates are wrong
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1MB")
+    val big = s2.range(0, 100000).select(col("id").as("k"), col("id").as("v"))
+    val dim = s2.range(0, 100).select(col("id").as("k"), (col("id") * 3).as("w"))
+    val j = big.join(dim, "k")
+    assert(j.collect().length === 100)
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE should have replanned to broadcast:\n${p.take(2500)}")
+  }
 }
