@@ -430,6 +430,62 @@ object Corpus {
     )
   )
 
+  /** q_concentration — per-source token concentration: Herfindahl index
+    * HHI = Σ cnt² / total² (and the equivalent effective vocabulary size
+    * 1/HHI) — the inverse view of [[qEntropy]]'s diversity, fully exact:
+    * Σ cnt² is an exact BIGINT aggregate, the division one double op on
+    * identical inputs. A source whose token mass concentrates in few
+    * types (template/boilerplate heavy) scores high and gets flagged
+    * before mixing.
+    *
+    * 100 TB shape: identical to entropy — one token explode, one
+    * partial-aggregated count per (source, token), one per-source sum.
+    */
+  val qConcentration = Q(
+    "q_concentration",
+    (s, d) => {
+      val cnts = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.wsTokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      cnts.groupBy("source")
+        .agg(sum(col("cnt")).as("total"),
+          sum(col("cnt") * col("cnt")).as("sumsq"),
+          count(lit(1)).cast("int").as("n_types"))
+        .select(col("source"),
+          // square in double (exact for totals < 2^53): a BIGINT
+          // total² would overflow near 3e9 tokens per source
+          (col("sumsq").cast("double")
+            / (col("total").cast("double") * col("total").cast("double")))
+            .as("hhi"),
+          (col("total").cast("double") * col("total").cast("double")
+            / col("sumsq").cast("double")).as("effective_vocab"),
+          col("n_types"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH cnts AS (
+        |  SELECT source, token, count(*) AS cnt
+        |  FROM (SELECT source,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |    FROM documents), UNNEST(t) AS u(token)
+        |  GROUP BY source, token),
+        |agg AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS sumsq,
+        |    CAST(count(*) AS INT) AS n_types
+        |  FROM cnts GROUP BY source)
+        |SELECT source,
+        |  CAST(sumsq AS DOUBLE)
+        |    / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi,
+        |  CAST(total AS DOUBLE) * CAST(total AS DOUBLE)
+        |    / CAST(sumsq AS DOUBLE) AS effective_vocab,
+        |  n_types
+        |FROM agg ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
-    qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap)
+    qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
+    qConcentration)
 }
