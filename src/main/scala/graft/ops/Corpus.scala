@@ -48,7 +48,11 @@ object Corpus {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
       val nSpans = (floor((size(col("t")) - 1) / SpanW) + 1).cast("int")
+      // zero-token docs must produce NO spans: sequence(0, -1) would
+      // yield [0, -1] (step defaults to -1), diverging from the
+      // oracle's empty range(0, 0) — guard matches q_substr_regions
       val spans = docs
+        .filter(size(col("t")) > 0)
         .select(col("doc_id"), nSpans.as("n_spans"),
           posexplode(transform(
             sequence(lit(0), nSpans - 1),
@@ -164,6 +168,10 @@ object Corpus {
     * shard key — each shard's prefix sum is independent, so the window
     * distributes; no global single-partition sort exists. Budget math
     * is exact integer division.
+    *
+    * Exactness: the oracle's window sum over an INT expression returns
+    * HUGEINT in DuckDB while Spark emits BIGINT — the oracle casts the
+    * whole coalesce to BIGINT so both engines hash identically.
     */
   val qPackSequences = Q(
     "q_pack_sequences",
@@ -189,9 +197,9 @@ object Corpus {
         |  SELECT source, doc_id,
         |    CAST(len(list_filter(string_split_regex(text, '\s+'),
         |      t -> t <> '')) AS INT) AS n_tok,
-        |    coalesce(sum(CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    CAST(coalesce(sum(CAST(len(list_filter(string_split_regex(text, '\s+'),
         |      t -> t <> '')) AS INT)) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
         |  FROM documents)
         |ORDER BY source, doc_id""".stripMargin
     )
@@ -212,6 +220,8 @@ object Corpus {
       val (win, stride) = (64, 32)
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+        // zero-token guard: sequence(0, -1) = [0, -1], not empty
+        .filter(size(col("t")) > 0)
         .select(col("doc_id"), col("t"), size(col("t")).as("n"),
           posexplode(sequence(lit(0), floor((size(col("t")) - 1) / stride)
             .cast("int"))))

@@ -5,7 +5,9 @@ Runs each oracle SQL from oracle_sql.json in DuckDB against the same
 parquet tables, loads the Spark result parquet written by graft.Verify,
 and compares: row count, column names (sorted), and values.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [queryName ...]
+(with query names, only those entries are checked — pairs with a
+graft.Verify run restricted to the same names)
 """
 import json
 import math
@@ -13,6 +15,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = [
@@ -34,6 +37,35 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def num_kind(v):
+    """Classify a scalar so int-vs-float representation differences FAIL.
+
+    The driver hashes typed values: a DuckDB HUGEINT (window sum(INT))
+    materializes as float64 while Spark emits int64, and the driver
+    rejects it even when 0 == 0.0. This check must be at least as
+    strict, or a local PASS can ship a driver FAIL (round-4
+    q_pack_sequences)."""
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    return None
+
+
+def dtype_class(dt):
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "object"
+
+
 def cell_eq(a, b):
     if a is None and b is None:
         return True
@@ -42,6 +74,9 @@ def cell_eq(a, b):
             return True
     except (TypeError, ValueError):
         pass
+    ka, kb = num_kind(a), num_kind(b)
+    if ka is not None and kb is not None and ka != kb:
+        return False  # int64 vs float64 etc. — the driver's hash differs
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
@@ -54,6 +89,12 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame, ordered: bool):
         return False, f"columns differ: {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):
         return False, f"row count {len(a)} vs {len(b)}"
+    if len(a) > 0:
+        for c in a.columns:
+            ca, cb = dtype_class(a[c].dtype), dtype_class(b[c].dtype)
+            if ca != cb:
+                return False, (f"dtype class mismatch col {c}: "
+                               f"spark={a[c].dtype} vs oracle={b[c].dtype}")
     if not ordered:
         key_cols = list(a.columns)
         try:
@@ -78,6 +119,9 @@ def main():
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    only = set(sys.argv[3:])
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir) / name
