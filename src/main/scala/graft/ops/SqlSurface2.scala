@@ -361,6 +361,120 @@ object SqlSurface2 {
       |ORDER BY c_nationkey""".stripMargin
   )
 
+  /** Synthetic partsupp — the fixture schema has no partsupp table, so
+    * the three TPC-H shapes that need one (Q2/Q9/Q11) derive it
+    * deterministically from the fact table: one row per distinct
+    * (l_partkey, l_suppkey) pair (which guarantees the referential
+    * integrity real TPC-H has — every lineitem joins back to a
+    * partsupp row), with availqty/supplycost computed by integer
+    * arithmetic on the keys. Identical SQL text runs in both engines,
+    * so both see byte-identical partsupp contents at any scale factor
+    * with no fixture files or driver changes.
+    *
+    * 100 TB note: deriving partsupp re-aggregates the fact table once
+    * per query; with a real partsupp table these queries would scan it
+    * directly. The distinct is a partial-aggregated shuffle on the two
+    * join keys only — no payload columns travel.
+    */
+  private val partsuppCte =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    CAST((l_partkey * 31 + l_suppkey * 17) % 9999 + 1 AS INT)
+      |      AS ps_availqty,
+      |    CAST((l_partkey * 7 + l_suppkey * 13) % 1000 + 1 AS INT)
+      |      AS ps_supplycost
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs)""".stripMargin
+
+  /** q_sql_min_cost_supplier — TPC-H Q2 minimum-cost supplier: for each
+    * qualifying part, the European supplier(s) offering it at the
+    * region-wide minimum cost (correlated scalar-min subquery over the
+    * same partsupp relation, re-filtered by region). ps_supplycost is
+    * an exact INT, so the min-equality can never be flipped by float
+    * representation; the ORDER BY is total (unique (p_partkey,
+    * ps_suppkey) tail) so LIMIT 100 is deterministic in both engines.
+    */
+  val qSqlMinCostSupplier = sqlQ(
+    "q_sql_min_cost_supplier",
+    s"""WITH $partsuppCte
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+       |FROM part
+       |JOIN partsupp ON p_partkey = ps_partkey
+       |JOIN supplier ON s_suppkey = ps_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+       |  AND r_name = 'EUROPE'
+       |  AND ps_supplycost = (
+       |    SELECT min(ps2.ps_supplycost)
+       |    FROM partsupp ps2
+       |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+       |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+       |LIMIT 100""".stripMargin
+  )
+
+  /** q_sql_product_profit — TPC-H Q9 product-type profit: per-nation,
+    * per-year profit on 'blue' parts, where profit = revenue minus
+    * supply cost. All money math is exact DECIMAL (price and discount
+    * at scale 2, products at scale 4) and the synthetic supplycost is
+    * an exact INT, so the per-group sums are order-independent and the
+    * single DOUBLE cast happens after aggregation.
+    */
+  val qSqlProductProfit = sqlQ(
+    "q_sql_product_profit",
+    s"""WITH $partsuppCte
+       |SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+       |  count(*) AS n_lines
+       |FROM (
+       |  SELECT n_name AS nation,
+       |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       |    CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+       |      - CAST(ps_supplycost AS DECIMAL(18,2))
+       |        * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+       |  FROM lineitem
+       |  JOIN part ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE 'blue%') profit
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC""".stripMargin
+  )
+
+  /** q_sql_important_stock — TPC-H Q11 important-stock identification:
+    * parts whose inventory value held by one nation's suppliers exceeds
+    * a threshold share of that nation's total. TPC-H's 0.0001/SF float
+    * threshold is both scale-dependent and float-deciding; it is
+    * restated scale-free and exact as "value exceeds 3× the average
+    * per-part value" via integer cross-multiplication (value × #parts
+    * > total × 3) — supplycost and availqty are exact INTs, so
+    * membership is pure BIGINT arithmetic in both engines. The
+    * per-group and total sums are cast to BIGINT (DuckDB sums BIGINT
+    * into HUGEINT).
+    */
+  val qSqlImportantStock = sqlQ(
+    "q_sql_important_stock",
+    s"""WITH $partsuppCte,
+       |ps_val AS (
+       |  SELECT ps_partkey,
+       |    CAST(ps_supplycost AS BIGINT) * ps_availqty AS val
+       |  FROM partsupp
+       |  JOIN supplier ON s_suppkey = ps_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_3')
+       |SELECT ps_partkey, CAST(SUM(val) AS BIGINT) AS value
+       |FROM ps_val
+       |GROUP BY ps_partkey
+       |HAVING CAST(SUM(val) AS BIGINT)
+       |     * (SELECT count(DISTINCT ps_partkey) FROM ps_val)
+       |     > (SELECT CAST(SUM(val) AS BIGINT) FROM ps_val) * 3
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+  )
+
   /** q_sql_recursive — native `WITH RECURSIVE` (Spark 4 supports the
     * ANSI form; same text in DuckDB): each part node walks the implicit
     * binary-heap ancestry k → ⌊k/2⌋ to the root, emitting path length
@@ -389,5 +503,6 @@ object SqlSurface2 {
     qSqlRecursive, qSqlWaitingOrders, qSqlVolumeShipping,
     qSqlMarketShare, qSqlLateLines, qSqlCustDistribution, qSqlTopSupplier,
     qSqlPartsSuppliers, qSqlSmallQtyRevenue, qSqlDisjunctive,
-    qSqlExcessShipments, qSqlWaitingSuppliers, qSqlNoOrderCustomers)
+    qSqlExcessShipments, qSqlWaitingSuppliers, qSqlNoOrderCustomers,
+    qSqlMinCostSupplier, qSqlProductProfit, qSqlImportantStock)
 }
