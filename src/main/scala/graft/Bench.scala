@@ -60,10 +60,14 @@ object Bench {
         args.toSeq.map(byName)
       }
 
+    // tier 2 runs only in default (driver-contract) mode, never when
+    // ad-hoc query names were passed
+    val tier2 = if (args.isEmpty) SparkEntry.benchTier2 else Seq.empty
+
     // warmup fixture: smallest sf* sibling of the bench dir (falls back
     // to the bench dir itself if none)
     val warmupDir = smallestSibling(sfDir).getOrElse(sfDir)
-    bench.foreach { q =>
+    (bench ++ tier2).foreach { q =>
       try run(q, warmupDir)
       catch { case _: Throwable => () } // warmup only; failures surface below
     }
@@ -73,35 +77,41 @@ object Bench {
     final case class R(name: String, runs: Seq[Double], err: Option[String]) {
       def median: Double = runs.sorted.apply(runs.length / 2)
     }
-    val passes = 5
-    val times = Array.fill(bench.length)(Vector.empty[Double])
-    val errs  = Array.fill[Option[String]](bench.length)(None)
-    for (_ <- 0 until passes) {
-      for ((q, i) <- bench.zipWithIndex) {
-        val t0 = System.nanoTime()
-        try run(q, sfDir)
-        catch { case t: Throwable => errs(i) = Some(t.toString.take(200)) }
-        times(i) :+= (System.nanoTime() - t0) / 1e9
+    /** Round-robin interleaved timing (see header comment). */
+    def timePasses(qs: Seq[Q], passes: Int): Seq[R] = {
+      val times = Array.fill(qs.length)(Vector.empty[Double])
+      val errs  = Array.fill[Option[String]](qs.length)(None)
+      for (_ <- 0 until passes) {
+        for ((q, i) <- qs.zipWithIndex) {
+          val t0 = System.nanoTime()
+          try run(q, sfDir)
+          catch { case t: Throwable => errs(i) = Some(t.toString.take(200)) }
+          times(i) :+= (System.nanoTime() - t0) / 1e9
+        }
+        System.gc()
       }
-      System.gc()
+      qs.zipWithIndex.map { case (q, i) => R(q.name, times(i), errs(i)) }
     }
-    val results = bench.zipWithIndex.map { case (q, i) =>
-      R(q.name, times(i), errs(i))
-    }
-    val ok = results.filter(_.err.isEmpty)
-    val qs = ok.map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
-    val runsJson = ok
+    def medians(rs: Seq[R]): String = rs.filter(_.err.isEmpty)
+      .map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
+    def spreads(rs: Seq[R]): String = rs.filter(_.err.isEmpty)
       .map(r => "\"" + r.name + "\":[" + r.runs.map(fmt).mkString(",") + "]")
       .mkString("{", ",", "}")
-    val failed = results.collect { case R(n, _, Some(e)) =>
+
+    val results = timePasses(bench, passes = 5)
+    val results2 = timePasses(tier2, passes = 3) // heavy ops: 3 passes
+    val failed = (results ++ results2).collect { case R(n, _, Some(e)) =>
       "\"" + n + "\":" + quote(e)
     }.mkString("{", ",", "}")
-    val total = ok.map(_.median).sum
+    val total  = results.filter(_.err.isEmpty).map(_.median).sum
+    val total2 = results2.filter(_.err.isEmpty).map(_.median).sum
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""runs":$runsJson,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":${medians(results)},"runs":${spreads(results)},""" +
+        s""""tier2_total":${fmt(total2)},"queries_tier2":${medians(results2)},""" +
+        s""""runs_tier2":${spreads(results2)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_.err.isDefined)) sys.exit(1)
+    if ((results ++ results2).exists(_.err.isDefined)) sys.exit(1)
   }
 
   private def fmt(d: Double): String = BigDecimal(d)

@@ -30,6 +30,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  /** Headline queries for Bench.scala. */
+  /** Headline queries for Bench.scala. Kept stable across rounds so
+    * BENCH_r{N}.json totals stay comparable.
+    */
   def benchQueries: Seq[Q] = registry.filter(_.bench)
+
+  /** Second, non-headline bench tier: the heavy pipeline operators the
+    * headline set doesn't cover (span dedup, ExactSubstr both halves,
+    * PQ ANN, vocabulary overlap, the end-to-end curation funnel).
+    * Reported in the same Bench JSON under `queries_tier2` so
+    * regressions here are visible in the artifact without touching the
+    * headline total.
+    */
+  def benchTier2: Seq[Q] = {
+    val names = Seq("q_span_dedup", "q_substr_regions", "q_substr_cut",
+      "q_ann_pq", "q_source_overlap", "q_curation_funnel")
+    val byName = registry.map(q => q.name -> q).toMap
+    names.map(byName)
+  }
 }

@@ -321,30 +321,51 @@ object Dedup {
     }
   )
 
-  /** q_ngram_jaccard — exact 3-gram-set Jaccard similarity for candidate
-    * pairs (docs 0..15): explode distinct grams, self-join on gram,
-    * count intersections, derive |A∪B| = |A|+|B|−|A∩B|. Pairs with an
-    * empty intersection are (intentionally) absent. At scale this runs
-    * on LSH candidates, never all pairs.
+  /** q_ngram_jaccard — the exact-Jaccard VERIFY stage of near-dup
+    * dedup: every LSH candidate pair (from [[lshPairs]], the same
+    * banding as `q_minhash_lsh_pairs`) is scored with its exact
+    * 3-gram-set Jaccard similarity — |A∩B| via a pair-scoped gram
+    * join, |A∪B| = |A|+|B|−|A∩B|. Every candidate pair appears, with
+    * jaccard 0.0 when the gram sets are disjoint (a banding false
+    * positive).
+    *
+    * 100 TB shape: work is proportional to the CANDIDATE set, never
+    * all pairs — gram streams are computed only for docs that appear
+    * in a candidate pair (semi-join on the scan), and the
+    * intersection join is keyed by (pair, gram), so a doc's grams are
+    * replicated once per candidate pair it joined, bounded by its LSH
+    * bucket degree. No all-pairs gram self-join exists in the plan
+    * (spec-asserted).
     */
   val qNgramJaccard = Q(
     "q_ngram_jaccard",
     (s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 16)
+      val cand = lshPairs(s, d)
+      val ids = cand.select(col("id_a").as("doc_id"))
+        .union(cand.select(col("id_b").as("doc_id"))).distinct()
       val grams3 = array_distinct(
         transform(
           sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
           i => col("text").substr(i, lit(3))
         )
       )
-      val g = docs.select(col("doc_id"), explode(grams3).as("g"))
+      // broadcast the candidate id set (bare longs) so the corpus text
+      // never shuffles for the semi join — the BroadcastHashJoin sits
+      // directly on the scan
+      val g = Tables.documents(s, d)
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(grams3).as("g"))
       val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("s"))
-      val inter = g
-        .as("a")
-        .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val ga = cand.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
+        .select(col("id_a"), col("id_b"), col("ga.g").as("gram"))
+      val inter = ga
+        .join(g.as("gb"),
+          col("id_b") === col("gb.doc_id") && col("gram") === col("gb.g"))
+        .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("n_inter"))
-      inter
+      cand
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
         .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
         .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
         .select(
@@ -358,22 +379,33 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
     Some(
-      """WITH g AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(length(text) - 2, 1) + 1),
-        |    i -> substr(text, i, 3)))) AS g
-        |  FROM documents WHERE doc_id < 16),
-        |sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, n_inter, sa.s + sb.s - n_inter AS n_union,
-        |  CAST(n_inter AS DOUBLE) / (sa.s + sb.s - n_inter) AS jaccard
-        |FROM inter
-        |JOIN sz sa ON sa.doc_id = id_a
-        |JOIN sz sb ON sb.doc_id = id_b
-        |ORDER BY id_a, id_b""".stripMargin
+      s"""WITH pairs AS ($lshPairsSql),
+         |ids AS (
+         |  SELECT id_a AS doc_id FROM pairs
+         |  UNION SELECT id_b FROM pairs),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(length(text) - 2, 1) + 1),
+         |    i -> substr(text, i, 3)))) AS g
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM ids)),
+         |sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY doc_id),
+         |ga AS (
+         |  SELECT id_a, id_b, g.g AS gram
+         |  FROM pairs JOIN g ON g.doc_id = id_a),
+         |inter AS (
+         |  SELECT id_a, id_b, count(*) AS n_inter
+         |  FROM ga JOIN g gb ON gb.doc_id = id_b AND gb.g = gram
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+         |  CAST(sa.s + sb.s - coalesce(n_inter, 0) AS BIGINT) AS n_union,
+         |  CAST(coalesce(n_inter, 0) AS DOUBLE)
+         |    / (sa.s + sb.s - coalesce(n_inter, 0)) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
+         |JOIN sz sa ON sa.doc_id = p.id_a
+         |JOIN sz sb ON sb.doc_id = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin
     )
   )
 

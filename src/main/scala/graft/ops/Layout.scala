@@ -241,9 +241,17 @@ object Layout {
     }
     val emptied = affected.filterNot(nonEmpty)
     if (emptied.nonEmpty) {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       val conf = spark.sessionState.newHadoopConf()
       emptied.foreach { v =>
-        val p = new org.apache.hadoop.fs.Path(dir, s"$partCol=$v")
+        // the writer escapes partition values in directory names
+        // (':', '%', space, '/', …) and writes NULL/empty as the Hive
+        // default partition — reconstruct with the same escaping, or a
+        // value containing such characters resolves to the wrong path
+        // and the killed rows stay live on disk
+        val str = if (v == null) null else String.valueOf(v)
+        val p = new org.apache.hadoop.fs.Path(dir,
+          ExternalCatalogUtils.getPartitionPathString(partCol, str))
         val fs = p.getFileSystem(conf)
         fs.delete(p, true): Unit
       }

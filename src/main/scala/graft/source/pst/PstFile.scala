@@ -106,7 +106,19 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
   require(header(0) == '!' && header(1) == 'B' && header(2) == 'D' && header(3) == 'N',
     "not a PST file (missing !BDN magic)")
   val wVer: Int = u16(header, 10)
-  require(wVer >= 23, s"only Unicode PST (wVer>=23) supported, got wVer=$wVer")
+  // ANSI (pre-Outlook-2003) PSTs use wVer 14/15 with 32-bit BIDs/NIDs
+  // and different header offsets; the reference inherits dual-format
+  // support from pstsdk (typed_bag.hpp consumes pstsdk::pst, which
+  // handles both). This reader implements the Unicode (wVer >= 23)
+  // layout only — detect the ANSI version explicitly so a 2002-era
+  // archive fails with an actionable message instead of a garbage
+  // parse at shifted offsets.
+  require(wVer != 14 && wVer != 15,
+    s"ANSI (pre-Outlook-2003) PST detected (wVer=$wVer): this reader " +
+      "supports the Unicode PST format only — open the archive in " +
+      "Outlook 2003 or later and export it as a Unicode PST to convert")
+  require(wVer >= 23,
+    s"unrecognized PST format version wVer=$wVer (Unicode PST is wVer>=23)")
   val cryptMethod: Int = u8(header, 513)
   require(cryptMethod <= 1,
     s"unsupported bCryptMethod=$cryptMethod (only none/permute)")

@@ -198,6 +198,28 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back2.filter(col("source") === otherSrc).count() === 0)
   }
 
+  test("targeted delete drops emptied partitions whose values need path escaping") {
+    import graft.ops.Layout
+    val dir = Files.createTempDirectory("layout_del_esc").resolve("docs").toString
+    // partition values containing characters the writer percent-escapes
+    // in directory names — a raw s"$partCol=$v" path would miss them
+    val hostile = Seq("a b", "x:y", "p%q", "plain")
+    val df = spark.range(40)
+      .withColumn("grp", element_at(
+        typedLit(hostile), (pmod(col("id"), lit(4)) + 1).cast("int")))
+    df.write.partitionBy("grp").mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).count() === 40)
+
+    // kill every row of the two hostile partitions: their dirs must go
+    Layout.targetedDelete(spark, dir, "grp",
+      col("grp") === "a b" || col("grp") === "x:y")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 20, "rows of the emptied partitions must be gone")
+    assert(back.filter(col("grp").isin("a b", "x:y")).count() === 0,
+      "escaped-value partitions were resolved to the wrong path and survived")
+    assert(back.filter(col("grp") === "plain").count() === 10)
+  }
+
   test("compaction shrinks file count without changing content") {
     val root = Files.createTempDirectory("layout_compact")
     val frag = root.resolve("frag").toString

@@ -52,6 +52,37 @@ class PstFileSpec extends AnyFunSuite {
     } finally pst.close()
   }
 
+  test("ANSI (pre-2003) PST headers fail with an actionable error") {
+    // no ANSI fixture exists (the reference's is Unicode), so build the
+    // smallest thing that exercises the version branch: a 600-byte
+    // header with the !BDN magic and wVer=14/15 at offset 10
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("pst_ansi")
+    for (ver <- Seq(14, 15)) {
+      val b = new Array[Byte](600)
+      b(0) = '!'; b(1) = 'B'; b(2) = 'D'; b(3) = 'N'
+      b(10) = ver.toByte // little-endian u16 wVer, high byte 0
+      val p = dir.resolve(s"ansi_$ver.pst")
+      Files.write(p, b)
+      val e = intercept[IllegalArgumentException] {
+        PstFile.open(p.toString, new Configuration())
+      }
+      assert(e.getMessage.contains("ANSI"), e.getMessage)
+      assert(e.getMessage.contains(s"wVer=$ver"), e.getMessage)
+      assert(e.getMessage.contains("Unicode"), e.getMessage)
+    }
+    // an unknown future version is distinguished from ANSI
+    val b = new Array[Byte](600)
+    b(0) = '!'; b(1) = 'B'; b(2) = 'D'; b(3) = 'N'
+    b(10) = 19
+    val p = dir.resolve("odd.pst")
+    Files.write(p, b)
+    val e = intercept[IllegalArgumentException] {
+      PstFile.open(p.toString, new Configuration())
+    }
+    assert(e.getMessage.contains("unrecognized"), e.getMessage)
+  }
+
   test("truncation fuzz: every cut point fails cleanly, never hangs") {
     // resilient multi-file bind (A20) depends on corrupt inputs raising
     // promptly: open+enumerate a file truncated at assorted offsets and

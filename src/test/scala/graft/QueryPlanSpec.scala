@@ -203,4 +203,51 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(g#") || p.contains("hashpartitioning(g,"),
       s"expected the single window shuffle by gram digest:\n$p")
   }
+
+  /** Output column names of every shuffle exchange's child — the
+    * payload that actually travels. Exchanges are inserted by the
+    * executedPlan preparations, and AQE wraps the tree in an
+    * untraversable AdaptiveSparkPlanExec, so plan with AQE off just
+    * for the inspection.
+    */
+  private def shufflePayloads(name: String): Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e.child.output.map(_.name).toSeq }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_source_overlap shuffles token vocabulary only, never document text") {
+    val payloads = shufflePayloads("q_source_overlap")
+    assert(payloads.nonEmpty, "expected vocab shuffles")
+    payloads.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_span_dedup shuffles (span, key) pairs only, never document text") {
+    val payloads = shufflePayloads("q_span_dedup")
+    assert(payloads.nonEmpty, "expected span shuffles")
+    payloads.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_ngram_jaccard scores only LSH candidate pairs (no all-pairs gram join)") {
+    val p = plan("q_ngram_jaccard")
+    // the intersection join must be keyed by (candidate pair, gram) —
+    // a bare gram-only self-join would score all pairs sharing a gram
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(l => l.contains("id_b") && l.contains("gram")),
+      s"expected the pair-scoped intersection join keyed by (id_b, gram):\n$p")
+    // document text never shuffles: grams/pairs only
+    shufflePayloads("q_ngram_jaccard").foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
 }
