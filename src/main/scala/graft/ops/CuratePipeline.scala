@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the operators of this library
@@ -39,83 +39,90 @@ object CuratePipeline {
       maxTopBigramFrac: Double = 0.20): (DataFrame, CurateStats) = {
     val docs = Tables.documents(s, sfDir)
 
-    // stage 1 — quality scoring (oracle-checked op)
-    val quality = TextOps.qQualityScore.fn(s, sfDir)
-      .select(col("doc_id"), col("quality"))
-    // each stage output persists: CurateStats issues one count() per
-    // stage, and without materialization every count (and the final
-    // write) would re-execute the whole upstream DAG — the heavy
-    // gram-explode stages triangularly many times
-    val afterQuality = docs
-      .join(quality, Seq("doc_id"))
-      .filter(col("quality") >= minQuality)
-      .persist()
+    // Quality score, language ID, and token count are per-row
+    // expressions over the same text column (the exact expressions of
+    // the oracle-checked q_quality_score / q_lang_id / q_token_count
+    // ops — shared defs, so they cannot drift): computed in ONE fused
+    // projection over ONE corpus scan, instead of three separate scans
+    // each joined back on doc_id. Whole-stage codegen shares the
+    // tokenization across the three via subexpression elimination.
+    val base = docs
+      .withColumn("quality",
+        TextOps.qualityColumns.last) // the weighted score, aliased "quality"
+      .withColumn("predicted", TextOps.langPredicted)
+      .withColumn("n_tokens", size(TextOps.wsTokens(col("text"))))
 
-    // stage 1b — repetition filter (Gopher-style, Rae et al. 2021 use
-    // 0.20 for the top-bigram share precisely so short documents are
-    // not mass-rejected: a clean 12-token doc already has
-    // top_bigram_frac ≥ 1/11). NULL frac (docs too short to have
-    // bigrams) passes — shortness is minTokens' job, not this stage's.
-    val lowRep = TextOps.qRepetition.fn(s, sfDir)
-      .filter(coalesce(col("top_bigram_frac") <= maxTopBigramFrac, lit(true)))
-      .select("doc_id")
-    val afterRepetition = afterQuality.join(lowRep, Seq("doc_id"), "left_semi")
-      .persist()
-
-    // stage 2 — exact dedup: keep the representative per content hash
-    val keepers = Dedup.qDedupExact.fn(s, sfDir)
+    // The aggregating/global stages keep their own (oracle-verified)
+    // DAGs and join ONCE each on doc_id; the accumulating frame stays
+    // hash-partitioned by doc_id across the whole chain, so these are
+    // co-partitioned joins after the first exchange.
+    // Lean repetition stage: the funnel consumes ONLY top_bigram_frac,
+    // so explode bigrams alone — a third of q_repetition's gram volume
+    // (its uni/tri-gram stats go unused here). Same expression
+    // restricted to n=2: max(count)/sum(count) over per-doc bigram
+    // counts, so the double compares identically. Docs with < 2 tokens
+    // are absent (frac null → the repetition cut passes them), and the
+    // old frame's presence test (≥ 1 token) is n_tokens >= 1 below.
+    val rep = docs
+      .select(col("doc_id"),
+        TextOps.wsTokens(lower(col("text"))).as("t")) // tokenize ONCE
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c")))
+        .as("top_bigram_frac"))
+    val exactKeep = Dedup.qDedupExact.fn(s, sfDir)
       .select(col("keep_id").as("doc_id"))
-    val afterExact = afterRepetition.join(keepers, Seq("doc_id"), "left_semi")
-      .persist()
-
-    // stage 3 — near-dup dedup: keep cluster representatives
+      .withColumn("exact_keep", lit(true))
     val nearKeep = Advanced.qDedupDecision.fn(s, sfDir)
-      .filter(col("keep")).select("doc_id")
-    val afterNear = afterExact.join(nearKeep, Seq("doc_id"), "left_semi")
-      .persist()
-
-    // stage 4 — language ID filter
-    val lang = TextOps.qLangId.fn(s, sfDir)
-      .select(col("doc_id"), col("predicted"))
-    val afterLang = afterNear
-      .join(lang, Seq("doc_id"))
-      .filter(col("predicted").isin(keepLangs: _*))
-      .persist()
-
-    // stage 5 — token-count floor
-    val tokens = TextOps.qTokenCount.fn(s, sfDir)
-      .select(col("doc_id"), col("n_tokens"))
-    val afterTokens = afterLang
-      .join(tokens, Seq("doc_id"))
-      .filter(col("n_tokens") >= minTokens)
-      .persist()
-
-    // stage 6 — benchmark decontamination: drop training docs sharing
-    // a 13-gram with the held-out benchmark set
+      .select(col("doc_id"), col("keep").as("near_keep"))
     val contaminated = TextOps.qDecontaminate.fn(s, sfDir)
-      .select(col("train_id").as("doc_id"))
-    val curated = afterTokens
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select(docs.columns.map(col) :+ col("quality") :+ col("n_tokens"): _*)
-      .persist()
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
 
+    val fused = base
+      .join(rep, Seq("doc_id"), "left")
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nearKeep, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .persist() // materialized once; read by the stats pass + the write
+
+    // Cumulative stage predicates — identical decisions to the former
+    // stage-by-stage semi-join chain:
+    //  - repetition (Gopher-style, Rae et al. 2021 use 0.20 for the
+    //    top-bigram share precisely so short documents are not
+    //    mass-rejected): NULL frac passes, but a zero-token doc does
+    //    NOT — the oracle's JOIN to the repetition CTE (which emits a
+    //    row iff the doc has ≥ 1 unigram) excludes it, mirrored here
+    //    as n_tokens >= 1;
+    //  - exact/near dedup keep their keeper flags;
+    //  - decontamination is the final anti condition.
+    val c1 = col("quality") >= minQuality
+    val c2 = c1 && col("n_tokens") >= 1 &&
+      coalesce(col("top_bigram_frac") <= maxTopBigramFrac, lit(true))
+    val c3 = c2 && coalesce(col("exact_keep"), lit(false))
+    val c4 = c3 && coalesce(col("near_keep"), lit(false))
+    val c5 = c4 && col("predicted").isin(keepLangs: _*)
+    val c6 = c5 && col("n_tokens") >= minTokens
+    val c7 = c6 && !coalesce(col("contaminated"), lit(false))
+
+    // ONE job computes the whole funnel (conditional sums), where the
+    // former chain persisted six intermediates and ran eight count()
+    // actions — each a separate job over the cached lineage
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val r = fused.agg(count(lit(1)), cnt(c1), cnt(c2), cnt(c3), cnt(c4),
+      cnt(c5), cnt(c6), cnt(c7)).head()
+    val stats = CurateStats(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+
+    val curated = fused.filter(c7)
+      .select(docs.columns.map(col) :+ col("quality") :+ col("n_tokens"): _*)
     outDir.foreach { dir =>
       curated.write.mode("overwrite").partitionBy("lang").parquet(dir)
     }
-
-    val stats = CurateStats(
-      docs.count(),
-      afterQuality.count(),
-      afterRepetition.count(),
-      afterExact.count(),
-      afterNear.count(),
-      afterLang.count(),
-      afterTokens.count(),
-      curated.count())
-    // intermediates are done once the funnel counts exist; the returned
-    // frame keeps its own persisted output
-    Seq(afterQuality, afterRepetition, afterExact, afterNear, afterLang,
-      afterTokens).foreach(_.unpersist())
     (curated, stats)
   }
 

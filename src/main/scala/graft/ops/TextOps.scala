@@ -52,6 +52,34 @@ object TextOps {
     bench = true
   )
 
+  /** The q_quality_score ratio/score expressions over the `text`
+    * column — ONE definition, used by the registered op and by the
+    * fused single-scan projection in [[CuratePipeline]]. Order:
+    * alpha_ratio, ws_ratio, stop_ratio, len_sat, quality.
+    */
+  private[ops] def qualityColumns: Seq[Column] = {
+    val text  = col("text")
+    val n     = greatest(length(text), lit(1))
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val ws    = length(regexp_replace(text, "[^ \\t\\n]", ""))
+    val toks  = wsTokens(text)
+    val stops = size(
+      filter(toks, t => t.isin("the", "a", "and", "of", "to", "in"))
+    )
+    val alphaRatio = alpha.cast("double") / n
+    val wsRatio    = ws.cast("double") / n
+    val stopRatio  = stops.cast("double") / greatest(size(toks), lit(1))
+    val lenSat     = least(lit(1.0), length(text).cast("double") / lit(500.0))
+    Seq(
+      alphaRatio.as("alpha_ratio"),
+      wsRatio.as("ws_ratio"),
+      stopRatio.as("stop_ratio"),
+      lenSat.as("len_sat"),
+      (alphaRatio * lit(0.4) + (lit(1.0) - wsRatio) * lit(0.2) +
+        stopRatio * lit(0.2) + lenSat * lit(0.2)).as("quality")
+    )
+  }
+
   /** q_quality_score — document-quality heuristics: alphabetic ratio,
     * whitespace ratio, stopword ratio, length saturation; combined into
     * one weighted score. Ratios are a single division of exact ints so
@@ -59,32 +87,11 @@ object TextOps {
     */
   val qQualityScore = Q(
     "q_quality_score",
-    (s, d) => {
-      val text  = col("text")
-      val n     = greatest(length(text), lit(1))
-      val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
-      val ws    = length(regexp_replace(text, "[^ \\t\\n]", ""))
-      val toks  = wsTokens(text)
-      val stops = size(
-        filter(toks, t => t.isin("the", "a", "and", "of", "to", "in"))
-      )
-      val alphaRatio = alpha.cast("double") / n
-      val wsRatio    = ws.cast("double") / n
-      val stopRatio  = stops.cast("double") / greatest(size(toks), lit(1))
-      val lenSat     = least(lit(1.0), length(text).cast("double") / lit(500.0))
+    (s, d) =>
       Tables
         .documents(s, d)
-        .select(
-          col("doc_id"),
-          alphaRatio.as("alpha_ratio"),
-          wsRatio.as("ws_ratio"),
-          stopRatio.as("stop_ratio"),
-          lenSat.as("len_sat"),
-          (alphaRatio * lit(0.4) + (lit(1.0) - wsRatio) * lit(0.2) +
-            stopRatio * lit(0.2) + lenSat * lit(0.2)).as("quality")
-        )
-        .orderBy("doc_id")
-    },
+        .select(col("doc_id") +: qualityColumns: _*)
+        .orderBy("doc_id"),
     Some(
       """WITH q AS (
         |  SELECT doc_id,
@@ -117,38 +124,51 @@ object TextOps {
     "es" -> Seq("el", "la", "y", "los", "que")
   )
 
+  /** The q_lang_id per-language stopword scores over `text` — shared
+    * by the registered op and [[langPredicted]].
+    */
+  private[ops] def langScores: Seq[(String, Column)] = {
+    val toks = wsTokens(col("text"))
+    val nTok = greatest(size(toks), lit(1))
+    langStops.map { case (lang, stops) =>
+      lang -> (size(filter(toks, t => t.isin(stops: _*))).cast("double") / nTok)
+    }
+  }
+
+  /** The q_lang_id predicted-language expression — ONE definition,
+    * used by the registered op and the fused scan in
+    * [[CuratePipeline]].
+    */
+  private[ops] def langPredicted: Column = {
+    val scores = langScores
+    // \x{...} escapes: the form RE2 (DuckDB) and Java regex share
+    val cjk = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", ""))
+      .cast("double") / greatest(length(col("text")), lit(1))
+    // argmax with fixed tie-break order (en, de, fr, es), zh shortcut
+    val best = scores.tail.foldLeft(
+      (scores.head._2, lit(scores.head._1))
+    ) { case ((bestScore, bestLang), (lang, score)) =>
+      (
+        when(score > bestScore, score).otherwise(bestScore),
+        when(score > bestScore, lit(lang)).otherwise(bestLang)
+      )
+    }
+    when(cjk > 0.3, "zh").otherwise(best._2)
+  }
+
   /** q_lang_id — stopword-frequency language ID with a CJK-character
     * ratio shortcut for zh. Ties broken by the fixed profile order.
     */
   val qLangId = Q(
     "q_lang_id",
-    (s, d) => {
-      val toks   = wsTokens(col("text"))
-      val nTok   = greatest(size(toks), lit(1))
-      val scores = langStops.map { case (lang, stops) =>
-        lang -> (size(filter(toks, t => t.isin(stops: _*))).cast("double") / nTok)
-      }
-      // \x{...} escapes: the form RE2 (DuckDB) and Java regex share
-      val cjk = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", ""))
-        .cast("double") / greatest(length(col("text")), lit(1))
-      // argmax with fixed tie-break order (en, de, fr, es), zh shortcut
-      val best = scores.tail.foldLeft(
-        (scores.head._2, lit(scores.head._1))
-      ) { case ((bestScore, bestLang), (lang, score)) =>
-        (
-          when(score > bestScore, score).otherwise(bestScore),
-          when(score > bestScore, lit(lang)).otherwise(bestLang)
-        )
-      }
-      val pred = when(cjk > 0.3, "zh").otherwise(best._2)
+    (s, d) =>
       Tables
         .documents(s, d)
         .select(
-          col("doc_id") +: col("lang") +: pred.as("predicted") +:
-            scores.map { case (l, sc) => sc.as(s"score_$l") }: _*
+          col("doc_id") +: col("lang") +: langPredicted.as("predicted") +:
+            langScores.map { case (l, sc) => sc.as(s"score_$l") }: _*
         )
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some {
       val toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
       val scoreDefs = langStops
