@@ -164,6 +164,71 @@ case class DotProductQ(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Count of code points falling in any of the inclusive `ranges` —
+  * the char-class counter behind quality scoring and language ID.
+  *
+  * Replaces the `length(regexp_replace(text, "[^class]", ""))` idiom,
+  * which runs a regex over every character AND materializes the
+  * stripped string just to take its length. Same value (Spark's
+  * `length` counts code points; so does this loop), no allocation,
+  * codegen'd. The DuckDB oracle keeps the regex form — the counts are
+  * definitionally equal.
+  */
+case class CountCharsInRanges(child: Expression, ranges: Seq[(Int, Int)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"chars_in_ranges needs STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var cnt = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      var k = 0
+      while (k < ranges.length) {
+        if (cp >= ranges(k)._1 && cp <= ranges(k)._2) { cnt += 1; k = ranges.length }
+        else k += 1
+      }
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s   = ctx.freshName("s")
+      val i   = ctx.freshName("i")
+      val cp  = ctx.freshName("cp")
+      val cnt = ctx.freshName("cnt")
+      val cond = ranges
+        .map { case (lo, hi) =>
+          if (lo == hi) s"$cp == $lo" else s"($cp >= $lo && $cp <= $hi)"
+        }
+        .mkString(" || ")
+      s"""
+         |String $s = $c.toString();
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $s.length(); ) {
+         |  int $cp = $s.codePointAt($i);
+         |  $i += java.lang.Character.charCount($cp);
+         |  if ($cond) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-API and SQL-registry surface for the custom expressions. */
 object GraftFunctions {
 
@@ -177,6 +242,10 @@ object GraftFunctions {
   def dot_product_q(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductQ(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def chars_in_ranges(c: Column, ranges: Seq[(Int, Int)]): Column =
+    ColumnBridge.column(
+      CountCharsInRanges(ColumnBridge.expression(c), ranges))
 
   /** Register `filetime_to_timestamp` / `hamming_distance` for SQL use. */
   def register(spark: SparkSession): Unit = {

@@ -46,10 +46,10 @@ object CuratePipeline {
     // projection over ONE corpus scan, instead of three separate scans
     // each joined back on doc_id. Whole-stage codegen shares the
     // tokenization across the three via subexpression elimination.
-    val base = docs
+    val base = TextOps.withLangPredicted(docs)
+      .drop(TextOps.langStops.map(p => s"score_${p._1}"): _*)
       .withColumn("quality",
         TextOps.qualityColumns.last) // the weighted score, aliased "quality"
-      .withColumn("predicted", TextOps.langPredicted)
       .withColumn("n_tokens", size(TextOps.wsTokens(col("text"))))
 
     // The aggregating/global stages keep their own (oracle-verified)

@@ -58,10 +58,14 @@ object TextOps {
     * alpha_ratio, ws_ratio, stop_ratio, len_sat, quality.
     */
   private[ops] def qualityColumns: Seq[Column] = {
+    import graft.functions.GraftFunctions.chars_in_ranges
     val text  = col("text")
     val n     = greatest(length(text), lit(1))
-    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
-    val ws    = length(regexp_replace(text, "[^ \\t\\n]", ""))
+    // chars_in_ranges == length(regexp_replace(text, "[^class]", ""))
+    // (the oracle keeps the regex form), codegen'd without the regex
+    // pass or the stripped-string allocation
+    val alpha = chars_in_ranges(text, Seq('a'.toInt -> 'z'.toInt, 'A'.toInt -> 'Z'.toInt))
+    val ws    = chars_in_ranges(text, Seq(' '.toInt -> ' '.toInt, 9 -> 9, 10 -> 10))
     val toks  = wsTokens(text)
     val stops = size(
       filter(toks, t => t.isin("the", "a", "and", "of", "to", "in"))
@@ -117,43 +121,52 @@ object TextOps {
     * on the synthetic corpus most docs score as 'en', which is fine —
     * the op's contract is the deterministic heuristic, oracle-mirrored.
     */
-  private val langStops: Seq[(String, Seq[String])] = Seq(
+  private[ops] val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "es" -> Seq("el", "la", "y", "los", "que")
   )
 
-  /** The q_lang_id per-language stopword scores over `text` — shared
-    * by the registered op and [[langPredicted]].
+  /** Adds `score_<lang>` columns and the `predicted` language to a
+    * frame with a `text` column — ONE definition, used by the
+    * registered q_lang_id op and the fused scan in [[CuratePipeline]].
+    *
+    * Two projection levels on purpose: tokens and per-language scores
+    * materialize first, then the argmax fold references the score
+    * ATTRIBUTES. Folding over the score expressions directly would
+    * duplicate each (interpreted higher-order filter + re-split of the
+    * text) up to ~10× per row through the when-chains — CollapseProject
+    * keeps the levels separate because the aliases are referenced more
+    * than once.
     */
-  private[ops] def langScores: Seq[(String, Column)] = {
+  private[ops] def withLangPredicted(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions.chars_in_ranges
     val toks = wsTokens(col("text"))
     val nTok = greatest(size(toks), lit(1))
-    langStops.map { case (lang, stops) =>
-      lang -> (size(filter(toks, t => t.isin(stops: _*))).cast("double") / nTok)
-    }
-  }
-
-  /** The q_lang_id predicted-language expression — ONE definition,
-    * used by the registered op and the fused scan in
-    * [[CuratePipeline]].
-    */
-  private[ops] def langPredicted: Column = {
-    val scores = langScores
-    // \x{...} escapes: the form RE2 (DuckDB) and Java regex share
-    val cjk = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", ""))
+    // counts the same class as regexp_replace(text,'[^\x{4e00}-\x{9fff}]','')
+    // in the oracle, without the regex pass
+    val cjk = chars_in_ranges(col("text"), Seq(0x4e00 -> 0x9fff))
       .cast("double") / greatest(length(col("text")), lit(1))
+    val scored = df.select(
+      col("*") +: cjk.as("__cjk") +: langStops.map { case (lang, stops) =>
+        (size(filter(toks, t => t.isin(stops: _*))).cast("double") / nTok)
+          .as(s"score_$lang")
+      }: _*)
     // argmax with fixed tie-break order (en, de, fr, es), zh shortcut
-    val best = scores.tail.foldLeft(
-      (scores.head._2, lit(scores.head._1))
-    ) { case ((bestScore, bestLang), (lang, score)) =>
+    val best = langStops.tail.foldLeft(
+      (col(s"score_${langStops.head._1}"), lit(langStops.head._1))
+    ) { case ((bestScore, bestLang), (lang, _)) =>
+      val score = col(s"score_$lang")
       (
         when(score > bestScore, score).otherwise(bestScore),
         when(score > bestScore, lit(lang)).otherwise(bestLang)
       )
     }
-    when(cjk > 0.3, "zh").otherwise(best._2)
+    scored
+      .withColumn("predicted", when(col("__cjk") > 0.3, "zh").otherwise(best._2))
+      .drop("__cjk")
   }
 
   /** q_lang_id — stopword-frequency language ID with a CJK-character
@@ -162,11 +175,10 @@ object TextOps {
   val qLangId = Q(
     "q_lang_id",
     (s, d) =>
-      Tables
-        .documents(s, d)
+      withLangPredicted(Tables.documents(s, d))
         .select(
-          col("doc_id") +: col("lang") +: langPredicted.as("predicted") +:
-            langScores.map { case (l, sc) => sc.as(s"score_$l") }: _*
+          col("doc_id") +: col("lang") +: col("predicted") +:
+            langStops.map { case (l, _) => col(s"score_$l") }: _*
         )
         .orderBy("doc_id"),
     Some {

@@ -138,6 +138,37 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("chars_in_ranges equals the length(regexp_replace) idiom it replaces") {
+    import spark.implicits._
+    val hostile = Seq(
+      "", "hello World", "a b\tc\nd", "no-letters 123 !!!",
+      "中文混合 text 漢字", "emoji 🎉 mix", " \t\n",
+      "ÄÖÜ umlauts stay out", "一鿿䷿ꀀ" // range edges
+    )
+    val df = hostile.toDF("text")
+    val alphaRanges = Seq('a'.toInt -> 'z'.toInt, 'A'.toInt -> 'Z'.toInt)
+    val wsRanges    = Seq(' '.toInt -> ' '.toInt, 9 -> 9, 10 -> 10)
+    val cjkRanges   = Seq(0x4e00 -> 0x9fff)
+    val rows = df.select(
+      GraftFunctions.chars_in_ranges(col("text"), alphaRanges).as("a1"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("a2"),
+      GraftFunctions.chars_in_ranges(col("text"), wsRanges).as("w1"),
+      length(regexp_replace(col("text"), "[^ \\t\\n]", "")).as("w2"),
+      GraftFunctions.chars_in_ranges(col("text"), cjkRanges).as("c1"),
+      length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")).as("c2")
+    ).collect()
+    rows.zip(hostile).foreach { case (r, s) =>
+      assert(r.getInt(0) === r.getInt(1), s"alpha on '$s'")
+      assert(r.getInt(2) === r.getInt(3), s"ws on '$s'")
+      assert(r.getInt(4) === r.getInt(5), s"cjk on '$s'")
+    }
+    // null propagates
+    val nr = Seq[Option[String]](None).toDF("text")
+      .select(GraftFunctions.chars_in_ranges(col("text"), alphaRanges))
+      .collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("FuseDotProduct rewrites the HOF idiom into dot_product_q") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
