@@ -126,5 +126,84 @@ object Advanced {
     )
   )
 
-  val all: Seq[Q] = Seq(qTopkPerGroup, qLatematParquet, qDedupDecision)
+  /** q_pagerank — damped PageRank over the customer↔supplier purchase
+    * graph (distinct (customer, supplier) pairs from orders⋈lineitem,
+    * both directions, node ids disambiguated as 2·custkey / 2·suppkey+1),
+    * 5 fixed iterations.
+    *
+    * Exactness: ranks are BIGINTs scaled by 1e6; each iteration is
+    * rank' = 0.15·1e6 + Σ_in floor(rank·85 / (outdeg·100)) in pure
+    * integer division — both engines compute identical values, no
+    * float ever decides anything. The oracle unrolls the 5 iterations
+    * as chained CTEs (standard SQL allows no aggregate in a recursive
+    * term).
+    *
+    * 100 TB shape: per iteration one join of the rank vector to the
+    * edge list (both keyed by src — co-partitioned after the first
+    * exchange) and one partial-aggregated sum by dst; the driver holds
+    * nothing; `localCheckpoint` caps lineage across iterations exactly
+    * like the connected-components loop. Fixed iteration count (the
+    * production norm) means no convergence collect round-trips at all.
+    */
+  val qPagerank = Q(
+    "q_pagerank",
+    (s, d) => {
+      val pairs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      var rank = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to 5) {
+        val contrib = edges
+          .join(rank, col("src") === col("node"))
+          .join(outdeg, "src")
+          .select(col("dst").as("node"),
+            expr("(r * 85) div (deg * 100)").as("c"))
+          .groupBy("node")
+          .agg(sum(col("c")).as("in_c"))
+        rank = nodes
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + coalesce(col("in_c"), lit(0L))).as("r"))
+          .localCheckpoint()
+      }
+      rank.select(col("node"), col("r").as("rank"))
+        .orderBy(desc("rank"), col("node"))
+    },
+    Some {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    CAST(150000 + coalesce(sum((p.r * 85) // (o.deg * 100)), 0)
+           |      AS BIGINT) AS r
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN r${k - 1} p ON p.node = e.src
+           |  LEFT JOIN outdeg o ON o.src = e.src
+           |  GROUP BY n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL SELECT dst, src FROM pairs),
+         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$iters
+         |SELECT node, r AS rank FROM r5
+         |ORDER BY rank DESC, node""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qTopkPerGroup, qLatematParquet, qDedupDecision,
+    qPagerank)
 }
