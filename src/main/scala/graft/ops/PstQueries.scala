@@ -215,7 +215,68 @@ object PstQueries {
     )
   )
 
+  // ── ANSI (pre-Outlook-2003) format ────────────────────────────────
+  // The committed fixture is a structural ANSI re-emission of the same
+  // unittest mailbox (fixtures/mailbox/unittest_ansi.pst, written by
+  // the test-side AnsiPstWriter), so the reference's golden outputs
+  // apply unchanged: the 32-bit NDB parse must reproduce them
+  // bit-exactly, same as the Unicode branch.
+
+  private val ansiFile = "/root/repo/fixtures/mailbox/unittest_ansi.pst"
+
+  private def readAnsi(s: SparkSession, mode: String): DataFrame =
+    s.read.format("mailbox").option("mode", mode).load(ansiFile)
+
+  /** Eight-mode counts over the ANSI fixture (same goldens as
+    * q_pst_mode_counts — the logical mailbox is identical).
+    */
+  val qPstAnsiModeCounts = Q(
+    "q_pst_ansi_mode_counts",
+    (s, _) => {
+      val modes = Seq("folders", "messages", "notes", "contacts",
+        "appointments", "sticky_notes", "tasks", "distribution_lists")
+      modes.map { m =>
+        readAnsi(s, m).agg(count(lit(1)).as("n")).select(lit(m).as("mode"), col("n"))
+      }.reduce(_.unionAll(_)).orderBy("mode")
+    },
+    qPstModeCounts.oracle
+  )
+
+  /** Golden folder table read through the ANSI branch. */
+  val qPstAnsiFolders = Q(
+    "q_pst_ansi_folders",
+    (s, _) =>
+      readAnsi(s, "folders")
+        .select(col("node_id"), col("parent_node_id"), col("container_class"),
+          col("display_name"), col("subfolder_count"), col("message_count"),
+          col("unread_message_count"))
+        .orderBy("node_id"),
+    qPstFolders.oracle
+  )
+
+  /** Cross-format consistency: the Unicode original and its ANSI twin
+    * joined per message node — every subject/body pair must agree, so
+    * the join is exactly the 12 messages.
+    */
+  val qPstAnsiUnicodeJoin = Q(
+    "q_pst_ansi_unicode_join",
+    (s, _) => {
+      val u = read(s, "messages").select(col("node_id"),
+        col("subject").as("u_subject"), col("body").as("u_body"))
+      val a = readAnsi(s, "messages").select(col("node_id"),
+        col("subject").as("a_subject"), col("body").as("a_body"))
+      u.join(a, "node_id")
+        .agg(
+          count(lit(1)).as("n_joined"),
+          sum(when(col("u_subject") <=> col("a_subject") &&
+                   col("u_body") <=> col("a_body"), 1L).otherwise(0L))
+            .as("n_identical"))
+    },
+    Some("SELECT CAST(12 AS BIGINT) AS n_joined, CAST(12 AS BIGINT) AS n_identical")
+  )
+
   val all: Seq[Q] = Seq(
     qPstFolders, qPstModeCounts, qPstStickyNotes, qPstTaskAppointment,
-    qPstDlist, qPstBodyBudget, qPstSubjects, qPstContacts)
+    qPstDlist, qPstBodyBudget, qPstSubjects, qPstContacts,
+    qPstAnsiModeCounts, qPstAnsiFolders, qPstAnsiUnicodeJoin)
 }

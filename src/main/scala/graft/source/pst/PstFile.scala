@@ -7,15 +7,20 @@ import org.apache.hadoop.fs.{FSDataInputStream, Path}
 
 /** Node Database (NDB) layer of the PST binary format — the same layer
   * the reference consumes through pstsdk (typed_bag.hpp:116-152,
-  * table_function.cpp:100-212). Parses the Unicode (wVer ≥ 23) format:
-  * header, node/block b-trees (NBT/BBT), block data trees
-  * (XBLOCK/XXBLOCK), subnode b-trees (SLBLOCK/SIBLOCK), and the
-  * NDB_CRYPT_PERMUTE byte-substitution coding of external data blocks.
+  * table_function.cpp:100-212). Parses BOTH on-disk formats: Unicode
+  * (wVer ≥ 23, 64-bit BIDs/IBs) and ANSI (wVer 14/15, the pre-Outlook-
+  * 2003 32-bit layout) — header, node/block b-trees (NBT/BBT), block
+  * data trees (XBLOCK/XXBLOCK), subnode b-trees (SLBLOCK/SIBLOCK), and
+  * the NDB_CRYPT_PERMUTE byte-substitution coding of external data
+  * blocks. The LTP layer above ([[PstLtp]]) is byte-identical across
+  * the two formats, so format width is confined to this file.
   *
   * The layout follows the public MS-PST specification; all offsets and
   * structures were additionally validated against the reference's
   * checked-in `test/unittest.pst` fixture (CRC of every block verified
-  * with the spec's CRC algorithm — see PstFileSpec).
+  * with the spec's CRC algorithm — see PstFileSpec), and the ANSI
+  * branch against a structurally re-emitted ANSI twin of that fixture
+  * (see AnsiPstWriter / PstAnsiSpec).
   */
 object PstCrypt {
 
@@ -101,30 +106,45 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
     buf
   }
 
-  // ── header (MS-PST §2.2.2.6, Unicode layout) ──────────────────────
+  // ── header (MS-PST §2.2.2.6; Unicode and ANSI layouts) ─────────────
   private val header = readAt(0L, 600)
   require(header(0) == '!' && header(1) == 'B' && header(2) == 'D' && header(3) == 'N',
     "not a PST file (missing !BDN magic)")
   val wVer: Int = u16(header, 10)
-  // ANSI (pre-Outlook-2003) PSTs use wVer 14/15 with 32-bit BIDs/NIDs
-  // and different header offsets; the reference inherits dual-format
-  // support from pstsdk (typed_bag.hpp consumes pstsdk::pst, which
-  // handles both). This reader implements the Unicode (wVer >= 23)
-  // layout only — detect the ANSI version explicitly so a 2002-era
-  // archive fails with an actionable message instead of a garbage
-  // parse at shifted offsets.
-  require(wVer != 14 && wVer != 15,
-    s"ANSI (pre-Outlook-2003) PST detected (wVer=$wVer): this reader " +
-      "supports the Unicode PST format only — open the archive in " +
-      "Outlook 2003 or later and export it as a Unicode PST to convert")
-  require(wVer >= 23,
-    s"unrecognized PST format version wVer=$wVer (Unicode PST is wVer>=23)")
-  val cryptMethod: Int = u8(header, 513)
+  /** ANSI (pre-Outlook-2003, wVer 14/15) vs Unicode (wVer ≥ 23): the
+    * two on-disk formats differ only in field widths (32- vs 64-bit
+    * BIDs/IBs) and the resulting header/page/entry offsets — pstsdk
+    * gives the reference the same dual support (typed_bag.hpp consumes
+    * pstsdk::pst, which handles both header versions).
+    */
+  val ansi: Boolean = wVer == 14 || wVer == 15
+  require(ansi || wVer >= 23,
+    s"unrecognized PST format version wVer=$wVer (ANSI is 14/15, Unicode is >=23)")
+  val cryptMethod: Int = u8(header, if (ansi) 461 else 513)
   require(cryptMethod <= 1,
     s"unsupported bCryptMethod=$cryptMethod (only none/permute)")
-  val fileEof: Long = i64(header, 184)
-  private val nbtRoot = (i64(header, 216), i64(header, 224)) // (bid, ib)
-  private val bbtRoot = (i64(header, 232), i64(header, 240))
+  val fileEof: Long = if (ansi) u32(header, 168) else i64(header, 184)
+  /** rgnid[32] per-nid-type allocation counters (Unicode @44, ANSI @36). */
+  val rgnid: Array[Byte] =
+    java.util.Arrays.copyOfRange(header, if (ansi) 36 else 44, (if (ansi) 36 else 44) + 128)
+  // ROOT BREFs: ANSI root@164 → NBT (bid@184, ib@188), BBT (bid@192,
+  // ib@196), 4 bytes each; Unicode root@180 → NBT (216, 224), BBT
+  // (232, 240), 8 bytes each.
+  private val nbtRoot =
+    if (ansi) (u32(header, 184), u32(header, 188))
+    else (i64(header, 216), i64(header, 224)) // (bid, ib)
+  private val bbtRoot =
+    if (ansi) (u32(header, 192), u32(header, 196))
+    else (i64(header, 232), i64(header, 240))
+
+  /** BID/IB at `o`: 4 bytes in ANSI, 8 in Unicode. */
+  private def ref(b: Array[Byte], o: Int): Long = if (ansi) u32(b, o) else i64(b, o)
+  /** BTPAGE metadata block: rgentries is 496 bytes in ANSI (no
+    * dwPadding, 12-byte trailer), 488 in Unicode — so cEnt/cEntMax/
+    * cbEnt/cLevel sit at 496.. vs 488.., and ptype at 500 vs 496.
+    */
+  private val pgMeta: Int  = if (ansi) 496 else 488
+  private val pgType: Int  = if (ansi) 500 else 496
 
   // ── node / block b-trees (pages are never encoded) ─────────────────
 
@@ -135,22 +155,33 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
     */
   lazy val nodes: Map[Long, NbtEntry] = {
     val m = mutable.LinkedHashMap[Long, NbtEntry]()
-    walkBt(nbtRoot._2, 0x81) { e =>
-      val nid = i64(e, 0)
-      m(nid) = NbtEntry(nid, i64(e, 8), i64(e, 16), u32(e, 24))
-    }
+    walkBt(nbtRoot._2, 0x81)(e => { val n = decodeNbt(e); m(n.nid) = n })
     m.toMap
   }
 
+  /** Leaf NBTENTRY: ANSI packs nid/bidData/bidSub at 4-byte stride,
+    * Unicode at 8 (nidParent is 4 bytes in both).
+    */
+  private def decodeNbt(e: Array[Byte]): NbtEntry =
+    if (ansi) NbtEntry(u32(e, 0), u32(e, 4), u32(e, 8), u32(e, 12))
+    else NbtEntry(i64(e, 0), i64(e, 8), i64(e, 16), u32(e, 24))
+
+  /** Leaf BBTENTRY: BREF (bid, ib) then cb — 4+4+2 ANSI, 8+8+2 Unicode. */
+  private def decodeBbt(e: Array[Byte]): BbtEntry =
+    if (ansi) BbtEntry(u32(e, 0), u32(e, 4), u16(e, 8))
+    else BbtEntry(i64(e, 0), i64(e, 8), u16(e, 16))
+
   private def walkBt(ib: Long, ptype: Int)(leaf: Array[Byte] => Unit): Unit = {
     val page = btPage(ib, ptype)
-    val cEnt   = u8(page, 488)
-    val cbEnt  = u8(page, 490)
-    val cLevel = u8(page, 491)
+    val cEnt   = u8(page, pgMeta)
+    val cbEnt  = u8(page, pgMeta + 2)
+    val cLevel = u8(page, pgMeta + 3)
     var i = 0
     while (i < cEnt) {
       val off = i * cbEnt
-      if (cLevel > 0) walkBt(i64(page, off + 16), ptype)(leaf)
+      // intermediate BTENTRY: btkey then BREF → child ib at key-width +
+      // bid-width (8 in ANSI, 16 in Unicode)
+      if (cLevel > 0) walkBt(ref(page, off + (if (ansi) 8 else 16)), ptype)(leaf)
       else leaf(java.util.Arrays.copyOfRange(page, off, off + cbEnt))
       i += 1
     }
@@ -161,7 +192,7 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
   private val pageCache = mutable.HashMap[Long, Array[Byte]]()
   private def btPage(ib: Long, ptype: Int): Array[Byte] = {
     val page = pageCache.getOrElseUpdate(ib, readAt(ib, 512))
-    require(u8(page, 496) == ptype, s"unexpected page type at $ib")
+    require(u8(page, pgType) == ptype, s"unexpected page type at $ib")
     page
   }
 
@@ -173,9 +204,9 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
     var ib = rootIb
     while (true) {
       val page   = btPage(ib, ptype)
-      val cEnt   = u8(page, 488)
-      val cbEnt  = u8(page, 490)
-      val cLevel = u8(page, 491)
+      val cEnt   = u8(page, pgMeta)
+      val cbEnt  = u8(page, pgMeta + 2)
+      val cLevel = u8(page, pgMeta + 3)
       if (cEnt == 0) return None
       // greatest entry with btkey <= key (keys are unsigned but share a
       // sign region in practice; compare unsigned to be safe)
@@ -184,15 +215,17 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
       var pos = -1
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
-        if (java.lang.Long.compareUnsigned(i64(page, mid * cbEnt), key) <= 0) {
+        val k = if (ansi) u32(page, mid * cbEnt) else i64(page, mid * cbEnt)
+        if (java.lang.Long.compareUnsigned(k, key) <= 0) {
           pos = mid; lo = mid + 1
         } else hi = mid - 1
       }
       if (pos < 0) return None
       val off = pos * cbEnt
-      if (cLevel > 0) ib = i64(page, off + 16)
+      if (cLevel > 0) ib = ref(page, off + (if (ansi) 8 else 16))
       else {
-        return if (i64(page, off) == key)
+        val k = if (ansi) u32(page, off) else i64(page, off)
+        return if (k == key)
           Some(java.util.Arrays.copyOfRange(page, off, off + cbEnt))
         else None
       }
@@ -202,13 +235,11 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
 
   /** Point lookup in the node b-tree. */
   def nodeEntry(nid: Long): Option[NbtEntry] =
-    btSearch(nbtRoot._2, 0x81, nid).map(e =>
-      NbtEntry(i64(e, 0), i64(e, 8), i64(e, 16), u32(e, 24)))
+    btSearch(nbtRoot._2, 0x81, nid).map(decodeNbt)
 
   /** Point lookup in the block b-tree. */
   def blockEntry(bid: Long): Option[BbtEntry] =
-    btSearch(bbtRoot._2, 0x80, bid).map(e =>
-      BbtEntry(i64(e, 0), i64(e, 8), u16(e, 16)))
+    btSearch(bbtRoot._2, 0x80, bid).map(decodeBbt)
 
   // ── blocks ────────────────────────────────────────────────────────
   /** Raw stored bytes of one block (trailer removed, no decode). */
@@ -237,8 +268,11 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
       require(u8(d, 0) == 1, "expected XBLOCK/XXBLOCK")
       val cLevel = u8(d, 1)
       val cEnt   = u16(d, 2)
+      // rgbid starts at 8 (after lcbTotal) in both formats; entries are
+      // 4-byte bids in ANSI, 8-byte in Unicode
+      val w = if (ansi) 4 else 8
       (0 until cEnt).flatMap { i =>
-        val sub = i64(d, 8 + 8 * i)
+        val sub = ref(d, 8 + w * i)
         if (cLevel > 1) dataBlocks(sub) else Seq(leafData(sub))
       }
     }
@@ -265,12 +299,18 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
       require(u8(d, 0) == 2, "expected SLBLOCK/SIBLOCK")
       val cLevel = u8(d, 1)
       val cEnt   = u16(d, 2)
+      // Unicode has a 4-byte dwPadding before the entry array (start 8)
+      // that ANSI lacks (start 4); SLENTRY is (nid, bidData, bidSub)
+      // and SIENTRY (nid, bid) at the format's field width
+      val base = if (ansi) 4 else 8
+      val fw   = if (ansi) 4 else 8
       var i = 0
       while (i < cEnt) {
         if (cLevel == 0) {
-          val nid = u32(d, 8 + 24 * i) // low 32 bits are the subnode nid
-          m(nid) = (i64(d, 8 + 24 * i + 8), i64(d, 8 + 24 * i + 16))
-        } else walk(i64(d, 8 + 16 * i + 8))
+          val o = base + 3 * fw * i
+          val nid = u32(d, o) // low 32 bits are the subnode nid
+          m(nid) = (ref(d, o + fw), ref(d, o + 2 * fw))
+        } else walk(ref(d, base + 2 * fw * i + fw))
         i += 1
       }
     }

@@ -52,10 +52,11 @@ class PstFileSpec extends AnyFunSuite {
     } finally pst.close()
   }
 
-  test("ANSI (pre-2003) PST headers fail with an actionable error") {
-    // no ANSI fixture exists (the reference's is Unicode), so build the
-    // smallest thing that exercises the version branch: a 600-byte
-    // header with the !BDN magic and wVer=14/15 at offset 10
+  test("ANSI headers parse; garbage ANSI bodies fail cleanly on access") {
+    // real ANSI reads are covered by PstAnsiSpec; here, the header
+    // branch itself: wVer 14/15 is accepted (ansi=true), and a header
+    // with no valid b-trees behind it fails on first index access
+    // rather than producing a garbage parse
     import java.nio.file.Files
     val dir = Files.createTempDirectory("pst_ansi")
     for (ver <- Seq(14, 15)) {
@@ -64,14 +65,14 @@ class PstFileSpec extends AnyFunSuite {
       b(10) = ver.toByte // little-endian u16 wVer, high byte 0
       val p = dir.resolve(s"ansi_$ver.pst")
       Files.write(p, b)
-      val e = intercept[IllegalArgumentException] {
-        PstFile.open(p.toString, new Configuration())
-      }
-      assert(e.getMessage.contains("ANSI"), e.getMessage)
-      assert(e.getMessage.contains(s"wVer=$ver"), e.getMessage)
-      assert(e.getMessage.contains("Unicode"), e.getMessage)
+      val pst = PstFile.open(p.toString, new Configuration())
+      try {
+        assert(pst.ansi)
+        assert(pst.wVer === ver)
+        intercept[Throwable] { pst.nodes.size }
+      } finally pst.close()
     }
-    // an unknown future version is distinguished from ANSI
+    // an unknown version is rejected outright (neither ANSI nor Unicode)
     val b = new Array[Byte](600)
     b(0) = '!'; b(1) = 'B'; b(2) = 'D'; b(3) = 'N'
     b(10) = 19
