@@ -229,6 +229,79 @@ case class CountCharsInRanges(child: Expression, ranges: Seq[(Int, Int)])
     copy(child = c)
 }
 
+/** Static kernel behind [[MinhashSlices]] — kept as a plain object so
+  * generated code calls it via the class's static forwarder.
+  */
+object MinhashKernel {
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The 8 MinHash component values of one shingle: big-endian unsigned
+    * 32-bit slices of md5("0|"+g) (components 0-3) and md5("1|"+g)
+    * (4-7). Equal by construction to
+    * `conv(substring(hex(md5(..)), (j%4)*8+1, 8), 16, 10)` — a slice of
+    * the lowercase hex string parsed base-16 IS the big-endian read of
+    * the underlying digest bytes — which is what the DuckDB oracle
+    * still computes.
+    */
+  def slices8(g: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = mdPool.get()
+    val gb = g.getBytes
+    val out = new Array[Long](8)
+    var salt = 0
+    while (salt < 2) {
+      md.reset()
+      md.update(('0' + salt).toByte)
+      md.update('|'.toByte)
+      md.update(gb)
+      val d = md.digest()
+      var j = 0
+      while (j < 4) {
+        out(4 * salt + j) =
+          ((d(4 * j) & 0xFFL) << 24) | ((d(4 * j + 1) & 0xFFL) << 16) |
+            ((d(4 * j + 2) & 0xFFL) << 8) | (d(4 * j + 3) & 0xFFL)
+        j += 1
+      }
+      salt += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `minhash_slices(g)` → ARRAY<BIGINT>[8]: both salted digests and all
+  * 8 MinHash components of one shingle in a single codegen'd call.
+  *
+  * Replaces the `md5(concat(...))` × 2 → `conv(substring(hex, ...))` ×
+  * 8 pipeline, which materializes two 32-char hex strings and parses 8
+  * substrings per shingle row; this computes the digests once each and
+  * reads the slices straight off the digest bytes. Values are
+  * bit-identical (see [[MinhashKernel.slices8]]), so the DuckDB oracle
+  * SQL keeps the hex formulation.
+  */
+case class MinhashSlices(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_slices needs STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    MinhashKernel.slices8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.MinhashKernel.slices8($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-API and SQL-registry surface for the custom expressions. */
 object GraftFunctions {
 
@@ -246,6 +319,9 @@ object GraftFunctions {
   def chars_in_ranges(c: Column, ranges: Seq[(Int, Int)]): Column =
     ColumnBridge.column(
       CountCharsInRanges(ColumnBridge.expression(c), ranges))
+
+  def minhash_slices(c: Column): Column =
+    ColumnBridge.column(MinhashSlices(ColumnBridge.expression(c)))
 
   /** Register `filetime_to_timestamp` / `hamming_distance` for SQL use. */
   def register(spark: SparkSession): Unit = {

@@ -85,18 +85,15 @@ object Dedup {
       // per document, the shingle lambda then indexes the bound array
       .select(col("doc_id"),
         explode(array(split(col("text"), "\\s+"))).as("toks"))
-      .select(col("doc_id"), explode(shinglesOfTokens(col("toks"))).as("g"))
-      .select(
-        col("doc_id"),
-        md5(concat(lit("0|"), col("g"))).as("d0"),
-        md5(concat(lit("1|"), col("g"))).as("d1"))
-    // components as BIGINT (hex slice parsed to int64): min(long) hash-
-    // aggregates (min(string) would fall back to SortAggregate)
-    val mins = (0 until nHashes).map { j =>
-      val dig   = if (j < 4) "d0" else "d1"
-      val start = (j % 4) * 8 + 1
-      min(conv(substring(col(dig), start, 8), 16, 10).cast("long")).as(s"h$j")
-    }
+      // one codegen'd kernel call per shingle — both salted digests and
+      // all 8 slices come out together (the explode over the
+      // transformed array materializes each slice-array exactly once)
+      .select(col("doc_id"),
+        explode(transform(shinglesOfTokens(col("toks")),
+          g => graft.functions.GraftFunctions.minhash_slices(g))).as("hs"))
+    // components as BIGINT: min(long) hash-aggregates (min(string)
+    // would fall back to SortAggregate)
+    val mins = (0 until nHashes).map(j => min(col("hs").getItem(j)).as(s"h$j"))
     exploded
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)

@@ -169,6 +169,34 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nr.isNullAt(0))
   }
 
+  test("minhash_slices equals the md5-hex/conv formulation it replaces") {
+    import spark.implicits._
+    val hostile = Seq(
+      "", "a", "the quick brown fox", "gram with spaces  doubled",
+      "中文 shingle 漢字", "emoji 🎉 tail", "\t\n edge", "ÄÖÜß",
+      "0123456789abcdef" * 8 // long gram
+    )
+    val df = hostile.toDF("g")
+    val slow = (0 until 8).map { j =>
+      val dig   = if (j < 4) md5(concat(lit("0|"), col("g")))
+                  else md5(concat(lit("1|"), col("g")))
+      conv(substring(dig, (j % 4) * 8 + 1, 8), 16, 10).cast("long").as(s"s$j")
+    }
+    val rows = df.select(
+      GraftFunctions.minhash_slices(col("g")).as("fast") +: slow: _*).collect()
+    rows.zip(hostile).foreach { case (r, g) =>
+      val fast = r.getSeq[Long](0)
+      (0 until 8).foreach { j =>
+        assert(fast(j) === r.getLong(1 + j), s"slice $j of '$g'")
+        assert(fast(j) >= 0L && fast(j) <= 0xFFFFFFFFL, s"range of slice $j")
+      }
+    }
+    // null propagates
+    val nr = Seq[Option[String]](None).toDF("g")
+      .select(GraftFunctions.minhash_slices(col("g"))).collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("FuseDotProduct rewrites the HOF idiom into dot_product_q") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
