@@ -44,7 +44,7 @@ object SparkEntry {
     */
   def benchTier2: Seq[Q] = {
     val names = Seq("q_span_dedup", "q_substr_regions", "q_substr_cut",
-      "q_ann_pq", "q_source_overlap", "q_curation_funnel")
+      "q_ann_pq", "q_source_overlap", "q_curation_funnel", "q_simhash")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

@@ -268,6 +268,42 @@ object MinhashKernel {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** 16-bit SimHash of a gram array: one md5 per gram, bit k votes on
+    * the sign of hex-digit k ≥ '8' (= high bit of nibble k of the
+    * digest). Matches the per-bit
+    * `aggregate(grams, 0, (acc, g) => acc + when(substring(md5(g), k,
+    * 1) >= "8", 1).otherwise(-1))` formulation bit-for-bit — including
+    * a NULL gram voting −1 on every bit (the `otherwise` branch) and an
+    * empty array yielding all-zero votes → "0000000000000000".
+    */
+  def simhash16(grams: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val md = mdPool.get()
+    val votes = new Array[Int](16)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      if (grams.isNullAt(i)) {
+        var k = 0
+        while (k < 16) { votes(k) -= 1; k += 1 }
+      } else {
+        md.reset()
+        md.update(grams.getUTF8String(i).getBytes)
+        val d = md.digest()
+        var k = 0
+        while (k < 16) {
+          val nib = if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xF else d(k >> 1) & 0xF
+          votes(k) += (if (nib >= 8) 1 else -1)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val bytes = new Array[Byte](16)
+    var k = 0
+    while (k < 16) { bytes(k) = if (votes(k) > 0) '1' else '0'; k += 1 }
+    UTF8String.fromBytes(bytes)
+  }
 }
 
 /** `minhash_slices(g)` → ARRAY<BIGINT>[8]: both salted digests and all
@@ -302,6 +338,38 @@ case class MinhashSlices(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `simhash16(grams)` → 16-char '0'/'1' string: the whole SimHash in
+  * one codegen'd pass — one digest per gram instead of the 16 the
+  * per-bit `aggregate` formulation pays (each bit's lambda re-hashes
+  * every gram). Values are bit-identical (see
+  * [[MinhashKernel.simhash16]]); the DuckDB oracle keeps the per-bit
+  * list_transform form.
+  */
+case class Simhash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash16 needs ARRAY<STRING>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    MinhashKernel.simhash16(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.MinhashKernel.simhash16($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-API and SQL-registry surface for the custom expressions. */
 object GraftFunctions {
 
@@ -322,6 +390,9 @@ object GraftFunctions {
 
   def minhash_slices(c: Column): Column =
     ColumnBridge.column(MinhashSlices(ColumnBridge.expression(c)))
+
+  def simhash16(c: Column): Column =
+    ColumnBridge.column(Simhash16(ColumnBridge.expression(c)))
 
   /** Register `filetime_to_timestamp` / `hamming_distance` for SQL use. */
   def register(spark: SparkSession): Unit = {

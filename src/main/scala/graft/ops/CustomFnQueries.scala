@@ -39,18 +39,10 @@ object CustomFnQueries {
     )
   )
 
-  /** The 16-bit SimHash column (same recipe as Dedup.qSimhash). */
-  private def simhashCol = {
-    val bits = (1 to 16).map { k =>
-      val vote = aggregate(
-        col("grams"),
-        lit(0),
-        (acc, g) => acc + when(substring(md5(g), k, 1) >= "8", 1).otherwise(-1)
-      )
-      when(vote > 0, "1").otherwise("0")
-    }
-    concat(bits: _*)
-  }
+  /** The 16-bit SimHash column (same recipe as Dedup.qSimhash — the
+    * fused one-digest-per-gram kernel).
+    */
+  private def simhashCol = graft.functions.GraftFunctions.simhash16(col("grams"))
 
   private val simhashSql = (1 to 16)
     .map(k =>

@@ -289,22 +289,16 @@ object Dedup {
     */
   val qSimhash = Q(
     "q_simhash",
-    (s, d) => {
-      val bits = (1 to 16).map { k =>
-        val vote = aggregate(
-          col("grams"),
-          lit(0),
-          (acc, g) =>
-            acc + when(substring(md5(g), k, 1) >= "8", 1).otherwise(-1)
-        )
-        when(vote > 0, "1").otherwise("0")
-      }
+    (s, d) =>
+      // one digest per gram via the fused kernel (the per-bit aggregate
+      // form re-hashes every gram 16 times); oracle keeps the per-bit
+      // form — values are bit-identical
       Tables
         .documents(s, d)
         .withColumn("grams", grams4(col("text")))
-        .select(col("doc_id"), concat(bits: _*).as("simhash"))
-        .orderBy("doc_id")
-    },
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.simhash16(col("grams")).as("simhash"))
+        .orderBy("doc_id"),
     Some {
       val bits = (1 to 16)
         .map(k =>

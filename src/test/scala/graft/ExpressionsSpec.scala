@@ -197,6 +197,41 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nr.isNullAt(0))
   }
 
+  test("simhash16 equals the per-bit aggregate formulation it replaces") {
+    import spark.implicits._
+    val hostile = Seq(
+      "", "abc", "abcd", "the quick brown fox jumps over the lazy dog",
+      "中文混合 text 漢字 with 🎉 emoji", "aaaa" * 50, "x\ty\nz"
+    )
+    val df = hostile.toDF("text")
+      .withColumn("grams", transform(
+        sequence(lit(1), greatest(length(col("text")) - 3, lit(1))),
+        i => col("text").substr(i, lit(4))))
+    val slowBits = (1 to 16).map { k =>
+      val vote = aggregate(col("grams"), lit(0),
+        (acc, g) => acc + when(substring(md5(g), k, 1) >= "8", 1).otherwise(-1))
+      when(vote > 0, "1").otherwise("0")
+    }
+    val rows = df.select(
+      GraftFunctions.simhash16(col("grams")).as("fast"),
+      concat(slowBits: _*).as("slow")).collect()
+    rows.zip(hostile).foreach { case (r, s) =>
+      assert(r.getString(0) === r.getString(1), s"simhash of '$s'")
+    }
+    // empty array → all-zero bits; null array → null; null gram = -1 votes
+    val edge = spark.sql(
+      "SELECT CAST(array() AS ARRAY<STRING>) AS empty, " +
+      "CAST(NULL AS ARRAY<STRING>) AS na, " +
+      "array(CAST(NULL AS STRING)) AS oneNull")
+    val er = edge.select(
+      GraftFunctions.simhash16(col("empty")),
+      GraftFunctions.simhash16(col("na")),
+      GraftFunctions.simhash16(col("oneNull"))).collect()(0)
+    assert(er.getString(0) === "0" * 16)
+    assert(er.isNullAt(1))
+    assert(er.getString(2) === "0" * 16) // every bit votes -1 → '0'
+  }
+
   test("FuseDotProduct rewrites the HOF idiom into dot_product_q") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
