@@ -308,6 +308,106 @@ object Layout {
     )
   )
 
+  /** MERGE-style upsert into a partitioned parquet table, copy-on-write:
+    * matched keys are replaced by their update row, unmatched update
+    * rows are inserted, and ONLY affected partitions are rewritten.
+    *
+    * Affected = partitions the updates land in ∪ partitions currently
+    * holding a matched key — the union matters because an update may
+    * MOVE a row across partitions (its partition column changed), and
+    * the old copy must disappear from its old partition. A partition
+    * fully drained by such moves is dropped explicitly, like
+    * [[targetedDelete]]'s emptied-dir handling.
+    *
+    * 100 TB shape: the table is never rewritten wholesale — survivors
+    * are read only from affected partitions (partition-pruned scan),
+    * and the matched-key set rides a broadcast-able semi/anti join
+    * (an update batch is small relative to the table). Driver state is
+    * the distinct affected-partition value list, same bound as
+    * [[targetedDelete]].
+    */
+  def mergeUpsert(spark: SparkSession, dir: String, partCol: String,
+      keyCol: String, updates: DataFrame): Unit = {
+    val table = spark.read.parquet(dir)
+    val cols  = table.columns.toSeq
+    val u     = updates.select(cols.map(col): _*)
+    val keys  = u.select(keyCol).distinct()
+    val affected = u.select(partCol).distinct()
+      .union(table.join(keys, Seq(keyCol), "left_semi").select(partCol).distinct())
+      .distinct().collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return
+    val survivors = table
+      .filter(col(partCol).isin(affected: _*))
+      .join(keys, Seq(keyCol), "left_anti")
+      .select(cols.map(col): _*)
+    val rewritten = survivors.unionByName(u)
+    val nonEmpty = rewritten.select(partCol).distinct()
+      .collect().map(_.get(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rewritten.write.partitionBy(partCol).mode("overwrite").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val emptied = affected.filterNot(nonEmpty)
+    if (emptied.nonEmpty) {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val conf = spark.sessionState.newHadoopConf()
+      emptied.foreach { v =>
+        val str = if (v == null) null else String.valueOf(v)
+        val p = new org.apache.hadoop.fs.Path(dir,
+          ExternalCatalogUtils.getPartitionPathString(partCol, str))
+        val fs = p.getFileSystem(conf)
+        fs.delete(p, true): Unit
+      }
+    }
+  }
+
+  /** q_merge_upsert — end-to-end MERGE: documents written
+    * source-partitioned, then one batch that (a) UPDATES every doc with
+    * doc_id ≡ 3 (mod 97), moving it to a new `merged` source partition
+    * with bumped n_chars (exercising the cross-partition move + the
+    * drained-partition case), and (b) INSERTS fresh docs under shifted
+    * ids in a brand-new `fresh` partition. The oracle is the same merge
+    * expressed relationally: updates ∪ (table ∖ matched keys).
+    */
+  val qMergeUpsert = Q(
+    "q_merge_upsert",
+    (s, d) => {
+      val dir = graft.Scratch.dir("merge_upsert").resolve("docs").toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.write.partitionBy("source").mode("overwrite").parquet(dir)
+      val updates = docs
+        .filter(pmod(col("doc_id"), lit(97L)) === 3)
+        .select(col("doc_id"), col("lang"), lit("merged").as("source"),
+          (col("n_chars") + 1000000L).as("n_chars"))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(97L)) === 5)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+            lit("fresh").as("source"), col("n_chars")))
+      mergeUpsert(s, dir, "source", "doc_id", updates)
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH upd AS (
+        |  SELECT doc_id, lang, 'merged' AS source,
+        |         n_chars + 1000000 AS n_chars
+        |  FROM documents WHERE doc_id % 97 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang, 'fresh', n_chars
+        |  FROM documents WHERE doc_id % 97 = 5)
+        |SELECT doc_id, lang, source, n_chars FROM upd
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
-    qFormatRoundtrip, qTargetedDelete, qCompact)
+    qFormatRoundtrip, qTargetedDelete, qCompact, qMergeUpsert)
 }

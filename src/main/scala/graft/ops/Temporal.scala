@@ -223,6 +223,58 @@ object Temporal {
     )
   )
 
+  /** q_scd2_history — slowly-changing-dimension type-2 build: collapse
+    * each user's event-type timeline into validity intervals
+    * [valid_from, valid_to) with an is_current flag — consecutive
+    * same-state events merge into one interval; a state change closes
+    * the previous interval at the new one's start. The standard way a
+    * warehouse tracks attribute history, built here from the raw event
+    * log in two windows (lag to find run starts, lead to close
+    * intervals), both partitioned by user — state per key is one row,
+    * never the corpus, and the shuffle key is user_id.
+    */
+  val qScd2History = Q(
+    "q_scd2_history",
+    (s, d) => {
+      val ev = Tables.eventsRaw(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("us"))
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val starts = ev
+        .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("us").as("valid_from_us"), col("event_id"))
+      val wRun = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+      starts
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
+        .select(col("user_id"), col("state"), col("valid_from_us"),
+          col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_us", "state")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |o AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev
+        |  FROM e),
+        |starts AS (
+        |  SELECT user_id, event_type AS state, us AS valid_from_us, event_id
+        |  FROM o WHERE prev IS NULL OR prev <> event_type),
+        |h AS (
+        |  SELECT user_id, state, valid_from_us,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from_us, event_id) AS valid_to_us
+        |  FROM starts)
+        |SELECT user_id, state, valid_from_us, valid_to_us,
+        |  (valid_to_us IS NULL) AS is_current
+        |FROM h ORDER BY user_id, valid_from_us, state""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qAsofJoin, qRangeJoin, qPivot, qAsofJoinCustom, qIntervalJoin)
+    Seq(qAsofJoin, qRangeJoin, qPivot, qAsofJoinCustom, qIntervalJoin,
+      qScd2History)
 }

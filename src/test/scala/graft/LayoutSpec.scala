@@ -220,6 +220,64 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("grp") === "plain").count() === 10)
   }
 
+  test("merge upsert rewrites only affected partitions; moves drain old copies") {
+    import graft.ops.Layout
+    val dir = Files.createTempDirectory("layout_merge").resolve("docs").toString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    docs.write.partitionBy("source").mode("overwrite").parquet(dir)
+
+    val srcs = docs.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0))
+    assert(srcs.length >= 3, "fixture needs >= 3 source partitions")
+    val (moveFrom, stay) = (srcs(0), srcs(1))
+
+    // one matched key that MOVES partitions, one brand-new insert
+    val victim = docs.filter(col("source") === moveFrom)
+      .orderBy("doc_id").limit(1).collect()(0)
+    val moveId = victim.getLong(0)
+    val newId  = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
+    val updates = spark.range(1).select(
+      lit(moveId).as("doc_id"), lit("xx").as("lang"),
+      lit(stay).as("source"), lit(7L).as("n_chars"))
+      .unionByName(spark.range(1).select(
+        lit(newId).as("doc_id"), lit("yy").as("lang"),
+        lit("brand_new").as("source"), lit(9L).as("n_chars")))
+
+    def files(src: String): Map[String, Long] = {
+      val d = new File(s"$dir/source=$src")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouched = srcs.drop(2).map(s0 => s0 -> files(s0)).toMap
+
+    Layout.mergeUpsert(spark, dir, "source", "doc_id", updates)
+
+    // partitions with no matched key and no incoming row: bit-untouched
+    untouched.foreach { case (s0, before) =>
+      assert(files(s0) === before, s"partition source=$s0 was rewritten")
+    }
+    val back = spark.read.parquet(dir)
+    // the moved row exists exactly once, in its new partition
+    val moved = back.filter(col("doc_id") === moveId).collect()
+    assert(moved.length === 1)
+    assert(moved(0).getAs[String]("source") === stay)
+    assert(moved(0).getAs[Long]("n_chars") === 7L)
+    // the insert landed in its new partition
+    assert(back.filter(col("doc_id") === newId).count() === 1)
+    assert(new File(s"$dir/source=brand_new").exists())
+    // row count: +1 insert, no duplicates from the move
+    assert(back.count() === docs.count() + 1)
+
+    // moving EVERY row out of a partition drops its directory
+    val drainAll = spark.read.parquet(dir).filter(col("source") === moveFrom)
+      .withColumn("source", lit(stay))
+    Layout.mergeUpsert(spark, dir, "source", "doc_id", drainAll)
+    assert(!new File(s"$dir/source=$moveFrom").exists(),
+      s"drained partition dir source=$moveFrom must be dropped")
+  }
+
   test("compaction shrinks file count without changing content") {
     val root = Files.createTempDirectory("layout_compact")
     val frag = root.resolve("frag").toString
