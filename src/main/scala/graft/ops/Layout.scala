@@ -408,6 +408,41 @@ object Layout {
     )
   )
 
+  /** q_schema_evolution — a long-lived corpus accretes columns: files
+    * written before a column existed must read back as NULL next to
+    * files that carry it, without rewriting history. Half the docs are
+    * written with the v1 schema, half appended with an added `quality`
+    * column; one mergeSchema read reconciles them. (Columnar formats
+    * make this free — the old files simply have no chunk for the new
+    * column; the reconciliation is metadata-only at any scale.)
+    */
+  val qSchemaEvolution = Q(
+    "q_schema_evolution",
+    (s, d) => {
+      val dir  = graft.Scratch.dir("schema_evo").resolve("docs").toString
+      val docs = Tables.documents(s, d)
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(dir)
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          pmod(col("n_chars"), lit(100L)).as("quality"))
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, n_chars % 100
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
-    qFormatRoundtrip, qTargetedDelete, qCompact, qMergeUpsert)
+    qFormatRoundtrip, qTargetedDelete, qCompact, qMergeUpsert,
+    qSchemaEvolution)
 }

@@ -237,6 +237,22 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_scd2_history shuffles event rows by user exactly once") {
+    // both windows (lag over run detection, lead over interval close)
+    // partition by user_id: the second must reuse the first's
+    // partitioning — re-shuffling between windows would double the
+    // movement of every event row at 100 TB
+    val payloads = shufflePayloads("q_scd2_history")
+    // raw event rows (carrying event_type) move once; the only other
+    // exchange is the final global-sort range partitioning of the
+    // finished intervals (carrying is_current) — the output contract
+    val eventShuffles = payloads.filter(_.contains("event_type"))
+    assert(eventShuffles.size === 1,
+      s"expected one raw-event shuffle, got: $payloads")
+    assert(payloads.size === 2,
+      s"expected event shuffle + final sort only, got: $payloads")
+  }
+
   test("q_ngram_jaccard scores only LSH candidate pairs (no all-pairs gram join)") {
     val p = plan("q_ngram_jaccard")
     // the intersection join must be keyed by (candidate pair, gram) —
