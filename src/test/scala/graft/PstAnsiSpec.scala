@@ -123,6 +123,31 @@ class PstAnsiSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(java.util.Arrays.equals(committed, fresh))
   }
 
+  test("ANSI truncation fuzz: every cut point fails cleanly, never hangs") {
+    // mirror of PstFileSpec's Unicode fuzz over the ANSI twin: opening
+    // and enumerating a file truncated at assorted offsets must either
+    // parse cleanly (cut past the touched data) or raise promptly
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(freshAnsi))
+    val dir = Files.createTempDirectory("pst_ansi_fuzz")
+    val rnd = new scala.util.Random(43)
+    val cuts = Seq(0, 1, 100, 511, 512, 4096, 64 * 1024, bytes.length / 2) ++
+      (0 until 10).map(_ => 1 + rnd.nextInt(bytes.length - 1))
+    for (cut <- cuts) {
+      val p = dir.resolve(s"cut_$cut.pst")
+      Files.write(p, bytes.take(cut).toArray)
+      val started = System.nanoTime()
+      try {
+        val pst = PstFile.open(p.toString, new Configuration())
+        try pst.nodes.size // force full NBT/BBT enumeration
+        finally pst.close()
+      } catch {
+        case _: Throwable => () // clean failure is the contract
+      }
+      val elapsedMs = (System.nanoTime() - started) / 1000000
+      assert(elapsedMs < 10000, s"cut=$cut took ${elapsedMs}ms")
+    }
+  }
+
   test("a glob mixing ANSI and Unicode PSTs binds and reads both") {
     val dir = Files.createTempDirectory("pst_mixed")
     Files.copy(java.nio.file.Paths.get(unicodeFixture), dir.resolve("u.pst"))

@@ -96,6 +96,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("RocksDB state store runs the stateful ops bit-identically") {
+    // local[32] tests default to the in-memory HDFS-backed state store;
+    // a 1000-executor deployment holding hours of watermarked state
+    // runs RocksDB (state off-heap, spillable, incrementally
+    // checkpointed). Same windowed aggregation, same results, under
+    // the provider the real cluster would use.
+    val provider =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try {
+      val raw = Tables.eventsRaw(spark, sf)
+      val stream = spark.readStream
+        .schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("event_type"), col("value"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("day"), col("event_type"), col("n"))
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("rocksdb_windows")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val streamed = spark.table("rocksdb_windows")
+        .orderBy("day", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      val batch = Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("day"), col("event_type"), col("n"))
+        .orderBy("day", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.nonEmpty)
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
   test("streaming dropDuplicates dedups re-delivered events exactly") {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     val dir = JFiles.createTempDirectory("stream_dedup")
