@@ -177,6 +177,10 @@ case class DotProductQ(left: Expression, right: Expression)
 case class CountCharsInRanges(child: Expression, ranges: Seq[(Int, Int)])
     extends UnaryExpression {
 
+  // an empty ranges list would make doGenCode emit `if () cnt++;` —
+  // invalid Java that fails Janino and forces interpreted fallback
+  require(ranges.nonEmpty, "CountCharsInRanges needs at least one range")
+
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -123,6 +123,12 @@ object CuratePipeline {
     outDir.foreach { dir =>
       curated.write.mode("overwrite").partitionBy("lang").parquet(dir)
     }
+    // Release the corpus-wide cache entry now that the stats job (and
+    // the optional write) consumed it — repeated curate() calls in one
+    // JVM (bench warmup + timed passes) must not accumulate cached
+    // copies of the unfiltered corpus. A later action on the returned
+    // `curated` recomputes its lineage, which is the right trade.
+    fused.unpersist()
     (curated, stats)
   }
 

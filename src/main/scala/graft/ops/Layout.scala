@@ -218,6 +218,17 @@ object Layout {
     * costs a scan+rewrite of the partitions holding them — never a
     * full-table rewrite, never a driver-side file loop.
     */
+  /** NULL-aware partition membership: `isin(values)` alone evaluates to
+    * NULL (not true) for rows in the NULL partition, silently dropping
+    * their survivors from a rewrite while the emptied-dir pass deletes
+    * __HIVE_DEFAULT_PARTITION__ — data loss. */
+  private def inPartitions(partCol: String, values: Seq[Any]): Column = {
+    val nonNull = values.filter(_ != null)
+    val base =
+      if (nonNull.isEmpty) lit(false) else col(partCol).isin(nonNull: _*)
+    if (values.exists(_ == null)) base || col(partCol).isNull else base
+  }
+
   def targetedDelete(spark: SparkSession, dir: String, partCol: String,
       killPred: Column): Unit = {
     val table = spark.read.parquet(dir)
@@ -228,7 +239,7 @@ object Layout {
       .collect().map(_.get(0)).toSeq
     if (affected.isEmpty) return // nothing matches: zero partitions rewritten
     val survivors = table
-      .filter(col(partCol).isin(affected: _*))
+      .filter(inPartitions(partCol, affected))
       .filter(!killPred)
     val nonEmpty = survivors.select(partCol).distinct()
       .collect().map(_.get(0)).toSet
@@ -337,7 +348,7 @@ object Layout {
       .distinct().collect().map(_.get(0)).toSeq
     if (affected.isEmpty) return
     val survivors = table
-      .filter(col(partCol).isin(affected: _*))
+      .filter(inPartitions(partCol, affected))
       .join(keys, Seq(keyCol), "left_anti")
       .select(cols.map(col): _*)
     val rewritten = survivors.unionByName(u)

@@ -250,7 +250,14 @@ object Temporal {
         .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
         .select(col("user_id"), col("state"), col("valid_from_us"),
           col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from_us", "state")
+        // valid_to_us breaks ties when two runs of the same state start
+        // in the same microsecond (ts is ns-resolution; `div 1000`
+        // collides) — without it the sort key is not total and the
+        // driver's ordered hash can flip. NULLs-first matches Spark's
+        // ASC default; the oracle pins NULLS FIRST explicitly because
+        // DuckDB defaults to NULLS LAST.
+        .orderBy(col("user_id"), col("valid_from_us"), col("state"),
+          col("valid_to_us").asc_nulls_first)
     },
     Some(
       """WITH e AS (
@@ -270,7 +277,8 @@ object Temporal {
         |  FROM starts)
         |SELECT user_id, state, valid_from_us, valid_to_us,
         |  (valid_to_us IS NULL) AS is_current
-        |FROM h ORDER BY user_id, valid_from_us, state""".stripMargin
+        |FROM h ORDER BY user_id, valid_from_us, state,
+        |  valid_to_us NULLS FIRST""".stripMargin
     )
   )
 

@@ -220,6 +220,32 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("grp") === "plain").count() === 10)
   }
 
+  test("delete and upsert keep NULL-partition survivors (isin is not null-aware)") {
+    import graft.ops.Layout
+    // rows in the NULL partition: col.isin(values) evaluates to NULL
+    // for them, so a naive survivor filter drops them and the
+    // emptied-dir pass deletes __HIVE_DEFAULT_PARTITION__ — data loss
+    val dir = Files.createTempDirectory("layout_null").resolve("t").toString
+    val df = spark.range(10).withColumn("grp",
+      when(col("id") < 6, lit(null).cast("string")).otherwise(lit("g")))
+    df.write.partitionBy("grp").mode("overwrite").parquet(dir)
+
+    // kill one row in the NULL partition; the other five must survive
+    Layout.targetedDelete(spark, dir, "grp", col("id") === 0)
+    val afterDel = spark.read.parquet(dir)
+    assert(afterDel.count() === 9)
+    assert(afterDel.filter(col("grp").isNull).count() === 5,
+      "NULL-partition survivors were lost by the delete rewrite")
+
+    // upsert one key living in the NULL partition; siblings must survive
+    val upd = spark.range(1, 2).withColumn("grp", lit(null).cast("string"))
+    Layout.mergeUpsert(spark, dir, "grp", "id", upd)
+    val afterUp = spark.read.parquet(dir)
+    assert(afterUp.count() === 9)
+    assert(afterUp.filter(col("grp").isNull).count() === 5,
+      "NULL-partition survivors were lost by the upsert rewrite")
+  }
+
   test("merge upsert rewrites only affected partitions; moves drain old copies") {
     import graft.ops.Layout
     val dir = Files.createTempDirectory("layout_merge").resolve("docs").toString

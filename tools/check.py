@@ -121,6 +121,10 @@ def main():
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     only = set(sys.argv[3:])
     if only:
+        unknown = only - oracle.keys()
+        if unknown:
+            # a typo'd name must not yield a vacuous 0-fail PASS
+            sys.exit(f"unknown query name(s): {', '.join(sorted(unknown))}")
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
