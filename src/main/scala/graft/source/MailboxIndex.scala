@@ -287,13 +287,26 @@ object MailboxIndex {
     * alone misses an in-place rewrite that preserves byte length);
     * None → caller falls back to range planning.
     */
-  def read(fs: FileSystem, file: Path, fileSize: Long): Option[FileIndex] = {
-    val ip = indexPath(file)
+  def read(fs: FileSystem, file: Path, fileSize: Long): Option[FileIndex] =
+    read(fs, file, fileSize, indexPath(file), fs.getConf)
+
+  /** Variant with an explicit sidecar location: the caller may read the
+    * DATA from a resolved local copy (length-less remote schemes, see
+    * [[graft.source.LocalBuffer]]) while the sidecar still lives next
+    * to the ORIGINAL file — it is resolved through the same fallback,
+    * so O(#files) sidecar planning works over http too (one small GET
+    * per `.idx`; a 404 lands in the NonFatal fallback → range/bounded
+    * planning, exactly like a missing local sidecar).
+    */
+  def read(fs: FileSystem, file: Path, fileSize: Long, sidecar: Path,
+      conf: org.apache.hadoop.conf.Configuration): Option[FileIndex] = {
     try {
-      if (!fs.exists(ip)) None
+      val ip  = graft.source.LocalBuffer.resolvePath(sidecar, conf)
+      val ifs = ip.getFileSystem(conf)
+      if (!ifs.exists(ip)) None
       else {
-        val in  = fs.open(ip)
-        val len = fs.getFileStatus(ip).getLen.toInt
+        val in  = ifs.open(ip)
+        val len = ifs.getFileStatus(ip).getLen.toInt
         val bytes = new Array[Byte](len)
         try in.readFully(0, bytes) finally in.close()
         val ix = fromJson(new String(bytes, StandardCharsets.UTF_8))

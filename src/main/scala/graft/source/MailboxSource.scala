@@ -276,7 +276,13 @@ object MailboxPlanner {
       val name =
         if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
         else st.getPath.toString
-      name -> st.getLen
+      // length-less schemes (http/s report -1) would make byte-range
+      // planning vacuous (`while (start < bytes)` never runs → silent
+      // empty scan): fetch once (JVM-cached) and use the real size
+      val len =
+        if (st.getLen >= 0) st.getLen
+        else java.nio.file.Files.size(LocalBuffer.materialize(st.getPath, conf))
+      name -> len
     }.sortBy(_._1)
   }
 
@@ -397,10 +403,15 @@ object MailboxPlanner {
       try {
         val futures = files.map { case (name, len) =>
           Future {
-            val p  = new Path(name)
+            val p0 = new Path(name)
+            // length-less remote schemes (http/s): probes and reads run
+            // on the JVM-cached local copy globStatuses already fetched;
+            // the sidecar is looked up at the ORIGINAL location
+            val p  = LocalBuffer.resolvePath(p0, conf)
             val fs = p.getFileSystem(conf)
             try {
-              MailboxIndex.read(fs, p, len) match {
+              MailboxIndex.read(fs, p, len,
+                  MailboxIndex.indexPath(p0), conf) match {
                 case Some(ix) => Some(Indexed(name, len, ix))
                 case None =>
                   if (PstScan.isPst(p, conf)) {
@@ -729,7 +740,7 @@ private[source] final class LineStream(
     file: String, startAt: Long, conf: Configuration,
     alignToNewline: Boolean) {
 
-  private val path = new Path(file)
+  private val path = LocalBuffer.resolvePath(file, conf)
   private val fsIn = path.getFileSystem(conf).open(path)
   if (startAt > 0) fsIn.seek(startAt)
   private val buf    = new Array[Byte](1 << 16)

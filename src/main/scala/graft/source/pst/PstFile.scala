@@ -323,7 +323,9 @@ final class PstFile(in: FSDataInputStream, val length: Long) extends AutoCloseab
 
 object PstFile {
   def open(path: String, conf: Configuration): PstFile = {
-    val p  = new Path(path)
+    // b-tree walks are seek-based: length-less remote schemes (http/s)
+    // resolve to a JVM-cached local copy (graft.source.LocalBuffer)
+    val p  = graft.source.LocalBuffer.resolvePath(path, conf)
     val fs = p.getFileSystem(conf)
     new PstFile(fs.open(p), fs.getFileStatus(p).getLen)
   }
