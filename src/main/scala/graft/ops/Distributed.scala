@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed forms of operations whose naive Spark expression funnels
+  * the whole dataset through ONE task (the "No Partition Defined for
+  * Window operation" warning — a scale-killer at 100 TB, where a
+  * global window means one executor sorts everything).
+  */
+object Distributed {
+
+  /** Exact SQL `ntile(n) OVER (ORDER BY sort…)` without a
+    * single-partition window.
+    *
+    * Shape: range-repartition by the sort key (so partition p holds a
+    * contiguous, ordered key range), count rows per partition (one
+    * O(P)-row job; the driver holds P scalars), broadcast the
+    * cumulative offsets back, and compute each row's GLOBAL 0-based
+    * rank as `offset(p) + row_number() within p` — a PARTITIONED
+    * window, never a global one. The bucket then follows SQL ntile
+    * semantics exactly: with N rows the first `N mod n` buckets get
+    * `N/n + 1` rows, the rest `N/n`.
+    *
+    * The ranged frame is evaluated twice (count job + final job);
+    * range-partitioner sampling is seeded per partition, so both jobs
+    * see identical boundaries for identical input. At 100 TB this is
+    * the classic two-pass distributed ranking — no step holds more
+    * than one partition's rows, and the only driver state is P counts.
+    *
+    * `sort` must be a TOTAL order (append a unique key) — ntile on a
+    * non-total order is nondeterministic in any engine.
+    */
+  def globalNtile(df: DataFrame, n: Int, sort: Seq[Column], out: String)
+      : DataFrame = {
+    val spark  = df.sparkSession
+    val p      = spark.sessionState.conf.numShufflePartitions
+    val pidCol = s"__pid_$out"
+    val offCol = s"__off_$out"
+    val ranged = df.repartitionByRange(p, sort: _*)
+      .withColumn(pidCol, spark_partition_id())
+    val counts = ranged.groupBy(pidCol).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total  = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(
+      counts.scanLeft(0L)(_ + _._2).dropRight(1))
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF(pidCol, offCol)
+
+    val w     = Window.partitionBy(pidCol).orderBy(sort: _*)
+    val rank0 = col(offCol) + row_number().over(w) - 1
+    val small = total / n // rows in each of the later buckets
+    val big   = total % n // leading buckets holding one extra row
+    val cut   = big * (small + 1)
+    // integer division via truncating cast: exact for rank < 2^52
+    def idiv(a: Column, b: Long) = (a / lit(b)).cast("long")
+    val bucket =
+      if (small == 0) rank0 + 1 // fewer rows than buckets
+      else
+        when(rank0 < cut, idiv(rank0, small + 1) + 1)
+          .otherwise(lit(big) + idiv(rank0 - cut, small) + 1)
+    ranged
+      .join(broadcast(offDf), Seq(pidCol))
+      .withColumn(out, bucket.cast("int"))
+      .drop(pidCol, offCol)
+  }
+}

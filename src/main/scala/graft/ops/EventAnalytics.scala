@@ -178,9 +178,12 @@ object EventAnalytics {
     * frequency (purchase count), monetary (exact decimal sum), each
     * quartiled by a global ntile with user_id tie-breaks.
     *
-    * Scale note: the quartile ntile is a GLOBAL rank — one sort of the
-    * per-user aggregate (users, not events), the same contract as any
-    * ORDER BY; the event-level work before it is partial-aggregated.
+    * Scale note: each quartile is a GLOBAL exact ntile over the
+    * per-user aggregate (users, not events) computed via
+    * [[Distributed.globalNtile]] — range partitions + broadcast
+    * offsets + a partitioned row_number — so no single task ever
+    * sorts the whole frame; the event-level work before it is
+    * partial-aggregated.
     */
   val qRfm = Q(
     "q_rfm",
@@ -201,16 +204,23 @@ object EventAnalytics {
           datediff(col("anchor").cast("date"), col("last_day"))
             .as("recency_days"),
           col("frequency"), col("monetary"))
-      def quartile(c: String, ascending: Boolean) = {
+      // each quartile is an exact global ntile computed the distributed
+      // way (range partitions + broadcast offsets + PARTITIONED
+      // row_number — Distributed.globalNtile), never a single-partition
+      // window; (metric, user_id) makes each sort total
+      def quartile(df: org.apache.spark.sql.DataFrame, c: String,
+          ascending: Boolean, out: String) = {
         val key = if (ascending) col(c).asc else col(c).desc
-        ntile(4).over(Window.orderBy(key, col("user_id").asc))
+        Distributed.globalNtile(df, 4, Seq(key, col("user_id").asc), out)
       }
-      perUser
-        .select(col("user_id"), col("recency_days"), col("frequency"),
-          col("monetary"),
-          quartile("recency_days", ascending = true).as("r_quartile"),
-          quartile("frequency", ascending = false).as("f_quartile"),
-          quartile("monetary", ascending = false).as("m_quartile"))
+      val q3 = quartile(
+        quartile(
+          quartile(perUser, "recency_days", ascending = true, "r_quartile"),
+          "frequency", ascending = false, "f_quartile"),
+        "monetary", ascending = false, "m_quartile")
+      q3.select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_quartile"), col("f_quartile"),
+          col("m_quartile"))
         .orderBy("user_id")
     },
     Some(

@@ -185,22 +185,31 @@ object Scalars {
     */
   val qApproxDistinct = Q(
     "q_approx_distinct",
-    (s, d) =>
-      Tables
-        .lineitem(s, d)
-        .agg(
-          count_distinct(col("l_orderkey")).as("exact_orders"),
-          count_distinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("ap")
-        )
+    (s, d) => {
+      // exact and approx MUST be separate aggregations: combined, the
+      // multi-distinct rewrite hauls the partial HLL sketches (rsd
+      // 0.02 ≈ 820 longs EACH) through the per-(orderkey,partkey)
+      // Expand aggregate — ~1.6 KiB of registers per distinct key pair
+      // in the shuffle. Split, the exact side shuffles bare keys and
+      // the approx side map-combines into ONE sketch per partition;
+      // the two 1-row results broadcast-join for free.
+      val li = Tables.lineitem(s, d)
+      val exact = li.agg(
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        count_distinct(col("l_partkey")).as("exact_parts"))
+      val approx = li.agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+      exact
+        .crossJoin(broadcast(approx))
         .select(
           col("exact_orders"),
           col("exact_parts"),
           (abs(col("ao") - col("exact_orders")) <=
             col("exact_orders") * 0.05).as("orders_within_bound"),
           (abs(col("ap") - col("exact_parts")) <=
-            col("exact_parts") * 0.05).as("parts_within_bound")),
+            col("exact_parts") * 0.05).as("parts_within_bound"))
+    },
     Some(
       """SELECT exact_orders, exact_parts,
         |  abs(ao - exact_orders) <= exact_orders * 0.05 AS orders_within_bound,

@@ -461,12 +461,16 @@ object TextOps {
         .groupBy("word")
         .agg(count(lit(1)).as("n"))
       val total = counts.agg(sum(col("n")).as("total"))
+      // top-50 FIRST via orderBy+limit (TakeOrderedAndProject: per-
+      // partition top-k, merged on one task over 50-row candidates) —
+      // the global window then runs over ≤50 rows by construction,
+      // never the whole vocabulary
+      val top = counts.orderBy(col("n").desc, col("word").asc).limit(50)
       val w = Window.orderBy(col("n").desc, col("word").asc)
-      counts
+      top
         .withColumn("rank", row_number().over(w))
         .withColumn("cum_n", sum(col("n")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("rank") <= 50)
         .crossJoin(broadcast(total))
         .select(col("rank"), col("word"), col("n"),
           (col("cum_n").cast("double") / col("total")).as("cum_share"))

@@ -266,4 +266,27 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"document text leaked into a shuffle: ${cols.mkString(", ")}")
     }
   }
+
+  test("q_rfm quartiles use only PARTITIONED windows (no global ntile sort)") {
+    // the physical plan hides behind AdaptiveSparkPlanExec pre-execution,
+    // so assert on the optimized logical plan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_rfm")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the globalNtile partitioned windows")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "a single-partition Window survived in q_rfm — at scale one task " +
+          "would sort every user")
+    }
+  }
+
+  test("q_vocab_coverage bounds its global window with a top-k limit") {
+    val p = plan("q_vocab_coverage")
+    // the vocabulary is never globally sorted: orderBy+limit plans
+    // TakeOrderedAndProject (per-partition top-50, one 50-row merge),
+    // and only that 50-row frame enters the rank/cumsum window
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected a top-k limit under the window:\n${p.take(2000)}")
+  }
 }

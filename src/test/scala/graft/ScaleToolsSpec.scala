@@ -250,4 +250,27 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"),
       s"AQE should have replanned to broadcast:\n${p.take(2500)}")
   }
+
+  test("globalNtile matches SQL ntile bit-exactly across sizes and orders") {
+    import org.apache.spark.sql.expressions.Window
+    // sizes cover N < n, N % n != 0, duplicates in the ranking key
+    // (tie-broken by the unique id — a total order, as required)
+    for (nRows <- Seq(1L, 3L, 4L, 97L, 1000L); buckets <- Seq(4, 7)) {
+      val df = spark.range(nRows)
+        .select(pmod(hash(col("id")), lit(17)).as("k"), col("id"))
+      for (asc <- Seq(true, false)) {
+        val key = if (asc) col("k").asc else col("k").desc
+        val expected = df
+          .select(col("id"),
+            ntile(buckets).over(Window.orderBy(key, col("id").asc)).as("b"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val got = graft.ops.Distributed
+          .globalNtile(df, buckets, Seq(key, col("id").asc), "b")
+          .select(col("id"), col("b"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got === expected,
+          s"ntile mismatch at nRows=$nRows buckets=$buckets asc=$asc")
+      }
+    }
+  }
 }
