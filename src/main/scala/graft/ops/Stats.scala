@@ -421,26 +421,34 @@ object Stats {
   )
 
   /** q_weighted_median — revenue-weighted median quantity per group:
-    * the value at which the running weight (decimal-exact revenue
-    * cumsum over quantity-sorted rows) first reaches half the group
-    * total — one sort-window pass per group, no per-group value
-    * collection. The 2·cum ≥ total comparison is exact decimal
-    * arithmetic, so the selected row (not just the value) is
-    * cross-engine stable.
+    * the smallest quantity whose cumulative weight (decimal-exact
+    * revenue) reaches half the group total.
+    *
+    * Scale shape: weight is PRE-AGGREGATED by (group, quantity) —
+    * partial-aggregated, distributed — so the per-group window runs
+    * over #distinct-quantity rows (≤ 50 here), not the corpus. The
+    * row-level and grouped forms are provably identical: the crossing
+    * row's whole quantity-group has cumulative weight ≥ half-total,
+    * and every earlier group stays below it (the oracle keeps the
+    * definitional row-level form). With few groups, the naive
+    * per-group sort funnels everything through 3 tasks — this form
+    * carries ~50 rows per group regardless of corpus size; a
+    * continuous weight column would quantize first the same way.
+    * The 2·cum ≥ total comparison is exact decimal arithmetic, so the
+    * selected value is cross-engine stable.
     */
   val qWeightedMedian = Q(
     "q_weighted_median",
     (s, d) => {
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val byQty = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(sum(Exact.dec(col("l_extendedprice"))).as("wq"))
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy("l_returnflag")
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_quantity"),
-          col("l_orderkey"), col("l_linenumber"),
-          Exact.dec(col("l_extendedprice")).as("wt"))
-        .withColumn("cum", sum(col("wt")).over(w))
-        .withColumn("tot", sum(col("wt")).over(wAll))
+      byQty
+        .withColumn("cum", sum(col("wq")).over(w))
+        .withColumn("tot", sum(col("wq")).over(wAll))
         .filter(col("cum") * 2 >= col("tot"))
         .groupBy("l_returnflag")
         .agg(min(col("l_quantity")).as("weighted_median_qty"),
