@@ -374,6 +374,90 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Static kernel behind [[GramRunStats]]. */
+object TextKernel {
+
+  /** `[longest equal-run, duplicated occurrences]` over the n-grams of
+    * `toks` (space-joined token slices), or null when the doc has
+    * fewer than n tokens (the explode→count formulation emits no
+    * n-rows then). Grouping equal grams needs only SOME total order,
+    * so the sort order itself never affects the counts — they equal
+    * the `groupBy(gram).count` stats by construction.
+    */
+  def gramRunStats(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = toks.numElements() - n + 1
+    if (m <= 0) return null
+    val sep   = UTF8String.fromString(" ")
+    val grams = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      if (n == 1) grams(i) = toks.getUTF8String(i)
+      else {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        grams(i) = UTF8String.concatWs(sep, parts: _*)
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    var best = 0L
+    var uniq = 0L
+    var run  = 0L
+    var prev: UTF8String = null
+    var k = 0
+    while (k < m) {
+      val x = grams(k)
+      if (prev != null && x.equals(prev)) run += 1
+      else { if (run == 1) uniq += 1; run = 1; prev = x }
+      if (run > best) best = run
+      k += 1
+    }
+    if (run == 1) uniq += 1
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(best, m - uniq))
+  }
+}
+
+/** `gram_run_stats(tokens, n)` → ARRAY<BIGINT>[2]: `[top n-gram count,
+  * occurrences of duplicated n-grams]` in ONE fused pass (build grams,
+  * sort, fold runs — [[TextKernel.gramRunStats]]), replacing an
+  * explode → `groupBy(doc, gram).count` shuffle of every gram string,
+  * or a per-element `aggregate` HOF that allocates a state struct per
+  * gram. NULL when the document is shorter than n tokens, matching
+  * the explode form (which emits no rows then).
+  */
+case class GramRunStats(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "gram_run_stats needs n >= 1")
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_run_stats needs ARRAY<STRING>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.gramRunStats(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.TextKernel.gramRunStats($c, $n);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-API and SQL-registry surface for the custom expressions. */
 object GraftFunctions {
 
@@ -397,6 +481,9 @@ object GraftFunctions {
 
   def simhash16(c: Column): Column =
     ColumnBridge.column(Simhash16(ColumnBridge.expression(c)))
+
+  def gram_run_stats(c: Column, n: Int): Column =
+    ColumnBridge.column(GramRunStats(ColumnBridge.expression(c), n))
 
   /** Register `filetime_to_timestamp` / `hamming_distance` for SQL use. */
   def register(spark: SparkSession): Unit = {

@@ -46,34 +46,32 @@ object CuratePipeline {
     // projection over ONE corpus scan, instead of three separate scans
     // each joined back on doc_id. Whole-stage codegen shares the
     // tokenization across the three via subexpression elimination.
+    // The repetition signal rides the same fused projection: the
+    // funnel consumes ONLY top_bigram_frac, and the fused
+    // `gram_run_stats` kernel computes the top-bigram count in place —
+    // max(count)/sum(count) over per-doc bigram counts equals
+    // top-run / (n_tokens - 1), so the double compares identically and
+    // the old explode → two groupBys → join sub-DAG disappears. Docs
+    // with < 2 tokens get NULL (they were absent from the old rep
+    // frame → null after its left join), which the repetition cut
+    // passes, same as before.
+    val bigramFrac = {
+      val t = TextOps.wsTokens(lower(col("text")))
+      when(size(t) >= 2,
+        element_at(graft.functions.GraftFunctions.gram_run_stats(t, 2), 1)
+          .cast("double") / (size(t) - 1))
+    }
     val base = TextOps.withLangPredicted(docs)
       .drop(TextOps.langStops.map(p => s"score_${p._1}"): _*)
       .withColumn("quality",
         TextOps.qualityColumns.last) // the weighted score, aliased "quality"
       .withColumn("n_tokens", size(TextOps.wsTokens(col("text"))))
+      .withColumn("top_bigram_frac", bigramFrac)
 
     // The aggregating/global stages keep their own (oracle-verified)
     // DAGs and join ONCE each on doc_id; the accumulating frame stays
     // hash-partitioned by doc_id across the whole chain, so these are
     // co-partitioned joins after the first exchange.
-    // Lean repetition stage: the funnel consumes ONLY top_bigram_frac,
-    // so explode bigrams alone — a third of q_repetition's gram volume
-    // (its uni/tri-gram stats go unused here). Same expression
-    // restricted to n=2: max(count)/sum(count) over per-doc bigram
-    // counts, so the double compares identically. Docs with < 2 tokens
-    // are absent (frac null → the repetition cut passes them), and the
-    // old frame's presence test (≥ 1 token) is n_tokens >= 1 below.
-    val rep = docs
-      .select(col("doc_id"),
-        TextOps.wsTokens(lower(col("text"))).as("t")) // tokenize ONCE
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((max(col("c")).cast("double") / sum(col("c")))
-        .as("top_bigram_frac"))
     val exactKeep = Dedup.qDedupExact.fn(s, sfDir)
       .select(col("keep_id").as("doc_id"))
       .withColumn("exact_keep", lit(true))
@@ -84,7 +82,6 @@ object CuratePipeline {
       .withColumn("contaminated", lit(true))
 
     val fused = base
-      .join(rep, Seq("doc_id"), "left")
       .join(exactKeep, Seq("doc_id"), "left")
       .join(nearKeep, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")

@@ -365,47 +365,36 @@ object TextOps {
     *  - `dup_trigram_frac` — fraction of trigram occurrences whose gram
     *    appears more than once.
     *
-    * Shape: one exploded (doc_id, n, gram) stream for n ∈ {1,2,3} →
-    * count per gram → per-doc stats, every step partial-aggregated, so
-    * the shuffle carries gram counts (bounded by vocabulary per doc),
-    * never document text. Fractions are single divisions of exact ints
-    * → bit-identical doubles in both engines.
+    * Shape: MAP-ONLY — every signal is per-document, so instead of
+    * exploding (doc_id, n, gram) and shuffling every gram string, each
+    * task computes its documents' stats in place with the fused
+    * `gram_run_stats` kernel ([[graft.functions.TextKernel]]: build
+    * grams, sort, fold runs — longest equal run = top gram count,
+    * occurrences in runs > 1 = duplicated occurrences). No gram ever
+    * leaves its task; the only exchange is the output ORDER BY.
+    * Fractions are single divisions of exact ints → bit-identical
+    * doubles in both engines (the oracle keeps the definitional
+    * explode-and-count form).
     */
   val qRepetition = Q(
     "q_repetition",
     (s, d) => {
-      val toks = Tables.documents(s, d)
+      import graft.functions.GraftFunctions.gram_run_stats
+      Tables.documents(s, d)
         .select(col("doc_id"), wsTokens(lower(col("text"))).as("t"))
-      // word n-grams as (n, gram) structs; empty (not descending!) when
-      // the doc is shorter than n — Spark sequence(1, 0) would count
-      // DOWN. All three gram sizes concat into ONE exploded stream so
-      // the corpus is scanned once, not once per n.
-      def grams(n: Int) = when(size(col("t")) >= n,
-        transform(sequence(lit(1), size(col("t")) - (n - 1)),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(col("t"), i, lit(n))).as("g"))))
-        .otherwise(array().cast("array<struct<n:int,g:string>>"))
-      val counts = toks
+        // the explode form dropped zero-token docs (no gram rows);
+        // keep that contract explicitly
+        .filter(size(col("t")) > 0)
         .select(col("doc_id"),
-          explode(concat(grams(1), grams(2), grams(3))).as("ng"))
-        .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
-        .groupBy("doc_id", "n", "g")
-        .agg(count(lit(1)).as("c"))
-      counts
-        .groupBy("doc_id", "n")
-        .agg(
-          sum(col("c")).as("total"),
-          count(lit(1)).as("distinct_"),
-          max(col("c")).as("maxc"),
-          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_occ"))
-        .groupBy("doc_id")
-        .agg(
-          max(when(col("n") === 1, col("total"))).as("n_words"),
-          max(when(col("n") === 1, col("total") - col("distinct_"))).as("dup_w"),
-          max(when(col("n") === 2, col("maxc"))).as("top_bg"),
-          max(when(col("n") === 2, col("total"))).as("n_bg"),
-          max(when(col("n") === 3, col("dup_occ"))).as("dup_tg"),
-          max(when(col("n") === 3, col("total"))).as("n_tg"))
+          size(col("t")).cast("long").as("n_words"),
+          (size(col("t")) - size(array_distinct(col("t")))).cast("long")
+            .as("dup_w"),
+          element_at(gram_run_stats(col("t"), 2), 1).as("top_bg"),
+          when(size(col("t")) >= 2, size(col("t")) - 1).cast("long")
+            .as("n_bg"),
+          element_at(gram_run_stats(col("t"), 3), 2).as("dup_tg"),
+          when(size(col("t")) >= 3, size(col("t")) - 2).cast("long")
+            .as("n_tg"))
         .select(
           col("doc_id"),
           col("n_words").cast("int").as("n_words"),

@@ -197,6 +197,44 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nr.isNullAt(0))
   }
 
+  test("gram_run_stats equals the explode-and-count formulation it replaces") {
+    import spark.implicits._
+    // hostile docs: empty, shorter-than-n, all-same token, heavy dups,
+    // unicode, tokens containing characters that sort around ' '
+    val docs = Seq(
+      Array[String](),
+      Array("one"),
+      Array("a", "a", "a", "a"),
+      Array("a", "b", "a", "b", "a"),
+      Array("the", "quick", "the", "quick", "fox"),
+      Array("中", "文", "中", "文"),
+      Array("x!", "x", "!x", "x !", "x"),
+      (1 to 200).map(i => s"t${i % 7}").toArray
+    )
+    val df = docs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    for (n <- Seq(1, 2, 3)) {
+      val fast = df.select(col("id"),
+          GraftFunctions.gram_run_stats(col("t"), n).as("rs"))
+        .collect().map(r =>
+          r.getInt(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+        .toMap
+      val slow = df
+        .select(col("id"), explode(when(size(col("t")) >= n, transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(n)))))).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max(col("c")).as("maxc"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup"))
+        .collect().map(r => r.getInt(0) -> Seq(r.getLong(1), r.getLong(2)))
+        .toMap
+      docs.indices.foreach { i =>
+        assert(fast(i) === slow.getOrElse(i, null),
+          s"doc $i n=$n: kernel=${fast(i)} explode=${slow.get(i)}")
+      }
+    }
+  }
+
   test("simhash16 equals the per-bit aggregate formulation it replaces") {
     import spark.implicits._
     val hostile = Seq(
