@@ -103,11 +103,17 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count"), "tf counts must partial-aggregate")
   }
 
-  test("q_repetition scans the corpus exactly once") {
+  test("q_repetition is map-only: one scan, no gram aggregation at all") {
     val p = plan("q_repetition")
     assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
       s"expected one corpus scan:\n$p")
-    assert(p.contains("partial_sum"), "gram stats must partial-aggregate")
+    // the fused gram_run_stats kernel computes every signal in place —
+    // no gram ever reaches an aggregate or a shuffle; the only
+    // exchange is the output ORDER BY's range partitioning
+    assert(p.toLowerCase.contains("gramrunstats"),
+      s"expected the fused kernel in the plan:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"map-only shape must not aggregate grams:\n$p")
   }
 
   test("q_ann_sq8 and q_ann_pq rank candidates with pre-shuffle group limits") {
