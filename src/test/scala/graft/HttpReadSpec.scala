@@ -46,6 +46,8 @@ class HttpReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     // streams cannot seek and its FileStatus length is -1
     .config("spark.hadoop.fs.http.impl",
       "org.apache.hadoop.fs.http.HttpFileSystem")
+    .config("spark.hadoop.fs.https.impl",
+      "org.apache.hadoop.fs.http.HttpsFileSystem")
     .getOrCreate()
 
   override def beforeAll(): Unit = {
@@ -126,5 +128,64 @@ class HttpReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       read("messages", url).count()
     }
     assert(e != null)
+  }
+
+  test("PST contacts over https equal the local read (the reference's demo protocol)") {
+    // the reference's README demo is read_pst_contacts over https; run
+    // the same shape against an in-JVM TLS server with a self-signed
+    // cert for 127.0.0.1 (test-scoped trust override — Hadoop's
+    // HttpsFileSystem opens plain HttpsURLConnections)
+    import javax.net.ssl.{HttpsURLConnection, KeyManagerFactory, SSLContext, TrustManagerFactory}
+    val ksPath = java.nio.file.Files.createTempDirectory("https_ks")
+      .resolve("ks.p12").toString
+    val gen = new ProcessBuilder("keytool", "-genkeypair", "-alias", "t",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=ip:127.0.0.1",
+      "-validity", "2").inheritIO().start()
+    assert(gen.waitFor() === 0, "keytool failed")
+
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(ksPath))
+    try ks.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks) // trust exactly our own self-signed cert
+    val serverCtx = SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val clientCtx = SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+
+    val tls = com.sun.net.httpserver.HttpsServer
+      .create(new InetSocketAddress("127.0.0.1", 0), 0)
+    tls.setHttpsConfigurator(
+      new com.sun.net.httpserver.HttpsConfigurator(serverCtx))
+    tls.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val bytes = Files.readAllBytes(
+          Paths.get("/root/reference/test/unittest.pst"))
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    tls.start()
+    val prevFactory = HttpsURLConnection.getDefaultSSLSocketFactory
+    HttpsURLConnection.setDefaultSSLSocketFactory(clientCtx.getSocketFactory)
+    try {
+      val url = s"https://127.0.0.1:${tls.getAddress.getPort}/unittest.pst"
+      val remote = spark.read.format("mailbox").option("mode", "contacts")
+        .load(url)
+        .select("given_name", "surname").orderBy("given_name")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val local = read("contacts", "/root/reference/test/unittest.pst")
+        .select("given_name", "surname").orderBy("given_name")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(remote.nonEmpty && remote.sameElements(local))
+    } finally {
+      HttpsURLConnection.setDefaultSSLSocketFactory(prevFactory)
+      tls.stop(0)
+    }
   }
 }
