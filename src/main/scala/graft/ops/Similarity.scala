@@ -540,6 +540,68 @@ object Similarity {
     )
   )
 
+  /** q_semdedup — SemDeDup (Abbas et al., 2023): semantic deduplication
+    * bounded by the trained coarse clustering. The corpus is assigned to
+    * the k-means centroids ([[qKmeansIvf]] — same trained quantizer,
+    * bit-identical in both engines), pairwise exact-integer cosine is
+    * computed ONLY within a cluster, and of any pair above the
+    * threshold the larger vec_id is dropped — the deterministic
+    * analog of the paper's keep-one-representative rule. Output is the
+    * full per-vector decision (vec_id, cluster, kept).
+    *
+    * 100 TB shape: candidate pairs never cross clusters, so the only
+    * shuffle of vector codes is the cid equi-join; k scales with the
+    * corpus (the paper uses k ≈ n/5000), keeping per-cluster pair
+    * counts bounded — this is what separates SemDeDup from the
+    * quadratic all-pairs it replaces. Scoring reuses the codegen'd
+    * [[graft.functions.DotProductQ]] fused loop. The threshold compare
+    * runs on doubles computed identically in both engines from exact
+    * BIGINT dots/norms (same contract as [[qDedupEmbedding]]).
+    */
+  val qSemDedup = Q(
+    "q_semdedup",
+    (s, d) => {
+      val (v, nv) = quantized(s, d)
+      val assign = assignToCentroids(v, nv, trainKmeans(v, nv))
+        .localCheckpoint()
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+        .join(assign, Seq("vec_id"))
+      val dropped = e.as("a")
+        .join(e.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"),
+          cosine(dotq(col("a.qv"), col("b.qv")), col("a.nq"), col("b.nq"))
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25)
+        .select("vec_id").distinct()
+        .withColumn("hit", lit(true))
+      assign
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(!col("hit"), lit(true)).as("kept"))
+        .orderBy("vec_id")
+    },
+    Some(
+      s"""$kmeansCtes,
+         |eq AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |en AS (SELECT vec_id, qv, ${dotqSql("qv", "qv")} AS nq FROM eq),
+         |m AS (
+         |  SELECT e.vec_id, e.qv, e.nq, a.cid
+         |  FROM en e JOIN assign2 a ON e.vec_id = a.vec_id),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE CAST(${dotqSql("a.qv", "b.qv")} AS DOUBLE)
+         |    / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.25)
+         |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
+         |FROM assign2 a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    )
+  )
+
   /** q_ann_sq8 — scalar-quantized (SQ8) ANN, the memory-compression
     * path of a vector index: every dimension is linearly quantized to
     * an 8-bit code against the corpus' per-dimension min/max, candidate
@@ -960,6 +1022,6 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
-      qIvfSearchProbe2, qDedupEmbedding, qAnnSq8, qAnnPq,
+      qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
       qAnnLshMultiprobe, qAnnRecall)
 }

@@ -273,6 +273,22 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_semdedup bounds candidate pairs by cluster (cid-keyed pair join)") {
+    val p = plan("q_semdedup")
+    // the pair join must be an equi-join on the cluster id — a pair
+    // join not keyed by cid would score the quadratic all-pairs set
+    // SemDeDup exists to avoid
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(l => l.contains("cid")),
+      s"expected the cluster-bounded pair join keyed by cid:\n$p")
+    // the raw float embedding never shuffles — only quantized codes
+    // and (vec_id, cid) assignments travel
+    shufflePayloads("q_semdedup").foreach { cols =>
+      assert(!cols.contains("embedding"),
+        s"raw embeddings leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
   test("q_rfm quartiles use only PARTITIONED windows (no global ntile sort)") {
     // the physical plan hides behind AdaptiveSparkPlanExec pre-execution,
     // so assert on the optimized logical plan
