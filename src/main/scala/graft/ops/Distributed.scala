@@ -23,11 +23,16 @@ object Distributed {
     * semantics exactly: with N rows the first `N mod n` buckets get
     * `N/n + 1` rows, the rest `N/n`.
     *
-    * The ranged frame is evaluated twice (count job + final job);
-    * range-partitioner sampling is seeded per partition, so both jobs
-    * see identical boundaries for identical input. At 100 TB this is
-    * the classic two-pass distributed ranking — no step holds more
-    * than one partition's rows, and the only driver state is P counts.
+    * The ranged frame is read twice (count job + final job), so it is
+    * pinned by an eager localCheckpoint: the range partitioner's
+    * reservoir sampling is seeded with the RDD id, which CHANGES
+    * between executions of the same DataFrame — without the pin the
+    * two jobs can draw different boundaries and the broadcast offsets
+    * silently misalign with the final job's partitions (caught by the
+    * sf0.1 oracle sweep: 58/1500 rows crossed a bucket). At 100 TB
+    * this is the classic two-pass distributed ranking — the
+    * materialization holds one partition per task, and the only
+    * driver state is P counts.
     *
     * `sort` must be a TOTAL order (append a unique key) — ntile on a
     * non-total order is nondeterministic in any engine.
@@ -40,6 +45,7 @@ object Distributed {
     val offCol = s"__off_$out"
     val ranged = df.repartitionByRange(p, sort: _*)
       .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint()
     val counts = ranged.groupBy(pidCol).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total  = counts.map(_._2).sum
