@@ -59,6 +59,15 @@ object RefScaleBench {
     // warmup (codegen + page cache for the planning reads)
     countQuery().collect(); scanQuery().collect()
 
+    // planning-only: force physical planning + DSv2 partition planning
+    // without running a job
+    val plans = (1 to 3).map(_ => time(() => {
+      val df = countQuery()
+      df.queryExecution.executedPlan
+      ()
+    }))
+    println(s"plan_only_runs=[${plans.map(x => f"$x%.4f").mkString(",")}]")
+
     val counts = (1 to 5).map(_ => time(() => {
       val n = countQuery().collect()(0).getLong(0)
       require(n == Files.toLong * MsgsPerFile, s"bad count $n")
