@@ -50,6 +50,11 @@ object RefScaleBench {
       .agg(count(lit(1)).as("cnt"))
     def scanQuery() = graft.source.Mailbox.messages(spark, glob)
       .groupBy("message_class").agg(count(lit(1)).as("n"))
+    // the reference's second published number: select * with
+    // read_limit=5 in 0.012 s (plan-time GLOBAL limit, README.md:39-56)
+    def limitQuery() = graft.source.Mailbox
+      .messages(spark, glob, Map("read_limit" -> "5"))
+      .select("node_id", "subject", "message_class")
 
     def time(f: () => Unit): Double = {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
@@ -73,12 +78,17 @@ object RefScaleBench {
       require(n == Files.toLong * MsgsPerFile, s"bad count $n")
     }))
     val scans = (1 to 5).map(_ => time(() => scanQuery().collect()))
+    limitQuery().collect() // warm
+    val limits = (1 to 5).map(_ => time(() => {
+      require(limitQuery().collect().length == 5)
+    }))
 
     println(
       s"""{"metric":"ref_scale","files":$Files,"messages":${Files.toLong * MsgsPerFile},""" +
         s""""count_star_sec":${median(counts)},"count_runs":[${counts.map(x => f"$x%.4f").mkString(",")}],""" +
         s""""class_scan_sec":${median(scans)},"scan_runs":[${scans.map(x => f"$x%.4f").mkString(",")}],""" +
-        s""""reference_count_sec":0.564}""")
+        s""""limit5_sec":${median(limits)},"limit_runs":[${limits.map(x => f"$x%.4f").mkString(",")}],""" +
+        s""""reference_count_sec":0.564,"reference_limit5_sec":0.012}""")
     spark.stop()
   }
 }
