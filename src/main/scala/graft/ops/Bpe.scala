@@ -1,0 +1,224 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training — the Sennrich et al. 2016 byte-pair-encoding
+  * merge loop, run distributed over the corpus: the k most frequent
+  * adjacent symbol pairs are merged iteratively, producing the ordered
+  * merge table that IS a BPE tokenizer's model artifact. This is the
+  * "train a tokenizer on the corpus you are about to tokenize" stage of
+  * a pretraining pipeline (GPT-2's BPE was trained exactly this way,
+  * byte-level; here symbols start as characters).
+  *
+  * Algorithm and distribution shape (the 100 TB story):
+  *  - ONE corpus-wide pass builds the word-frequency vocabulary
+  *    (token shuffle, partial-aggregated). Everything after operates on
+  *    the VOCABULARY, which is Heaps-law-sublinear in corpus size —
+  *    the classic BPE trick that makes corpus-scale training cheap.
+  *  - Each of the k merge steps is one vocabulary-sized aggregation
+  *    (explode adjacent symbol pairs, weighted by word frequency) plus
+  *    a 1-row argmax the driver collects to parameterize the next
+  *    step's replace — the same driver-side scalar-sentinel pattern as
+  *    the streaming ops; document text is never touched again.
+  *  - Applying the trained merges ([[qBpeEncode]]) is MAP-ONLY: the k
+  *    merge literals are baked into a codegen'd replace chain over the
+  *    scan; no shuffle, no state.
+  *
+  * Mechanics: a word's symbol sequence is a STRING with every symbol
+  * wrapped in … brackets, so "merge pair (a,b)
+  * leftmost-first, non-overlapping" is exactly one literal
+  * replace(w, ⟨a⟩⟨b⟩, ⟨ab⟩) — both engines' replace scans left-to-right
+  * over non-overlapping occurrences, and the brackets stop boundary
+  * sharing (separator-joined forms like " a b " lose the shared
+  * delimiter on each replacement and under-merge runs). Pair counts are
+  * positional (a word "aaa" counts (a,a) twice — the standard BPE
+  * counting rule). Ties break on (count DESC, left ASC, right ASC) — a
+  * total order, so the merge table is unique and both engines derive
+  * the identical model.
+  */
+object Bpe {
+
+  /** Number of merge steps to train. */
+  private val K = 8
+
+  private val B1  = "\u0001" // symbol open bracket
+  private val B2  = "\u0002" // symbol close bracket
+  private val SEP = "\u0003" // inter-token separator (encode only)
+
+  private def enc(sym: String): String = s"$B1$sym$B2"
+
+  /** Literal (regex-quoted) replace of one merge pair in `w`. */
+  private def mergeOnce(w: Column, a: String, b: String): Column =
+    regexp_replace(w,
+      lit(java.util.regex.Pattern.quote(enc(a) + enc(b))),
+      lit(java.util.regex.Matcher.quoteReplacement(enc(a + b))))
+
+  /** Encoded vocabulary: one row per distinct lowercased token, with
+    * corpus frequency; `w` wraps each character in brackets.
+    */
+  private def vocab0(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextOps.wsTokens(lower(col("text")))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", s"$B1$$1$B2").as("w"),
+        col("freq"))
+
+  /** Weighted adjacent-pair counts of the current vocabulary state. */
+  private def pairCounts(v: DataFrame): DataFrame =
+    v.select(
+      split(expr("substr(w, 2, length(w) - 2)"), s"$B2$B1").as("s"),
+      col("freq"))
+      .filter(size(col("s")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("s")) - 1),
+        i => struct(element_at(col("s"), i).as("a"),
+          element_at(col("s"), i + 1).as("b")))).as("p"), col("freq"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Run the k-step merge loop; returns the merge table. Each step's
+    * argmax is a 1-row collect (the model is k rows — training output
+    * is small by nature; the aggregations producing it are
+    * distributed). localCheckpoint pins each state so step j never
+    * re-runs steps 1..j-1's jobs through lineage.
+    */
+  private def train(s: SparkSession, d: String)
+      : Seq[(Int, String, String, String, Long)] = {
+    var v = vocab0(s, d).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var dry = false
+    for (k <- 1 to K if !dry) {
+      val best = pairCounts(v)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      // a corpus can run out of adjacent pairs before K merges (every
+      // word fully merged) — stop, matching the oracle's empty m_k
+      // no-op steps
+      if (best.isEmpty) dry = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((k, a, b, a + b, cnt))
+        v = v.withColumn("w", mergeOnce(col("w"), a, b)).localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
+  /** The shared DuckDB training CTE chain: v0 (encoded vocab), then k
+    * unrolled (m_k argmax, v_k apply) steps — MATERIALIZED, so each
+    * state computes once; replace parameterizes off a LEFT JOIN against
+    * the 1-row m_k (mirroring the Spark literal), with a chr(4)
+    * sentinel pattern making an EMPTY m_k (pairs ran dry before K
+    * merges) a no-op instead of a NULL-poisoned vocabulary.
+    */
+  private def oracleTrainCtes: String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS w,
+        |    count(*) AS freq
+        |  FROM (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val steps = (1 to K).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT $k AS step, a, b, a || b AS merged, cnt FROM (
+         |    SELECT s[i] AS a, s[i + 1] AS b, sum(freq) AS cnt
+         |    FROM (SELECT string_split(substr(w, 2, len(w) - 2),
+         |            chr(2) || chr(1)) AS s, freq FROM v${k - 1})
+         |    , UNNEST(range(1, len(s))) AS u(i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT replace(w,
+         |    coalesce(chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+         |      chr(4)),
+         |    coalesce(chr(1) || m.merged || chr(2), chr(4))) AS w, freq
+         |  FROM v${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
+    }
+    (v0 +: steps).mkString(",\n")
+  }
+
+  /** q_bpe_train — the trained merge table: (step, left, right, merged,
+    * weighted count), the ordered model artifact a BPE tokenizer ships.
+    */
+  val qBpeTrain = Q(
+    "q_bpe_train",
+    (s, d) => {
+      val merges = train(s, d)
+      import s.implicits._
+      merges.toDF("step", "a", "b", "merged", "cnt").orderBy("step")
+    },
+    Some {
+      val union = (1 to K).map(k => s"SELECT * FROM m$k")
+        .mkString(" UNION ALL ")
+      s"""WITH $oracleTrainCtes
+         |SELECT CAST(step AS INT) AS step, a, b, merged,
+         |  CAST(cnt AS BIGINT) AS cnt
+         |FROM ($union) ORDER BY step""".stripMargin
+    }
+  )
+
+  /** q_bpe_encode — apply the trained merges to every document,
+    * map-only: each token is bracket-encoded, tokens join with a
+    * separator (so merges never cross a token boundary), and the k
+    * merge literals run as one replace chain; the subword count is the
+    * number of surviving open brackets. Reports per-doc word vs
+    * subword-token counts — the fertility statistic (subwords per
+    * word) every tokenizer evaluation quotes.
+    */
+  val qBpeEncode = Q(
+    "q_bpe_encode",
+    (s, d) => {
+      val merges = train(s, d)
+      val encodedTokens = transform(
+        TextOps.wsTokens(lower(col("text"))),
+        t => regexp_replace(t, "(.)", s"$B1$$1$B2"))
+      val applied = merges.foldLeft(concat_ws(SEP, encodedTokens)) {
+        case (acc, (_, a, b, _, _)) => mergeOnce(acc, a, b)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.wsTokens(lower(col("text")))).as("n_tok"),
+          applied.as("e"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok").cast("int").as("n_tok"),
+          (length(col("e")) - length(translate(col("e"), B1, "")))
+            .cast("int").as("n_subtok"))
+        .withColumn("fertility",
+          col("n_subtok").cast("double") / col("n_tok"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // single-line on purpose: a margined string here would let the
+      // outer stripMargin (and the next fold step's) eat the `||`s
+      val applied = (1 to K).foldLeft("e") { (acc, k) =>
+        s"replace($acc, coalesce(chr(1) || (SELECT a FROM m$k) || " +
+          s"chr(2) || chr(1) || (SELECT b FROM m$k) || chr(2), chr(4)), " +
+          s"coalesce(chr(1) || (SELECT merged FROM m$k) || chr(2), chr(4)))"
+      }
+      s"""WITH $oracleTrainCtes,
+         |docs AS (
+         |  SELECT doc_id, CAST(len(t) AS INT) AS n_tok,
+         |    array_to_string(list_transform(t,
+         |      x -> regexp_replace(x, '(.)', chr(1) || '\\1' || chr(2), 'g')),
+         |      chr(3)) AS e
+         |  FROM (SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+         |    FROM documents)
+         |  WHERE len(t) > 0)
+         |SELECT doc_id, n_tok,
+         |  CAST(len(me) - len(replace(me, chr(1), '')) AS INT) AS n_subtok,
+         |  CAST(len(me) - len(replace(me, chr(1), '')) AS DOUBLE) / n_tok
+         |    AS fertility
+         |FROM (SELECT doc_id, n_tok, $applied AS me FROM docs)
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qBpeTrain, qBpeEncode)
+}

@@ -495,7 +495,77 @@ object Corpus {
     )
   )
 
+  /** q_bigram_lm — bigram language-model quality score: the corpus
+    * trains its own conditional model P(w₂|w₁) = c(w₁w₂)/c(w₁·) in one
+    * aggregation (c(w₁·) counted over bigram starts, so the
+    * normalization is exact without end-of-document bookkeeping), and
+    * each document scores the mean log-probability of its own bigram
+    * stream — the next step up from [[qLmQuality]]'s unigram filter
+    * toward the KenLM 5-gram of CCNet. No smoothing is needed because
+    * the model is self-trained: every scored bigram has count ≥ 1.
+    *
+    * 100 TB shape: bigram types grow faster than the unigram
+    * vocabulary but stay corpus-sublinear (Heaps); the model broadcasts
+    * here and would fall back to a bigram-keyed shuffle join (or a
+    * pruned top-K model with unigram backoff) past the broadcast
+    * threshold. The document side is a map-only explode; per-doc
+    * scoring partial-aggregates on the corpus's own layout. ln is
+    * 1e-6-quantized into exact BIGINTs (the file's standing rule), so
+    * only the final per-doc division is floating point.
+    */
+  val qBigramLm = Q(
+    "q_bigram_lm",
+    (s, d) => {
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2) // sequence(1, 0) would descend
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val pairCnt = bigrams.groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c2"))
+      val startCnt = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val model = pairCnt.join(startCnt, "w1")
+        .select(col("w1"), col("w2"),
+          floor(log(col("c2").cast("double") / col("c1").cast("double"))
+            * 1e6 + 0.5).cast("long").as("lpq"))
+      bigrams.join(broadcast(model), Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          sum(col("lpq")).as("sumq"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sumq").cast("double") / 1e6 / col("n_bigrams"))
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |pair_cnt AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |start_cnt AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |model AS (
+        |  SELECT w1, w2,
+        |    CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS lpq
+        |  FROM pair_cnt JOIN start_cnt USING (w1))
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |  CAST(sum(lpq) AS DOUBLE) / 1e6 / count(*) AS avg_logprob
+        |FROM bg JOIN model USING (w1, w2)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
-    qConcentration)
+    qConcentration, qBigramLm)
 }

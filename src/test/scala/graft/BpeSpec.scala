@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the distributed BPE trainer ([[ops.Bpe]]) on a
+  * hand-computable corpus: merge order, weighted counts, leftmost
+  * non-overlapping application, dry-out before K merges, and encode
+  * fertility — all checked against pencil-and-paper expectations.
+  */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("bpe-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  /** Write a tiny documents.parquet the ops can read as a corpus dir. */
+  private def corpus(texts: Seq[String]): String = {
+    val dir = Files.createTempDirectory("bpe-spec").toString
+    import spark.implicits._
+    texts.zipWithIndex
+      .map { case (t, i) =>
+        (i.toLong, t, "en", "src0", t.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("merge order, weighted counts, and leftmost application") {
+    // vocab: "aaaa" (freq 2), "ab" (freq 3)
+    // step 1: (a,a) appears 3 positional times in aaaa × freq 2 = 6;
+    //         (a,b) = 3 → merge (a,a): aaaa → [aa][aa] (leftmost,
+    //         non-overlapping: 'aaaa' gives TWO merges, not three)
+    // step 2: (a,b) = 3 beats (aa,aa) = 2 → merge (a,b)
+    // step 3: (aa,aa) = 2 → merge → aaaa fully merged
+    // step 4+: no adjacent pairs anywhere — trainer must stop (dry)
+    val d = corpus(Seq("aaaa aaaa ab ab ab", "", " "))
+    val rows = ops.Bpe.qBpeTrain.fn(spark, d).collect()
+    val got = rows.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "aa", "aaaa", 2L)), got.toString)
+  }
+
+  test("encode reports subword counts under the trained merges") {
+    val d = corpus(Seq("aaaa aaaa ab ab ab", "aaaaa b"))
+    // training here: (a,a)=6+4=10 → aa; (a,b)=3 ties (aa,aa)=3, 'a'<'aa'
+    // → ab; (aa,aa)=3 → aaaa; (aaaa,a)=1 → aaaaa; then dry (4 merges).
+    // encode: doc 0 = aaaa,aaaa,ab,ab,ab → 1 symbol each → n_subtok 5;
+    //         doc 1 = aaaaa→[aaaaa], b→[b] → n_subtok 2
+    val rows = ops.Bpe.qBpeEncode.fn(spark, d).collect()
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((0L, 5, 5), (1L, 2, 2)), got.toString)
+  }
+}

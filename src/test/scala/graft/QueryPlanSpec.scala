@@ -243,6 +243,29 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_bigram_lm broadcasts the model and never shuffles document text") {
+    val p = plan("q_bigram_lm")
+    assert(p.contains("BroadcastHashJoin"),
+      "bigram model should broadcast to the token stream")
+    val payloads = shufflePayloads("q_bigram_lm")
+    payloads.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_bpe_encode applies the trained merges map-only (no joins)") {
+    // training runs its own (vocabulary-sized) jobs while the plan is
+    // built; the RETURNED plan — the corpus-wide pass — must be scan →
+    // project → sort, with the merge literals baked in: no join, and
+    // the only exchange is the output ORDER BY's range partitioning
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("Join"), p)
+    val payloads = shufflePayloads("q_bpe_encode")
+    assert(payloads.length <= 1,
+      s"expected only the ORDER BY exchange, got ${payloads.length}")
+  }
+
   test("q_scd2_history shuffles event rows by user exactly once") {
     // both windows (lag over run detection, lead over interval close)
     // partition by user_id: the second must reuse the first's
