@@ -232,5 +232,73 @@ object Ranking {
     )
   )
 
-  val all: Seq[Q] = Seq(qTfidf, qBm25, qSourceTerms)
+  /** q_classifier_score — fastText-style linear quality classifier
+    * SERVING: tokens hash into D=1024 feature buckets (the hashing
+    * trick — fixed dimensionality, no vocabulary file), each bucket
+    * looks up its weight in a broadcast weight table, and the document's
+    * margin is the exact integer sum of its tokens' milli-weights. The
+    * weights here are a deterministic md5-derived stand-in for trained
+    * parameters (the sandbox trains no model), but the serving plumbing
+    * — feature hashing → broadcast weight lookup → map-side partial
+    * aggregation per document — is exactly how a trained classifier
+    * (quality, toxicity, language) scores a 100 TB corpus.
+    *
+    * 100 TB shape: the weight table is O(D) and broadcasts at any
+    * corpus size; the token stream map-side joins it and
+    * partial-aggregates per doc_id on the corpus's own layout —
+    * document text never shuffles. Membership (keep = margin > 0) is
+    * pure BIGINT arithmetic; the reported score is one IEEE division
+    * at the end.
+    */
+  val qClassifierScore = Q(
+    "q_classifier_score",
+    (s, d) => {
+      val D = 1024
+      val weights = s.range(D).select(
+        col("id").cast("int").as("bucket"),
+        (conv(substring(md5(concat(lit("w-"), col("id"))), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).as("w"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(wsTokens(col("text"))).as("token"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("token")), 1, 8), 16, 10)
+            .cast("long") % D).cast("int").as("bucket"))
+      toks.join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tok"),
+          sum(col("w")).as("margin"))
+        .select(col("doc_id"), col("n_tok"), col("margin"),
+          (col("margin").cast("double") / 1000.0 / col("n_tok"))
+            .as("score"),
+          (col("margin") > 0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // hex→int64 positional arithmetic (DuckDB has no conv())
+      def hexToLong(h: String) = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr($h, ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH weights AS (
+         |  SELECT CAST(i AS INT) AS bucket,
+         |    ${hexToLong("substr(md5('w-' || i), 1, 8)")} % 2001 - 1000 AS w
+         |  FROM range(1024) t(i)),
+         |toks AS (
+         |  SELECT doc_id, CAST(
+         |    ${hexToLong("substr(md5(token), 1, 8)")} % 1024 AS INT) AS bucket
+         |  FROM (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+         |    FROM documents))
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+         |  CAST(sum(w) AS BIGINT) AS margin,
+         |  CAST(sum(w) AS DOUBLE) / 1000.0e0 / count(*) AS score,
+         |  CAST(sum(w) AS BIGINT) > 0 AS keep
+         |FROM toks JOIN weights USING (bucket)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore)
 }

@@ -266,6 +266,17 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected only the ORDER BY exchange, got ${payloads.length}")
   }
 
+  test("q_classifier_score broadcasts weights; only (doc, bucket) shuffles") {
+    val p = plan("q_classifier_score")
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(D) weight table should broadcast")
+    val payloads = shufflePayloads("q_classifier_score")
+    payloads.foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("token"),
+        s"corpus text/tokens leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
   test("q_scd2_history shuffles event rows by user exactly once") {
     // both windows (lag over run detection, lead over interval close)
     // partition by user_id: the second must reuse the first's
