@@ -66,4 +66,19 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
     assert(got == Seq((0L, 5, 5), (1L, 2, 2)), got.toString)
   }
+
+  test("multi-byte characters are whole symbols (regex '.', not bytes)") {
+    // "éé éé üa": (é,é)=2 wins (tie 2≥1, 'é' sorts after 'ü'? — no:
+    // count decides: (é,é)=2, (ü,a)=1) → merge é,é;
+    // then (ü,a)=1 vs (éé has no pairs left) → merge ü,a; dry.
+    val d = corpus(Seq("éé éé üa"))
+    val rows = ops.Bpe.qBpeTrain.fn(spark, d).collect()
+    val got = rows.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getLong(4))).toSeq
+    assert(got == Seq((1, "é", "é", 2L), (2, "ü", "a", 1L)), got.toString)
+    val enc = ops.Bpe.qBpeEncode.fn(spark, d).collect()
+    // 3 tokens → 3 fully-merged symbols; length() counts CODEPOINTS in
+    // both engines, so the bracket count stays consistent for multi-byte
+    assert(enc.head.getInt(2) == 3, enc.head.toString)
+  }
 }
