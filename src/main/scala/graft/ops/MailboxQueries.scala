@@ -459,8 +459,54 @@ object MailboxQueries {
     )
   )
 
+  /** Statistics-backed MIN/MAX aggregate pushdown (the v3 sidecar's
+    * per-class delivery-time stats — the parquet-footer-min/max analog):
+    * min/max/count over the whole multi-file glob AND over a
+    * plan-time-filtered typed mode, both answered with zero execution
+    * IO (one static partition; spec-asserted in MailboxStatsSpec).
+    */
+  val qMailboxMinmax = Q(
+    "q_mailbox_minmax",
+    (s, _) => {
+      ensureFixtures()
+      val whole = Mailbox.messages(s, glob)
+        .agg(
+          min(col("message_delivery_time")).as("mn"),
+          max(col("message_delivery_time")).as("mx"),
+          count(lit(1)).as("n"))
+        .select(lit("all").as("scope"),
+          col("mn").cast("timestamp_ntz").as("mn"),
+          col("mx").cast("timestamp_ntz").as("mx"), col("n"))
+      val tasksOnly = Mailbox.tasks(s, glob)
+        .agg(
+          min(col("message_delivery_time")).as("mn"),
+          max(col("message_delivery_time")).as("mx"),
+          count(lit(1)).as("n"))
+        .select(lit("tasks").as("scope"),
+          col("mn").cast("timestamp_ntz").as("mn"),
+          col("mx").cast("timestamp_ntz").as("mx"), col("n"))
+      whole.union(tasksOnly).orderBy("scope")
+    },
+    Some(
+      s"""SELECT 'all' AS scope,
+         |  CAST(to_timestamp(min(message_delivery_time)) AS TIMESTAMP) AS mn,
+         |  CAST(to_timestamp(max(message_delivery_time)) AS TIMESTAMP) AS mx,
+         |  count(*) AS n
+         |FROM ${jsonSrc(glob)} WHERE record_type = 'message'
+         |UNION ALL
+         |SELECT 'tasks' AS scope,
+         |  CAST(to_timestamp(min(message_delivery_time)) AS TIMESTAMP) AS mn,
+         |  CAST(to_timestamp(max(message_delivery_time)) AS TIMESTAMP) AS mx,
+         |  count(*) AS n
+         |FROM ${jsonSrc(glob)}
+         |WHERE record_type = 'message' AND message_class = 'IPM.Task'
+         |ORDER BY scope""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qMailboxSqlView,
+    qMailboxMinmax,
     qMailboxCount,
     qMailboxCountLarge,
     qMailboxScanLarge,

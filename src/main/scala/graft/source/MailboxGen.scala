@@ -73,13 +73,24 @@ object MailboxGen {
       "attach_content_id" -> s"cid-$filename", "attach_method" -> "BY_VALUE",
       "is_message" -> false, "bytes" -> b64(bytes))
 
-  // base message properties shared by every message class
+  // base message properties shared by every message class.
+  //
+  // LAYOUT CONTRACT (consumed by MailboxIndex.build): node_id,
+  // record_type and message_class sit in the first 160 bytes, and the
+  // three timestamp fields in the first 384 — the record "head", the
+  // analog of the stats block a parquet footer keeps per column chunk.
+  // Classification and the sidecar's per-class delivery-time min/max
+  // both come from this bounded prefix, never a full JSON parse.
+  // delivery time varies deterministically per message so MIN/MAX
+  // statistics are non-degenerate.
   private def messageProps(nodeId: Long, parent: Long, klass: String,
       subject: String, body: String, extra: Seq[(String, Any)]): String = {
     val base = Seq[(String, Any)](
       "node_id" -> nodeId, "parent_node_id" -> parent,
       "record_type" -> "message", "message_class" -> klass,
       "record_key" -> b64(Array[Byte](1, 2, 3, (nodeId % 127).toByte)),
+      "creation_time" -> (xmas - 86400), "last_modified" -> xmas,
+      "message_delivery_time" -> (xmas - 3600 - (nodeId % 97) * 600),
       "subject" -> subject, "body" -> body,
       "body_html" -> s"<html><body>${esc(body)}</body></html>",
       "display_name" -> subject, "comment" -> null,
@@ -95,8 +106,6 @@ object MailboxGen {
       else arr(Nil)),
       "importance" -> "NORMAL", "priority" -> "NORMAL",
       "sensitivity" -> (if (nodeId % 4 == 0) "PRIVATE" else "NONE"),
-      "creation_time" -> (xmas - 86400), "last_modified" -> xmas,
-      "message_delivery_time" -> (xmas - 3600),
       "message_flags" -> 1, "message_size" -> (1000L + nodeId),
       "conversation_topic" -> s"Topic ${nodeId % 5}",
       "internet_message_id" -> s"<msg-$nodeId@example.com>"

@@ -22,16 +22,26 @@ import org.apache.spark.sql.SparkSession
   * execution IO (A9), exact `read_limit` allocation (A6), and fixed-size
   * row partitions (A4).
   *
-  * Format (one JSON document, v2):
+  * Format (one JSON document, v3):
   * {{{
-  * {"v":2,"size":<bytes>,"fp":<crc>,"lines":<n>,
+  * {"v":3,"size":<bytes>,"fp":<crc>,"lines":<n>,
   *  "classes":["F","m:IPM.Note",...],        // "F" = folder records;
   *                                           // messages "m:"-namespaced
   *  "totals":[16,5,...],                     // per-class line counts
+  *  "tsmin":[...],"tsmax":[...],             // per-class delivery-time
+  *  "tsn":[...],"tsu":[...],                 //   min/max/non-null/unknown
   *  "blocks":[[offset,lines,c0,c1,...],...]} // checkpoint every 512 lines
   * }}}
   * `fp` is the head/tail CRC content fingerprint checked (with `size`)
   * for sidecar freshness.
+  *
+  * v3 adds per-class `message_delivery_time` statistics — the analog of
+  * a parquet column chunk's min/max — read from the bounded record head
+  * (the MailboxGen layout contract puts the timestamp fields in the
+  * first 384 bytes). `tsn` counts rows with a non-null value, `tsu`
+  * rows whose head did NOT contain the field (foreign layouts): any
+  * matching class with `tsu > 0` makes the statistics inconclusive and
+  * the planner refuses the aggregate pushdown rather than guess.
   *
   * Block checkpoints let the planner cut partitions at exact matching-row
   * boundaries: a partition starts at the latest block at-or-before its
@@ -42,12 +52,18 @@ import org.apache.spark.sql.SparkSession
   */
 object MailboxIndex {
 
-  // v2 adds the content fingerprint and namespaces message classes
+  // v2 added the content fingerprint and namespaced message classes
   // ("m:" prefix) so the folder marker can never collide with a message
-  // whose class string is literally "F"; older sidecars are rejected
-  // and planning falls back to range splits — never stale rows
-  val Version    = 2
+  // whose class string is literally "F"; v3 adds per-class delivery-time
+  // min/max statistics. Older sidecars are rejected and planning falls
+  // back to range splits — never stale rows.
+  val Version    = 3
   val BlockLines = 512
+  /** Record-head bytes retained per line: classification fields fit in
+    * 160, the stats (timestamp) fields in 384 — the MailboxGen layout
+    * contract.
+    */
+  val HeadBytes  = 384
   val FolderClass = "F"
   private val MsgPrefix = "m:"
 
@@ -63,13 +79,45 @@ object MailboxIndex {
     */
   final case class Block(offset: Long, lines: Int, classCounts: Array[Int])
 
+  /** Per-class `message_delivery_time` statistics (parallel to
+    * `classes`): min/max over non-null values (undefined when
+    * `nonNull == 0`), the non-null row count, and the count of rows
+    * whose record head lacked the field entirely (stats inconclusive).
+    */
+  final case class TsStats(
+      min: Array[Long],
+      max: Array[Long],
+      nonNull: Array[Long],
+      unknown: Array[Long])
+
   final case class FileIndex(
       size: Long,
       fingerprint: Long,
       lines: Long,
       classes: Array[String],
       totals: Array[Long],
-      blocks: Array[Block]) {
+      blocks: Array[Block],
+      ts: TsStats) {
+
+    /** Exact delivery-time MIN/MAX over the rows matching `filter`:
+      * None when the statistics cannot answer (a matching class has
+      * head-less rows, or the filter wants folders — folders carry no
+      * delivery time); Some((min, max, nonNullRows)) otherwise, min/max
+      * meaningful only when nonNullRows > 0 (SQL MIN/MAX of all-null is
+      * NULL).
+      */
+    def deliveryStats(filter: RecordFilter): Option[(Long, Long, Long)] =
+      if (filter.wantFolder) None
+      else {
+        val ms = matchingClasses(filter)
+        if (ms.exists(i => ts.unknown(i) > 0)) None
+        else {
+          val withVals = ms.filter(i => ts.nonNull(i) > 0)
+          val n = withVals.map(ts.nonNull).sum
+          if (withVals.isEmpty) Some((Long.MaxValue, Long.MinValue, 0L))
+          else Some((withVals.map(ts.min).min, withVals.map(ts.max).max, n))
+        }
+      }
 
     /** Index positions of message classes (stored namespaced as "m:…",
       * so the folder marker can never collide) matching the plan
@@ -150,6 +198,36 @@ object MailboxIndex {
     }
   }
 
+  /** Delivery time from a record head. `truncated` = the head was cut
+    * at [[HeadBytes]], so an absent key may still exist later in the
+    * line. Returns:
+    *  - `Some(Some(sec))` — field present with a numeric value,
+    *  - `Some(None)`      — field present and JSON null, or the WHOLE
+    *                        line fit in the head and has no field
+    *                        (genuinely null column),
+    *  - `None`            — inconclusive (truncated head without the
+    *                        field, or a value cut mid-digits).
+    */
+  def deliveryOfPrefix(prefix: String, truncated: Boolean)
+      : Option[Option[Long]] = {
+    val key = "\"message_delivery_time\":"
+    val k = prefix.indexOf(key)
+    if (k < 0) { if (truncated) None else Some(None) }
+    else {
+      val start = k + key.length
+      if (prefix.startsWith("null", start)) Some(None)
+      else {
+        var i = start
+        if (i < prefix.length && prefix.charAt(i) == '-') i += 1
+        val digitsStart = i
+        while (i < prefix.length && prefix.charAt(i).isDigit) i += 1
+        if (i == digitsStart) None // malformed / cut before digits
+        else if (i == prefix.length && truncated) None // cut mid-digits
+        else Some(Some(prefix.substring(start, i).toLong))
+      }
+    }
+  }
+
   /** Build the index by scanning the file once (the indexing pass — run
     * distributed via [[indexAll]] for large corpora; planning afterwards
     * never re-reads data). Throws if the first record is not
@@ -162,6 +240,10 @@ object MailboxIndex {
     val classIdx = scala.collection.mutable.HashMap[String, Int]()
     val totals  = new ArrayBuffer[Long]()
     val blocks  = new ArrayBuffer[Block]()
+    val tsMin   = new ArrayBuffer[Long]()
+    val tsMax   = new ArrayBuffer[Long]()
+    val tsN     = new ArrayBuffer[Long]()
+    val tsU     = new ArrayBuffer[Long]()
 
     var blockStart  = 0L
     var blockLines  = 0
@@ -170,7 +252,9 @@ object MailboxIndex {
     var first       = true
 
     def idxOf(c: String): Int = classIdx.getOrElseUpdate(c, {
-      classes += c; totals += 0L; classes.length - 1
+      classes += c; totals += 0L
+      tsMin += Long.MaxValue; tsMax += Long.MinValue; tsN += 0L; tsU += 0L
+      classes.length - 1
     })
 
     def flushBlock(nextOffset: Long): Unit = {
@@ -186,9 +270,10 @@ object MailboxIndex {
     }
 
     val buf  = new Array[Byte](1 << 16)
-    val head = new Array[Byte](160)
+    val head = new Array[Byte](HeadBytes)
     try {
       var headLen   = 0
+      var truncated = false
       var lineStart = 0L
       var abs       = 0L
       var eof       = false
@@ -201,6 +286,14 @@ object MailboxIndex {
           first = false
           val c = idxOf(storageClass(prefix))
           totals(c) += 1
+          deliveryOfPrefix(prefix, truncated) match {
+            case Some(Some(sec)) =>
+              if (sec < tsMin(c)) tsMin(c) = sec
+              if (sec > tsMax(c)) tsMax(c) = sec
+              tsN(c) += 1
+            case Some(None) => // known null: excluded, stats stay exact
+            case None       => tsU(c) += 1
+          }
           while (blockCounts.length < classes.length) blockCounts += 0
           blockCounts(c) += 1
           blockLines += 1
@@ -220,10 +313,11 @@ object MailboxIndex {
               processLine(abs + i + 1)
               lineStart = abs + i + 1
               headLen = 0
-            } else if (headLen < 160) {
+              truncated = false
+            } else if (headLen < HeadBytes) {
               head(headLen) = b
               headLen += 1
-            }
+            } else truncated = true
             i += 1
           }
           abs += n
@@ -232,7 +326,8 @@ object MailboxIndex {
     } finally in.close()
     flushBlock(0L)
     FileIndex(status.getLen, fingerprint(fs, file, status.getLen), lines,
-      classes.toArray, totals.toArray, blocks.toArray)
+      classes.toArray, totals.toArray, blocks.toArray,
+      TsStats(tsMin.toArray, tsMax.toArray, tsN.toArray, tsU.toArray))
   }
 
   // ── serialization ────────────────────────────────────────────────────
@@ -246,6 +341,10 @@ object MailboxIndex {
       .append(",\"classes\":[")
     sb.append(ix.classes.map(c => "\"" + c.replace("\"", "\\\"") + "\"").mkString(","))
     sb.append("],\"totals\":[").append(ix.totals.mkString(","))
+    sb.append("],\"tsmin\":[").append(ix.ts.min.mkString(","))
+    sb.append("],\"tsmax\":[").append(ix.ts.max.mkString(","))
+    sb.append("],\"tsn\":[").append(ix.ts.nonNull.mkString(","))
+    sb.append("],\"tsu\":[").append(ix.ts.unknown.mkString(","))
     sb.append("],\"blocks\":[")
     sb.append(ix.blocks.map(b =>
       (Seq(b.offset, b.lines.toLong) ++ b.classCounts.map(_.toLong)).mkString("[", ",", "]")
@@ -261,6 +360,10 @@ object MailboxIndex {
       .map(node.get("classes").get(_).asText()).toArray
     val totals = (0 until node.get("totals").size())
       .map(node.get("totals").get(_).asLong()).toArray
+    def longs(field: String): Array[Long] = {
+      val a = node.get(field)
+      (0 until a.size()).map(a.get(_).asLong()).toArray
+    }
     val blocks = (0 until node.get("blocks").size()).map { i =>
       val b = node.get("blocks").get(i)
       val counts = new Array[Int](b.size() - 2)
@@ -273,7 +376,8 @@ object MailboxIndex {
       Block(b.get(0).asLong(), b.get(1).asInt(), full)
     }.toArray
     FileIndex(node.get("size").asLong(), node.get("fp").asLong(),
-      node.get("lines").asLong(), classes, totals, blocks)
+      node.get("lines").asLong(), classes, totals, blocks,
+      TsStats(longs("tsmin"), longs("tsmax"), longs("tsn"), longs("tsu")))
   }
 
   def write(fs: FileSystem, file: Path, ix: FileIndex): Unit = {

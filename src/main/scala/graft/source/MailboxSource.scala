@@ -18,8 +18,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
@@ -249,6 +249,17 @@ final case class TotalCountPartition(total: Long) extends MailboxPartition {
   def firstInFile: Boolean = false
 }
 
+/** One static partition carrying a fully stats-answered aggregate row
+  * (count / delivery-time min/max from v3 sidecar statistics — zero
+  * execution IO, like [[TotalCountPartition]]).
+  */
+final case class StaticStatsPartition(values: Array[Long],
+    nulls: Array[Boolean]) extends MailboxPartition {
+  def index: Int = 0
+  def file: String = ""
+  def firstInFile: Boolean = false
+}
+
 /** Driver-side planning: glob → per-file metadata (sidecar index or file
   * size) → partitions. Reads O(#files) bytes — sidecars, or a ≤160-byte
   * first-record validation probe — never the corpus (A2-A4, A20).
@@ -379,6 +390,45 @@ object MailboxPlanner {
       }
     } finally in.close()
     (offsets.toArray, nodes.toArray)
+  }
+
+  /** Statistics-only probe for aggregate pushdown: the exact
+    * (matchingRows, Some((deliveryMin, deliveryMax)) when any non-null,
+    * nonNullRows) over the glob, answered ENTIRELY from fresh v3
+    * sidecars — O(#files) metadata reads, zero corpus IO. None when any
+    * member cannot answer exactly (PST members, absent/stale sidecars,
+    * inconclusive head statistics, a read_limit, or folder mode — the
+    * caller must fall back to the ordinary columnar scan plan, which is
+    * always correct).
+    */
+  def statsProbe(opts: MailboxOptions, filter: RecordFilter,
+      conf: Configuration): Option[(Long, Option[(Long, Long)], Long)] = {
+    if (filter.wantFolder || opts.readLimit != Long.MaxValue) return None
+    val files = globStatuses(opts.path, conf)
+    var count = 0L
+    var mn    = Long.MaxValue
+    var mx    = Long.MinValue
+    var n     = 0L
+    files.foreach { case (name, len) =>
+      val p0 = new Path(name)
+      val p  = LocalBuffer.resolvePath(p0, conf)
+      val fs = p.getFileSystem(conf)
+      val answered =
+        try MailboxIndex.read(fs, p, len, MailboxIndex.indexPath(p0), conf)
+          .flatMap(ix => ix.deliveryStats(filter).map((ix, _)))
+        catch { case NonFatal(_) => None }
+      answered match {
+        case Some((ix, (fmn, fmx, fn))) =>
+          count += ix.matchingCount(filter)
+          if (fn > 0) {
+            if (fmn < mn) mn = fmn
+            if (fmx > mx) mx = fmx
+            n += fn
+          }
+        case None => return None
+      }
+    }
+    Some((count, if (n > 0) Some((mn, mx)) else None, n))
   }
 
   /** Plan result: partitions + what planning knew exactly. */
@@ -560,6 +610,8 @@ class MailboxScanBuilder(opts: MailboxOptions)
   private var accepted: Array[Filter] = Array.empty
   private var limit: Option[Long] = None
   private var countStar: Boolean = false
+  private var pushedStats
+      : Option[(StructType, Array[Long], Array[Boolean])] = None
 
   private def filter: RecordFilter = RecordFilter(opts.mode, exactClasses)
 
@@ -592,18 +644,70 @@ class MailboxScanBuilder(opts: MailboxOptions)
 
   /** A9 — count(*) with no grouping is answered from planning statistics;
     * partial pushdown: each partition emits its exact count, Spark sums.
+    *
+    * Beyond count(*): MIN/MAX(message_delivery_time) — alone, together,
+    * or mixed with count(*) — is answered from the v3 sidecars'
+    * per-class timestamp statistics (the parquet-footer-min/max analog)
+    * when EVERY glob member has fresh, conclusive stats; the
+    * [[MailboxPlanner.statsProbe]] decides at plan time, and anything
+    * it cannot answer exactly falls back to the ordinary columnar scan
+    * (Spark then aggregates the pruned timestamp column itself).
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val onlyCountStar = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
-    if (onlyCountStar && limit.isEmpty) { countStar = true; true } else false
+    if (agg.groupByExpressions.nonEmpty || limit.nonEmpty) return false
+    val exprs = agg.aggregateExpressions()
+    if (exprs.length == 1 && exprs(0).isInstanceOf[CountStar]) {
+      countStar = true
+      return true
+    }
+    val tsField = "message_delivery_time"
+    def tsRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case nr: NamedReference =>
+        nr.fieldNames.length == 1 && nr.fieldNames()(0) == tsField
+      case _ => false
+    }
+    sealed trait Kind
+    object KCount extends Kind; object KMin extends Kind
+    object KMax extends Kind
+    val kinds: Array[Option[Kind]] = exprs.map {
+      case _: CountStar              => Some(KCount)
+      case m: Min if tsRef(m.column) => Some(KMin)
+      case m: Max if tsRef(m.column) => Some(KMax)
+      case _                         => None
+    }
+    if (kinds.exists(_.isEmpty)) return false
+    MailboxPlanner.statsProbe(opts, filter,
+      MailboxPlanner.activeHadoopConf()) match {
+      case Some((cnt, minMax, _)) =>
+        val fields = new Array[StructField](kinds.length)
+        val values = new Array[Long](kinds.length)
+        val nulls  = new Array[Boolean](kinds.length)
+        kinds.map(_.get).zipWithIndex.foreach {
+          case (KCount, i) =>
+            fields(i) = StructField("count(*)", LongType, nullable = false)
+            values(i) = cnt
+          case (k, i) =>
+            fields(i) = StructField(
+              s"${if (k == KMin) "min" else "max"}($tsField)",
+              TimestampType, nullable = true)
+            minMax match {
+              case Some((mn, mx)) => // epoch seconds → catalyst micros
+                values(i) = (if (k == KMin) mn else mx) * 1000000L
+              case None => nulls(i) = true // zero non-null rows
+            }
+        }
+        pushedStats = Some((StructType(fields.toSeq), values, nulls))
+        true
+      case None => false
+    }
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def build(): Scan =
-    new MailboxScan(opts, requiredSchema, filter, limit, countStar)
+    new MailboxScan(opts, requiredSchema, filter, limit, countStar,
+      pushedStats)
 }
 
 /** A11 — scan progress metrics, mirroring the reference's % scanned
@@ -641,7 +745,9 @@ class MailboxScan(
     requiredSchema: StructType,
     filter: RecordFilter,
     limit: Option[Long],
-    countStar: Boolean) extends Scan with Batch with SupportsReportStatistics {
+    countStar: Boolean,
+    pushedStats: Option[(StructType, Array[Long], Array[Boolean])] = None)
+  extends Scan with Batch with SupportsReportStatistics {
 
   // captured at plan time on the driver; shipped to executors so custom
   // FileSystem schemes configured on the session work in readers (A19)
@@ -657,9 +763,12 @@ class MailboxScan(
     MailboxPlanner.plan(effective, filter, serConf.value)
   }
 
-  override def readSchema(): StructType =
-    if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-    else requiredSchema
+  override def readSchema(): StructType = pushedStats match {
+    case Some((schema, _, _)) => schema
+    case None if countStar =>
+      StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    case None => requiredSchema
+  }
 
   override def toBatch: Batch = this
 
@@ -668,9 +777,15 @@ class MailboxScan(
     new MailboxMicroBatchStream(opts, requiredSchema, filter)
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (countStar && planned.exactRows.isDefined)
-      Array(TotalCountPartition(planned.exactRows.get))
-    else planned.partitions.toArray
+    pushedStats match {
+      case Some((_, values, nulls)) =>
+        // fully stats-answered: one partition, one row, zero IO (the
+        // probe already paid the O(#files) sidecar reads at push time)
+        Array(StaticStatsPartition(values, nulls))
+      case None if countStar && planned.exactRows.isDefined =>
+        Array(TotalCountPartition(planned.exactRows.get))
+      case None => planned.partitions.toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MailboxReaderFactory(readSchema(), opts, filter, countStar, serConf)
@@ -679,21 +794,28 @@ class MailboxScan(
     MailboxMetrics.all
 
   /** A8 — exact cardinality when planning knew it (sidecar-indexed or
-    * enumerated); size-only estimate for range-planned files.
+    * enumerated); size-only estimate for range-planned files. A
+    * stats-answered aggregate is one row and must not force a plan.
     */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(
-        planned.exactRows.map(_ * 512L).getOrElse(planned.totalBytes))
+        if (pushedStats.isDefined) 64L
+        else planned.exactRows.map(_ * 512L).getOrElse(planned.totalBytes))
     override def numRows(): java.util.OptionalLong =
-      planned.exactRows
+      if (pushedStats.isDefined) java.util.OptionalLong.of(1L)
+      else planned.exactRows
         .map(java.util.OptionalLong.of)
         .getOrElse(java.util.OptionalLong.empty())
   }
 
   /** A12 — EXPLAIN metadata, mirroring PSTDynamicToString. */
   override def description(): String = {
-    s"mailbox mode=${opts.mode} files=${planned.files} " +
+    if (pushedStats.isDefined)
+      s"mailbox mode=${opts.mode} statsAggPushdown=true " +
+        s"[${pushedStats.get._1.fieldNames.mkString(", ")}]" +
+        (if (filter.filtersClass) s" classFilter=${filter.describe}" else "")
+    else s"mailbox mode=${opts.mode} files=${planned.files} " +
       s"partitions=${planned.partitions.length}" +
       planned.exactRows.map(r => s" rows=$r").getOrElse(" rows=est") +
       (if (countStar) " countStarPushdown=true" else "") +
@@ -710,6 +832,11 @@ class MailboxReaderFactory(
     serConf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MailboxPartition]
+    p match {
+      case sp: StaticStatsPartition =>
+        return new StaticStatsReader(sp.values, sp.nulls)
+      case _ => ()
+    }
     if (countStar) p match {
       case tp: TotalCountPartition => new StaticCountReader(tp.total)
       case ip: IndexedPartition    => new StaticCountReader(ip.takeMatching)
@@ -732,6 +859,21 @@ class MailboxReaderFactory(
 /** A9 — count(*) from planning statistics: one row with the partition's
   * exact planned count; no file IO at execution time.
   */
+/** Emits the single stats-answered aggregate row (zero IO). */
+class StaticStatsReader(values: Array[Long], nulls: Array[Boolean])
+  extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean = if (emitted) false else { emitted = true; true }
+  override def get(): InternalRow = new GenericInternalRow(
+    values.indices.map(i =>
+      if (nulls(i)) null else values(i): Any).toArray)
+  override def close(): Unit = ()
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    MailboxMetrics.Task(MailboxMetrics.RowsRead, 0L),
+    MailboxMetrics.Task(MailboxMetrics.BytesRead, 0L),
+    MailboxMetrics.Task(MailboxMetrics.FilesRead, 0L))
+}
+
 class StaticCountReader(count: Long) extends PartitionReader[InternalRow] {
   private var emitted = false
   override def next(): Boolean = if (emitted) false else { emitted = true; true }
