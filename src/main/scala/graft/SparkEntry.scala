@@ -15,7 +15,8 @@ object SparkEntry {
       ops.Advanced.all ++ ops.Reshape.all ++ ops.Sampling.all ++
       ops.Extras.all ++ ops.EventAnalytics.all ++ ops.Layout.all ++
       ops.Ranking.all ++ ops.Profiling.all ++ ops.Corpus.all ++
-      ops.CuratePipeline.all ++ ops.Bpe.all
+      ops.CuratePipeline.all ++ ops.Bpe.all ++ ops.Safety.all ++
+      ops.Sketches.all ++ ops.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

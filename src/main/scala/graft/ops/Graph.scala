@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over a deterministic synthetic graph — PageRank and
+  * triangle counting, the web-graph primitives a crawl-curation
+  * pipeline runs to weight documents by link authority (OpenWebText /
+  * RefinedWeb style) and to measure local clustering.
+  *
+  * The graph: nodes are the supplier keys (contiguous 0..N−1); each
+  * node gets exactly 3 out-edges whose targets are md5-derived
+  * (`h32(src:e) mod N`, e ∈ 1..3) — both engines construct the exact
+  * same edge list from the same table, so structure is data-derived,
+  * not hardcoded.
+  *
+  * Cross-engine exactness (PageRank is float-free): ranks are BIGINT
+  * micro-units of a 10^12 total mass; the damping step is per-edge
+  * `floor(rank·17/60)` (= 0.85/outdeg with outdeg fixed at 3) and the
+  * teleport term `floor(0.15·10^12/N)` — floor division on positive
+  * BIGINTs, identical in Spark (`div`) and DuckDB (`//`). Ten
+  * iterations are exactly unrolled on both sides.
+  *
+  * 100 TB shape: each PageRank iteration is one shuffle — edges join
+  * ranks on src (co-partitioned after the first iteration since both
+  * sides hash on the same key), partial-aggregated sum by dst; the
+  * rank vector is O(nodes), never the edge list, and a real web-scale
+  * run would checkpoint the rank vector per iteration (here ranks stay
+  * a 10-deep deterministic integer lineage). Triangle counting is the
+  * standard two-join oriented enumeration (a<b<c), which AQE
+  * broadcast-converts when the oriented edge list is small.
+  */
+object Graph {
+
+  /** md5-prefix uniform 32-bit hash (shared repo convention). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def h32Sql(expr: String): String = {
+    val terms = (0 until 8).map { k =>
+      val mult = 1L << (4 * (7 - k))
+      s"(strpos('0123456789abcdef', substr(md5($expr), ${1 + k}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"($terms)"
+  }
+
+  /** Directed edge list: (src, dst), outdeg exactly 3, self-loops
+    * possible by construction (they keep outdeg uniform).
+    */
+  private def edges(s: SparkSession, d: String, n: Long): DataFrame =
+    Tables.supplier(s, d)
+      .select(col("s_suppkey").as("src"),
+        explode(sequence(lit(1), lit(3))).as("e"))
+      .select(col("src"),
+        (h32(concat(col("src").cast("string"), lit(":"),
+          col("e").cast("string"))) % n).as("dst"))
+
+  private def edgesSql(n: String): String =
+    s"""SELECT s_suppkey AS src,
+       |  ${h32Sql("CAST(s_suppkey AS VARCHAR) || ':' || CAST(v.e AS VARCHAR)")} % $n AS dst
+       |FROM supplier, UNNEST(range(1, 4)) AS v(e)""".stripMargin
+
+  private val Iters = 10
+  private val Mass  = 1000000000000L // 10^12 micro-units of total rank
+
+  /** q_pagerank — 10 exact integer PageRank iterations (damping 0.85,
+    * uniform teleport); emits the top-20 nodes by final rank. See
+    * object doc for the arithmetic and per-iteration shuffle shape.
+    */
+  val qPagerank = Q(
+    "q_pagerank",
+    (s, d) => {
+      val n    = Tables.supplier(s, d).count()
+      val base = (Mass * 15 / 100) / n // floor — both engines
+      val e    = edges(s, d, n).cache()
+      val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+      var ranks = nodes.select(col("node"), lit(Mass / n).as("rank"))
+      for (_ <- 1 to Iters) {
+        val contrib = e.join(ranks, e("src") === ranks("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("rank * 17 div 60")).as("in_mass"))
+        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      }
+      ranks.orderBy(col("rank").desc, col("node")).limit(20)
+    },
+    Some {
+      val n    = "(SELECT count(*) FROM supplier)"
+      val base = s"(${Mass * 15 / 100} // $n)"
+      val steps = (1 to Iters).map { t =>
+        s"""r$t AS (
+           |  SELECT n.node, $base +
+           |    CAST(coalesce(sum((r.rank * 17) // 60), 0) AS BIGINT) AS rank
+           |  FROM nodes n
+           |  LEFT JOIN e ON e.dst = n.node
+           |  LEFT JOIN r${t - 1} r ON r.node = e.src
+           |  GROUP BY n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS (SELECT s_suppkey AS node FROM supplier),
+         |e AS (${edgesSql(n)}),
+         |r0 AS (SELECT node, ($Mass // $n) AS rank FROM nodes),
+         |$steps
+         |SELECT node, CAST(rank AS BIGINT) AS rank
+         |FROM r$Iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    }
+  )
+
+  /** q_triangles — oriented triangle enumeration over the undirected
+    * simple graph (self-loops dropped, edges canonicalized a<b): one
+    * row with node/edge/triangle counts.
+    */
+  val qTriangles = Q(
+    "q_triangles",
+    (s, d) => {
+      val n = Tables.supplier(s, d).count()
+      val und = edges(s, d, n)
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .cache()
+      val e1 = und.select(col("a"), col("b"))
+      val e2 = und.select(col("a").as("b2"), col("b").as("c"))
+      val e3 = und.select(col("a").as("a3"), col("b").as("c3"))
+      val tri = e1
+        .join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nn = Tables.supplier(s, d).agg(count(lit(1)).as("n_nodes"))
+      val ne = und.agg(count(lit(1)).as("n_edges"))
+      nn.crossJoin(ne).crossJoin(tri)
+    },
+    Some {
+      val n = "(SELECT count(*) FROM supplier)"
+      s"""WITH e0 AS (${edgesSql(n)}),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src <> dst)
+         |SELECT $n AS n_nodes,
+         |  (SELECT count(*) FROM und) AS n_edges,
+         |  (SELECT count(*)
+         |   FROM und t1 JOIN und t2 ON t2.a = t1.b
+         |   JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b) AS n_triangles""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangles)
+}

@@ -1,0 +1,206 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-safety passes a production corpus pipeline runs before
+  * training: PII detection, PII redaction, and benchmark
+  * decontamination (Brown et al., GPT-3 appendix C; Dodge et al., C4
+  * audit). All three are map-only over the corpus except the
+  * decontamination membership test, which is a broadcast semi-join
+  * against the (small) benchmark gram set.
+  *
+  * The synthetic corpus contains no organic PII, so the PII queries
+  * first INJECT deterministic PII snippets into 1-in-4 documents —
+  * derived purely from `doc_id` with the same integer/string ops in
+  * both engines — then detect/redact them. The detectors run over the
+  * full augmented text, so they would also surface organic hits.
+  *
+  * Cross-engine exactness: the three patterns use only character
+  * classes, bounded repetition, and `\b` — constructs with identical
+  * leftmost-non-overlapping semantics in Java regex (Spark codegen)
+  * and RE2 (DuckDB). No alternation-order or lazy-quantifier
+  * subtleties. Counts are exact ints; fingerprints are md5 of the
+  * redacted text.
+  *
+  * 100 TB shape: injection/detection/redaction are per-row expressions
+  * inside whole-stage codegen — zero shuffle; the per-source rollup
+  * shuffles one small row per (partition, source). Decontamination
+  * broadcasts the benchmark gram set (eval suites are ~10^5 grams in
+  * practice) so the corpus-side gram stream is filtered map-side and
+  * only surviving (doc_id, gram) pairs shuffle for the distinct-count.
+  */
+object Safety {
+
+  /** Email/IPv4/US-phone detectors — see object doc for why these
+    * exact constructs are safe cross-engine.
+    */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhonePat = "\\b555-\\d{3}-\\d{4}\\b"
+
+  /** Deterministic PII snippet for doc_id ≡ 0 (mod 4): one email, one
+    * IPv4, one phone, all derived from doc_id so both engines build
+    * byte-identical text.
+    */
+  private def augmented(text: Column, id: Column): Column = {
+    val snippet = concat(
+      lit(" contact user"), id.cast("string"), lit("@example.com ip 10."),
+      (id % 200).cast("string"), lit(".0."),
+      ((id * 7) % 200).cast("string"), lit(" call 555-"),
+      lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((id * 3) % 10000).cast("string"), 4, "0"))
+    when(id % 4 === 0, concat(text, snippet)).otherwise(text)
+  }
+
+  /** Same augmentation in DuckDB SQL (identical arithmetic/lpad). */
+  private val AugSql =
+    """CASE WHEN doc_id % 4 = 0 THEN text ||
+      |  ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.' ||
+      |  CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+      |  CAST((doc_id * 7) % 200 AS VARCHAR) || ' call 555-' ||
+      |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |  lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+      |ELSE text END""".stripMargin
+
+  /** q_pii_scan — per-source PII audit: how many documents carry each
+    * PII kind, and total hit counts. The per-doc detector is
+    * `size(regexp_extract_all(...))` (codegen'd, map-only); the rollup
+    * is one partial-aggregated groupBy over 5 source values.
+    */
+  val qPiiScan = Q(
+    "q_pii_scan",
+    (s, d) => {
+      val aug = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          augmented(col("text"), col("doc_id")).as("t"))
+        .select(col("source"),
+          size(regexp_extract_all(col("t"), lit(EmailPat), lit(0)))
+            .as("n_email"),
+          size(regexp_extract_all(col("t"), lit(Ipv4Pat), lit(0)))
+            .as("n_ipv4"),
+          size(regexp_extract_all(col("t"), lit(PhonePat), lit(0)))
+            .as("n_phone"))
+      aug.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") + col("n_ipv4") + col("n_phone") > 0, 1L)
+            .otherwise(0L)).as("docs_with_pii"),
+          sum(col("n_email")).cast("long").as("emails"),
+          sum(col("n_ipv4")).cast("long").as("ipv4s"),
+          sum(col("n_phone")).cast("long").as("phones"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH aug AS (
+         |  SELECT source, doc_id, $AugSql AS t FROM documents),
+         |per_doc AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(t, '$EmailPat')) AS n_email,
+         |    len(regexp_extract_all(t, '$Ipv4Pat')) AS n_ipv4,
+         |    len(regexp_extract_all(t, '$PhonePat')) AS n_phone
+         |  FROM aug)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_with_pii,
+         |  CAST(sum(n_email) AS BIGINT) AS emails,
+         |  CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+         |  CAST(sum(n_phone) AS BIGINT) AS phones
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+    )
+  )
+
+  /** q_pii_redact — the APPLY half: replace every match with a typed
+    * placeholder (email → IP → phone, fixed order so overlapping
+    * rewrites are identical cross-engine) and emit a fingerprint of
+    * the redacted text for the documents that changed. Map-only;
+    * the corpus text never shuffles (the final sort carries doc_id,
+    * counts, and a 32-char digest).
+    */
+  val qPiiRedact = Q(
+    "q_pii_redact",
+    (s, d) => {
+      val aug = Tables.documents(s, d)
+        .select(col("doc_id"),
+          augmented(col("text"), col("doc_id")).as("t"))
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("t"), EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>"),
+        PhonePat, "<PHONE>")
+      aug.select(col("doc_id"), col("t"), redacted.as("r"))
+        .filter(col("r") =!= col("t"))
+        .select(col("doc_id"),
+          (length(col("t")) - length(col("r"))).as("chars_removed"),
+          md5(col("r")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH aug AS (
+         |  SELECT doc_id, $AugSql AS t FROM documents),
+         |red AS (
+         |  SELECT doc_id, t,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$EmailPat', '<EMAIL>', 'g'),
+         |      '$Ipv4Pat', '<IP>', 'g'),
+         |      '$PhonePat', '<PHONE>', 'g') AS r
+         |  FROM aug)
+         |SELECT doc_id,
+         |  CAST(length(t) - length(r) AS INT) AS chars_removed,
+         |  md5(r) AS fingerprint
+         |FROM red WHERE r <> t ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_decontaminate — benchmark decontamination: flag training
+    * documents sharing token 8-grams with a held-out eval set (here
+    * the deterministic doc_id ≡ 0 (mod 50) slice standing in for the
+    * benchmark). Reports every overlapping doc with its distinct
+    * shared-gram count; `contaminated` = ≥ 8 shared grams (a full
+    * 15-token run), the usual "substantial overlap" cut.
+    *
+    * Gram convention (stride-1 token 8-grams, md5 digests) matches
+    * [[Dedup.qSubstrRegions]] so contamination and substring dedup
+    * reason about the same units.
+    */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val k = 8
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= k)
+      def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("t")) - k),
+          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))).as("g"))
+      val bench = grams(toks.filter(col("doc_id") % 50 === 0))
+        .select("g").distinct()
+      val corpus = grams(toks.filter(col("doc_id") % 50 =!= 0))
+      corpus.join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared"))
+        .select(col("doc_id"), col("n_shared"),
+          (col("n_shared") >= 8).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, md5(array_to_string(t[u.i+1 : u.i+8], ' ')) AS g
+        |  FROM toks, UNNEST(range(0, len(t) - 8 + 1)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(DISTINCT g) AS n_shared,
+        |  count(DISTINCT g) >= 8 AS contaminated
+        |FROM grams WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qDecontaminate)
+}

@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch structures — the bounded-memory summaries a
+  * 100 TB profiling pass keeps per partition/source where exact state
+  * would not fit: KMV (k-minimum-values) distinct-count sketches
+  * (Bar-Yossef et al. 2002; the theta-sketch ancestor) and a
+  * count-min sketch (Cormode & Muthukrishnan 2005) for heavy-hitter
+  * frequency estimates.
+  *
+  * Spark ships approx_count_distinct (HLL++) and approx_percentile,
+  * but their binary registers are engine-private — no DuckDB oracle
+  * can reproduce them. These sketches instead use the repo's
+  * md5-prefix uniform hash (same convention as [[Sampling]] /
+  * [[Dedup]]), making every register value, merge, and estimate an
+  * exact integer BOTH engines compute bit-identically — the sketch
+  * math itself is verified, not just its output shape.
+  *
+  * 100 TB shape: a KMV sketch is 64 longs per group — per-executor
+  * partial sets union by keeping the k smallest (associative,
+  * commutative), so the shuffle carries ≤ 64 values per (partition,
+  * group) regardless of input size; merging per-source sketches into
+  * a global one (the 'ALL' row) touches 5×64 values, never the data.
+  * The count-min counter table is d×w = 4×256 cells total — it
+  * partial-aggregates map-side and broadcasts back for estimation.
+  */
+object Sketches {
+
+  /** First-8-hex-chars of md5 as a uniform 32-bit value (Spark side). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Same hash in DuckDB SQL: positional hex→int64 arithmetic over
+    * `expr`'s md5 prefix (DuckDB has no conv()).
+    */
+  private def h32Sql(expr: String): String = {
+    val terms = (0 until 8).map { k =>
+      val mult = 1L << (4 * (7 - k))
+      s"(strpos('0123456789abcdef', substr(md5($expr), ${1 + k}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"($terms)"
+  }
+
+  /** q_kmv_distinct — per-priority KMV distinct-customer estimates
+    * plus the merged global sketch. k = 64; estimate = (k−1)·2^32 / m
+    * where m is the k-th smallest distinct hash (floor division —
+    * identical on positive BIGINTs in both engines). The 'ALL' row is
+    * computed by MERGING the five per-group k-min sets (the sketch
+    * union), not by re-scanning the data — exactly how a 1000-executor
+    * rollup would combine per-source summaries.
+    */
+  val qKmvDistinct = Q(
+    "q_kmv_distinct",
+    (s, d) => {
+      val k = 64
+      val hashed = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"),
+          h32(col("o_custkey").cast("string")).as("h"))
+        .distinct()
+      val topk = hashed
+        .withColumn("rk", row_number().over(Window.partitionBy("g").orderBy("h")))
+        .filter(col("rk") <= k)
+      val perG = topk.filter(col("rk") === k)
+        .select(col("g").as("scope"), expr(s"${(k - 1).toLong * 4294967296L} div h").as("kmv_est"))
+      // sketch merge: union of the five k-min sets, re-take the k smallest
+      val merged = topk.select("h").distinct()
+        .withColumn("rk", row_number().over(Window.orderBy("h")))
+        .filter(col("rk") === k)
+        .select(lit("ALL").as("scope"), expr(s"${(k - 1).toLong * 4294967296L} div h").as("kmv_est"))
+      val exactG = Tables.orders(s, d).groupBy(col("o_orderpriority").as("scope"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      val exactAll = Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        .select(lit("ALL").as("scope"), col("n_exact"))
+      perG.unionByName(merged)
+        .join(exactG.unionByName(exactAll), "scope")
+        .select(col("scope"), col("n_exact"), col("kmv_est"))
+        .orderBy("scope")
+    },
+    Some {
+      val h = h32Sql("CAST(o_custkey AS VARCHAR)")
+      """WITH hashed AS (
+        |  SELECT DISTINCT o_orderpriority AS g, HEXPR AS h FROM orders),
+        |topk AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+        |  FROM hashed),
+        |perg AS (
+        |  SELECT g AS scope, (63 * 4294967296) // h AS kmv_est
+        |  FROM topk WHERE rk = 64),
+        |merged AS (
+        |  SELECT 'ALL' AS scope, (63 * 4294967296) // h AS kmv_est FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rk
+        |    FROM (SELECT DISTINCT h FROM topk WHERE rk <= 64))
+        |  WHERE rk = 64),
+        |exact AS (
+        |  SELECT o_orderpriority AS scope, count(DISTINCT o_custkey) AS n_exact
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', count(DISTINCT o_custkey) FROM orders)
+        |SELECT scope, n_exact, CAST(kmv_est AS BIGINT) AS kmv_est
+        |FROM perg JOIN exact USING (scope)
+        |UNION ALL
+        |SELECT scope, n_exact, CAST(kmv_est AS BIGINT)
+        |FROM merged JOIN exact USING (scope)
+        |ORDER BY scope""".stripMargin.replace("HEXPR", h)
+    }
+  )
+
+  /** q_countmin — count-min heavy hitters over the document token
+    * stream: d = 4 hash rows × w = 256 buckets; each row j hashes
+    * `j:token`; estimate = min over rows of the bucket counter (an
+    * overestimate by construction, never under). Reports the top-20
+    * exact tokens with exact count, CM estimate, and the
+    * overestimation the 4×256 table cost at this vocabulary size.
+    */
+  val qCountMin = Q(
+    "q_countmin",
+    (s, d) => {
+      val tokcnt = Tables.documents(s, d)
+        .select(explode(TextOps.wsTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val buckets = tokcnt
+        .select(col("token"), col("c"), explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("b",
+          h32(concat(col("j").cast("string"), lit(":"), col("token"))) % 256)
+      val counters = buckets.groupBy("j", "b").agg(sum(col("c")).as("tot"))
+      buckets.join(broadcast(counters), Seq("j", "b"))
+        .groupBy("token", "c")
+        .agg(min(col("tot")).as("cm_est"))
+        .select(col("token"), col("c").as("exact"), col("cm_est"),
+          (col("cm_est") - col("c")).as("overcount"))
+        .orderBy(col("exact").desc, col("token"))
+        .limit(20)
+    },
+    Some {
+      val h = h32Sql("CAST(j AS VARCHAR) || ':' || token")
+      """WITH tokcnt AS (
+        |  SELECT u.t AS token, count(*) AS c
+        |  FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+        |          t -> t <> '') AS toks FROM documents),
+        |    UNNEST(toks) AS u(t)
+        |  GROUP BY u.t),
+        |buckets AS (
+        |  SELECT token, c, CAST(v.j AS INT) AS j, HEXPR % 256 AS b
+        |  FROM tokcnt, UNNEST(range(0, 4)) AS v(j)),
+        |counters AS (
+        |  SELECT j, b, CAST(sum(c) AS BIGINT) AS tot
+        |  FROM buckets GROUP BY j, b)
+        |SELECT token, c AS exact, min(tot) AS cm_est,
+        |  min(tot) - c AS overcount
+        |FROM buckets JOIN counters USING (j, b)
+        |GROUP BY token, c
+        |ORDER BY exact DESC, token LIMIT 20""".stripMargin.replace("HEXPR", h)
+    }
+  )
+
+  val all: Seq[Q] = Seq(qKmvDistinct, qCountMin)
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Safety (PII + decontamination), sketch (KMV, count-min), and graph
+  * (PageRank, triangles) operators: plan shapes the 100 TB story
+  * depends on, plus the structural invariants the oracle can't express
+  * (CM never underestimates, PageRank conserves mass up to floor
+  * leakage, determinism across runs).
+  */
+class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("safety-sketch-graph-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def shufflePayloads(name: String): Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try run(name).queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e.child.output.map(_.name).toSeq }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_pii_redact never shuffles document text (map-side redaction)") {
+    val payloads = shufflePayloads("q_pii_redact")
+    payloads.foreach { cols =>
+      assert(!cols.contains("t") && !cols.contains("r") && !cols.contains("text"),
+        s"raw/redacted text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_pii_redact redacts exactly the injected 1-in-4 documents") {
+    val rows = run("q_pii_redact").collect()
+    val expected = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0)
+      .count()
+    assert(rows.length == expected, s"${rows.length} vs $expected")
+    rows.foreach { r =>
+      assert(r.getAs[String]("fingerprint").matches("[0-9a-f]{32}"))
+      assert(r.getAs[Int]("chars_removed") > 0,
+        "redaction must shorten (placeholders are shorter than the PII)")
+    }
+  }
+
+  test("q_decontaminate broadcasts the benchmark gram set") {
+    val p = run("q_decontaminate").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    shufflePayloads("q_decontaminate").foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("t"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_kmv_distinct: merged sketch covers the union (ALL ≥ any group)") {
+    val rows = run("q_kmv_distinct").collect()
+    assert(rows.length == 6, rows.mkString("; "))
+    val byScope = rows.map(r =>
+      r.getAs[String]("scope") -> r.getAs[Long]("n_exact")).toMap
+    assert(byScope("ALL") >= byScope.filterNot(_._1 == "ALL").values.max)
+    rows.foreach(r => assert(r.getAs[Long]("kmv_est") > 0))
+  }
+
+  test("q_countmin: count-min never underestimates") {
+    val rows = run("q_countmin").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact"),
+        s"CM underestimated ${r.getAs[String]("token")}")
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cm_est") - r.getAs[Long]("exact"))
+    }
+  }
+
+  test("q_countmin broadcasts the 4x256 counter table") {
+    val p = run("q_countmin").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_pagerank conserves mass up to floor leakage and is deterministic") {
+    val a = run("q_pagerank").collect()
+    val b = run("q_pagerank").collect()
+    assert(a.toSeq == b.toSeq, "PageRank must be run-to-run deterministic")
+    val n = Tables.supplier(spark, sf).count()
+    assert(a.length == math.min(20L, n))
+    // every surfaced rank ≥ the teleport floor; the floor-division
+    // leakage bound keeps any single rank below the total mass
+    val mass = 1000000000000L
+    a.foreach { r =>
+      val rank = r.getAs[Long]("rank")
+      assert(rank >= mass * 15 / 100 / 1000 && rank < mass, r.toString)
+    }
+  }
+
+  test("q_pagerank aggregates contributions partially before the shuffle") {
+    val p = run("q_pagerank").queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && p.contains("partial"), p)
+  }
+
+  test("q_triangles: oriented enumeration is consistent with handshake bounds") {
+    val r = run("q_triangles").collect().head
+    val (n, e, t) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_triangles"))
+    assert(n > 0 && e > 0 && t >= 0)
+    assert(e <= 3 * n, "each node contributes at most 3 undirected edges")
+    // K4-free-ish sanity: triangles cannot exceed the theoretical max
+    assert(t <= e * (e - 1) / 2)
+  }
+}
