@@ -64,31 +64,42 @@ object Graph {
   private val Iters = 10
   private val Mass  = 1000000000000L // 10^12 micro-units of total rank
 
-  /** q_pagerank — 10 exact integer PageRank iterations (damping 0.85,
-    * uniform teleport); emits the top-20 nodes by final rank. See
-    * object doc for the arithmetic and per-iteration shuffle shape.
+  /** q_ppr_seed — personalized PageRank from a trusted seed set
+    * (node ≡ 0 mod 10): teleport mass returns ONLY to the seeds, so
+    * final rank measures proximity to the trusted set — the
+    * seed-expansion primitive crawl curation uses to propagate quality
+    * from a vetted domain list (cf. Eigentrust / RefinedWeb seeding).
+    * Ten exact integer iterations (damping 0.85), top-20 by final
+    * rank. A global-teleport PageRank over the purchase graph already
+    * exists as q_pagerank in [[Advanced]]; this one differs in both
+    * graph and teleport semantics.
     */
-  val qPagerank = Q(
-    "q_pagerank",
+  val qPprSeed = Q(
+    "q_ppr_seed",
     (s, d) => {
-      val n    = Tables.supplier(s, d).count()
-      val base = (Mass * 15 / 100) / n // floor — both engines
-      val e    = edges(s, d, n).cache()
-      val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
-      var ranks = nodes.select(col("node"), lit(Mass / n).as("rank"))
+      val n      = Tables.supplier(s, d).count()
+      val nSeeds = (n + 9) / 10 // keys 0..n-1 → ceil(n/10) multiples of 10
+      val base   = (Mass * 15 / 100) / nSeeds
+      val r0     = Mass / nSeeds
+      val e      = edges(s, d, n).cache()
+      val nodes  = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+      val seedBase = when(col("node") % 10 === 0, lit(base)).otherwise(lit(0L))
+      var ranks = nodes.select(col("node"),
+        when(col("node") % 10 === 0, lit(r0)).otherwise(lit(0L)).as("rank"))
       for (_ <- 1 to Iters) {
         val contrib = e.join(ranks, e("src") === ranks("node"))
           .groupBy(col("dst"))
           .agg(sum(expr("rank * 17 div 60")).as("in_mass"))
         ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
-            (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+            (seedBase + coalesce(col("in_mass"), lit(0L))).as("rank"))
       }
       ranks.orderBy(col("rank").desc, col("node")).limit(20)
     },
     Some {
-      val n    = "(SELECT count(*) FROM supplier)"
-      val base = s"(${Mass * 15 / 100} // $n)"
+      val n      = "(SELECT count(*) FROM supplier)"
+      val nSeeds = "(SELECT count(*) FROM supplier WHERE s_suppkey % 10 = 0)"
+      val base   = s"(CASE WHEN n.node % 10 = 0 THEN ${Mass * 15 / 100} // $nSeeds ELSE 0 END)"
       val steps = (1 to Iters).map { t =>
         s"""r$t AS (
            |  SELECT n.node, $base +
@@ -100,7 +111,10 @@ object Graph {
       }.mkString(",\n")
       s"""WITH nodes AS (SELECT s_suppkey AS node FROM supplier),
          |e AS (${edgesSql(n)}),
-         |r0 AS (SELECT node, ($Mass // $n) AS rank FROM nodes),
+         |r0 AS (
+         |  SELECT node,
+         |    CASE WHEN node % 10 = 0 THEN $Mass // $nSeeds ELSE 0 END AS rank
+         |  FROM nodes),
          |$steps
          |SELECT node, CAST(rank AS BIGINT) AS rank
          |FROM r$Iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
@@ -146,5 +160,5 @@ object Graph {
     }
   )
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles)
+  val all: Seq[Q] = Seq(qPprSeed, qTriangles)
 }

@@ -5,11 +5,9 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-safety passes a production corpus pipeline runs before
-  * training: PII detection, PII redaction, and benchmark
-  * decontamination (Brown et al., GPT-3 appendix C; Dodge et al., C4
-  * audit). All three are map-only over the corpus except the
-  * decontamination membership test, which is a broadcast semi-join
-  * against the (small) benchmark gram set.
+  * training: PII detection and PII redaction (the C4/RefinedWeb-style
+  * scrub; benchmark decontamination is [[TextOps.qDecontaminate]]).
+  * Both passes are map-only over the corpus.
   *
   * The synthetic corpus contains no organic PII, so the PII queries
   * first INJECT deterministic PII snippets into 1-in-4 documents —
@@ -153,54 +151,9 @@ object Safety {
     )
   )
 
-  /** q_decontaminate — benchmark decontamination: flag training
-    * documents sharing token 8-grams with a held-out eval set (here
-    * the deterministic doc_id ≡ 0 (mod 50) slice standing in for the
-    * benchmark). Reports every overlapping doc with its distinct
-    * shared-gram count; `contaminated` = ≥ 8 shared grams (a full
-    * 15-token run), the usual "substantial overlap" cut.
-    *
-    * Gram convention (stride-1 token 8-grams, md5 digests) matches
-    * [[Dedup.qSubstrRegions]] so contamination and substring dedup
-    * reason about the same units.
-    */
-  val qDecontaminate = Q(
-    "q_decontaminate",
-    (s, d) => {
-      val k = 8
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
-        .filter(size(col("t")) >= k)
-      def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(col("t")) - k),
-          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))).as("g"))
-      val bench = grams(toks.filter(col("doc_id") % 50 === 0))
-        .select("g").distinct()
-      val corpus = grams(toks.filter(col("doc_id") % 50 =!= 0))
-      corpus.join(broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("g")).as("n_shared"))
-        .select(col("doc_id"), col("n_shared"),
-          (col("n_shared") >= 8).as("contaminated"))
-        .orderBy("doc_id")
-    },
-    Some(
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, md5(array_to_string(t[u.i+1 : u.i+8], ' ')) AS g
-        |  FROM toks, UNNEST(range(0, len(t) - 8 + 1)) AS u(i)
-        |  WHERE len(t) >= 8),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
-        |SELECT doc_id, count(DISTINCT g) AS n_shared,
-        |  count(DISTINCT g) >= 8 AS contaminated
-        |FROM grams WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    )
-  )
+  // Benchmark decontamination (13-gram eval-set overlap) already lives
+  // in [[TextOps.qDecontaminate]]; the safety module adds only the PII
+  // passes so the two never drift into duplicate registry names.
 
-  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qDecontaminate)
+  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact)
 }

@@ -91,23 +91,24 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q_pagerank conserves mass up to floor leakage and is deterministic") {
-    val a = run("q_pagerank").collect()
-    val b = run("q_pagerank").collect()
+  test("q_ppr_seed conserves mass up to floor leakage and is deterministic") {
+    val a = run("q_ppr_seed").collect()
+    val b = run("q_ppr_seed").collect()
     assert(a.toSeq == b.toSeq, "PageRank must be run-to-run deterministic")
     val n = Tables.supplier(spark, sf).count()
     assert(a.length == math.min(20L, n))
-    // every surfaced rank ≥ the teleport floor; the floor-division
-    // leakage bound keeps any single rank below the total mass
+    // mass only enters through the seed teleport: no rank exceeds the
+    // total, none is negative, and the top node is seed-reachable (> 0)
     val mass = 1000000000000L
     a.foreach { r =>
       val rank = r.getAs[Long]("rank")
-      assert(rank >= mass * 15 / 100 / 1000 && rank < mass, r.toString)
+      assert(rank >= 0L && rank <= mass, r.toString)
     }
+    assert(a.head.getAs[Long]("rank") > 0L)
   }
 
-  test("q_pagerank aggregates contributions partially before the shuffle") {
-    val p = run("q_pagerank").queryExecution.executedPlan.toString
+  test("q_ppr_seed aggregates contributions partially before the shuffle") {
+    val p = run("q_ppr_seed").queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate") && p.contains("partial"), p)
   }
 
