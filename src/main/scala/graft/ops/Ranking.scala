@@ -300,5 +300,115 @@ object Ranking {
     }
   )
 
-  val all: Seq[Q] = Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore)
+  /** q_inverted_index — posting-list construction, the index build
+    * behind BM25/boolean retrieval: term → document frequency + the
+    * sorted list of containing doc_ids. `sort_array(collect_list)`
+    * makes the per-term list order deterministic regardless of shuffle
+    * arrival order (DuckDB mirror: `list(DISTINCT ... ORDER BY ...)`).
+    *
+    * 100 TB shape: the shuffle carries distinct (term, doc_id) pairs —
+    * map-side `distinct` partial-aggregates them — and a production
+    * index would range-shard terms so each posting list builds on one
+    * reducer; a giant term's list is the classic skew case the LSH
+    * bucket guard pattern (Dedup) would cap.
+    */
+  val qInvertedIndex = Q(
+    "q_inverted_index",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+        .select(col("term"), size(col("postings")).as("df"), col("postings"))
+        .orderBy("term")
+    },
+    Some(
+      """SELECT u.t AS term,
+        |  CAST(count(DISTINCT doc_id) AS INT) AS df,
+        |  list(DISTINCT doc_id ORDER BY doc_id) AS postings
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split_regex(lower(text), '\s+'),
+        |          t -> t <> '') AS toks
+        |      FROM documents),
+        |  UNNEST(toks) AS u(t)
+        |GROUP BY u.t ORDER BY u.t""".stripMargin
+    )
+  )
+
+  /** q_pmi_cooccur — pointwise mutual information over ±2-token
+    * co-occurrence windows (the word2vec/GloVe statistic): PMI =
+    * ln(N·c_ab / (c_a·c_b)) on exact integer counts, ln-quantized to
+    * 1e-6 like every transcendental in this repo. Pairs are
+    * canonicalized by sorting the two tokens, generated map-side from
+    * the token array (no positional self-join), so the only shuffles
+    * carry (pair) and (token) count rows.
+    */
+  val qPmiCooccur = Q(
+    "q_pmi_cooccur",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), wsTokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 3)
+      val pairs = toks.select(explode(flatten(array(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => array_sort(array(element_at(col("t"), i),
+            element_at(col("t"), i + 1)))),
+        transform(sequence(lit(1), size(col("t")) - 2),
+          i => array_sort(array(element_at(col("t"), i),
+            element_at(col("t"), i + 2))))))).as("p"))
+        .select(col("p").getItem(0).as("a"), col("p").getItem(1).as("b"))
+      val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val n = cab.agg(sum(col("c_ab")).as("n_pairs"))
+      cab.filter(col("c_ab") >= 5)
+        .join(broadcast(uni.withColumnRenamed("w", "a")
+          .withColumnRenamed("c", "c_a")), "a")
+        .join(broadcast(uni.withColumnRenamed("w", "b")
+          .withColumnRenamed("c", "c_b")), "b")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi",
+          floor(log((col("n_pairs") * col("c_ab")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double")) * 1e6 + 0.5) / 1e6)
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+          col("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(30)
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '') AS t
+        |  FROM documents),
+        |ft AS (SELECT * FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT list_sort([t[CAST(u.i AS INT)], t[CAST(u.i AS INT) + 1]]) AS p
+        |  FROM ft, UNNEST(range(1, len(t))) AS u(i)
+        |  UNION ALL
+        |  SELECT list_sort([t[CAST(u.i AS INT)], t[CAST(u.i AS INT) + 2]])
+        |  FROM ft, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |cab AS (
+        |  SELECT p[1] AS a, p[2] AS b, count(*) AS c_ab
+        |  FROM pairs GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT u.w AS w, count(*) AS c FROM ft, UNNEST(t) AS u(w)
+        |  GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM cab)
+        |SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  floor(ln(CAST(n_pairs * c_ab AS DOUBLE) /
+        |    CAST(ua.c * ub.c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS pmi
+        |FROM cab
+        |JOIN uni ua ON ua.w = a
+        |JOIN uni ub ON ub.w = b
+        |CROSS JOIN n
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] =
+    Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore, qInvertedIndex,
+      qPmiCooccur)
 }

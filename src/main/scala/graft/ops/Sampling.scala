@@ -122,6 +122,44 @@ object Sampling {
     }
   )
 
+  /** q_temperature_mix — temperature-based mixture quotas (the
+    * multilingual-corpus reweighting rule, p_s ∝ n_s^α): per-source
+    * document quotas out of a 1000-doc budget at temperature α = 1/2.
+    * α = 1/2 is chosen deliberately: n^0.5 = sqrt(n) and IEEE-754
+    * requires sqrt to be correctly rounded, so — unlike exp/ln powers —
+    * both engines produce the bit-identical double, which is then
+    * quantized to a BIGINT and divided with floor semantics. The whole
+    * quota computation is exact integer arithmetic on a 5-row
+    * aggregate; at any scale this is one partial-aggregated count per
+    * source plus a broadcast scalar total.
+    */
+  val qTemperatureMix = Q(
+    "q_temperature_mix",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("sq",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+      val tot = counts.agg(sum(col("sq")).as("tot"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          expr("1000 * sq div tot").as("quota"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS sq
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        |  CAST((1000 * sq) //
+        |    (SELECT CAST(sum(sq) AS BIGINT) FROM c) AS BIGINT) AS quota
+        |FROM c ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qHashSample, qStratifiedSample, qTrainValSplit, qImportanceSample)
+    Seq(qHashSample, qStratifiedSample, qTrainValSplit, qImportanceSample,
+      qTemperatureMix)
 }
