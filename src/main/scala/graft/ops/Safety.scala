@@ -116,24 +116,30 @@ object Safety {
     * the corpus text never shuffles (the final sort carries doc_id,
     * counts, and a 32-char digest).
     */
+  /** The full redaction pass as a stateless projection over any
+    * documents-schema frame — shared verbatim by the batch query and
+    * the streaming one (q_stream_pii), so batch/stream parity is by
+    * construction, not by parallel maintenance.
+    */
+  private[ops] def redactProjection(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val aug = df.select(col("doc_id"),
+      augmented(col("text"), col("doc_id")).as("t"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("t"), EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>"),
+      PhonePat, "<PHONE>")
+    aug.select(col("doc_id"), col("t"), redacted.as("r"))
+      .filter(col("r") =!= col("t"))
+      .select(col("doc_id"),
+        (length(col("t")) - length(col("r"))).as("chars_removed"),
+        md5(col("r")).as("fingerprint"))
+  }
+
   val qPiiRedact = Q(
     "q_pii_redact",
-    (s, d) => {
-      val aug = Tables.documents(s, d)
-        .select(col("doc_id"),
-          augmented(col("text"), col("doc_id")).as("t"))
-      val redacted = regexp_replace(
-        regexp_replace(
-          regexp_replace(col("t"), EmailPat, "<EMAIL>"),
-          Ipv4Pat, "<IP>"),
-        PhonePat, "<PHONE>")
-      aug.select(col("doc_id"), col("t"), redacted.as("r"))
-        .filter(col("r") =!= col("t"))
-        .select(col("doc_id"),
-          (length(col("t")) - length(col("r"))).as("chars_removed"),
-          md5(col("r")).as("fingerprint"))
-        .orderBy("doc_id")
-    },
+    (s, d) => redactProjection(Tables.documents(s, d)).orderBy("doc_id"),
     Some(
       s"""WITH aug AS (
          |  SELECT doc_id, $AugSql AS t FROM documents),

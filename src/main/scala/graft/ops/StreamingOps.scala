@@ -604,8 +604,33 @@ object StreamingOps {
     EventAnalytics.qAttribution.oracle
   )
 
+  /** q_stream_pii — the PII redaction pass run as a Structured
+    * Streaming query over a file source: the stream applies the exact
+    * [[Safety.redactProjection]] the batch query uses (stateless
+    * map+filter, append mode, no watermark needed), so the oracle is
+    * literally q_pii_redact's. This is the shape of a continuous
+    * ingest scrubber: new corpus files land, redacted rows stream out.
+    */
+  val qStreamPii = Q(
+    "q_stream_pii",
+    (s, d) => {
+      val tmp   = graft.Scratch.dir("stream_pii")
+      val inDir = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "documents.parquet"),
+        inDir.resolve("documents.parquet"))
+      val stream = Safety.redactProjection(
+        s.readStream.schema(Tables.documents(s, d).schema)
+          .parquet(inDir.toString))
+      runToParquetSink(s, "stream_pii_sink")(stream)
+        .orderBy("doc_id")
+    },
+    Safety.qPiiRedact.oracle
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
-      qStreamSliding, qStreamAttribution)
+      qStreamSliding, qStreamAttribution, qStreamPii)
 }
