@@ -121,6 +121,18 @@ object Graph {
     }
   )
 
+  /** Canonicalized undirected simple edges (self-loops dropped, a<b). */
+  private def undirected(s: SparkSession, d: String, n: Long): DataFrame =
+    edges(s, d, n)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  private val UndSql =
+    "SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
+      "FROM e0 WHERE src <> dst"
+
   /** q_triangles — oriented triangle enumeration over the undirected
     * simple graph (self-loops dropped, edges canonicalized a<b): one
     * row with node/edge/triangle counts.
@@ -129,12 +141,7 @@ object Graph {
     "q_triangles",
     (s, d) => {
       val n = Tables.supplier(s, d).count()
-      val und = edges(s, d, n)
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-        .cache()
+      val und = undirected(s, d, n).cache()
       val e1 = und.select(col("a"), col("b"))
       val e2 = und.select(col("a").as("b2"), col("b").as("c"))
       val e3 = und.select(col("a").as("a3"), col("b").as("c3"))
@@ -149,9 +156,7 @@ object Graph {
     Some {
       val n = "(SELECT count(*) FROM supplier)"
       s"""WITH e0 AS (${edgesSql(n)}),
-         |und AS (
-         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |  FROM e0 WHERE src <> dst)
+         |und AS ($UndSql)
          |SELECT $n AS n_nodes,
          |  (SELECT count(*) FROM und) AS n_edges,
          |  (SELECT count(*)
@@ -160,5 +165,78 @@ object Graph {
     }
   )
 
-  val all: Seq[Q] = Seq(qPprSeed, qTriangles)
+  private val LpaRounds = 5
+
+  /** q_label_prop — community detection by synchronous label
+    * propagation (Raghavan et al. 2007), made fully deterministic:
+    * each round every node adopts its neighbors' most frequent label,
+    * ties broken by the smallest label, isolated nodes keep their own;
+    * 5 fixed rounds, then communities reported by size. Deterministic
+    * LPA complements the dedup module's connected components (CC finds
+    * reachability classes; LPA finds densely-linked clusters inside
+    * them — the "template cluster" view of a near-dup graph).
+    *
+    * 100 TB shape: per round one shuffle — the symmetric edge list
+    * joins the O(nodes) label vector on dst (co-partitioned across
+    * rounds), partial-aggregated (node, label) counts, and a
+    * WindowGroupLimit-style rank-1 argmax; the edge list itself never
+    * re-shuffles. The oracle unrolls all 5 rounds as CTEs.
+    */
+  val qLabelProp = Q(
+    "q_label_prop",
+    (s, d) => {
+      val n   = Tables.supplier(s, d).count()
+      val und = undirected(s, d, n)
+      val sym = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+        .cache()
+      val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+      var labels = nodes.select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to LpaRounds) {
+        val neigh = sym.join(labels, sym("dst") === labels("node"))
+          .select(col("src").as("v"), col("lbl"))
+        val cnt = neigh.groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("v").orderBy(col("c").desc, col("lbl"))
+        val top = cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("v"), col("lbl").as("top_lbl"))
+        labels = labels.join(top, labels("node") === top("v"), "left")
+          .select(col("node"), coalesce(col("top_lbl"), col("lbl")).as("lbl"))
+      }
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("community"))
+        .limit(20)
+    },
+    Some {
+      val n = "(SELECT count(*) FROM supplier)"
+      val steps = (1 to LpaRounds).map { t =>
+        s"""c$t AS (
+           |  SELECT e.src AS v, l.lbl, count(*) AS c
+           |  FROM sym e JOIN l${t - 1} l ON l.node = e.dst
+           |  GROUP BY 1, 2),
+           |t$t AS (
+           |  SELECT v, lbl FROM (
+           |    SELECT v, lbl,
+           |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+           |    FROM c$t) WHERE rn = 1),
+           |l$t AS (
+           |  SELECT p.node, coalesce(t.lbl, p.lbl) AS lbl
+           |  FROM l${t - 1} p LEFT JOIN t$t t ON t.v = p.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (${edgesSql(n)}),
+         |und AS ($UndSql),
+         |sym AS (
+         |  SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |l0 AS (SELECT s_suppkey AS node, s_suppkey AS lbl FROM supplier),
+         |$steps
+         |SELECT lbl AS community, count(*) AS size
+         |FROM l$LpaRounds GROUP BY lbl
+         |ORDER BY size DESC, community LIMIT 20""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qPprSeed, qTriangles, qLabelProp)
 }

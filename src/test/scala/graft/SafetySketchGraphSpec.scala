@@ -112,6 +112,16 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate") && p.contains("partial"), p)
   }
 
+  test("q_label_prop: communities partition the nodes and are stable") {
+    val a = run("q_label_prop").collect()
+    val b = run("q_label_prop").collect()
+    assert(a.toSeq == b.toSeq, "LPA must be run-to-run deterministic")
+    val n = Tables.supplier(spark, sf).count()
+    val sizes = a.map(_.getAs[Long]("size"))
+    assert(sizes.sum <= n, "communities cannot cover more nodes than exist")
+    assert(sizes.sorted.reverse.toSeq == sizes.toSeq, "ordered by size desc")
+  }
+
   test("q_triangles: oriented enumeration is consistent with handshake bounds") {
     val r = run("q_triangles").collect().head
     val (n, e, t) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
