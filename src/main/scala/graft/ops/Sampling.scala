@@ -159,7 +159,69 @@ object Sampling {
     )
   )
 
+  /** q_curriculum — deterministic multi-epoch training schedule on top
+    * of the temperature quotas: docs rank within their source by
+    * (md5(text), doc_id); a doc with rank r < min(4·quota, n_source)
+    * trains in epoch r div quota (4 epochs, temperature-α=1/2 quotas
+    * out of a budget of half the corpus). Small sources exhaust before
+    * epoch 3 — a real scheduler would oversample (repeat epochs); the
+    * deterministic cap keeps the oracle exact and the skew visible.
+    *
+    * Scale shape: the rank is a per-source window (one shuffle on the
+    * corpus layout key), the quota table is a broadcast 5-row join —
+    * no global sort anywhere.
+    */
+  val qCurriculum = Q(
+    "q_curriculum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("sq",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+      val tot = counts.agg(sum(col("sq")).as("tot"))
+      val budget = Tables.documents(s, d)
+        .agg((count(lit(1)) / 2).cast("long").as("b"))
+      val quotas = counts.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(budget))
+        .select(col("source"), col("n_docs"),
+          expr("b * sq div tot").as("quota"))
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        .withColumn("r",
+          row_number().over(
+            Window.partitionBy("source").orderBy("h", "doc_id")) - 1)
+      ranked.join(broadcast(quotas), "source")
+        .filter(col("quota") > 0 &&
+          col("r") < least(col("quota") * 4, col("n_docs")))
+        .select(col("doc_id"), col("source"),
+          expr("r div quota").cast("int").as("epoch"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS sq
+        |  FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, n_docs,
+        |    ((SELECT count(*) FROM documents) // 2 * sq) //
+        |      (SELECT CAST(sum(sq) AS BIGINT) FROM c) AS quota
+        |  FROM c),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(text), doc_id) - 1 AS r
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(r // quota AS INT) AS epoch
+        |FROM ranked JOIN q USING (source)
+        |WHERE quota > 0 AND r < least(4 * quota, n_docs)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qHashSample, qStratifiedSample, qTrainValSplit, qImportanceSample,
-      qTemperatureMix)
+      qTemperatureMix, qCurriculum)
 }
