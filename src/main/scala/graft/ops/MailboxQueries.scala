@@ -504,9 +504,41 @@ object MailboxQueries {
     )
   )
 
+  /** Statistics-backed GROUP BY pushdown: per-class count + delivery
+    * min/max over the multi-file glob, answered from the v3 sidecars'
+    * per-class stats with zero execution IO (one static partition, one
+    * row per raw class; spec-asserted in MailboxStatsSpec). Spark
+    * re-aggregates the pushed per-class rows — partial-pushdown exact.
+    */
+  val qMailboxClassStats = Q(
+    "q_mailbox_class_stats",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox.messages(s, glob)
+        .groupBy("message_class")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("message_delivery_time")).as("mn"),
+          max(col("message_delivery_time")).as("mx"))
+        .select(col("message_class"), col("n"),
+          col("mn").cast("timestamp_ntz").as("mn"),
+          col("mx").cast("timestamp_ntz").as("mx"))
+        .orderBy("message_class")
+    },
+    Some(
+      s"""SELECT message_class, count(*) AS n,
+         |  CAST(to_timestamp(min(message_delivery_time)) AS TIMESTAMP) AS mn,
+         |  CAST(to_timestamp(max(message_delivery_time)) AS TIMESTAMP) AS mx
+         |FROM ${jsonSrc(glob)} WHERE record_type = 'message'
+         |GROUP BY message_class
+         |ORDER BY message_class""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qMailboxSqlView,
     qMailboxMinmax,
+    qMailboxClassStats,
     qMailboxCount,
     qMailboxCountLarge,
     qMailboxScanLarge,

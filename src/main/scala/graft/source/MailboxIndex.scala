@@ -132,6 +132,20 @@ object MailboxIndex {
           filter.matchesClass(classes(i).substring(2)))
         .toArray
 
+    /** Per-matching-class rows for GROUP BY message_class pushdown:
+      * (raw class, total, tsMin, tsMax, tsNonNull, tsUnknown). The
+      * caller merges across files and decides whether the timestamp
+      * side is conclusive; counts are always exact. None for folder
+      * scans (no message_class grouping there).
+      */
+    def classGroupStats(filter: RecordFilter)
+        : Option[Seq[(String, Long, Long, Long, Long, Long)]] =
+      if (filter.wantFolder) None
+      else Some(matchingClasses(filter).toSeq.map { i =>
+        (classes(i).substring(2), totals(i),
+          ts.min(i), ts.max(i), ts.nonNull(i), ts.unknown(i))
+      })
+
     /** Exact number of rows a scan with this record filter yields. */
     def matchingCount(filter: RecordFilter): Long =
       if (filter.wantFolder) {

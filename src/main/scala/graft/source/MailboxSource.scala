@@ -260,6 +260,18 @@ final case class StaticStatsPartition(values: Array[Long],
   def firstInFile: Boolean = false
 }
 
+/** One static partition carrying a stats-answered GROUP BY
+  * message_class aggregate: one row per raw class, values aligned
+  * with the pushed schema's aggregate fields (zero execution IO).
+  */
+final case class GroupStatsPartition(classes: Array[String],
+    values: Array[Array[Long]], nulls: Array[Array[Boolean]])
+  extends MailboxPartition {
+  def index: Int = 0
+  def file: String = ""
+  def firstInFile: Boolean = false
+}
+
 /** Driver-side planning: glob → per-file metadata (sidecar index or file
   * size) → partitions. Reads O(#files) bytes — sidecars, or a ≤160-byte
   * first-record validation probe — never the corpus (A2-A4, A20).
@@ -429,6 +441,47 @@ object MailboxPlanner {
       }
     }
     Some((count, if (n > 0) Some((mn, mx)) else None, n))
+  }
+
+  /** Plan-time probe for GROUP BY message_class aggregates: per raw
+    * class across the whole glob, exact count plus (when `needTs`)
+    * conclusive delivery-time min/max. Refuses (None) when any glob
+    * member lacks a fresh sidecar, when a matching class is the empty
+    * string (a record head without the field — the scan would emit
+    * NULL there, which the sidecar conflates with ""), or when
+    * `needTs` and any matching class has inconclusive timestamp heads.
+    */
+  def classStatsProbe(opts: MailboxOptions, filter: RecordFilter,
+      conf: Configuration, needTs: Boolean)
+      : Option[Seq[(String, Long, Option[(Long, Long)])]] = {
+    if (filter.wantFolder || opts.readLimit != Long.MaxValue) return None
+    val files = globStatuses(opts.path, conf)
+    val acc = scala.collection.mutable.LinkedHashMap[
+      String, (Long, Long, Long, Long)]() // cnt, mn, mx, nonNull
+    files.foreach { case (name, len) =>
+      val p0 = new Path(name)
+      val p  = LocalBuffer.resolvePath(p0, conf)
+      val fs = p.getFileSystem(conf)
+      val answered =
+        try MailboxIndex.read(fs, p, len, MailboxIndex.indexPath(p0), conf)
+          .flatMap(_.classGroupStats(filter))
+        catch { case NonFatal(_) => None }
+      answered match {
+        case Some(rows) =>
+          rows.foreach { case (cls, cnt, mn, mx, n, unknown) =>
+            if (cls.isEmpty) return None
+            if (needTs && unknown > 0) return None
+            val (c0, mn0, mx0, n0) =
+              acc.getOrElse(cls, (0L, Long.MaxValue, Long.MinValue, 0L))
+            acc(cls) = (c0 + cnt, math.min(mn0, mn), math.max(mx0, mx),
+              n0 + n)
+          }
+        case None => return None
+      }
+    }
+    Some(acc.toSeq.map { case (cls, (cnt, mn, mx, n)) =>
+      (cls, cnt, if (n > 0) Some((mn, mx)) else None)
+    })
   }
 
   /** Plan result: partitions + what planning knew exactly. */
@@ -612,6 +665,8 @@ class MailboxScanBuilder(opts: MailboxOptions)
   private var countStar: Boolean = false
   private var pushedStats
       : Option[(StructType, Array[Long], Array[Boolean])] = None
+  private var pushedGroups: Option[(StructType, Array[String],
+      Array[Array[Long]], Array[Array[Boolean]])] = None
 
   private def filter: RecordFilter = RecordFilter(opts.mode, exactClasses)
 
@@ -654,8 +709,10 @@ class MailboxScanBuilder(opts: MailboxOptions)
     * (Spark then aggregates the pruned timestamp column itself).
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (agg.groupByExpressions.nonEmpty || limit.nonEmpty) return false
+    if (limit.nonEmpty) return false
     val exprs = agg.aggregateExpressions()
+    if (agg.groupByExpressions.nonEmpty)
+      return pushGroupedAggregation(agg)
     if (exprs.length == 1 && exprs(0).isInstanceOf[CountStar]) {
       countStar = true
       return true
@@ -703,11 +760,78 @@ class MailboxScanBuilder(opts: MailboxOptions)
     }
   }
 
+  /** GROUP BY message_class + {count(*), min/max(delivery time)} from
+    * the v3 sidecars' per-class statistics — the whole aggregate
+    * becomes one static partition emitting one row per raw class
+    * (partial pushdown: Spark still re-aggregates our per-class rows,
+    * which is exact). Refused unless every glob member's sidecar is
+    * fresh and conclusive for what the query needs — the probe's
+    * rules, see [[MailboxPlanner.classStatsProbe]].
+    */
+  private def pushGroupedAggregation(agg: Aggregation): Boolean = {
+    val gbOk = agg.groupByExpressions match {
+      case Array(nr: NamedReference) =>
+        nr.fieldNames.length == 1 && nr.fieldNames()(0) == "message_class"
+      case _ => false
+    }
+    if (!gbOk || !MailboxSchema.isMessageMode(opts.mode)) return false
+    val tsField = "message_delivery_time"
+    def tsRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case nr: NamedReference =>
+        nr.fieldNames.length == 1 && nr.fieldNames()(0) == tsField
+      case _ => false
+    }
+    sealed trait Kind
+    object KCount extends Kind; object KMin extends Kind
+    object KMax extends Kind
+    val kinds: Array[Option[Kind]] = agg.aggregateExpressions().map {
+      case _: CountStar              => Some(KCount)
+      case m: Min if tsRef(m.column) => Some(KMin)
+      case m: Max if tsRef(m.column) => Some(KMax)
+      case _                         => None
+    }
+    if (kinds.isEmpty || kinds.exists(_.isEmpty)) return false
+    val needTs = kinds.exists(k => k.get == KMin || k.get == KMax)
+    MailboxPlanner.classStatsProbe(opts, filter,
+      MailboxPlanner.activeHadoopConf(), needTs) match {
+      case Some(rows) =>
+        val aggFields = kinds.map(_.get).map {
+          case KCount =>
+            StructField("count(*)", LongType, nullable = false)
+          case KMin =>
+            StructField(s"min($tsField)", TimestampType, nullable = true)
+          case KMax =>
+            StructField(s"max($tsField)", TimestampType, nullable = true)
+        }
+        val schema = StructType(
+          StructField("message_class", StringType, nullable = true) +:
+            aggFields.toSeq)
+        val classes = rows.map(_._1).toArray
+        val values  = rows.map { case (_, cnt, minMax) =>
+          kinds.map(_.get).map {
+            case KCount => cnt
+            case KMin   => minMax.map(_._1 * 1000000L).getOrElse(0L)
+            case KMax   => minMax.map(_._2 * 1000000L).getOrElse(0L)
+          }
+        }.toArray
+        val nulls = rows.map { case (_, _, minMax) =>
+          kinds.map(_.get).map {
+            case KCount => false
+            case _      => minMax.isEmpty
+          }
+        }.toArray
+        pushedGroups = Some((schema, classes, values, nulls))
+        true
+      case None => false
+    }
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def build(): Scan =
     new MailboxScan(opts, requiredSchema, filter, limit, countStar,
-      pushedStats)
+      pushedStats, pushedGroups)
 }
 
 /** A11 — scan progress metrics, mirroring the reference's % scanned
@@ -746,7 +870,9 @@ class MailboxScan(
     filter: RecordFilter,
     limit: Option[Long],
     countStar: Boolean,
-    pushedStats: Option[(StructType, Array[Long], Array[Boolean])] = None)
+    pushedStats: Option[(StructType, Array[Long], Array[Boolean])] = None,
+    pushedGroups: Option[(StructType, Array[String],
+        Array[Array[Long]], Array[Array[Boolean]])] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   // captured at plan time on the driver; shipped to executors so custom
@@ -763,11 +889,12 @@ class MailboxScan(
     MailboxPlanner.plan(effective, filter, serConf.value)
   }
 
-  override def readSchema(): StructType = pushedStats match {
-    case Some((schema, _, _)) => schema
-    case None if countStar =>
+  override def readSchema(): StructType = (pushedStats, pushedGroups) match {
+    case (Some((schema, _, _)), _) => schema
+    case (None, Some((schema, _, _, _))) => schema
+    case _ if countStar =>
       StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-    case None => requiredSchema
+    case _ => requiredSchema
   }
 
   override def toBatch: Batch = this
@@ -777,14 +904,16 @@ class MailboxScan(
     new MailboxMicroBatchStream(opts, requiredSchema, filter)
 
   override def planInputPartitions(): Array[InputPartition] =
-    pushedStats match {
-      case Some((_, values, nulls)) =>
+    (pushedStats, pushedGroups) match {
+      case (Some((_, values, nulls)), _) =>
         // fully stats-answered: one partition, one row, zero IO (the
         // probe already paid the O(#files) sidecar reads at push time)
         Array(StaticStatsPartition(values, nulls))
-      case None if countStar && planned.exactRows.isDefined =>
+      case (None, Some((_, classes, values, nulls))) =>
+        Array(GroupStatsPartition(classes, values, nulls))
+      case _ if countStar && planned.exactRows.isDefined =>
         Array(TotalCountPartition(planned.exactRows.get))
-      case None => planned.partitions.toArray
+      case _ => planned.partitions.toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -801,9 +930,13 @@ class MailboxScan(
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(
         if (pushedStats.isDefined) 64L
+        else if (pushedGroups.isDefined)
+          64L * pushedGroups.get._2.length
         else planned.exactRows.map(_ * 512L).getOrElse(planned.totalBytes))
     override def numRows(): java.util.OptionalLong =
       if (pushedStats.isDefined) java.util.OptionalLong.of(1L)
+      else if (pushedGroups.isDefined)
+        java.util.OptionalLong.of(pushedGroups.get._2.length.toLong)
       else planned.exactRows
         .map(java.util.OptionalLong.of)
         .getOrElse(java.util.OptionalLong.empty())
@@ -814,6 +947,11 @@ class MailboxScan(
     if (pushedStats.isDefined)
       s"mailbox mode=${opts.mode} statsAggPushdown=true " +
         s"[${pushedStats.get._1.fieldNames.mkString(", ")}]" +
+        (if (filter.filtersClass) s" classFilter=${filter.describe}" else "")
+    else if (pushedGroups.isDefined)
+      s"mailbox mode=${opts.mode} statsAggPushdown=group " +
+        s"groups=${pushedGroups.get._2.length} " +
+        s"[${pushedGroups.get._1.fieldNames.mkString(", ")}]" +
         (if (filter.filtersClass) s" classFilter=${filter.describe}" else "")
     else s"mailbox mode=${opts.mode} files=${planned.files} " +
       s"partitions=${planned.partitions.length}" +
@@ -835,6 +973,8 @@ class MailboxReaderFactory(
     p match {
       case sp: StaticStatsPartition =>
         return new StaticStatsReader(sp.values, sp.nulls)
+      case gp: GroupStatsPartition =>
+        return new GroupStatsReader(gp.classes, gp.values, gp.nulls)
       case _ => ()
     }
     if (countStar) p match {
@@ -867,6 +1007,22 @@ class StaticStatsReader(values: Array[Long], nulls: Array[Boolean])
   override def get(): InternalRow = new GenericInternalRow(
     values.indices.map(i =>
       if (nulls(i)) null else values(i): Any).toArray)
+  override def close(): Unit = ()
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    MailboxMetrics.Task(MailboxMetrics.RowsRead, 0L),
+    MailboxMetrics.Task(MailboxMetrics.BytesRead, 0L),
+    MailboxMetrics.Task(MailboxMetrics.FilesRead, 0L))
+}
+
+class GroupStatsReader(classes: Array[String],
+    values: Array[Array[Long]], nulls: Array[Array[Boolean]])
+  extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < classes.length }
+  override def get(): InternalRow = new GenericInternalRow(
+    (UTF8String.fromString(classes(i)): Any) +:
+      values(i).indices.map(j =>
+        if (nulls(i)(j)) null else values(i)(j): Any).toArray)
   override def close(): Unit = ()
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     MailboxMetrics.Task(MailboxMetrics.RowsRead, 0L),

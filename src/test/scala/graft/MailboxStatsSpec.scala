@@ -128,6 +128,72 @@ class MailboxStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       row.getTimestamp(1).toInstant.getEpochSecond == 1002L, row.toString)
   }
 
+  private def groupPushed(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("statsAggPushdown=group")
+
+  test("GROUP BY message_class count/min/max answers from per-class stats") {
+    val glob = s"$fixtures/*.mbx"
+    val agg = Mailbox.messages(spark, glob)
+      .groupBy("message_class")
+      .agg(count(lit(1)).as("n"),
+        min(col("message_delivery_time")).as("mn"),
+        max(col("message_delivery_time")).as("mx"))
+      .orderBy("message_class")
+    assert(groupPushed(agg), agg.queryExecution.executedPlan.toString)
+    // cross-check against the plain projection path (no agg pushdown)
+    val raw = Mailbox.messages(spark, glob)
+      .select(col("message_class"), col("message_delivery_time"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (cls, rows) =>
+        val ts = rows.filter(!_.isNullAt(1)).map(_.getTimestamp(1))
+        (cls, (rows.length.toLong,
+          if (ts.isEmpty) null else ts.min, if (ts.isEmpty) null else ts.max))
+      }
+    val got = agg.collect()
+    assert(got.length == raw.size, got.mkString("; "))
+    got.foreach { r =>
+      val (n, mn, mx) = raw(r.getString(0))
+      assert(r.getLong(1) == n && r.getTimestamp(2) == mn &&
+        r.getTimestamp(3) == mx, r.toString)
+    }
+  }
+
+  test("GROUP BY pushdown refuses when a record lacks message_class") {
+    val dir = Files.createTempDirectory("mbx-nocls").toFile
+    val lines = Seq(
+      """{"node_id":300,"parent_node_id":1,"record_type":"message","message_class":"IPM.Note","record_key":"AA==","message_delivery_time":100,"subject":"a","body":"b"}""",
+      """{"node_id":301,"parent_node_id":1,"record_type":"message","record_key":"AA==","message_delivery_time":200,"subject":"c","body":"d"}""")
+    MailboxGen.writeFile(new File(dir, "m.mbx"), lines)
+    val agg = Mailbox.messages(spark, s"$dir/m.mbx")
+      .groupBy("message_class").agg(count(lit(1)).as("n"))
+    assert(!groupPushed(agg),
+      "sidecar conflates missing class with \"\" — must fall back")
+    // the fallback is still correct: one named class + one NULL group
+    val rows = agg.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(rows(Some("IPM.Note")) == 1L && rows(None) == 1L, rows.toString)
+  }
+
+  test("GROUP BY pushdown count-only ignores inconclusive timestamp heads") {
+    val dir = Files.createTempDirectory("mbx-grpforeign").toFile
+    val pad = "x" * 400 // timestamp beyond HeadBytes: ts stats unknown
+    val lines = (0 until 3).map { i =>
+      s"""{"node_id":${400 + i},"parent_node_id":1,"record_type":"message","message_class":"IPM.Note","record_key":"AA==","subject":"$pad","message_delivery_time":${1000 + i},"body":"b"}"""
+    }
+    MailboxGen.writeFile(new File(dir, "g.mbx"), lines)
+    val cnt = Mailbox.messages(spark, s"$dir/g.mbx")
+      .groupBy("message_class").agg(count(lit(1)).as("n"))
+    assert(groupPushed(cnt), "counts stay exact under unknown ts heads")
+    assert(cnt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("IPM.Note", 3L)))
+    val mn = Mailbox.messages(spark, s"$dir/g.mbx")
+      .groupBy("message_class")
+      .agg(min(col("message_delivery_time")).as("mn"))
+    assert(!groupPushed(mn), "min over unknown ts heads must fall back")
+    assert(mn.collect()(0).getTimestamp(1).toInstant.getEpochSecond == 1000L)
+  }
+
   test("deliveryOfPrefix: null, absent-in-full-line, and cut-mid-digits") {
     import MailboxIndex.deliveryOfPrefix
     assert(deliveryOfPrefix(
