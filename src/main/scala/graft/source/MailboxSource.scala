@@ -413,34 +413,54 @@ object MailboxPlanner {
     * caller must fall back to the ordinary columnar scan plan, which is
     * always correct).
     */
+  /** One sidecar read per glob member, fanned out on a bounded pool
+    * (same O(#files) parallel-metadata discipline as [[plan]] — a
+    * 10,000-file archive must not pay 10,000 serial round-trips at
+    * aggregate-push time). Returns None if ANY file fails `read`.
+    */
+  private def parallelIndexProbe[A](opts: MailboxOptions, conf: Configuration)(
+      read: (MailboxIndex.FileIndex) => Option[A]): Option[Seq[A]] = {
+    val files = globStatuses(opts.path, conf)
+    if (files.isEmpty) return Some(Nil)
+    val pool = Executors.newFixedThreadPool(
+      math.max(1, math.min(files.length, 16)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = files.map { case (name, len) =>
+        Future {
+          val p0 = new Path(name)
+          val p  = LocalBuffer.resolvePath(p0, conf)
+          val fs = p.getFileSystem(conf)
+          try MailboxIndex.read(fs, p, len, MailboxIndex.indexPath(p0), conf)
+            .flatMap(read)
+          catch { case NonFatal(_) => None }
+        }
+      }
+      val results = futs.map(f => Await.result(f, Duration.Inf))
+      if (results.exists(_.isEmpty)) None else Some(results.map(_.get).toSeq)
+    } finally pool.shutdown()
+  }
+
   def statsProbe(opts: MailboxOptions, filter: RecordFilter,
       conf: Configuration): Option[(Long, Option[(Long, Long)], Long)] = {
     if (filter.wantFolder || opts.readLimit != Long.MaxValue) return None
-    val files = globStatuses(opts.path, conf)
-    var count = 0L
-    var mn    = Long.MaxValue
-    var mx    = Long.MinValue
-    var n     = 0L
-    files.foreach { case (name, len) =>
-      val p0 = new Path(name)
-      val p  = LocalBuffer.resolvePath(p0, conf)
-      val fs = p.getFileSystem(conf)
-      val answered =
-        try MailboxIndex.read(fs, p, len, MailboxIndex.indexPath(p0), conf)
-          .flatMap(ix => ix.deliveryStats(filter).map((ix, _)))
-        catch { case NonFatal(_) => None }
-      answered match {
-        case Some((ix, (fmn, fmx, fn))) =>
-          count += ix.matchingCount(filter)
-          if (fn > 0) {
-            if (fmn < mn) mn = fmn
-            if (fmx > mx) mx = fmx
-            n += fn
-          }
-        case None => return None
+    parallelIndexProbe(opts, conf) { ix =>
+      ix.deliveryStats(filter).map(st => (ix.matchingCount(filter), st))
+    }.map { perFile =>
+      var count = 0L
+      var mn    = Long.MaxValue
+      var mx    = Long.MinValue
+      var n     = 0L
+      perFile.foreach { case (cnt, (fmn, fmx, fn)) =>
+        count += cnt
+        if (fn > 0) {
+          if (fmn < mn) mn = fmn
+          if (fmx > mx) mx = fmx
+          n += fn
+        }
       }
+      (count, if (n > 0) Some((mn, mx)) else None, n)
     }
-    Some((count, if (n > 0) Some((mn, mx)) else None, n))
   }
 
   /** Plan-time probe for GROUP BY message_class aggregates: per raw
@@ -455,19 +475,11 @@ object MailboxPlanner {
       conf: Configuration, needTs: Boolean)
       : Option[Seq[(String, Long, Option[(Long, Long)])]] = {
     if (filter.wantFolder || opts.readLimit != Long.MaxValue) return None
-    val files = globStatuses(opts.path, conf)
-    val acc = scala.collection.mutable.LinkedHashMap[
-      String, (Long, Long, Long, Long)]() // cnt, mn, mx, nonNull
-    files.foreach { case (name, len) =>
-      val p0 = new Path(name)
-      val p  = LocalBuffer.resolvePath(p0, conf)
-      val fs = p.getFileSystem(conf)
-      val answered =
-        try MailboxIndex.read(fs, p, len, MailboxIndex.indexPath(p0), conf)
-          .flatMap(_.classGroupStats(filter))
-        catch { case NonFatal(_) => None }
-      answered match {
-        case Some(rows) =>
+    parallelIndexProbe(opts, conf)(_.classGroupStats(filter)).flatMap {
+      perFile =>
+        val acc = scala.collection.mutable.LinkedHashMap[
+          String, (Long, Long, Long, Long)]() // cnt, mn, mx, nonNull
+        perFile.foreach { rows =>
           rows.foreach { case (cls, cnt, mn, mx, n, unknown) =>
             if (cls.isEmpty) return None
             if (needTs && unknown > 0) return None
@@ -476,12 +488,11 @@ object MailboxPlanner {
             acc(cls) = (c0 + cnt, math.min(mn0, mn), math.max(mx0, mx),
               n0 + n)
           }
-        case None => return None
-      }
+        }
+        Some(acc.toSeq.map { case (cls, (cnt, mn, mx, n)) =>
+          (cls, cnt, if (n > 0) Some((mn, mx)) else None)
+        })
     }
-    Some(acc.toSeq.map { case (cls, (cnt, mn, mx, n)) =>
-      (cls, cnt, if (n > 0) Some((mn, mx)) else None)
-    })
   }
 
   /** Plan result: partitions + what planning knew exactly. */

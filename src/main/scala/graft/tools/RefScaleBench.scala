@@ -48,8 +48,19 @@ object RefScaleBench {
     val glob = new File(dir, "*.mbx").getPath
     def countQuery() = graft.source.Mailbox.messages(spark, glob)
       .agg(count(lit(1)).as("cnt"))
+    // max(length(subject)) is not stats-answerable, so this measures a
+    // REAL full scan (the group-by count alone would now be answered
+    // from the sidecars and read nothing)
     def scanQuery() = graft.source.Mailbox.messages(spark, glob)
-      .groupBy("message_class").agg(count(lit(1)).as("n"))
+      .groupBy("message_class")
+      .agg(count(lit(1)).as("n"), max(length(col("subject"))).as("ml"))
+    // the pushed shape: per-class count + delivery min/max from the v3
+    // sidecars' per-class stats — zero execution IO
+    def classStatsQuery() = graft.source.Mailbox.messages(spark, glob)
+      .groupBy("message_class")
+      .agg(count(lit(1)).as("n"),
+        min(col("message_delivery_time")).as("mn"),
+        max(col("message_delivery_time")).as("mx"))
     // the reference's second published number: select * with
     // read_limit=5 in 0.012 s (plan-time GLOBAL limit, README.md:39-56)
     def limitQuery() = graft.source.Mailbox
@@ -78,6 +89,10 @@ object RefScaleBench {
       require(n == Files.toLong * MsgsPerFile, s"bad count $n")
     }))
     val scans = (1 to 5).map(_ => time(() => scanQuery().collect()))
+    classStatsQuery().collect() // warm
+    val grouped = (1 to 5).map(_ => time(() => {
+      require(classStatsQuery().collect().length == 6)
+    }))
     limitQuery().collect() // warm
     val limits = (1 to 5).map(_ => time(() => {
       require(limitQuery().collect().length == 5)
@@ -87,6 +102,7 @@ object RefScaleBench {
       s"""{"metric":"ref_scale","files":$Files,"messages":${Files.toLong * MsgsPerFile},""" +
         s""""count_star_sec":${median(counts)},"count_runs":[${counts.map(x => f"$x%.4f").mkString(",")}],""" +
         s""""class_scan_sec":${median(scans)},"scan_runs":[${scans.map(x => f"$x%.4f").mkString(",")}],""" +
+        s""""class_stats_pushdown_sec":${median(grouped)},"grouped_runs":[${grouped.map(x => f"$x%.4f").mkString(",")}],""" +
         s""""limit5_sec":${median(limits)},"limit_runs":[${limits.map(x => f"$x%.4f").mkString(",")}],""" +
         s""""reference_count_sec":0.564,"reference_limit5_sec":0.012}""")
     spark.stop()
