@@ -158,5 +158,79 @@ object Sketches {
     }
   )
 
-  val all: Seq[Q] = Seq(qKmvDistinct, qCountMin)
+  /** q_kmv_intersect — theta-sketch-style SET INTERSECTION estimates
+    * from per-group KMV sketches (the audience-overlap primitive):
+    * for each priority pair, θ = min of the two k-th-smallest hashes;
+    * every hash below θ is guaranteed present in BOTH sketches if it
+    * is in the set, so |S_A ∩ S_B ∩ [0,θ)| · 2³² / θ estimates the
+    * true overlap — computed purely from the two 64-long sketches,
+    * never the data. Reported next to the exact overlap.
+    */
+  val qKmvIntersect = Q(
+    "q_kmv_intersect",
+    (s, d) => {
+      val k = 64
+      val hashed = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"),
+          col("o_custkey").as("key"),
+          h32(col("o_custkey").cast("string")).as("h"))
+        .distinct()
+      val topk = hashed.select("g", "h").distinct()
+        .withColumn("rk", row_number().over(Window.partitionBy("g").orderBy("h")))
+        .filter(col("rk") <= k)
+        .cache()
+      val theta = topk.filter(col("rk") === k)
+        .select(col("g"), col("h").as("theta"))
+      val sk1 = topk.select(col("g").as("g1"), col("h"))
+      val sk2 = topk.select(col("g").as("g2"), col("h"))
+      val th1 = theta.select(col("g").as("g1"), col("theta").as("t1"))
+      val th2 = theta.select(col("g").as("g2"), col("theta").as("t2"))
+      val common = sk1.join(sk2, "h").filter(col("g1") < col("g2"))
+        .join(broadcast(th1), "g1").join(broadcast(th2), "g2")
+        .filter(col("h") < least(col("t1"), col("t2")))
+        .groupBy("g1", "g2")
+        .agg(count(lit(1)).as("c"),
+          min(least(col("t1"), col("t2"))).as("theta"))
+        .select(col("g1"), col("g2"),
+          expr("c * 4294967296 div theta").as("kmv_est"))
+      val ex1 = hashed.select(col("g").as("g1"), col("key"))
+      val ex2 = hashed.select(col("g").as("g2"), col("key"))
+      val exact = ex1.join(ex2, "key").filter(col("g1") < col("g2"))
+        .groupBy("g1", "g2").agg(countDistinct(col("key")).as("n_exact"))
+      exact.join(common, Seq("g1", "g2"), "left")
+        .select(col("g1"), col("g2"), col("n_exact"),
+          coalesce(col("kmv_est"), lit(0L)).as("kmv_est"))
+        .orderBy("g1", "g2")
+    },
+    Some {
+      val h = h32Sql("CAST(o_custkey AS VARCHAR)")
+      """WITH hashed AS (
+        |  SELECT DISTINCT o_orderpriority AS g, o_custkey AS key,
+        |    HEXPR AS h
+        |  FROM orders),
+        |topk AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+        |  FROM (SELECT DISTINCT g, h FROM hashed)),
+        |sk AS (SELECT g, h FROM topk WHERE rk <= 64),
+        |theta AS (SELECT g, h AS theta FROM topk WHERE rk = 64),
+        |common AS (
+        |  SELECT a.g AS g1, b.g AS g2, count(*) AS c,
+        |    min(least(ta.theta, tb.theta)) AS th
+        |  FROM sk a JOIN sk b ON a.h = b.h AND a.g < b.g
+        |  JOIN theta ta ON ta.g = a.g
+        |  JOIN theta tb ON tb.g = b.g
+        |  WHERE a.h < least(ta.theta, tb.theta)
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT a.g AS g1, b.g AS g2, count(DISTINCT a.key) AS n_exact
+        |  FROM hashed a JOIN hashed b ON a.key = b.key AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT g1, g2, n_exact,
+        |  CAST(coalesce((c * 4294967296) // th, 0) AS BIGINT) AS kmv_est
+        |FROM exact LEFT JOIN common USING (g1, g2)
+        |ORDER BY g1, g2""".stripMargin.replace("HEXPR", h)
+    }
+  )
+
+  val all: Seq[Q] = Seq(qKmvDistinct, qCountMin, qKmvIntersect)
 }

@@ -75,6 +75,15 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getAs[Long]("kmv_est") > 0))
   }
 
+  test("q_kmv_intersect: every pair reported, estimates non-negative") {
+    val rows = run("q_kmv_intersect").collect()
+    assert(rows.length == 10, s"5 choose 2 pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") >= 0 && r.getAs[Long]("kmv_est") >= 0)
+      assert(r.getAs[String]("g1") < r.getAs[String]("g2"), r.toString)
+    }
+  }
+
   test("q_countmin: count-min never underestimates") {
     val rows = run("q_countmin").collect()
     assert(rows.nonEmpty)
