@@ -565,7 +565,155 @@ object Corpus {
     )
   )
 
+  /** q_shard_balance — balanced training-shard assignment: documents
+    * are dealt onto 8 shards in SNAKE (boustrophedon) order of global
+    * token-count rank (1st..8th largest → shards 0..7, 9th..16th →
+    * shards 7..0, …) — the deterministic folded-deal approximation of
+    * LPT packing: each 16-row double round gives every shard one
+    * large+small pair, so shard token totals stay near-equal without
+    * a sequential packing loop. Emits the per-shard document count
+    * and token total — the job-placement manifest a multi-host
+    * training run reads.
+    *
+    * 100 TB shape: the global rank is [[Distributed.globalRank0]]'s
+    * two-pass ranged form (range repartition + per-partition counts +
+    * broadcast offsets + a PARTITIONED row_number) — no global
+    * single-task window; the final aggregate is 8 rows.
+    */
+  val qShardBalance = Q(
+    "q_shard_balance",
+    (s, d) => {
+      val S = 8
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      val (ranked, _, rankCol) = Distributed.globalRank0(
+        toks, Seq(col("n_tokens").desc, col("doc_id").asc), "shard")
+      val round = floor(col(rankCol) / S).cast("long")
+      val pos   = pmod(col(rankCol), lit(S)).cast("long")
+      ranked
+        .withColumn("shard",
+          when(pmod(round, lit(2)) === 0, pos).otherwise(lit(S - 1) - pos)
+            .cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("shard")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rank0
+        |  FROM t)
+        |SELECT CAST(CASE WHEN (rank0 // 8) % 2 = 0 THEN rank0 % 8
+        |            ELSE 7 - rank0 % 8 END AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+    )
+  )
+
+  /** q_boilerplate — cross-document frequent-span mining (the CCNet /
+    * RefinedWeb boilerplate detector): the corpus's 5-token spans
+    * (same segmentation as [[qSpanDedup]]) ranked by document
+    * frequency; spans appearing in ≥ 3 distinct documents are the
+    * navigation chrome / license footers / template text a curation
+    * pipeline strips corpus-wide. Emits the top 20 by (df, total
+    * occurrences, span).
+    *
+    * 100 TB shape: the per-(span, doc) pre-aggregate is the classic
+    * two-level distinct — partial-aggregated on the scan layout, so
+    * the shuffle carries (span, doc_id) pairs once per distinct
+    * combination, never documents; the df rollup then touches one row
+    * per distinct pair and the result is top-k small.
+    */
+  val qBoilerplate = Q(
+    "q_boilerplate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+      val nSpans = (floor((size(col("t")) - 1) / SpanW) + 1).cast("int")
+      val spans = docs
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), nSpans - 1),
+            k => concat_ws(" ", slice(col("t"), k * SpanW + 1, lit(SpanW)))))
+            .as("span"))
+      spans
+        .groupBy("span", "doc_id").agg(count(lit(1)).as("n_occ"))
+        .groupBy("span")
+        .agg(count(lit(1)).as("df"), sum(col("n_occ")).as("n_occ"))
+        .filter(col("df") >= 3)
+        .orderBy(desc("df"), desc("n_occ"), col("span"))
+        .limit(20)
+    },
+    Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+         |  FROM documents),
+         |spans AS (
+         |  SELECT doc_id, array_to_string(t[u.k*$SpanW+1 : u.k*$SpanW+$SpanW], ' ') AS span
+         |  FROM toks, UNNEST(range(0, (len(t)-1)//$SpanW + 1)) AS u(k)
+         |  WHERE len(t) > 0),
+         |perdoc AS (SELECT span, doc_id, count(*) AS n_occ FROM spans GROUP BY 1, 2)
+         |SELECT span, count(*) AS df, CAST(sum(n_occ) AS BIGINT) AS n_occ
+         |FROM perdoc GROUP BY span
+         |HAVING count(*) >= 3
+         |ORDER BY df DESC, n_occ DESC, span LIMIT 20""".stripMargin
+    )
+  )
+
+  /** q_pack_efficiency — the packing manifest [[qPackSequences]]'s
+    * consumers read: per source shard, the document count, exact token
+    * total, number of 256-token training sequences the concatenated
+    * shard fills (ceil division), padding tokens wasted in the final
+    * partial sequence, and the fill ratio — the number a pipeline
+    * watches to decide whether shard sizes amortize padding.
+    *
+    * 100 TB shape: one partial-aggregated groupBy on the shard key;
+    * all arithmetic on exact BIGINTs, the fill ratio one IEEE divide
+    * of exact ints.
+    */
+  val qPackEfficiency = Q(
+    "q_pack_efficiency",
+    (s, d) => {
+      val B = 256
+      val agg = Tables.documents(s, d)
+        .select(col("source"),
+          size(TextOps.wsTokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val nSeq = floor((col("n_tokens") + (B - 1)) / B).cast("long")
+      agg
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          nSeq.as("n_seqs"),
+          (nSeq * B - col("n_tokens")).as("pad_tokens"),
+          (col("n_tokens").cast("double") / (nSeq * B).cast("double"))
+            .as("fill_ratio"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST((n_tokens + 255) // 256 AS BIGINT) AS n_seqs,
+        |  CAST(((n_tokens + 255) // 256) * 256 - n_tokens AS BIGINT) AS pad_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(((n_tokens + 255) // 256) * 256 AS DOUBLE)
+        |    AS fill_ratio
+        |FROM agg ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
-    qConcentration, qBigramLm)
+    qConcentration, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency)
 }

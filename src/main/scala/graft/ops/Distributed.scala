@@ -39,10 +39,35 @@ object Distributed {
     */
   def globalNtile(df: DataFrame, n: Int, sort: Seq[Column], out: String)
       : DataFrame = {
+    val (ranked, total, rankCol) = globalRank0(df, sort, out)
+    val rank0 = col(rankCol)
+    val small = total / n // rows in each of the later buckets
+    val big   = total % n // leading buckets holding one extra row
+    val cut   = big * (small + 1)
+    // integer division via truncating cast: exact for rank < 2^52
+    def idiv(a: Column, b: Long) = (a / lit(b)).cast("long")
+    val bucket =
+      if (small == 0) rank0 + 1 // fewer rows than buckets
+      else
+        when(rank0 < cut, idiv(rank0, small + 1) + 1)
+          .otherwise(lit(big) + idiv(rank0 - cut, small) + 1)
+    ranked.withColumn(out, bucket.cast("int")).drop(rankCol)
+  }
+
+  /** Exact GLOBAL 0-based `row_number() OVER (ORDER BY sort…) - 1`
+    * without a single-partition window — the two-pass ranked frame
+    * [[globalNtile]] is built on, exposed for operators that need the
+    * rank itself (e.g. snake-order shard balancing). Returns the frame
+    * with the rank in column `__rank0_$tag`, the total row count, and
+    * that column's name. `sort` must be a total order.
+    */
+  def globalRank0(df: DataFrame, sort: Seq[Column], tag: String)
+      : (DataFrame, Long, String) = {
     val spark  = df.sparkSession
     val p      = spark.sessionState.conf.numShufflePartitions
-    val pidCol = s"__pid_$out"
-    val offCol = s"__off_$out"
+    val pidCol  = s"__pid_$tag"
+    val offCol  = s"__off_$tag"
+    val rankCol = s"__rank0_$tag"
     val ranged = df.repartitionByRange(p, sort: _*)
       .withColumn(pidCol, spark_partition_id())
       .localCheckpoint()
@@ -54,21 +79,11 @@ object Distributed {
     import spark.implicits._
     val offDf = offsets.toSeq.toDF(pidCol, offCol)
 
-    val w     = Window.partitionBy(pidCol).orderBy(sort: _*)
-    val rank0 = col(offCol) + row_number().over(w) - 1
-    val small = total / n // rows in each of the later buckets
-    val big   = total % n // leading buckets holding one extra row
-    val cut   = big * (small + 1)
-    // integer division via truncating cast: exact for rank < 2^52
-    def idiv(a: Column, b: Long) = (a / lit(b)).cast("long")
-    val bucket =
-      if (small == 0) rank0 + 1 // fewer rows than buckets
-      else
-        when(rank0 < cut, idiv(rank0, small + 1) + 1)
-          .otherwise(lit(big) + idiv(rank0 - cut, small) + 1)
-    ranged
+    val w = Window.partitionBy(pidCol).orderBy(sort: _*)
+    val ranked = ranged
       .join(broadcast(offDf), Seq(pidCol))
-      .withColumn(out, bucket.cast("int"))
+      .withColumn(rankCol, col(offCol) + row_number().over(w) - 1)
       .drop(pidCol, offCol)
+    (ranked, total, rankCol)
   }
 }

@@ -408,7 +408,123 @@ object Ranking {
     )
   )
 
+  /** q_rrf_fusion — reciprocal-rank fusion of two retrieval systems
+    * (the standard hybrid-retrieval ensemble): each document matching
+    * ≥ 1 query term is ranked once by its BM25 score and once by its
+    * summed tf-idf, and the fused score is Σ 1/(60 + rank) over the
+    * two systems. Emitted as exact integers — each reciprocal is
+    * `1e9 div (60 + rank)` in truncating integer division, so the
+    * fused score is an exact BIGINT sum and no float ordering can
+    * diverge between engines. Top 20 by (fused score, doc_id).
+    *
+    * 100 TB shape: both rankings operate on the CANDIDATE set — docs
+    * containing a query term, bounded by the query terms' posting
+    * lists, not the corpus (the same broadcast-semi-join shape as
+    * [[qBm25]]); the rank windows order that candidate set only. The
+    * corpus text never shuffles.
+    */
+  val qRrfFusion = Q(
+    "q_rrf_fusion",
+    (s, d) => {
+      val k1 = 1.2
+      val b  = 0.75
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(size(col("t"))).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), size(col("t")).as("dl"),
+          explode(col("t")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+      // both idfs ln-quantized to 1e-6 (the module-wide guard)
+      val idfBm = floor(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * 1e6 + 0.5)
+      val idfTi = floor(log(col("n_docs") / col("df")) * 1e6 + 0.5)
+      val scored = tf
+        .join(broadcast(df.select(col("term"), (idfBm / 1e6).as("idf_bm"),
+          (idfTi / 1e6).as("idf_ti"), col("avgdl"))), "term")
+        .select(col("doc_id"), col("term"),
+          (col("idf_bm") * (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+            .as("s_bm"),
+          (col("tf").cast("double") / col("dl") * col("idf_ti")).as("s_ti"))
+      // fixed-slot conditional aggregation: float adds in one order
+      def slot(c: String, t: String) =
+        coalesce(max(when(col("term") === t, col(c))), lit(0.0))
+      val perDoc = scored.groupBy("doc_id").agg(
+        (slot("s_bm", "spark") + slot("s_bm", "join") + slot("s_bm", "window"))
+          .as("bm25"),
+        (slot("s_ti", "spark") + slot("s_ti", "join") + slot("s_ti", "window"))
+          .as("tfidf"))
+      // candidate-set-sized rank windows (posting-list bounded)
+      val wBm = Window.orderBy(desc("bm25"), col("doc_id"))
+      val wTi = Window.orderBy(desc("tfidf"), col("doc_id"))
+      perDoc
+        .withColumn("r_bm25", row_number().over(wBm))
+        .withColumn("r_tfidf", row_number().over(wTi))
+        .select(col("doc_id"), col("r_bm25"), col("r_tfidf"),
+          (expr("1000000000L div (60 + r_bm25)") +
+            expr("1000000000L div (60 + r_tfidf)")).as("rrf"))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(20)
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+        |  FROM toks, UNNEST(t) AS u(term)
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY 1, 2, 3),
+        |df AS (
+        |  SELECT term,
+        |    floor(ln(1.0 + ((SELECT n FROM stats) - count(*) + 0.5)
+        |      / (count(*) + 0.5)) * 1e6 + 0.5) / 1e6 AS idf_bm,
+        |    floor(ln((SELECT n FROM stats) / count(*)) * 1e6 + 0.5) / 1e6
+        |      AS idf_ti
+        |  FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id, tf.term AS term,
+        |    idf_bm * (tf * 2.2e0) / (tf + 1.2e0 * (1 - 0.75e0
+        |      + 0.75e0 * dl / (SELECT avgdl FROM stats))) AS s_bm,
+        |    CAST(tf AS DOUBLE) / dl * idf_ti AS s_ti
+        |  FROM tf JOIN df ON tf.term = df.term),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    coalesce(max(s_bm) FILTER (WHERE term = 'spark'), 0.0)
+        |    + coalesce(max(s_bm) FILTER (WHERE term = 'join'), 0.0)
+        |    + coalesce(max(s_bm) FILTER (WHERE term = 'window'), 0.0) AS bm25,
+        |    coalesce(max(s_ti) FILTER (WHERE term = 'spark'), 0.0)
+        |    + coalesce(max(s_ti) FILTER (WHERE term = 'join'), 0.0)
+        |    + coalesce(max(s_ti) FILTER (WHERE term = 'window'), 0.0) AS tfidf
+        |  FROM scored GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+        |      AS r_bm25,
+        |    CAST(row_number() OVER (ORDER BY tfidf DESC, doc_id) AS INT)
+        |      AS r_tfidf
+        |  FROM perdoc)
+        |SELECT doc_id, r_bm25, r_tfidf,
+        |  CAST(1000000000 // (60 + r_bm25)
+        |    + 1000000000 // (60 + r_tfidf) AS BIGINT) AS rrf
+        |FROM ranked ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore, qInvertedIndex,
-      qPmiCooccur)
+      qPmiCooccur, qRrfFusion)
 }

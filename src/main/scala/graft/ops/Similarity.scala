@@ -1020,8 +1020,72 @@ object Similarity {
     }
   )
 
+  /** q_hard_negatives — contrastive-training hard-negative mining: for
+    * each query vector, the top-3 most-similar corpus vectors whose
+    * `label` DIFFERS from the query's (high-similarity wrong-class
+    * examples — the negatives that actually move an embedding model,
+    * vs uniform random negatives that are trivially separable).
+    *
+    * 100 TB shape: identical to brute-force KNN — the (small) query
+    * set broadcasts with the label-mismatch predicate in the join
+    * condition, the corpus is scanned once and never shuffles, and the
+    * per-query rank prunes to k rows per task before the single
+    * exchange.
+    */
+  val qHardNegatives = Q(
+    "q_hard_negatives",
+    (s, d) => {
+      val e = Tables
+        .embeddings(s, d)
+        .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+      val queries = e
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("qv").as("quv"), col("nq").as("qn"))
+      val scored = e
+        .filter(col("vec_id") >= 8)
+        .join(broadcast(queries), col("label") =!= col("qlabel"))
+        .select(
+          col("qid"),
+          col("qlabel"),
+          col("vec_id").as("neg_id"),
+          col("label").as("neg_label"),
+          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq")).as("cos_sim")
+        )
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("neg_id").asc)
+      scored
+        .withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 3)
+        .select("qid", "qlabel", "nrank", "neg_id", "neg_label", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $qvecSql AS qv FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, label, qv, ${dotqSql("qv", "qv")} AS nq FROM e),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.label AS qlabel,
+         |    c.vec_id AS neg_id, c.label AS neg_label,
+         |    CAST(${dotqSql("q.qv", "c.qv")} AS DOUBLE)
+         |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos_sim
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id >= 8
+         |    AND q.label <> c.label),
+         |ranked AS (
+         |  SELECT qid, qlabel, neg_id, neg_label, cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neg_id ASC) AS nrank
+         |  FROM scored)
+         |SELECT qid, qlabel, CAST(nrank AS INT) AS nrank, neg_id, neg_label,
+         |  cos_sim
+         |FROM ranked WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
-      qAnnLshMultiprobe, qAnnRecall)
+      qAnnLshMultiprobe, qAnnRecall, qHardNegatives)
 }
