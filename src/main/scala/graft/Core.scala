@@ -30,22 +30,56 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright. Read it as a raw nanosecond long (legacy conf), exposing
-    * the file's physical schema — streaming readers need this form.
+  /** events.parquet's `ts` column has shipped in two physical forms:
+    * TIMESTAMP(NANOS) — which Spark 4 rejects unless read as a raw
+    * nanosecond long via the legacy conf — and plain µs timestamps,
+    * which Spark reads natively (as TIMESTAMP_NTZ). This exposes the
+    * file's physical schema either way; streaming readers need this
+    * form because their declared read schema must match the file.
     */
   def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
   }
 
-  /** events with ts converted to a microsecond TimestampType — the same
-    * ns→µs truncation DuckDB applies when it reads the file, so oracle
-    * comparisons line up exactly.
+  /** True when `df`'s ts column is the legacy raw-nanosecond BIGINT
+    * form (TIMESTAMP(NANOS) fixtures under the nanosAsLong conf).
+    */
+  def tsIsRawNs(df: DataFrame): Boolean =
+    df.schema("ts").dataType == org.apache.spark.sql.types.LongType
+
+  /** events.ts, from either physical form, as epoch-microseconds
+    * BIGINT — the same µs value DuckDB sees reading the file (ns
+    * fixtures floor-truncate exactly like DuckDB's ns→µs read).
+    */
+  def tsMicros(df: DataFrame): Column = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    if (tsIsRawNs(df)) expr("ts div 1000")
+    else unix_micros(col("ts").cast("timestamp"))
+  }
+
+  /** A ts literal at `us` epoch-microseconds whose type matches `df`'s
+    * physical ts column — parquet written from it is readable under the
+    * same declared schema as the original file (sentinel writers).
+    * Session tz is pinned UTC so the NTZ cast is value-preserving.
+    */
+  def tsLiteral(df: DataFrame, us: Long): Column = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    if (tsIsRawNs(df)) lit(us * 1000L)
+    else expr(s"timestamp_micros(${us}L)").cast("timestamp_ntz")
+  }
+
+  /** events with ts normalized to a microsecond TimestampType — for the
+    * ns fixtures the same ns→µs truncation DuckDB applies reading the
+    * file; for µs fixtures a value-preserving NTZ→LTZ cast (UTC session
+    * tz) — so oracle comparisons line up exactly in both cases.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    eventsRaw(s, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = eventsRaw(s, d)
+    if (tsIsRawNs(raw))
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

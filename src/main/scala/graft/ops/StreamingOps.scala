@@ -24,11 +24,15 @@ object StreamingOps {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** The ns→µs event-time conversion every events-stream query needs
-    * (same truncation DuckDB applies reading the nanosecond parquet).
+  /** The event-time normalization every events-stream query needs: raw
+    * ns-long fixtures get the same ns→µs truncation DuckDB applies
+    * reading them; native µs-timestamp fixtures a value-preserving
+    * cast (UTC session tz) to the same TimestampType.
     */
   private def withTsMicros(df: org.apache.spark.sql.DataFrame) =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (Tables.tsIsRawNs(df))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
 
   /** Shared production-shape scaffold: run a streaming DataFrame in
     * append mode to a throwaway checkpointed parquet sink (executor
@@ -122,10 +126,10 @@ object StreamingOps {
         inDir.resolve("events.parquet"))
 
       val raw   = Tables.eventsRaw(s, d)
-      val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+      val maxUs = raw.agg(max(Tables.tsMicros(raw))).collect()(0).getLong(0)
       raw
         .limit(1)
-        .withColumn("ts", lit(maxNs + 3L * 86400 * 1000000000L))
+        .withColumn("ts", Tables.tsLiteral(raw, maxUs + 3L * 86400 * 1000000L))
         .withColumn("event_type", lit("__sentinel__"))
         .write.mode("append").parquet(inDir.toString)
 
@@ -333,17 +337,17 @@ object StreamingOps {
         java.nio.file.Paths.get(d, "events.parquet"),
         inDir.resolve("events.parquet"))
       val raw   = Tables.eventsRaw(s, d)
-      val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
-      val farNs = maxNs + 3L * 86400 * 1000000000L
+      val maxUs = raw.agg(max(Tables.tsMicros(raw))).collect()(0).getLong(0)
+      val farUs = maxUs + 3L * 86400 * 1000000L
       // one sentinel per side (click then purchase, 2 h apart — past
       // the 1 h join horizon, so the pair cannot interval-match)
       raw.limit(1)
-        .select(lit(-1L).as("event_id"), lit(farNs).as("ts"),
+        .select(lit(-1L).as("event_id"), Tables.tsLiteral(raw, farUs).as("ts"),
           lit(-1L).as("user_id"), lit("click").as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
         .unionByName(raw.limit(1)
           .select(lit(-2L).as("event_id"),
-            lit(farNs + 7200L * 1000000000L).as("ts"),
+            Tables.tsLiteral(raw, farUs + 7200L * 1000000L).as("ts"),
             lit(-2L).as("user_id"), lit("purchase").as("event_type"),
             lit(0.0).as("value"), lit("{}").as("props")))
         .write.mode("append").parquet(inDir.toString)
@@ -489,9 +493,9 @@ object StreamingOps {
         java.nio.file.Paths.get(d, "events.parquet"),
         inDir.resolve("events.parquet"))
       val raw   = Tables.eventsRaw(s, d)
-      val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+      val maxUs = raw.agg(max(Tables.tsMicros(raw))).collect()(0).getLong(0)
       raw.limit(1)
-        .withColumn("ts", lit(maxNs + 3L * 86400 * 1000000000L))
+        .withColumn("ts", Tables.tsLiteral(raw, maxUs + 3L * 86400 * 1000000L))
         .withColumn("event_type", lit("__sentinel__"))
         .write.mode("append").parquet(inDir.toString)
 
@@ -584,7 +588,7 @@ object StreamingOps {
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("event_type"))
+          Tables.tsMicros(raw).as("ts_us"), col("event_type"))
         .as[AttEv]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(

@@ -236,9 +236,10 @@ object Temporal {
   val qScd2History = Q(
     "q_scd2_history",
     (s, d) => {
-      val ev = Tables.eventsRaw(s, d)
+      val raw = Tables.eventsRaw(s, d)
+      val ev = raw
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000").as("us"))
+          Tables.tsMicros(raw).as("us"))
       val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
       val starts = ev
         .withColumn("prev", lag(col("event_type"), 1).over(wOrd))

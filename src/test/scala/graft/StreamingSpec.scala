@@ -68,7 +68,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(
         col("user_id"),
         col("event_id"),
-        expr("ts div 1000").as("ts_us"))
+        Tables.tsMicros(raw).as("ts_us"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -113,7 +113,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
-        .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+        .select(timestamp_micros(Tables.tsMicros(raw)).as("ts"),
           col("event_type"), col("value"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
