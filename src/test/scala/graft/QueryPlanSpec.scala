@@ -345,4 +345,62 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"),
       s"expected a top-k limit under the window:\n${p.take(2000)}")
   }
+
+  test("q_hard_negatives broadcasts queries; vectors never shuffle") {
+    val p = plan("q_hard_negatives")
+    // the label-mismatch predicate makes this a broadcast nested-loop
+    // over the (tiny) query set — the corpus scans once, no shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus should never shuffle for the query join")
+    shufflePayloads("q_hard_negatives").foreach { cols =>
+      assert(!cols.exists(c => c.contains("qv") || c.contains("embedding")),
+        s"raw vectors leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_rrf_fusion broadcasts term stats into the posting join") {
+    val p = plan("q_rrf_fusion")
+    // idf/avgdl stats join the (doc, term) postings broadcast — the
+    // posting stream never shuffles to meet a 3-row stats table
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_boilerplate shuffles span digests only, never document text") {
+    val payloads = shufflePayloads("q_boilerplate")
+    assert(payloads.nonEmpty, "expected span-rollup shuffles")
+    payloads.foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("t"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_pack_efficiency partial-aggregates the shard rollup") {
+    val p = plan("q_pack_efficiency")
+    assert(p.contains("partial"),
+      "expected a map-side partial aggregate before the exchange")
+    shufflePayloads("q_pack_efficiency").foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_shard_balance ranks with the partitioned two-pass form") {
+    // globalRank0's window must be partitioned by the range-partition id
+    // (broadcast offsets supply global positions) — a bare global
+    // row_number() would sort every document in one task at scale
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_shard_balance")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the partitioned rank window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "a single-partition Window survived in q_shard_balance")
+    }
+    shufflePayloads("q_shard_balance").foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
 }
