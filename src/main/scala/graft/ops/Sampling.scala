@@ -221,7 +221,68 @@ object Sampling {
     )
   )
 
+  /** q_weighted_reservoir — Efraimidis–Spirakis (A-ES) weighted
+    * sampling without replacement: per source, the 5 documents with the
+    * largest key ln(u)/w, where u is the document's md5-uniform and
+    * w = n_chars its weight — equivalent to max u^(1/w), the classic
+    * distributed weighted reservoir. No RNG: u is derived from
+    * md5(text) exactly as the other samplers, ln is quantized to 1e-6
+    * integer units (the module-wide cross-engine guard), and the final
+    * key is one IEEE divide of exact ints — bit-identical in both
+    * engines.
+    *
+    * 100 TB shape: the key is computed map-side on the scan; the
+    * per-source top-5 is a rank window whose rank<=k filter Spark
+    * pushes down as WindowGroupLimit (partial top-k before the one
+    * shuffle by source), so the exchange carries at most 5 rows per
+    * source per input partition — never the corpus.
+    */
+  val qWeightedReservoir = Q(
+    "q_weighted_reservoir",
+    (s, d) => {
+      // u in (0,1): (u32 + 0.5) / 2^32 — never 0, ln always defined
+      val u = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+      val lnq = floor(log(u) * lit(1000000.0)).cast("long")
+      val key = (lnq.cast("double") / col("n_chars").cast("double"))
+      val keyed = Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          key.as("ares_key"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("ares_key").desc, col("doc_id").asc)
+      keyed
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+          col("ares_key"))
+        .orderBy("source", "rank")
+    },
+    Some {
+      val hexToLong = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr(h, ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(floor(ln((CAST($hexToLong AS DOUBLE) + 0.5) / 4294967296.0e0)
+         |        * 1000000.0e0) AS BIGINT) AS lnq
+         |  FROM (SELECT doc_id, source, n_chars, substr(md5(text), 1, 8) AS h
+         |        FROM documents WHERE n_chars > 0)),
+         |ranked AS (
+         |  SELECT source, doc_id, n_chars,
+         |    CAST(lnq AS DOUBLE) / CAST(n_chars AS DOUBLE) AS ares_key,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(lnq AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC,
+         |               doc_id ASC) AS rank
+         |  FROM keyed)
+         |SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars, ares_key
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qHashSample, qStratifiedSample, qTrainValSplit, qImportanceSample,
-      qTemperatureMix, qCurriculum)
+      qTemperatureMix, qCurriculum, qWeightedReservoir)
 }

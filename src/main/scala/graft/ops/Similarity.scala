@@ -1084,8 +1084,254 @@ object Similarity {
     )
   )
 
+  /** The 16×64 Johnson–Lindenstrauss ±1 sign matrix, defined as the
+    * parity of md5("rp-j:i")'s first 8 hex digits — the same value
+    * DuckDB's md5() yields, so both engines derive the identical
+    * matrix from the definition rather than sharing state.
+    */
+  private lazy val rpSigns: Seq[Seq[Long]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val hex = mdt.digest(s"rp-$j:$i".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+      }
+    }
+  }
+
+  /** q_random_projection — Johnson–Lindenstrauss random projection
+    * (Achlioptas ±1 form): every 64-d embedding is projected to 16
+    * signed dimensions through the md5-derived ±1 matrix, and the 16
+    * projection signs pack into one 16-bit bucket id — the
+    * dimensionality-reduction front end of a scale ANN index (the
+    * bucket is a scan-pushable join key; the projected values feed a
+    * cheaper distance). All arithmetic is exact: quantized vector ×
+    * ±1 matrix = exact BIGINT sums via the codegen'd dot product.
+    *
+    * 100 TB shape: the sign matrix is a plan literal (16 fused
+    * codegen dot products per row, no shuffle, no join); the only
+    * exchange is the output sort, and at scale the bucket id would be
+    * written as a partition column instead.
+    */
+  val qRandomProjection = Q(
+    "q_random_projection",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      val withProj = (0 until 16).foldLeft(e) { (df, j) =>
+        df.withColumn(s"p$j", dotq(typedlit(rpSigns(j)), col("qv")))
+      }
+      val bucket = (0 until 16)
+        .map(j => when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      withProj
+        .select(col("vec_id"), bucket.cast("int").as("bucket"),
+          col("p0"), col("p1"), col("p2"), col("p3"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val hexToLong = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr(h, ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (
+         |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |sgn AS (
+         |  SELECT j, i,
+         |    CASE WHEN $hexToLong % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT t1.range AS j, t2.range AS i,
+         |          substr(md5('rp-' || t1.range || ':' || t2.range), 1, 8) AS h
+         |        FROM range(0, 16) t1, range(0, 64) t2)),
+         |proj AS (
+         |  SELECT e.vec_id, sgn.j,
+         |    CAST(sum(sgn.s * e.qv[sgn.i + 1]) AS BIGINT) AS p
+         |  FROM e, sgn GROUP BY 1, 2),
+         |packed AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << j
+         |             ELSE 0 END) AS INT) AS bucket,
+         |    max(CASE WHEN j = 0 THEN p END) AS p0,
+         |    max(CASE WHEN j = 1 THEN p END) AS p1,
+         |    max(CASE WHEN j = 2 THEN p END) AS p2,
+         |    max(CASE WHEN j = 3 THEN p END) AS p3
+         |  FROM proj GROUP BY vec_id)
+         |SELECT vec_id, bucket, p0, p1, p2, p3
+         |FROM packed ORDER BY vec_id""".stripMargin
+    }
+  )
+
+  /** q_mmr_rerank — Maximal Marginal Relevance diversification: for
+    * each query (vec_id < 4), its top-8 cosine candidates are re-ranked
+    * by 4 unrolled greedy MMR rounds (λ = 0.7): each round selects the
+    * candidate maximizing λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s),
+    * so near-duplicate results are pushed down in favor of coverage —
+    * the standard retrieval-diversity pass over an ANN candidate set.
+    * rel and sim are cosines over exact quantized integers, re-quantized
+    * to 1e-9 units so the λ blend is exact BIGINT arithmetic
+    * (7·relq − 3·penq — a double multiply-subtract differs across
+    * engines when one fuses it); the reported score is one final IEEE
+    * divide, ties broken by candidate id.
+    *
+    * 100 TB shape: candidate generation is the broadcast-KNN scan (the
+    * corpus never shuffles); everything after operates on 8 rows per
+    * query — the candidate pair matrix (≤64 rows/query) and the greedy
+    * rounds are qid-partitioned small joins, each a broadcast at real
+    * query volumes.
+    */
+  val qMmrRerank = Q(
+    "q_mmr_rerank",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+      val queries = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("qv").as("quv"),
+          col("nq").as("qn"))
+      val corpus = e.filter(col("vec_id") >= 4)
+      val wCand = Window.partitionBy("qid")
+        .orderBy(col("rel").desc, col("cid").asc)
+      val cand = corpus
+        .join(broadcast(queries))
+        .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("nq"),
+          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq")).as("rel"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= 8)
+        .withColumn("relq", floor(col("rel") * lit(1e9) + lit(0.5)).cast("long"))
+        .select("qid", "cid", "qv", "nq", "relq")
+      // pairwise candidate sims within each query's candidate set
+      val a = cand.select(col("qid"), col("cid").as("a"),
+        col("qv").as("av"), col("nq").as("an"))
+      val b = cand.select(col("qid"), col("cid").as("b"),
+        col("qv").as("bv"), col("nq").as("bn"))
+      val pairs = a.join(b, Seq("qid"))
+        .filter(col("a") =!= col("b"))
+        .select(col("qid"), col("a"), col("b"),
+          floor(cosine(dotq(col("av"), col("bv")), col("an"), col("bn"))
+            * lit(1e9) + lit(0.5)).cast("long").as("simq"))
+      val rel = cand.select("qid", "cid", "relq")
+      // greedy rounds: sel = picked so far, rem = still eligible
+      def pick(rem: DataFrame, sel: DataFrame): DataFrame = {
+        val pen = rem.join(pairs.withColumnRenamed("b", "cid"), Seq("qid", "cid"))
+          .join(sel.select(col("qid"), col("cid").as("a")), Seq("qid", "a"))
+          .groupBy("qid", "cid")
+          .agg(max(col("simq")).as("penq"))
+        val scored = rem
+          .join(pen, Seq("qid", "cid"), "left")
+          .withColumn("mmr_scaled",
+            lit(7L) * col("relq") - lit(3L) * coalesce(col("penq"), lit(0L)))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("mmr_scaled").desc, col("cid").asc)
+        scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+          .select(col("qid"), col("cid"),
+            (col("mmr_scaled").cast("double") / lit(1e10)).as("mmr"))
+      }
+      val s1 = pick(rel, rel.limit(0)) // empty selected set: pen = 0
+      val rem2 = rel.join(s1.select("qid", "cid"), Seq("qid", "cid"),
+        "left_anti")
+      val s2 = pick(rem2, s1)
+      val rem3 = rem2.join(s2.select("qid", "cid"), Seq("qid", "cid"),
+        "left_anti")
+      val s3 = pick(rem3, s1.union(s2))
+      val rem4 = rem3.join(s3.select("qid", "cid"), Seq("qid", "cid"),
+        "left_anti")
+      val s4 = pick(rem4, s1.union(s2).union(s3))
+      Seq(s1, s2, s3, s4).zipWithIndex
+        .map { case (df, i) => df.withColumn("mmr_rank", lit(i + 1)) }
+        .reduce(_ union _)
+        .select(col("qid"), col("mmr_rank"), col("cid"), col("mmr"))
+        .orderBy("qid", "mmr_rank")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, qv, ${dotqSql("qv", "qv")} AS nq FROM e),
+         |cand0 AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.qv, c.nq,
+         |    CAST(${dotqSql("q.qv", "c.qv")} AS DOUBLE)
+         |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS rel,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST(${dotqSql("q.qv", "c.qv")} AS DOUBLE)
+         |        / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) DESC,
+         |      c.vec_id ASC) AS crank
+         |  FROM n q JOIN n c ON q.vec_id < 4 AND c.vec_id >= 4),
+         |cand AS (
+         |  SELECT qid, cid, qv, nq,
+         |    CAST(floor(rel * 1.0e9 + 0.5) AS BIGINT) AS relq
+         |  FROM cand0 WHERE crank <= 8),
+         |pairs AS (
+         |  SELECT x.qid, x.cid AS a, y.cid AS b,
+         |    CAST(floor(CAST(${dotqSql("x.qv", "y.qv")} AS DOUBLE)
+         |      / sqrt(CAST(x.nq AS DOUBLE) * CAST(y.nq AS DOUBLE))
+         |      * 1.0e9 + 0.5) AS BIGINT) AS simq
+         |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.cid <> y.cid),
+         |s1 AS (
+         |  SELECT qid, cid, 7 * relq AS mmr_scaled FROM (
+         |    SELECT qid, cid, relq, row_number() OVER (PARTITION BY qid
+         |      ORDER BY 7 * relq DESC, cid ASC) AS r FROM cand)
+         |  WHERE r = 1),
+         |rem2 AS (SELECT c.* FROM cand c LEFT JOIN s1
+         |  ON c.qid = s1.qid AND c.cid = s1.cid WHERE s1.cid IS NULL),
+         |s2 AS (
+         |  SELECT qid, cid, mmr_scaled FROM (
+         |    SELECT t.qid, t.cid, t.mmr_scaled, row_number() OVER (
+         |      PARTITION BY t.qid ORDER BY t.mmr_scaled DESC, t.cid ASC) AS r
+         |    FROM (
+         |      SELECT c.qid, c.cid,
+         |        7 * c.relq - 3 * coalesce(max(p.simq), 0) AS mmr_scaled
+         |      FROM rem2 c
+         |      LEFT JOIN (SELECT pr.qid, pr.b, pr.simq, pr.a FROM pairs pr
+         |                 JOIN s1 ON pr.qid = s1.qid AND pr.a = s1.cid) p
+         |        ON p.qid = c.qid AND p.b = c.cid
+         |      GROUP BY c.qid, c.cid, c.relq) t)
+         |  WHERE r = 1),
+         |rem3 AS (SELECT c.* FROM rem2 c LEFT JOIN s2
+         |  ON c.qid = s2.qid AND c.cid = s2.cid WHERE s2.cid IS NULL),
+         |sel12 AS (SELECT qid, cid FROM s1 UNION ALL SELECT qid, cid FROM s2),
+         |s3 AS (
+         |  SELECT qid, cid, mmr_scaled FROM (
+         |    SELECT t.qid, t.cid, t.mmr_scaled, row_number() OVER (
+         |      PARTITION BY t.qid ORDER BY t.mmr_scaled DESC, t.cid ASC) AS r
+         |    FROM (
+         |      SELECT c.qid, c.cid,
+         |        7 * c.relq - 3 * coalesce(max(p.simq), 0) AS mmr_scaled
+         |      FROM rem3 c
+         |      LEFT JOIN (SELECT pr.qid, pr.b, pr.simq, pr.a FROM pairs pr
+         |                 JOIN sel12 sl ON pr.qid = sl.qid AND pr.a = sl.cid) p
+         |        ON p.qid = c.qid AND p.b = c.cid
+         |      GROUP BY c.qid, c.cid, c.relq) t)
+         |  WHERE r = 1),
+         |rem4 AS (SELECT c.* FROM rem3 c LEFT JOIN s3
+         |  ON c.qid = s3.qid AND c.cid = s3.cid WHERE s3.cid IS NULL),
+         |sel123 AS (SELECT qid, cid FROM sel12 UNION ALL
+         |  SELECT qid, cid FROM s3),
+         |s4 AS (
+         |  SELECT qid, cid, mmr_scaled FROM (
+         |    SELECT t.qid, t.cid, t.mmr_scaled, row_number() OVER (
+         |      PARTITION BY t.qid ORDER BY t.mmr_scaled DESC, t.cid ASC) AS r
+         |    FROM (
+         |      SELECT c.qid, c.cid,
+         |        7 * c.relq - 3 * coalesce(max(p.simq), 0) AS mmr_scaled
+         |      FROM rem4 c
+         |      LEFT JOIN (SELECT pr.qid, pr.b, pr.simq, pr.a FROM pairs pr
+         |                 JOIN sel123 sl ON pr.qid = sl.qid AND pr.a = sl.cid) p
+         |        ON p.qid = c.qid AND p.b = c.cid
+         |      GROUP BY c.qid, c.cid, c.relq) t)
+         |  WHERE r = 1)
+         |SELECT qid, CAST(mmr_rank AS INT) AS mmr_rank, cid,
+         |  CAST(mmr_scaled AS DOUBLE) / 1.0e10 AS mmr FROM (
+         |  SELECT qid, 1 AS mmr_rank, cid, mmr_scaled FROM s1 UNION ALL
+         |  SELECT qid, 2, cid, mmr_scaled FROM s2 UNION ALL
+         |  SELECT qid, 3, cid, mmr_scaled FROM s3 UNION ALL
+         |  SELECT qid, 4, cid, mmr_scaled FROM s4)
+         |ORDER BY qid, mmr_rank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
-      qAnnLshMultiprobe, qAnnRecall, qHardNegatives)
+      qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
+      qMmrRerank)
 }

@@ -386,6 +386,41 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_weighted_reservoir pushes the per-source top-k below the shuffle") {
+    val p = plan("q_weighted_reservoir")
+    // rank<=5 must plan a Partial WindowGroupLimit before the exchange —
+    // the shuffle then carries at most 5 rows per source per partition
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected a partial group limit:\n${p.take(2000)}")
+    shufflePayloads("q_weighted_reservoir").foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_random_projection is map-only (no join, no pre-sort shuffle)") {
+    val p = plan("q_random_projection")
+    // the sign matrix is a plan literal: projection must not plan any
+    // join, and the only exchange is the output sort
+    assert(!p.contains("Join"), s"unexpected join:\n${p.take(2000)}")
+    val payloads = shufflePayloads("q_random_projection")
+    assert(payloads.size <= 1, s"expected only the sort exchange: $payloads")
+    payloads.foreach { cols =>
+      assert(!cols.exists(c => c.contains("embedding") || c.contains("qv")),
+        s"raw vectors leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_mmr_rerank broadcasts queries for candidate generation") {
+    val p = plan("q_mmr_rerank")
+    // the corpus never shuffles to meet the query set; the greedy
+    // rounds operate on <= 8 rows/query downstream
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      "expected group-limited candidate ranking")
+  }
+
   test("q_shard_balance ranks with the partitioned two-pass form") {
     // globalRank0's window must be partitioned by the range-partition id
     // (broadcast offsets supply global positions) — a bare global
