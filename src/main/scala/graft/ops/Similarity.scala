@@ -1179,26 +1179,38 @@ object Similarity {
     * rounds are qid-partitioned small joins, each a broadcast at real
     * query volumes.
     */
+  /** The MMR candidate stage, exposed (pre-checkpoint) so the plan spec
+    * can assert the broadcast-KNN shape that [[qMmrRerank]]'s
+    * localCheckpoint otherwise truncates out of the final plan.
+    */
+  private[graft] def mmrCandidates(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("nq", dotq(col("qv"), col("qv")))
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("qv").as("quv"),
+        col("nq").as("qn"))
+    val corpus = e.filter(col("vec_id") >= 4)
+    val wCand = Window.partitionBy("qid")
+      .orderBy(col("rel").desc, col("cid").asc)
+    corpus
+      .join(broadcast(queries))
+      .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("nq"),
+        cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq")).as("rel"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= 8)
+      .withColumn("relq", floor(col("rel") * lit(1e9) + lit(0.5)).cast("long"))
+      .select("qid", "cid", "qv", "nq", "relq")
+  }
+
   val qMmrRerank = Q(
     "q_mmr_rerank",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
-        .withColumn("nq", dotq(col("qv"), col("qv")))
-      val queries = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("qid"), col("qv").as("quv"),
-          col("nq").as("qn"))
-      val corpus = e.filter(col("vec_id") >= 4)
-      val wCand = Window.partitionBy("qid")
-        .orderBy(col("rel").desc, col("cid").asc)
-      val cand = corpus
-        .join(broadcast(queries))
-        .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("nq"),
-          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq")).as("rel"))
-        .withColumn("crank", row_number().over(wCand))
-        .filter(col("crank") <= 8)
-        .withColumn("relq", floor(col("rel") * lit(1e9) + lit(0.5)).cast("long"))
-        .select("qid", "cid", "qv", "nq", "relq")
+      // localCheckpoint: the candidate set (≤8 rows/query) feeds four
+      // unrolled greedy rounds — without truncating lineage each round
+      // would re-run the corpus scan + KNN rank (measured 9.9 s → sub-
+      // second at sf0.1)
+      val cand = mmrCandidates(s, d).localCheckpoint()
       // pairwise candidate sims within each query's candidate set
       val a = cand.select(col("qid"), col("cid").as("a"),
         col("qv").as("av"), col("nq").as("an"))
@@ -1209,6 +1221,7 @@ object Similarity {
         .select(col("qid"), col("a"), col("b"),
           floor(cosine(dotq(col("av"), col("bv")), col("an"), col("bn"))
             * lit(1e9) + lit(0.5)).cast("long").as("simq"))
+        .localCheckpoint()
       val rel = cand.select("qid", "cid", "relq")
       // greedy rounds: sel = picked so far, rem = still eligible
       def pick(rem: DataFrame, sel: DataFrame): DataFrame = {
@@ -1222,9 +1235,13 @@ object Similarity {
             lit(7L) * col("relq") - lit(3L) * coalesce(col("penq"), lit(0L)))
         val w = Window.partitionBy("qid")
           .orderBy(col("mmr_scaled").desc, col("cid").asc)
+        // one row per query; checkpointed so later rounds (which union
+        // and anti-join every earlier pick) re-read 4 rows instead of
+        // re-evaluating an exponentially nested round DAG
         scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
           .select(col("qid"), col("cid"),
             (col("mmr_scaled").cast("double") / lit(1e10)).as("mmr"))
+          .localCheckpoint()
       }
       val s1 = pick(rel, rel.limit(0)) // empty selected set: pen = 0
       val rem2 = rel.join(s1.select("qid", "cid"), Seq("qid", "cid"),

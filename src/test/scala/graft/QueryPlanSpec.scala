@@ -412,7 +412,11 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q_mmr_rerank broadcasts queries for candidate generation") {
-    val p = plan("q_mmr_rerank")
+    // the query itself localCheckpoints the candidate set (the greedy
+    // rounds would otherwise re-run candidate generation), so assert
+    // on the exposed pre-checkpoint candidate stage
+    val p = ops.Similarity.mmrCandidates(spark, sf)
+      .queryExecution.executedPlan.toString
     // the corpus never shuffles to meet the query set; the greedy
     // rounds operate on <= 8 rows/query downstream
     assert(p.contains("BroadcastNestedLoopJoin") ||
