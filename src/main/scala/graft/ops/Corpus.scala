@@ -713,7 +713,55 @@ object Corpus {
     )
   )
 
+  /** q_token_budget — per-source token-budget trim: documents ranked
+    * by token count (largest first, doc_id tie-break) accumulate into
+    * an 800-token budget per source; a document is kept only while the
+    * running total through it stays within budget — the greedy
+    * fill a fixed-size data mixture applies per source after quotas
+    * are set. Running totals are exact BIGINT window sums.
+    *
+    * 100 TB shape: one shuffle by source; the cumulative window reuses
+    * that partitioning (no global sort), and the budget predicate
+    * prunes map-side after the window. Sources are the partition key,
+    * so parallelism = #sources × AQE splits, same as every per-source
+    * rollup here.
+    */
+  val qTokenBudget = Q(
+    "q_token_budget",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.wsTokens(col("text"))).cast("long").as("n_tok"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_tok").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 800)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+        .orderBy("source", "cum_tok", "doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY n_tok DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tok
+        |  FROM toks)
+        |SELECT source, doc_id, n_tok, cum_tok
+        |FROM c WHERE cum_tok <= 800
+        |ORDER BY source, cum_tok, doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
-    qConcentration, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency)
+    qConcentration, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency,
+    qTokenBudget)
 }

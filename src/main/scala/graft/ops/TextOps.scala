@@ -484,7 +484,60 @@ object TextOps {
     )
   )
 
+  /** q_dialog_flatten — SFT conversation prep: each document's token
+    * stream is segmented into alternating user/assistant turns of 12
+    * tokens (the deterministic stand-in for a real turn splitter), and
+    * flattened to one row per turn with the loss mask an instruction-
+    * tuning trainer consumes — `loss_mask` true only on assistant
+    * turns, so the loss is computed on responses and not prompts.
+    *
+    * 100 TB shape: pure map-side explode on the scan (turn spans are
+    * built with slice/transform inside codegen, no join, no state);
+    * the only exchange is the output sort, which a real pipeline
+    * replaces with a partitioned write.
+    */
+  val qDialogFlatten = Q(
+    "q_dialog_flatten",
+    (s, d) => {
+      val T = 12
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+      val nTurns = (floor((size(col("t")) - 1) / T) + 1).cast("int")
+      docs
+        .select(col("doc_id"), col("t"),
+          posexplode(sequence(lit(0), nTurns - 1)).as(Seq("pos", "k")))
+        .select(
+          col("doc_id"),
+          col("k").as("turn_idx"),
+          when(pmod(col("k"), lit(2)) === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          size(slice(col("t"), col("k") * T + 1, lit(T))).as("n_tok"),
+          (pmod(col("k"), lit(2)) === 1).as("loss_mask"),
+          concat_ws(" ", slice(col("t"), col("k") * T + 1, lit(T)))
+            .as("turn_text"))
+        .orderBy("doc_id", "turn_idx")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |turns AS (
+        |  SELECT doc_id, CAST(u.k AS INT) AS turn_idx,
+        |    t[u.k*12+1 : u.k*12+12] AS seg
+        |  FROM toks, UNNEST(range(0, (len(t)-1)//12 + 1)) AS u(k)
+        |  WHERE len(t) > 0)
+        |SELECT doc_id, turn_idx,
+        |  CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |  CAST(len(seg) AS INT) AS n_tok,
+        |  turn_idx % 2 = 1 AS loss_mask,
+        |  array_to_string(seg, ' ') AS turn_text
+        |FROM turns ORDER BY doc_id, turn_idx""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
-      qRedact, qDecontaminate, qRepetition, qVocabCoverage)
+      qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten)
 }
