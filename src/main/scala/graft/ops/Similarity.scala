@@ -1346,9 +1346,201 @@ object Similarity {
     )
   )
 
+  /** q_ann_ivfpq — the full FAISS IVF-PQ composite: the coarse k-means
+    * quantizer partitions the corpus into inverted lists; each vector's
+    * RESIDUAL against its centroid (what PQ should encode — residuals
+    * have ~k× less energy than raw vectors, so the same codebook bits
+    * buy more precision) is product-quantized (m=8 subspaces, k=8
+    * entries, one exact-integer Lloyd step); a query probes its own
+    * centroid's list and scores candidates by ADC over its residual's
+    * lookup table; top-10 ADC candidates re-rank by exact cosine.
+    *
+    * 100 TB shape: centroids + codebooks are tiny broadcasts; the
+    * encoded corpus is 8 bytes/vector partitioned BY LIST (the cid is
+    * a scan-pushable partition key, so probe-1 reads 1/k of the
+    * codes); ADC shuffles only (sub, code) joins against a broadcast
+    * per-query table; exact vectors are touched for 10 candidates per
+    * query.
+    *
+    * Cross-engine exactness: residuals are differences of exact
+    * BIGINTs; every k-means/PQ step is the established exact-integer
+    * form; ADC sums are exact; the rerank is the exact-integer cosine.
+    */
+  val qAnnIvfPq = Q(
+    "q_ann_ivfpq",
+    (s, d) => {
+      val (v, nv) = quantized(s, d)
+      val cent = trainKmeans(v, nv)
+      val assign = assignToCentroids(v, nv, cent).localCheckpoint()
+      val vr = v.join(assign, Seq("vec_id"))
+        .join(cent, Seq("cid", "pos"))
+        .select(col("vec_id"), col("pos"),
+          floor(col("pos") / 8).cast("int").as("sub"),
+          (col("q") - col("cq")).as("q"))
+        .localCheckpoint()
+      val nxr = vr.groupBy("vec_id", "sub")
+        .agg(sum(col("q") * col("q")).as("nx"))
+      // per-(vec, subspace) nearest residual-codebook entry, exact L2
+      def encodeR(cb: DataFrame): DataFrame = {
+        val nc = cb.groupBy("sub", "cid")
+          .agg(sum(col("cq") * col("cq")).as("nc"))
+        val dots = vr
+          .join(broadcast(cb.select("cid", "pos", "cq")), Seq("pos"))
+          .groupBy(col("vec_id"), col("sub"), col("cid"))
+          .agg(sum(col("q") * col("cq")).as("dot"))
+        val w = Window.partitionBy("vec_id", "sub")
+          .orderBy((col("nx") + col("nc") - lit(2L) * col("dot")).asc,
+            col("cid").asc)
+        dots.join(nxr, Seq("vec_id", "sub"))
+          .join(broadcast(nc), Seq("sub", "cid"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      }
+      val cr0 = vr.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("pos"), col("sub"),
+          col("q").as("cq"))
+        .localCheckpoint()
+      val means = encodeR(cr0)
+        .join(vr, Seq("vec_id", "sub"))
+        .select(col("code").as("cid"), col("pos"), col("q"))
+        .groupBy("cid", "pos")
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("mq"))
+      val cr1 = cr0
+        .join(means, Seq("cid", "pos"), "left_outer")
+        .select(col("cid"), col("pos"), col("sub"),
+          coalesce(col("mq"), col("cq")).as("cq"))
+        .localCheckpoint()
+      val codes = encodeR(cr1)
+      // per-query ADC table over the QUERY residual (probe-1: the
+      // query's own centroid is the probed list, so its residual is
+      // the one FAISS would use)
+      val tq = vr.filter(col("vec_id") < 8)
+        .join(broadcast(cr1.select("cid", "pos", "cq")), Seq("pos"))
+        .groupBy(col("vec_id").as("qid"), col("sub"), col("cid"))
+        .agg(sum(col("q") * col("cq")).as("t"))
+        .select(col("qid").as("tqid"), col("sub").as("tsub"),
+          col("cid").as("tcid"), col("t"))
+      val qa = assign.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("cid").as("list"))
+      val ca = assign.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("nid"), col("cid").as("list"))
+      val cand0 = qa.join(ca, Seq("list")).select("qid", "nid")
+      val kcodes = codes.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("nid"), col("sub").as("ksub"), col("code"))
+      val adot = cand0.join(kcodes, Seq("nid"))
+        .join(broadcast(tq),
+          col("qid") === col("tqid") && col("ksub") === col("tsub") &&
+            col("code") === col("tcid"))
+        .groupBy("qid", "nid")
+        .agg(sum(col("t")).as("adot"))
+      val wA = Window.partitionBy("qid")
+        .orderBy(col("adot").desc, col("nid").asc)
+      val cand = adot.withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= 10)
+        .select("qid", "nid", "adot")
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+      val rer = cand
+        .join(e.select(col("vec_id").as("qid"), col("qv").as("quv"),
+          col("nq").as("qn")), "qid")
+        .join(e.select(col("vec_id").as("nid"), col("qv"), col("nq")), "nid")
+        .select(col("qid"), col("nid").as("neighbor_id"), col("adot"),
+          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq"))
+            .as("cos_sim"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      rer.withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 3)
+        .select("qid", "nrank", "neighbor_id", "adot", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some {
+      def encodeSqlR(cn: String, out: String): String =
+        s"""ncr_$out AS (
+           |  SELECT sub, cid, CAST(sum(cq * cq) AS BIGINT) AS nc
+           |  FROM $cn GROUP BY 1, 2),
+           |dotr_$out AS (
+           |  SELECT vr.vec_id, vr.sub, c.cid,
+           |    CAST(sum(vr.q * c.cq) AS BIGINT) AS dot
+           |  FROM vr JOIN $cn c ON vr.pos = c.pos GROUP BY 1, 2, 3),
+           |$out AS (
+           |  SELECT vec_id, sub, cid AS code FROM (
+           |    SELECT d.vec_id, d.sub, d.cid,
+           |      row_number() OVER (PARTITION BY d.vec_id, d.sub
+           |        ORDER BY nx.nx + nc.nc - 2 * d.dot ASC, d.cid ASC) AS rn
+           |    FROM dotr_$out d
+           |    JOIN nxr nx ON d.vec_id = nx.vec_id AND d.sub = nx.sub
+           |    JOIN ncr_$out nc ON d.sub = nc.sub AND d.cid = nc.cid) t
+           |  WHERE rn = 1)""".stripMargin
+      s"""$kmeansCtes,
+         |vr AS (
+         |  SELECT v.vec_id, v.pos, CAST(v.pos // 8 AS INT) AS sub,
+         |    v.q - c.cq AS q
+         |  FROM v JOIN assign2 a ON v.vec_id = a.vec_id
+         |  JOIN c2 c ON c.cid = a.cid AND c.pos = v.pos),
+         |nxr AS (
+         |  SELECT vec_id, sub, CAST(sum(q * q) AS BIGINT) AS nx
+         |  FROM vr GROUP BY 1, 2),
+         |cr0 AS (
+         |  SELECT vec_id AS cid, pos, sub, q AS cq FROM vr WHERE vec_id < 8),
+         |${encodeSqlR("cr0", "en0")},
+         |meansr AS (
+         |  SELECT e0.code AS cid, vr.pos,
+         |    CAST(floor(CAST(sum(vr.q) AS DOUBLE) / count(*) + 0.5)
+         |      AS BIGINT) AS mq
+         |  FROM en0 e0 JOIN vr ON e0.vec_id = vr.vec_id AND e0.sub = vr.sub
+         |  GROUP BY 1, 2),
+         |cr1 AS (
+         |  SELECT c.cid, c.pos, c.sub, COALESCE(m.mq, c.cq) AS cq
+         |  FROM cr0 c LEFT JOIN meansr m
+         |    ON c.cid = m.cid AND c.pos = m.pos),
+         |${encodeSqlR("cr1", "en1")},
+         |tq AS (
+         |  SELECT vr.vec_id AS qid, vr.sub, c.cid,
+         |    CAST(sum(vr.q * c.cq) AS BIGINT) AS t
+         |  FROM vr JOIN cr1 c ON vr.pos = c.pos
+         |  WHERE vr.vec_id < 8 GROUP BY 1, 2, 3),
+         |cand0 AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS nid
+         |  FROM assign2 qa JOIN assign2 ca ON qa.cid = ca.cid
+         |  WHERE qa.vec_id < 8 AND ca.vec_id >= 8),
+         |padot AS (
+         |  SELECT c0.qid, c0.nid, CAST(sum(t.t) AS BIGINT) AS adot
+         |  FROM cand0 c0
+         |  JOIN en1 k ON k.vec_id = c0.nid
+         |  JOIN tq t ON t.qid = c0.qid AND t.sub = k.sub AND t.cid = k.code
+         |  GROUP BY 1, 2),
+         |pcand AS (
+         |  SELECT qid, nid, adot,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY adot DESC, nid ASC) AS arank
+         |  FROM padot),
+         |nrm AS (
+         |  SELECT vec_id, qv, ${dotqSql("qv", "qv")} AS nq FROM e),
+         |rer AS (
+         |  SELECT pc.qid, pc.nid AS neighbor_id, pc.adot,
+         |    CAST(${dotqSql("q.qv", "c.qv")} AS DOUBLE)
+         |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos_sim
+         |  FROM pcand pc
+         |  JOIN nrm q ON q.vec_id = pc.qid
+         |  JOIN nrm c ON c.vec_id = pc.nid
+         |  WHERE pc.arank <= 10),
+         |rankedf AS (
+         |  SELECT qid, neighbor_id, adot, cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+         |  FROM rer)
+         |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, adot, cos_sim
+         |FROM rankedf WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
-      qMmrRerank)
+      qMmrRerank, qAnnIvfPq)
 }

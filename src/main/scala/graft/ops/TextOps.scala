@@ -537,7 +537,77 @@ object TextOps {
     )
   )
 
+  /** q_fim_split — fill-in-the-middle training split (the PSM
+    * transform code models train on): each document ≥ 3 tokens is cut
+    * at two deterministic md5-derived points into (prefix, middle,
+    * suffix) and re-serialized in prefix-suffix-middle order with
+    * sentinel markers, so the model learns to infill. No RNG: the cut
+    * points are md5-uniforms of the doc_id reduced modulo the valid
+    * ranges — exact integer arithmetic, identical in both engines.
+    *
+    * 100 TB shape: map-only (two md5s + array slices per row, all
+    * codegen); the only exchange is the output sort.
+    */
+  val qFimSplit = Q(
+    "q_fim_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")))
+        .filter(col("n") >= 3)
+      def u(tag: String) =
+        conv(substring(md5(concat(lit(tag), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long")
+      val p1 = (u("fim1-") % (col("n") - 2) + 1).cast("int")
+      val withP1 = docs.withColumn("p1", p1)
+      val p2 = (u("fim2-") % (col("n") - 1 - col("p1")) + col("p1") + 1)
+        .cast("int")
+      withP1.withColumn("p2", p2)
+        .select(col("doc_id"), col("n").as("n_tok"), col("p1"), col("p2"),
+          concat_ws(" ", slice(col("t"), lit(1), col("p1"))).as("prefix"),
+          concat_ws(" ", slice(col("t"), col("p1") + 1, col("p2") - col("p1")))
+            .as("middle"),
+          concat_ws(" ", slice(col("t"), col("p2") + 1, col("n") - col("p2")))
+            .as("suffix"))
+        .withColumn("fim_text",
+          concat(lit("<PRE>"), col("prefix"), lit("<SUF>"), col("suffix"),
+            lit("<MID>"), col("middle")))
+        .orderBy("doc_id")
+    },
+    Some {
+      val h1 = "substr(md5('fim1-' || doc_id), 1, 8)"
+      val h2 = "substr(md5('fim2-' || doc_id), 1, 8)"
+      def hexToLong(h: String) = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr($h, ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+         |  FROM documents),
+         |cut1 AS (
+         |  SELECT doc_id, t, CAST(len(t) AS INT) AS n,
+         |    CAST(${hexToLong(h1)} % (len(t) - 2) + 1 AS INT) AS p1
+         |  FROM toks WHERE len(t) >= 3),
+         |cut2 AS (
+         |  SELECT doc_id, t, n, p1,
+         |    CAST(${hexToLong(h2)} % (n - 1 - p1) + p1 + 1 AS INT) AS p2
+         |  FROM cut1),
+         |parts AS (
+         |  SELECT doc_id, n AS n_tok, p1, p2,
+         |    array_to_string(t[1 : p1], ' ') AS prefix,
+         |    array_to_string(t[p1+1 : p2], ' ') AS middle,
+         |    array_to_string(t[p2+1 : n], ' ') AS suffix
+         |  FROM cut2)
+         |SELECT doc_id, n_tok, p1, p2, prefix, middle, suffix,
+         |  '<PRE>' || prefix || '<SUF>' || suffix || '<MID>' || middle
+         |    AS fim_text
+         |FROM parts ORDER BY doc_id""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
-      qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten)
+      qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
+      qFimSplit)
 }
