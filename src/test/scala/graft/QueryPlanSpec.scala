@@ -425,6 +425,28 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected group-limited candidate ranking")
   }
 
+  test("q_dialog_flatten and q_fim_split are map-only transforms") {
+    for (name <- Seq("q_dialog_flatten", "q_fim_split")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name planned a join:\n${p.take(1500)}")
+      val payloads = shufflePayloads(name)
+      assert(payloads.size <= 1,
+        s"$name: expected only the output-sort exchange: $payloads")
+    }
+  }
+
+  test("q_token_budget windows reuse the source partitioning, text stays put") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_token_budget")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "expected only source-partitioned running-sum windows")
+    shufflePayloads("q_token_budget").foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
   test("q_shard_balance ranks with the partitioned two-pass form") {
     // globalRank0's window must be partitioned by the range-partition id
     // (broadcast offsets supply global positions) — a bare global
