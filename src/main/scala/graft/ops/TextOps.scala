@@ -606,8 +606,84 @@ object TextOps {
     }
   )
 
+  /** q_dpo_pairs — preference-pair construction for DPO/reward-model
+    * training: within each source, documents rank by the oracle-checked
+    * quality score and the i-th best pairs with the i-th worst
+    * (chosen, rejected), keeping pairs with a quality margin ≥ 0.1 —
+    * the max-contrast pairing a synthetic-preference pipeline emits
+    * when no human labels exist. The quality double is built from
+    * single divisions of exact ints (the q_quality_score contract), so
+    * ranks, margins, and the filter agree bit-for-bit across engines.
+    *
+    * 100 TB shape: one shuffle by source; both rank windows and the
+    * per-source count reuse that partitioning, and the pair join is
+    * co-partitioned on (source, pair_idx) — documents move once.
+    */
+  val qDpoPairs = Q(
+    "q_dpo_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), qualityColumns.last)
+      val wUp = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      val wDn = Window.partitionBy("source")
+        .orderBy(col("quality").asc, col("doc_id").desc)
+      val ranked = docs
+        .withColumn("r_best", row_number().over(wUp))
+        .withColumn("r_worst", row_number().over(wDn))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      val best = ranked.select(col("source"), col("r_best").as("pair_idx"),
+        col("doc_id").as("chosen_id"), col("quality").as("chosen_q"),
+        col("n"))
+      val worst = ranked.select(col("source"), col("r_worst").as("pair_idx"),
+        col("doc_id").as("rejected_id"), col("quality").as("rejected_q"))
+      best.join(worst, Seq("source", "pair_idx"))
+        .filter(col("pair_idx") * 2 <= col("n"))
+        .withColumn("margin", col("chosen_q") - col("rejected_q"))
+        .filter(col("margin") >= 0.1)
+        .select("source", "pair_idx", "chosen_id", "rejected_id",
+          "chosen_q", "rejected_q", "margin")
+        .orderBy("source", "pair_idx")
+    },
+    Some(
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) * 0.4
+        |    + (1.0 - CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g'))
+        |        AS DOUBLE) / greatest(length(text), 1)) * 0.2
+        |    + CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |        t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |      / greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |        t -> t <> '')), 1) * 0.2
+        |    + least(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.2
+        |      AS quality
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source, quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id ASC) AS r_best,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality ASC, doc_id DESC) AS r_worst,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM q),
+        |pairs AS (
+        |  SELECT b.source, b.r_best AS pair_idx,
+        |    b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+        |    b.quality AS chosen_q, w.quality AS rejected_q,
+        |    b.quality - w.quality AS margin
+        |  FROM ranked b JOIN ranked w
+        |    ON b.source = w.source AND b.r_best = w.r_worst
+        |  WHERE b.r_best * 2 <= b.n)
+        |SELECT source, CAST(pair_idx AS INT) AS pair_idx, chosen_id,
+        |  rejected_id, chosen_q, rejected_q, margin
+        |FROM pairs WHERE margin >= 0.1
+        |ORDER BY source, pair_idx""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
-      qFimSplit)
+      qFimSplit, qDpoPairs)
 }
