@@ -633,8 +633,95 @@ object StreamingOps {
     Safety.qPiiRedact.oracle
   )
 
+  /** Typed rows for the lifetime-value processor. */
+  final case class LtvEv(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String, cents: Long)
+  final case class LtvOut(user_id: Long, event_id: Long, ltv_cents: Long)
+
+  /** Arbitrary-state processor on Spark 4's transformWithState API
+    * (the successor of flatMapGroupsWithState): one exact-cents
+    * ValueState per user; every purchase emits the running lifetime
+    * value through it. Events sort by (ts, event_id) within the batch
+    * iterator, matching the batch window's frame exactly.
+    */
+  private class LtvProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, LtvEv, LtvOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[LtvEv],
+        timers: TimerValues): Iterator[LtvOut] = {
+      val evs = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var t = if (total.exists()) total.get() else 0L
+      val out = evs.filter(_.event_type == "purchase").map { e =>
+        t += e.cents
+        LtvOut(key, e.event_id, t)
+      }
+      total.update(t)
+      out.iterator
+    }
+  }
+
+  /** q_stream_ltv — per-user running lifetime value on the
+    * transformWithState API: each purchase emits the user's exact
+    * cumulative spend (cents as exact BIGINT — floor(value·100 + 0.5)
+    * on the identical double in both engines), state is ONE long per
+    * user under the RocksDB provider the API requires (the store a
+    * real cluster runs: off-heap, spillable, incrementally
+    * checkpointed). The batch oracle is the per-user running-sum
+    * window over purchases — stateful streaming and batch must agree
+    * row for row.
+    *
+    * 100 TB ingest shape: state is O(users) longs; each micro-batch
+    * touches only the users present in it; output flows append-mode to
+    * a distributed sink.
+    */
+  val qStreamLtv = Q(
+    "q_stream_ltv",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val pKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pKey)
+      s.conf.set(pKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val raw = Tables.eventsRaw(s, d)
+        val stream = s.readStream
+          .schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .select(col("user_id"), col("event_id"),
+            Tables.tsMicros(raw).as("ts_us"), col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+          .as[LtvEv]
+          .groupByKey(_.user_id)
+          .transformWithState(new LtvProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+        runToParquetSink(s, "stream_ltv")(stream)
+          .orderBy("user_id", "event_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(pKey, v)
+        case None    => s.conf.unset(pKey)
+      }
+    },
+    Some(
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS ltv_cents
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
-      qStreamSliding, qStreamAttribution, qStreamPii)
+      qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv)
 }
