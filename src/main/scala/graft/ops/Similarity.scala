@@ -1538,9 +1538,78 @@ object Similarity {
     }
   )
 
+  /** q_colbert_maxsim — late-interaction (ColBERT-style) retrieval
+    * scoring: each 64-d embedding is treated as 8 token-vectors of 8
+    * dims, and a candidate's score against a query is
+    * Σ_q-token max_c-token dot(q, c) — MaxSim, which preserves
+    * token-level matching that a single pooled vector loses. Dots are
+    * exact BIGINT products of quantized ints; max and sum are exact;
+    * top-5 per query by score (tie → smaller id).
+    *
+    * 100 TB shape: the query token-vectors broadcast (8 rows of 8
+    * ints per query); the corpus token stream is scanned once and
+    * partial-aggregates the (pair, q-token) max then the pair sum on
+    * the same shuffle key; per-query top-k is a group-limited rank.
+    */
+  val qColbertMaxsim = Q(
+    "q_colbert_maxsim",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      // (vec_id, tok, 8-dim subvector) token-vector stream
+      val toks = e.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          t => slice(col("qv"), t * 8 + 1, lit(8)))).as(Seq("tok", "tv")))
+      val qt = toks.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("tok").as("qtok"),
+          col("tv").as("qtv"))
+      val ct = toks.filter(col("vec_id") >= 4)
+      val maxsim = ct
+        .join(broadcast(qt))
+        .select(col("qid"), col("vec_id").as("cid"), col("qtok"),
+          dotq(col("qtv"), col("tv")).as("dot"))
+        .groupBy("qid", "cid", "qtok")
+        .agg(max(col("dot")).as("mx"))
+        .groupBy("qid", "cid")
+        .agg(sum(col("mx")).as("maxsim"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("maxsim").desc, col("cid").asc)
+      maxsim
+        .withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 5)
+        .select("qid", "nrank", "cid", "maxsim")
+        .orderBy("qid", "nrank")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |toks AS (
+         |  SELECT vec_id, CAST(t.k AS INT) AS tok,
+         |    qv[t.k*8+1 : t.k*8+8] AS tv
+         |  FROM e, UNNEST(range(0, 8)) AS t(k)),
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.tok AS qtok,
+         |    ${dotqSql("q.tv", "c.tv")} AS dot
+         |  FROM toks q JOIN toks c ON q.vec_id < 4 AND c.vec_id >= 4),
+         |mx AS (
+         |  SELECT qid, cid, qtok, max(dot) AS mx
+         |  FROM dots GROUP BY 1, 2, 3),
+         |score AS (
+         |  SELECT qid, cid, CAST(sum(mx) AS BIGINT) AS maxsim
+         |  FROM mx GROUP BY 1, 2),
+         |rankedm AS (
+         |  SELECT qid, cid, maxsim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY maxsim DESC, cid ASC) AS nrank
+         |  FROM score)
+         |SELECT qid, CAST(nrank AS INT) AS nrank, cid, maxsim
+         |FROM rankedm WHERE nrank <= 5 ORDER BY qid, nrank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
-      qMmrRerank, qAnnIvfPq)
+      qMmrRerank, qAnnIvfPq, qColbertMaxsim)
 }
