@@ -48,7 +48,8 @@ object SparkEntry {
       "q_ann_pq", "q_source_overlap", "q_curation_funnel", "q_simhash",
       "q_bpe_encode", "q_bigram_lm", "q_classifier_score",
       "q_ppr_seed", "q_pmi_cooccur", "q_boilerplate", "q_mmr_rerank",
-      "q_random_projection", "q_weighted_reservoir")
+      "q_random_projection", "q_weighted_reservoir", "q_ann_ivfpq",
+      "q_colbert_maxsim")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }
