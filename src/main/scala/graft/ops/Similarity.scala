@@ -997,6 +997,7 @@ object Similarity {
         .unionByName(row("lsh_mp", qAnnLshMultiprobe.fn(s, d)))
         .unionByName(row("pq", qAnnPq.fn(s, d)))
         .unionByName(row("sq8", qAnnSq8.fn(s, d)))
+        .unionByName(row("ivfpq", qAnnIvfPq.fn(s, d)))
         .orderBy("method")
     },
     Some {
@@ -1015,7 +1016,9 @@ object Similarity {
          |UNION ALL
          |${row("pq", qAnnPq.oracle.get)}
          |UNION ALL
-         |${row("sq8", qAnnSq8.oracle.get)})
+         |${row("sq8", qAnnSq8.oracle.get)}
+         |UNION ALL
+         |${row("ivfpq", qAnnIvfPq.oracle.get)})
          |ORDER BY method""".stripMargin
     }
   )
@@ -1366,7 +1369,9 @@ object Similarity {
     * BIGINTs; every k-means/PQ step is the established exact-integer
     * form; ADC sums are exact; the rerank is the exact-integer cosine.
     */
-  val qAnnIvfPq = Q(
+  // lazy: referenced by qAnnRecall, which is declared earlier in the
+  // object — eager init order would read it as null
+  lazy val qAnnIvfPq: Q = Q(
     "q_ann_ivfpq",
     (s, d) => {
       val (v, nv) = quantized(s, d)
