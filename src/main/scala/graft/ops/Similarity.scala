@@ -1612,9 +1612,75 @@ object Similarity {
     )
   )
 
+  /** q_ivf_layout_probe — the IVF index as a PHYSICAL LAYOUT: corpus
+    * vectors are written to parquet partitioned by their coarse-
+    * quantizer list id, and probe-1 search reads the index back with
+    * the query→list join driving DYNAMIC PARTITION PRUNING — the scan
+    * touches only the probed lists' directories, which is how "read
+    * 1/k of the corpus per query" stops being a join optimization and
+    * becomes a filesystem fact at 100 TB. Results are the exact-cosine
+    * top-3 within each query's own list (probe-1), same arithmetic as
+    * q_ivf_search.
+    */
+  val qIvfLayoutProbe = Q(
+    "q_ivf_layout_probe",
+    (s, d) => {
+      val (v, nv) = quantized(s, d)
+      val assign = assignToCentroids(v, nv, trainKmeans(v, nv))
+        .localCheckpoint()
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      val dir = graft.Scratch.dir("ivf_layout").resolve("index").toString
+      e.join(assign, "vec_id").filter(col("vec_id") >= 4)
+        .write.partitionBy("cid").mode("overwrite").parquet(dir)
+      val idx = s.read.parquet(dir)
+      val qa = e.join(assign, "vec_id").filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("qv").as("quv"), col("cid"))
+        .withColumn("qn", dotq(col("quv"), col("quv")))
+      val scored = idx.join(broadcast(qa), Seq("cid"))
+        .withColumn("nc", dotq(col("qv"), col("qv")))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nc"))
+            .as("cos_sim"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 3)
+        .select("qid", "nrank", "neighbor_id", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some(
+      s"""$kmeansCtes,
+         |qa3 AS (SELECT vec_id AS qid, cid FROM assign2 WHERE vec_id < 4),
+         |ca3 AS (SELECT vec_id AS nid, cid FROM assign2 WHERE vec_id >= 4),
+         |cand3 AS (SELECT q.qid, c.nid FROM qa3 q JOIN ca3 c ON q.cid = c.cid),
+         |pd3 AS (
+         |  SELECT cd.qid, cd.nid, CAST(sum(vq.q * vc.q) AS BIGINT) AS dot
+         |  FROM cand3 cd
+         |  JOIN v vq ON vq.vec_id = cd.qid
+         |  JOIN v vc ON vc.vec_id = cd.nid AND vc.pos = vq.pos
+         |  GROUP BY 1, 2),
+         |ps3 AS (
+         |  SELECT d.qid, d.nid AS neighbor_id,
+         |    CAST(d.dot AS DOUBLE)
+         |      / sqrt(CAST(nq.nv AS DOUBLE) * CAST(nn.nv AS DOUBLE)) AS cos_sim
+         |  FROM pd3 d
+         |  JOIN nv nq ON nq.vec_id = d.qid
+         |  JOIN nv nn ON nn.vec_id = d.nid),
+         |pr3 AS (
+         |  SELECT qid, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+         |  FROM ps3)
+         |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, cos_sim
+         |FROM pr3 WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
-      qMmrRerank, qAnnIvfPq, qColbertMaxsim)
+      qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe)
 }

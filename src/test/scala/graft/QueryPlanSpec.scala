@@ -447,6 +447,14 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_ivf_layout_probe prunes index partitions dynamically") {
+    // the probed-list join must drive dynamic partition pruning on the
+    // cid directory layout — the scan reads only probed lists' files
+    val p = plan("q_ivf_layout_probe")
+    assert(p.contains("dynamicpruning"),
+      s"expected DPP on the cid partition column:\n${p.take(2000)}")
+  }
+
   test("q_shard_balance ranks with the partitioned two-pass form") {
     // globalRank0's window must be partitioned by the range-partition id
     // (broadcast offsets supply global positions) — a bare global
