@@ -760,8 +760,68 @@ object Corpus {
     )
   )
 
+  /** q_novelty — per-document span novelty: the fraction of a
+    * document's 5-token spans (the [[qSpanDedup]]/[[qBoilerplate]]
+    * segmentation) whose text occurs NOWHERE else in the corpus
+    * (df = 1) — the inverse signal of boilerplate mining: high
+    * novelty marks original content, low novelty templated chrome.
+    * The fraction is one IEEE divide of exact counts.
+    *
+    * 100 TB shape: the same (span, doc) two-level partial aggregate as
+    * boilerplate mining; the df table joins back to the per-doc span
+    * stream on the span key — only (span, df) pairs and exact counters
+    * move, never documents.
+    */
+  val qNovelty = Q(
+    "q_novelty",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+      val nSpans = (floor((size(col("t")) - 1) / SpanW) + 1).cast("int")
+      val spans = docs
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), nSpans - 1),
+            k => concat_ws(" ", slice(col("t"), k * SpanW + 1, lit(SpanW)))))
+            .as("span"))
+      val df = spans.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      spans
+        .join(df, "span")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_spans"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).cast("int")
+            .as("n_unique"))
+        .select(col("doc_id"), col("n_spans"), col("n_unique"),
+          (col("n_unique").cast("double") / col("n_spans").cast("double"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+         |  FROM documents),
+         |spans AS (
+         |  SELECT doc_id,
+         |    array_to_string(t[u.k*$SpanW+1 : u.k*$SpanW+$SpanW], ' ') AS span
+         |  FROM toks, UNNEST(range(0, (len(t)-1)//$SpanW + 1)) AS u(k)
+         |  WHERE len(t) > 0),
+         |df AS (SELECT span, count(DISTINCT doc_id) AS df
+         |       FROM spans GROUP BY span)
+         |SELECT s.doc_id, CAST(count(*) AS INT) AS n_spans,
+         |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS INT)
+         |    AS n_unique,
+         |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM spans s JOIN df ON s.span = df.span
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
     qConcentration, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency,
-    qTokenBudget)
+    qTokenBudget, qNovelty)
 }
