@@ -861,11 +861,65 @@ object Dedup {
     )
   )
 
+  /** q_jaccard_est — MinHash estimator calibration: for every LSH
+    * candidate pair, the signature-agreement estimate (matching
+    * components / 8 — the unbiased MinHash Jaccard estimator) next to
+    * the exact 3-gram Jaccard, with the signed error. The table a
+    * dedup pipeline reads to tune bands/rows before trusting the
+    * estimator at scale, computed from the SAME shipped signature and
+    * exact-verify operators. n/8 is dyadic so the estimate is exact in
+    * both engines; the error is one subtraction of identical doubles.
+    *
+    * 100 TB shape: candidate-bounded like the verify stage — the
+    * signature table (9 longs/doc) joins the pair list twice by id;
+    * no gram or text movement beyond what the exact measure already
+    * does.
+    */
+  val qJaccardEst = Q(
+    "q_jaccard_est",
+    (s, d) => {
+      val jac = qNgramJaccard.fn(s, d).select("id_a", "id_b", "jaccard")
+      val sig = signatures(s, d)
+      val sa = sig.select(col("doc_id").as("id_a") +:
+        (0 until nHashes).map(j => col(s"h$j").as(s"a$j")): _*)
+      val sb = sig.select(col("doc_id").as("id_b") +:
+        (0 until nHashes).map(j => col(s"h$j").as(s"b$j")): _*)
+      val agree = (0 until nHashes)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      jac.join(sa, "id_a").join(sb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          agree.cast("int").as("n_agree"),
+          (agree.cast("double") / lit(8.0)).as("est_jaccard"),
+          col("jaccard"),
+          ((agree.cast("double") / lit(8.0)) - col("jaccard")).as("err"))
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val agreeSql = (0 until nHashes)
+        .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH jac AS (
+         |  SELECT id_a, id_b, jaccard FROM (${qNgramJaccard.oracle.get})),
+         |sigs AS ($signaturesSql)
+         |SELECT j.id_a, j.id_b,
+         |  CAST($agreeSql AS INT) AS n_agree,
+         |  CAST($agreeSql AS DOUBLE) / 8.0 AS est_jaccard,
+         |  j.jaccard,
+         |  CAST($agreeSql AS DOUBLE) / 8.0 - j.jaccard AS err
+         |FROM jac j
+         |JOIN sigs a ON a.doc_id = j.id_a
+         |JOIN sigs b ON b.doc_id = j.id_b
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(
     qSubstrRegions,
     qSubstrCut,
     qDedupExact,
     qMinhashSignature,
+    qJaccardEst,
     qMinhashLshPairs,
     qDedupClusters,
     qSimhash,
