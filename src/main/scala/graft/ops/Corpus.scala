@@ -820,8 +820,81 @@ object Corpus {
     )
   )
 
+  /** q_zipf_fit — per-source Zipf-law fit: OLS of ln(count) on
+    * ln(rank) over each source's top-50 tokens — the slope (≈ −1 for
+    * natural language) is the corpus-health diagnostic that flags
+    * template-heavy or synthetic sources (flat head) and boilerplate
+    * floods (steep head). Both logs are quantized to 1e-6 exact
+    * BIGINTs (equal scaling cancels in the slope), the OLS sums are
+    * exact integers, and the closed form is the same double arithmetic
+    * as q_linreg — identical in both engines.
+    *
+    * 100 TB shape: one (source, token) partial-aggregated count, the
+    * top-50 rank group-limited below its shuffle, then a #sources-row
+    * aggregate.
+    */
+  val qZipfFit = Q(
+    "q_zipf_fit",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.wsTokens(col("text"))).as("token"))
+        .groupBy("source", "token")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("cnt").desc, col("token").asc)
+      val ranked = tc
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 50)
+        .select(col("source"),
+          floor(log(col("rank").cast("double")) * 1e6 + 0.5)
+            .cast("long").as("x"),
+          floor(log(col("cnt").cast("double")) * 1e6 + 0.5)
+            .cast("long").as("y"))
+      ranked.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("source"), col("n"),
+          ((col("n") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+            .as("zipf_slope"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH tc AS (
+        |  SELECT source, token, count(*) AS cnt FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split_regex(text, '\s+'),
+        |        t -> t <> '')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source,
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+        |  FROM (SELECT source, cnt,
+        |          row_number() OVER (PARTITION BY source
+        |            ORDER BY cnt DESC, token ASC) AS rank
+        |        FROM tc)
+        |  WHERE rank <= 50),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM r GROUP BY source)
+        |SELECT source, n,
+        |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    AS zipf_slope
+        |FROM a ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
     qConcentration, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency,
-    qTokenBudget, qNovelty)
+    qTokenBudget, qNovelty, qZipfFit)
 }
