@@ -893,8 +893,65 @@ object Corpus {
     )
   )
 
+  /** q_doc_entropy — PER-DOCUMENT token-distribution entropy (the
+    * [[qEntropy]] construction at document grain): low entropy marks
+    * repetitive/templated documents, the per-row diversity signal a
+    * quality filter thresholds where the per-source roll-up can't see
+    * individual outliers. Same exactness scheme: the per-type term is
+    * cnt × lnq(cnt/n) as an exact BIGINT, entropy = −Σ/1e6/n, one
+    * double division chain on identical inputs.
+    *
+    * 100 TB shape: one (doc_id, token) partial-aggregated count (the
+    * shuffle key is doc_id — the corpus's own layout), then a per-doc
+    * rollup on the same key; no broadcast needed since n rides the
+    * group.
+    */
+  val qDocEntropy = Q(
+    "q_doc_entropy",
+    (s, d) => {
+      val cnts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.wsTokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("cnt"))
+      val perDoc = cnts.groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_types"),
+          sum(col("cnt") * floor(log(col("cnt").cast("double")) * 1e6 + 0.5)
+            .cast("long")).as("s_cnt_ln"))
+      // H = ln(n) − (Σ cnt·ln cnt)/n, all from exact quantized parts
+      perDoc
+        .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+          col("n_types").cast("int").as("n_types"),
+          ((floor(log(col("n").cast("double")) * 1e6 + 0.5).cast("long")
+            .cast("double")
+            - col("s_cnt_ln").cast("double") / col("n").cast("double"))
+            / 1e6).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH cnts AS (
+        |  SELECT doc_id, token, count(*) AS cnt FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\s+'),
+        |        t -> t <> '')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS s_cnt_ln
+        |  FROM cnts GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(n_types AS INT) AS n_types,
+        |  (CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS DOUBLE)
+        |    - CAST(s_cnt_ln AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6 AS entropy
+        |FROM pd ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
     qConcentration, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency,
-    qTokenBudget, qNovelty, qZipfFit)
+    qTokenBudget, qNovelty, qZipfFit, qDocEntropy)
 }
