@@ -851,16 +851,18 @@ object Corpus {
             .cast("long").as("x"),
           floor(log(col("cnt").cast("double")) * 1e6 + 0.5)
             .cast("long").as("y"))
+      // degenerate guard: one ranked token → denom 0; NULL, not NaN,
+      // so the cross-engine hash can't depend on float-division modes
+      val numer = col("n") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val denom = col("n") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
       ranked.groupBy("source")
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("y")).as("sxy"))
         .select(col("source"), col("n"),
-          ((col("n") * col("sxy").cast("double")
-            - col("sx").cast("double") * col("sy").cast("double"))
-            / (col("n") * col("sxx").cast("double")
-              - col("sx").cast("double") * col("sx").cast("double")))
-            .as("zipf_slope"))
+          when(denom =!= lit(0.0d), numer / denom).as("zipf_slope"))
         .orderBy("source")
     },
     Some(
@@ -886,9 +888,13 @@ object Corpus {
         |    CAST(sum(x * y) AS BIGINT) AS sxy
         |  FROM r GROUP BY source)
         |SELECT source, n,
-        |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    AS zipf_slope
+        |  CASE WHEN n * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+        |    THEN (n * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (n * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    ELSE NULL END AS zipf_slope
         |FROM a ORDER BY source""".stripMargin
     )
   )

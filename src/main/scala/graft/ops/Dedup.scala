@@ -863,12 +863,13 @@ object Dedup {
 
   /** q_jaccard_est — MinHash estimator calibration: for every LSH
     * candidate pair, the signature-agreement estimate (matching
-    * components / 8 — the unbiased MinHash Jaccard estimator) next to
-    * the exact 3-gram Jaccard, with the signed error. The table a
-    * dedup pipeline reads to tune bands/rows before trusting the
-    * estimator at scale, computed from the SAME shipped signature and
-    * exact-verify operators. n/8 is dyadic so the estimate is exact in
-    * both engines; the error is one subtraction of identical doubles.
+    * components / nHashes — the unbiased MinHash Jaccard estimator)
+    * next to the exact 3-gram Jaccard, with the signed error. The
+    * table a dedup pipeline reads to tune bands/rows before trusting
+    * the estimator at scale, computed from the SAME shipped signature
+    * and exact-verify operators. nHashes is a power of two so the
+    * estimate is dyadic and exact in both engines; the error is one
+    * subtraction of identical doubles.
     *
     * 100 TB shape: candidate-bounded like the verify stage — the
     * signature table (9 longs/doc) joins the pair list twice by id;
@@ -890,9 +891,10 @@ object Dedup {
       jac.join(sa, "id_a").join(sb, "id_b")
         .select(col("id_a"), col("id_b"),
           agree.cast("int").as("n_agree"),
-          (agree.cast("double") / lit(8.0)).as("est_jaccard"),
+          (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"),
           col("jaccard"),
-          ((agree.cast("double") / lit(8.0)) - col("jaccard")).as("err"))
+          ((agree.cast("double") / lit(nHashes.toDouble)) - col("jaccard"))
+            .as("err"))
         .orderBy("id_a", "id_b")
     },
     Some {
@@ -904,9 +906,9 @@ object Dedup {
          |sigs AS ($signaturesSql)
          |SELECT j.id_a, j.id_b,
          |  CAST($agreeSql AS INT) AS n_agree,
-         |  CAST($agreeSql AS DOUBLE) / 8.0 AS est_jaccard,
+         |  CAST($agreeSql AS DOUBLE) / ${nHashes}.0 AS est_jaccard,
          |  j.jaccard,
-         |  CAST($agreeSql AS DOUBLE) / 8.0 - j.jaccard AS err
+         |  CAST($agreeSql AS DOUBLE) / ${nHashes}.0 - j.jaccard AS err
          |FROM jac j
          |JOIN sigs a ON a.doc_id = j.id_a
          |JOIN sigs b ON b.doc_id = j.id_b

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling (builder-brief extension): image/audio/
@@ -181,40 +182,41 @@ object Multimodal {
     * its frame count and how many frames were non-canonical
     * duplicates.
     *
-    * 100 TB shape: the C4-span pattern on frames — the shuffle carries
-    * (signature, exact-integer key) pairs, never frame bytes; the
-    * survivor choice is one partial-aggregated min per signature, and
-    * the per-asset rollup groups on the key the frames were generated
-    * from.
+    * 100 TB shape: the C4-span pattern on frames — one shuffle keyed
+    * by signature ranks each signature's occurrences by the true
+    * composite order (doc_id, frame_no) (no packed integer key, so no
+    * frame-count or doc-id bound to overflow), and the per-asset
+    * rollup groups on the key the frames were generated from.
     */
   val qMediaFrameDedup = Q(
     "q_media_frame_dedup",
     (s, d) => {
       val frames = qMediaFrames.fn(s, d)
-        .withColumn("k", col("doc_id") * 100000L + col("frame_no"))
-      val surv = frames.groupBy("frame_sig").agg(min(col("k")).as("mk"))
-      frames.join(surv, "frame_sig")
+      val rn = row_number().over(
+        Window.partitionBy("frame_sig").orderBy("doc_id", "frame_no"))
+      frames.withColumn("rn", rn)
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_frames"),
-          sum(when(col("k") =!= col("mk"), 1L).otherwise(0L)).cast("int")
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("int")
             .as("n_dup_frames"))
         .orderBy("doc_id")
     },
     Some(
       """WITH frames AS (
         |  SELECT doc_id, CAST(i - 1 AS INT) AS frame_no,
-        |    md5(substr(text, CAST((i - 1) * 64 + 1 AS INT), 64)) AS frame_sig,
-        |    doc_id * 100000 + (i - 1) AS k
+        |    md5(substr(text, CAST((i - 1) * 64 AS INT) + 1, 64)) AS frame_sig
         |  FROM documents,
         |    LATERAL (SELECT unnest(range(1,
         |      greatest((length(text) + 63) // 64, 1) + 1)) AS i) r
         |  WHERE doc_id % 3 = 2),
-        |surv AS (SELECT frame_sig, min(k) AS mk FROM frames GROUP BY 1)
-        |SELECT f.doc_id, CAST(count(*) AS INT) AS n_frames,
-        |  CAST(sum(CASE WHEN f.k <> s.mk THEN 1 ELSE 0 END) AS INT)
+        |ranked AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY frame_sig ORDER BY doc_id, frame_no) AS rn
+        |  FROM frames)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT)
         |    AS n_dup_frames
-        |FROM frames f JOIN surv s ON f.frame_sig = s.frame_sig
-        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   )
 

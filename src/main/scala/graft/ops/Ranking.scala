@@ -304,7 +304,11 @@ object Ranking {
     * behind BM25/boolean retrieval: term → document frequency + the
     * sorted list of containing doc_ids. `sort_array(collect_list)`
     * makes the per-term list order deterministic regardless of shuffle
-    * arrival order (DuckDB mirror: `list(DISTINCT ... ORDER BY ...)`).
+    * arrival order (DuckDB mirror: `list(DISTINCT ... ORDER BY ...)`);
+    * the list ships as a comma-joined string because the verification
+    * harness compares scalar cells (array cells are unsortable in
+    * pandas), and a serialized posting list is also the on-disk shape
+    * a real index segment would use.
     *
     * 100 TB shape: the shuffle carries distinct (term, doc_id) pairs —
     * map-side `distinct` partial-aggregates them — and a production
@@ -319,14 +323,16 @@ object Ranking {
         .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
         .distinct()
         .groupBy("term")
-        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
-        .select(col("term"), size(col("postings")).as("df"), col("postings"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("plist"))
+        .select(col("term"), size(col("plist")).as("df"),
+          array_join(col("plist"), ",").as("postings"))
         .orderBy("term")
     },
     Some(
       """SELECT u.t AS term,
         |  CAST(count(DISTINCT doc_id) AS INT) AS df,
-        |  list(DISTINCT doc_id ORDER BY doc_id) AS postings
+        |  array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',')
+        |    AS postings
         |FROM (SELECT doc_id,
         |        list_filter(string_split_regex(lower(text), '\s+'),
         |          t -> t <> '') AS toks

@@ -243,7 +243,10 @@ object Sampling {
       // u in (0,1): (u32 + 0.5) / 2^32 — never 0, ln always defined
       val u = (conv(substring(md5(col("text")), 1, 8), 16, 10)
         .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
-      val lnq = floor(log(u) * lit(1000000.0)).cast("long")
+      // round-half-up like every other transcendental quantization in
+      // the repo (floor(x*1e6+0.5)), not a truncating floor — less
+      // sensitive to 1-ulp libm differences at bucket boundaries
+      val lnq = floor(log(u) * lit(1000000.0) + lit(0.5)).cast("long")
       val key = (lnq.cast("double") / col("n_chars").cast("double"))
       val keyed = Tables.documents(s, d)
         .filter(col("n_chars") > 0)
@@ -266,7 +269,7 @@ object Sampling {
       s"""WITH keyed AS (
          |  SELECT doc_id, source, n_chars,
          |    CAST(floor(ln((CAST($hexToLong AS DOUBLE) + 0.5) / 4294967296.0e0)
-         |        * 1000000.0e0) AS BIGINT) AS lnq
+         |        * 1000000.0e0 + 0.5e0) AS BIGINT) AS lnq
          |  FROM (SELECT doc_id, source, n_chars, substr(md5(text), 1, 8) AS h
          |        FROM documents WHERE n_chars > 0)),
          |ranked AS (
