@@ -99,7 +99,10 @@ object Bench {
       .mkString("{", ",", "}")
 
     val results = timePasses(bench, passes = 5)
-    val results2 = timePasses(tier2, passes = 3) // heavy ops: 3 passes
+    // 5 passes for tier 2 as well: the r05 snapshot showed 10–17×
+    // first-pass outliers (cold JIT + box contention) that a median of
+    // 3 cannot reliably discard
+    val results2 = timePasses(tier2, passes = 5)
     val failed = (results ++ results2).collect { case R(n, _, Some(e)) =>
       "\"" + n + "\":" + quote(e)
     }.mkString("{", ",", "}")

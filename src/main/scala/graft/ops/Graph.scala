@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: each PageRank iteration is one shuffle — edges join
   * ranks on src (co-partitioned after the first iteration since both
   * sides hash on the same key), partial-aggregated sum by dst; the
-  * rank vector is O(nodes), never the edge list, and a real web-scale
-  * run would checkpoint the rank vector per iteration (here ranks stay
-  * a 10-deep deterministic integer lineage). Triangle counting is the
+  * rank vector is O(nodes), never the edge list, and the rank/label
+  * vector is pinned per iteration with an eager localCheckpoint —
+  * exactly what a web-scale run does — so the plan never compounds
+  * into a 10-deep recursive lineage. Triangle counting is the
   * standard two-join oriented enumeration (a<b<c), which AQE
   * broadcast-converts when the oriented edge list is small.
   */
@@ -90,9 +91,13 @@ object Graph {
         val contrib = e.join(ranks, e("src") === ranks("node"))
           .groupBy(col("dst"))
           .agg(sum(expr("rank * 17 div 60")).as("in_mass"))
+        // pin the O(nodes) rank vector each round: without it the ten
+        // iterations compound into one 10-deep lineage that re-plans
+        // and re-executes the whole prefix (the q_mmr_rerank lesson)
         ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
             (seedBase + coalesce(col("in_mass"), lit(0L))).as("rank"))
+          .localCheckpoint()
       }
       ranks.orderBy(col("rank").desc, col("node")).limit(20)
     },
@@ -201,8 +206,10 @@ object Graph {
         val top = cnt.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("v"), col("lbl").as("top_lbl"))
+        // same lineage pin as q_ppr_seed: the label vector is O(nodes)
         labels = labels.join(top, labels("node") === top("v"), "left")
           .select(col("node"), coalesce(col("top_lbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
       }
       labels.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("size"))
