@@ -306,6 +306,14 @@ object MailboxPlanner {
     val p  = new Path(pattern)
     val fs = p.getFileSystem(conf)
     val statuses = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    // A20: a LITERAL path (no wildcards) that matches nothing must be
+    // an error, not a silent empty scan. globStatus swallows the
+    // filesystem's FileNotFoundException (filesystems that do proper
+    // existence checks, e.g. the ranged-GET http FS, throw it); re-ask
+    // directly so it surfaces. Zero matches for a true glob stays a
+    // legitimate empty result.
+    if (statuses.isEmpty && !pattern.exists(c => "*?[{".contains(c)))
+      fs.getFileStatus(p)
     statuses.filter(_.isFile).map { st =>
       val uri = st.getPath.toUri
       val name =
