@@ -66,7 +66,16 @@ class RangedHttpFileSystem extends FileSystem {
   override def getScheme: String = "http"
   override def getUri: URI = fsUri
 
-  private def urlOf(f: Path): URL = f.toUri.toURL
+  /** The wire URL for a Path — identity for http(s); dialect
+    * filesystems (S3) remap scheme/authority to their endpoint.
+    */
+  protected def urlOf(f: Path): URL = f.toUri.toURL
+
+  /** Per-request decoration hook — dialect filesystems add auth
+    * headers (e.g. SigV4) here. Base: none.
+    */
+  protected def decorate(c: HttpURLConnection, method: String,
+      f: Path): Unit = ()
 
   private def connect(f: Path, method: String,
       range: Option[String]): HttpURLConnection = {
@@ -76,6 +85,7 @@ class RangedHttpFileSystem extends FileSystem {
     c.setReadTimeout(120000)
     c.setInstanceFollowRedirects(true)
     range.foreach(r => c.setRequestProperty("Range", r))
+    decorate(c, method, f)
     c
   }
 
