@@ -75,6 +75,38 @@ object Graph {
     * exists as q_pagerank in [[Advanced]]; this one differs in both
     * graph and teleport semantics.
     */
+  /** One PPR iteration: edge-side contribution shuffle-agg by dst,
+    * then rebuild the full rank vector with the seed teleport. Kept
+    * un-checkpointed so plan tests can assert the map-side partial
+    * aggregate that the checkpointed loop hides from the final plan.
+    */
+  private def pprStep(e: DataFrame, nodes: DataFrame,
+      seedBase: Column, ranks: DataFrame): DataFrame = {
+    val contrib = e.join(ranks, e("src") === ranks("node"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("rank * 17 div 60")).as("in_mass"))
+    nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      .select(col("node"),
+        (seedBase + coalesce(col("in_mass"), lit(0L))).as("rank"))
+  }
+
+  /** First PPR iteration as a plain (un-checkpointed) plan — exposed
+    * for the partial-aggregation plan assertion in the spec.
+    */
+  private[graft] def pprFirstStep(s: SparkSession, d: String): DataFrame = {
+    val n      = Tables.supplier(s, d).count()
+    val nSeeds = (n + 9) / 10
+    val e      = edges(s, d, n)
+    val nodes  = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+    val seedBase =
+      when(col("node") % 10 === 0, lit((Mass * 15 / 100) / nSeeds))
+        .otherwise(lit(0L))
+    val r0 = nodes.select(col("node"),
+      when(col("node") % 10 === 0, lit(Mass / nSeeds)).otherwise(lit(0L))
+        .as("rank"))
+    pprStep(e, nodes, seedBase, r0)
+  }
+
   val qPprSeed = Q(
     "q_ppr_seed",
     (s, d) => {
@@ -88,16 +120,10 @@ object Graph {
       var ranks = nodes.select(col("node"),
         when(col("node") % 10 === 0, lit(r0)).otherwise(lit(0L)).as("rank"))
       for (_ <- 1 to Iters) {
-        val contrib = e.join(ranks, e("src") === ranks("node"))
-          .groupBy(col("dst"))
-          .agg(sum(expr("rank * 17 div 60")).as("in_mass"))
         // pin the O(nodes) rank vector each round: without it the ten
         // iterations compound into one 10-deep lineage that re-plans
         // and re-executes the whole prefix (the q_mmr_rerank lesson)
-        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-          .select(col("node"),
-            (seedBase + coalesce(col("in_mass"), lit(0L))).as("rank"))
-          .localCheckpoint()
+        ranks = pprStep(e, nodes, seedBase, ranks).localCheckpoint()
       }
       ranks.orderBy(col("rank").desc, col("node")).limit(20)
     },
