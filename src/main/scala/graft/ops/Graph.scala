@@ -271,5 +271,68 @@ object Graph {
     }
   )
 
-  val all: Seq[Q] = Seq(qPprSeed, qTriangles, qLabelProp)
+  /** q_bfs_hops — multi-source BFS hop-distance histogram from the
+    * trusted seed set (node ≡ 0 mod 10, the same seeds PPR teleports
+    * to): how many nodes sit 0, 1, …, 4 hops from the nearest seed,
+    * with -1 for nodes unreached within 4 hops. The crawl-frontier
+    * primitive behind "within N links of a vetted domain" allowlists,
+    * and the exact-integer dual of [[qPprSeed]]'s smoothed proximity.
+    *
+    * 100 TB shape: textbook frontier BFS — each round shuffles only
+    * the CURRENT frontier joined against edges (frontier ≤ nodes,
+    * never edges × rounds), dedups candidates map-side before the
+    * min-hop merge, and pins the O(nodes) distance vector per round
+    * with localCheckpoint like the other iterative ops. Four unrolled
+    * rounds on both engines.
+    */
+  val qBfsHops = Q(
+    "q_bfs_hops",
+    (s, d) => {
+      val n     = Tables.supplier(s, d).count()
+      val e     = edges(s, d, n).cache()
+      val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+      var dist = nodes.select(col("node"),
+        when(col("node") % 10 === 0, lit(0)).otherwise(lit(null).cast("int"))
+          .as("hop"))
+        .localCheckpoint()
+      for (t <- 1 to 4) {
+        val frontier = dist.filter(col("hop") === (t - 1))
+          .select(col("node").as("f"))
+        val cand = e.join(frontier, e("src") === col("f"))
+          .select(col("dst").as("cnode")).distinct()
+        dist = dist.join(cand, dist("node") === cand("cnode"), "left")
+          .select(col("node"),
+            coalesce(col("hop"),
+              when(col("cnode").isNotNull, lit(t))).as("hop"))
+          .localCheckpoint()
+      }
+      dist.groupBy(coalesce(col("hop"), lit(-1)).as("hop"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hop")
+    },
+    Some {
+      val n = "(SELECT count(*) FROM supplier)"
+      val steps = (1 to 4).map { t =>
+        s"""d$t AS (
+           |  SELECT d.node,
+           |    coalesce(d.hop, CASE WHEN f.node IS NOT NULL THEN $t END)
+           |      AS hop
+           |  FROM d${t - 1} d
+           |  LEFT JOIN (
+           |    SELECT DISTINCT e.dst AS node
+           |    FROM e JOIN d${t - 1} p ON p.node = e.src
+           |    WHERE p.hop = ${t - 1}) f ON f.node = d.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (${edgesSql(n)}),
+         |d0 AS (
+         |  SELECT s_suppkey AS node,
+         |    CASE WHEN s_suppkey % 10 = 0 THEN 0 END AS hop
+         |  FROM supplier),
+         |$steps
+         |SELECT coalesce(hop, -1) AS hop, count(*) AS n_nodes
+         |FROM d4 GROUP BY 1 ORDER BY hop""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qPprSeed, qTriangles, qLabelProp, qBfsHops)
 }

@@ -161,5 +161,55 @@ object Safety {
   // in [[TextOps.qDecontaminate]]; the safety module adds only the PII
   // passes so the two never drift into duplicate registry names.
 
-  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact)
+  /** q_k_anonymity — re-identification audit over the event log: rows
+    * whose quasi-identifier tuple (coarse user bucket, event_type,
+    * activity day) lands in an equivalence class smaller than k=5 are
+    * individually distinguishable and would need suppression or
+    * generalization before release (Sweeney's k-anonymity; the audit a
+    * pipeline runs before sharing interaction logs for training).
+    * Emits per event_type the class count, small-class count, rows at
+    * risk, and the at-risk fraction in exact ppm.
+    *
+    * 100 TB shape: two partial-aggregated shuffles — the first carries
+    * only the 3-column QI tuple (never props/value), the second one
+    * row per equivalence class; both combine map-side. The ppm ratio
+    * is BIGINT floor division, identical cross-engine.
+    */
+  val qKAnonymity = Q(
+    "q_k_anonymity",
+    (s, d) => {
+      val k = 5
+      val classes = Tables.events(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 50).as("user_bucket"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("sz"))
+      classes.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("sz") < k, 1L).otherwise(0L)).as("small_classes"),
+          sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_at_risk"),
+          sum(col("sz")).as("n_rows"))
+        .select(col("event_type"), col("n_classes"), col("small_classes"),
+          col("rows_at_risk"), col("n_rows"),
+          expr("rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
+        .orderBy("event_type")
+    },
+    Some(
+      """WITH classes AS (
+        |  SELECT event_type, user_id % 50 AS user_bucket,
+        |    date_trunc('day', ts) AS day, count(*) AS sz
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS small_classes,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  (CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(sum(sz) AS BIGINT) AS risk_ppm
+        |FROM classes GROUP BY event_type ORDER BY event_type""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity)
 }

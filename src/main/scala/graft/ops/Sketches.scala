@@ -232,5 +232,95 @@ object Sketches {
     }
   )
 
-  val all: Seq[Q] = Seq(qKmvDistinct, qCountMin, qKmvIntersect)
+  /** q_bloom_prefilter — engine-reproducible Bloom-filter semi-join
+    * pruning, the runtime-filter pattern big joins use to kill probe
+    * rows before the shuffle: build an m=8192-bit / 3-hash Bloom over
+    * the BUILDING-segment customer keys, probe every order through it,
+    * and measure the reduction exactly — probe rows, Bloom survivors,
+    * true matches, false positives, and the FP rate in ppm against
+    * the reference 0.6185^(m/n) bound.
+    *
+    * 100 TB shape: the "filter" that ships is the distinct set-bit
+    * table (≤ m = 8192 rows — broadcast, like Spark's own
+    * InjectRuntimeFilter bloom). The probe side computes its 3
+    * positions map-side and keeps a row only when all 3 hit, so the
+    * expensive downstream join (here: the exact-match check) sees
+    * orders × bloom-pass, not orders × all. No row ever shuffles to
+    * build the filter — the bit table partial-aggregates.
+    */
+  val qBloomPrefilter = Q(
+    "q_bloom_prefilter",
+    (s, d) => {
+      val m = 8192L
+      def pos(key: Column, i: Int): Column =
+        h32(concat(key.cast("string"), lit(s":$i"))) % m
+      val custs = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+      // set-bit table: ≤ m distinct positions, broadcast to the probe
+      val bits = custs
+        .select(explode(array((1 to 3).map(i => pos(col("key"), i)): _*))
+          .as("bit"))
+        .distinct()
+      val probe = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        array((1 to 3).map(i => pos(col("o_custkey"), i)): _*).as("ps"))
+      val hits = probe
+        .select(col("o_orderkey"), col("o_custkey"),
+          posexplode(col("ps")).as(Seq("i", "bit")))
+        .join(broadcast(bits), "bit")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(count(lit(1)).as("nhit"))
+        .filter(col("nhit") === 3)
+      val truth = custs.distinct()
+      val passTrue = hits.join(broadcast(truth),
+        hits("o_custkey") === truth("key"), "left")
+        .agg(count(lit(1)).as("bloom_pass"),
+          sum(when(col("key").isNotNull, 1L).otherwise(0L)).as("true_match"))
+      val totals = Tables.orders(s, d)
+        .agg(count(lit(1)).as("n_probe"))
+      totals.crossJoin(broadcast(passTrue))
+        .select(col("n_probe"), col("bloom_pass"), col("true_match"),
+          (col("bloom_pass") - col("true_match")).as("false_pos"),
+          expr("(bloom_pass - true_match) * 1000000 div " +
+            "(n_probe - true_match)").as("fp_ppm"))
+    },
+    Some {
+      def posSql(keyExpr: String, i: Int): String =
+        s"(${h32Sql(s"CAST($keyExpr AS VARCHAR) || ':$i'")} % 8192)"
+      val bitsSel = (1 to 3)
+        .map(i => s"SELECT ${posSql("key", i)} AS bit FROM custs")
+        .mkString("\n  UNION\n  ")
+      val probePs = (1 to 3)
+        .map(i => s"${posSql("o_custkey", i)} AS p$i").mkString(", ")
+      s"""WITH custs AS (
+         |  SELECT c_custkey AS key FROM customer
+         |  WHERE c_mktsegment = 'BUILDING'),
+         |bits AS (
+         |  $bitsSel),
+         |probe AS (
+         |  SELECT o_orderkey, o_custkey, $probePs FROM orders),
+         |pass AS (
+         |  SELECT p.o_orderkey, p.o_custkey
+         |  FROM probe p
+         |  WHERE EXISTS (SELECT 1 FROM bits b WHERE b.bit = p.p1)
+         |    AND EXISTS (SELECT 1 FROM bits b WHERE b.bit = p.p2)
+         |    AND EXISTS (SELECT 1 FROM bits b WHERE b.bit = p.p3)),
+         |agg AS (
+         |  SELECT count(*) AS bloom_pass,
+         |    CAST(sum(CASE WHEN c.key IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS true_match
+         |  FROM pass LEFT JOIN (SELECT DISTINCT key FROM custs) c
+         |    ON c.key = pass.o_custkey)
+         |SELECT (SELECT count(*) FROM orders) AS n_probe,
+         |  bloom_pass, true_match,
+         |  bloom_pass - true_match AS false_pos,
+         |  ((bloom_pass - true_match) * 1000000)
+         |    // ((SELECT count(*) FROM orders) - true_match) AS fp_ppm
+         |FROM agg""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qKmvDistinct, qCountMin, qKmvIntersect,
+    qBloomPrefilter)
 }

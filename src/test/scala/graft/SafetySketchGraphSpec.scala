@@ -134,6 +134,60 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.sorted.reverse.toSeq == sizes.toSeq, "ordered by size desc")
   }
 
+  test("q_k_anonymity: risk accounting is internally consistent") {
+    val rows = run("q_k_anonymity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nc = r.getAs[Long]("n_classes"); val sc = r.getAs[Long]("small_classes")
+      val ar = r.getAs[Long]("rows_at_risk"); val nr = r.getAs[Long]("n_rows")
+      val ppm = r.getAs[Long]("risk_ppm")
+      assert(sc <= nc && ar <= nr, r.toString)
+      // each small class has 1..4 rows
+      assert(ar >= sc && ar <= sc * 4, r.toString)
+      assert(ppm >= 0L && ppm <= 1000000L, r.toString)
+    }
+  }
+
+  test("q_k_anonymity shuffles only the QI tuple, never props/value") {
+    val payloads = shufflePayloads("q_k_anonymity")
+    assert(payloads.nonEmpty)
+    payloads.foreach { cols =>
+      assert(!cols.contains("props") && !cols.contains("value"),
+        s"non-QI event payload leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_bfs_hops: histogram covers all nodes; seeds are hop 0") {
+    val a = run("q_bfs_hops").collect()
+    val b = run("q_bfs_hops").collect()
+    assert(a.toSeq == b.toSeq, "BFS must be run-to-run deterministic")
+    val n = Tables.supplier(spark, sf).count()
+    val seeds = Tables.supplier(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr("s_suppkey % 10 = 0"))
+      .count()
+    assert(a.map(_.getAs[Long]("n_nodes")).sum == n,
+      "hop histogram must partition the node set")
+    val byHop = a.map(r => r.getAs[Int]("hop") -> r.getAs[Long]("n_nodes")).toMap
+    assert(byHop.getOrElse(0, 0L) == seeds, s"hop-0 count must equal seeds: $byHop")
+    assert(byHop.keys.forall(h => h == -1 || (h >= 0 && h <= 4)), byHop.toString)
+  }
+
+  test("q_bloom_prefilter: no false negatives, bounded survivors") {
+    val r = run("q_bloom_prefilter").collect().head
+    val nProbe = r.getAs[Long]("n_probe")
+    val pass = r.getAs[Long]("bloom_pass")
+    val truth = r.getAs[Long]("true_match")
+    val fp = r.getAs[Long]("false_pos")
+    // the defining Bloom property: every true match survives the filter
+    assert(truth > 0L && pass >= truth, r.toString)
+    assert(fp == pass - truth && fp >= 0L && pass <= nProbe, r.toString)
+  }
+
+  test("q_bloom_prefilter broadcasts the set-bit table to the probe side") {
+    val p = run("q_bloom_prefilter").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_triangles: oriented enumeration is consistent with handshake bounds") {
     val r = run("q_triangles").collect().head
     val (n, e, t) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
