@@ -1709,9 +1709,65 @@ object Similarity {
     )
   )
 
+  /** q_ivf_drift — index-maintenance drift monitor: assign the base
+    * corpus (vec_id % 5 ≠ 0) and a simulated incoming batch
+    * (vec_id % 5 = 0) through the SAME trained coarse quantizer and
+    * compare per-list occupancy shares in exact ppm. A drifting
+    * embedding distribution shows up as |share_new − share_base|
+    * spikes — the signal a production vector index watches to decide
+    * when the quantizer needs retraining (and when probe-1 recall is
+    * about to degrade because new mass crowds into few lists).
+    *
+    * 100 TB shape: reuses the memoized trained centroids (train once,
+    * monitor forever); the monitor itself is the assignment join
+    * (broadcast k×dim centroids) plus a k-row aggregate — per-list
+    * counts partial-aggregate map-side, and the totals that turn
+    * counts into shares are a broadcast one-row cross join.
+    */
+  val qIvfDrift = Q(
+    "q_ivf_drift",
+    (s, d) => {
+      val (v, nv) = quantized(s, d)
+      val a = assignToCentroids(v, nv, trainKmeans(s, d))
+      val per = a
+        .groupBy("cid")
+        .agg(
+          sum(when(col("vec_id") % 5 =!= 0, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("vec_id") % 5 === 0, 1L).otherwise(0L)).as("n_new"))
+      val tot = per.agg(sum(col("n_base")).as("tot_base"),
+        sum(col("n_new")).as("tot_new"))
+      per.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_base"), col("n_new"),
+          expr("n_base * 1000000 div tot_base").as("share_base_ppm"),
+          expr("n_new * 1000000 div tot_new").as("share_new_ppm"))
+        .withColumn("drift_ppm",
+          abs(col("share_new_ppm") - col("share_base_ppm")))
+        .orderBy("cid")
+    },
+    Some(
+      s"""$kmeansCtes,
+         |per AS (
+         |  SELECT cid,
+         |    CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_base,
+         |    CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_new
+         |  FROM assign2 GROUP BY cid),
+         |tot AS (
+         |  SELECT CAST(sum(n_base) AS BIGINT) AS tot_base,
+         |    CAST(sum(n_new) AS BIGINT) AS tot_new FROM per)
+         |SELECT cid, n_base, n_new,
+         |  (n_base * 1000000) // tot_base AS share_base_ppm,
+         |  (n_new * 1000000) // tot_new AS share_new_ppm,
+         |  abs((n_new * 1000000) // tot_new
+         |    - (n_base * 1000000) // tot_base) AS drift_ppm
+         |FROM per, tot ORDER BY cid""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
-      qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe)
+      qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift)
 }

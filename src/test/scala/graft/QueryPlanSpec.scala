@@ -447,6 +447,24 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_ivf_drift never shuffles raw embeddings and is share-consistent") {
+    shufflePayloads("q_ivf_drift").foreach { cols =>
+      assert(!cols.contains("embedding"),
+        s"raw embeddings leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+    val rows = SparkEntry.queries("q_ivf_drift")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 8, s"k=8 lists, got ${rows.length}")
+    val shareBase = rows.map(_.getAs[Long]("share_base_ppm")).sum
+    val shareNew = rows.map(_.getAs[Long]("share_new_ppm")).sum
+    // floor-div shares must sum to ≤ 1e6 and within k of it
+    assert(shareBase <= 1000000L && shareBase > 1000000L - 8, shareBase.toString)
+    assert(shareNew <= 1000000L && shareNew > 1000000L - 8, shareNew.toString)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("drift_ppm") ==
+        math.abs(r.getAs[Long]("share_new_ppm") - r.getAs[Long]("share_base_ppm")))
+    }
+  }
+
   test("q_ivf_layout_probe prunes index partitions dynamically") {
     // the probed-list join must drive dynamic partition pruning on the
     // cid directory layout — the scan reads only probed lists' files
