@@ -806,22 +806,27 @@ object Similarity {
           .select(col("vec_id"), col("sub"), col("cid").as("code"))
       }
 
-      val c0 = v.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
-        .localCheckpoint()
-      // one Lloyd step; empty cells keep their seed row
-      val means = encode(c0)
-        .join(v, Seq("vec_id", "sub"))
-        .select(col("code").as("cid"), col("pos"), col("q"))
-        .groupBy("cid", "pos")
-        .agg(floor(sum(col("q")).cast("double") / count(lit(1)) + lit(0.5))
-          .cast("long").as("mq"))
-      val c1 = c0
-        .join(means, Seq("cid", "pos"), "left_outer")
-        .select(col("cid"), col("pos"), coalesce(col("mq"), col("cq")).as("cq"))
-        .localCheckpoint()
-
-      val codes = encode(c1)
+      // train-once artifacts (codebooks + encoded corpus), shared with
+      // q_ann_recall's repeat invocation — same memo discipline as the
+      // IVF-PQ block: deterministic, so cached output is value-identical
+      val (c1, codes) = memo(s, d, "pq-m8-k8") {
+        val c0 = v.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+          .localCheckpoint()
+        // one Lloyd step; empty cells keep their seed row
+        val means = encode(c0)
+          .join(v, Seq("vec_id", "sub"))
+          .select(col("code").as("cid"), col("pos"), col("q"))
+          .groupBy("cid", "pos")
+          .agg(floor(sum(col("q")).cast("double") / count(lit(1)) + lit(0.5))
+            .cast("long").as("mq"))
+        val cb = c0
+          .join(means, Seq("cid", "pos"), "left_outer")
+          .select(col("cid"), col("pos"),
+            coalesce(col("mq"), col("cq")).as("cq"))
+          .localCheckpoint()
+        (cb, encode(cb).localCheckpoint())
+      }
       // ADC lookup table: query × codebook subspace dots (m×k rows/query)
       val tq = v.filter(col("vec_id") < 8)
         .join(broadcast(c1), Seq("pos"))
