@@ -220,6 +220,67 @@ object Multimodal {
     )
   )
 
+  /** q_media_audio_windows — the audio half of media preprocessing:
+    * overlapping analysis windows (400-byte window, 160-byte hop — the
+    * 25 ms / 10 ms framing ASR front-ends use, in byte units) over the
+    * "audio" assets, a VAD-style activity gate per window (≥ 30%
+    * non-space payload, the engine-exact stand-in for an energy
+    * threshold), and the per-asset rollup a segmenter emits: window
+    * count, voiced count, voiced fraction in exact ppm.
+    *
+    * 100 TB shape: windowing + gating are per-row generated columns
+    * inside whole-stage codegen (no shuffle, payload never leaves the
+    * scan task); the only shuffle carries one 4-column row per asset.
+    * A real deployment swaps the gate for a decoder UDF batch — the
+    * window/hop bookkeeping, which is what this query pins, is
+    * unchanged.
+    */
+  val qMediaAudioWindows = Q(
+    "q_media_audio_windows",
+    (s, d) => {
+      val len = length(col("text"))
+      // 1 + floor((len-400)/160) windows once len ≥ 400; else 1 short one
+      val nWin = when(len >= 400, lit(1L) + floor((len - 400) / lit(160.0))
+        .cast("long")).otherwise(lit(1L))
+      val voiced = transform(
+        sequence(lit(1L), nWin),
+        i => {
+          val w = col("text").substr(((i - 1) * 160 + 1).cast("int"), lit(400))
+          (length(regexp_replace(w, " ", "")) * 100 >= length(w) * 30)
+            .cast("long")
+        })
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 1) // the "audio" assets
+        .select(col("doc_id"), nWin.as("n_windows"),
+          aggregate(voiced, lit(0L), (acc, x) => acc + x).as("n_voiced"))
+        .select(col("doc_id"), col("n_windows"), col("n_voiced"),
+          expr("n_voiced * 1000000 div n_windows").as("voiced_ppm"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH win AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 400
+        |      THEN 1 + (length(text) - 400) // 160 ELSE 1 END AS n_windows,
+        |    text
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |gated AS (
+        |  SELECT doc_id, n_windows,
+        |    CAST(sum(CASE WHEN
+        |        length(replace(substr(text, CAST((i - 1) * 160 + 1 AS INT),
+        |          400), ' ', '')) * 100
+        |        >= length(substr(text, CAST((i - 1) * 160 + 1 AS INT),
+        |          400)) * 30
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced
+        |  FROM win, LATERAL (SELECT unnest(range(1, n_windows + 1)) AS i) r
+        |  GROUP BY doc_id, n_windows)
+        |SELECT doc_id, n_windows, n_voiced,
+        |  (n_voiced * 1000000) // n_windows AS voiced_ppm
+        |FROM gated ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qMediaMetadata, qMediaFeatures, qMediaFrames, qMediaFrameDedup)
+    Seq(qMediaMetadata, qMediaFeatures, qMediaFrames, qMediaFrameDedup,
+      qMediaAudioWindows)
 }

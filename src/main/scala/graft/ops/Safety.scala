@@ -211,5 +211,51 @@ object Safety {
     )
   )
 
-  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity)
+  /** q_dp_contribution — per-user contribution bounding, the
+    * sensitivity-control step every differentially-private release
+    * runs BEFORE adding noise (DP-SQL / Wilson et al., VLDB 2020):
+    * cap each user's events per event_type at C=10, and report the
+    * raw count, the bounded count, how many users were clipped, and
+    * the max single-user contribution — the quantities that determine
+    * the noise scale (sensitivity = C) and the clipping bias. The
+    * noise draw itself is out of scope by design: it must come from a
+    * secure RNG at release time, while everything before it is exact
+    * and auditable.
+    *
+    * 100 TB shape: one partial-aggregated shuffle to per-(user, type)
+    * counts (the heavy one — carries two key columns), then a k-row
+    * rollup; no event payload moves.
+    */
+  val qDpContribution = Q(
+    "q_dp_contribution",
+    (s, d) => {
+      val cap = 10
+      val per = Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+      per.groupBy("event_type")
+        .agg(
+          sum(col("cnt")).as("raw_count"),
+          sum(least(col("cnt"), lit(cap.toLong))).as("bounded_count"),
+          count(lit(1)).as("n_users"),
+          sum(when(col("cnt") > cap, 1L).otherwise(0L)).as("clipped_users"),
+          max(col("cnt")).as("max_contribution"))
+        .orderBy("event_type")
+    },
+    Some(
+      """WITH per AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(sum(cnt) AS BIGINT) AS raw_count,
+        |  CAST(sum(least(cnt, 10)) AS BIGINT) AS bounded_count,
+        |  count(*) AS n_users,
+        |  CAST(sum(CASE WHEN cnt > 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clipped_users,
+        |  max(cnt) AS max_contribution
+        |FROM per GROUP BY event_type ORDER BY event_type""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity, qDpContribution)
 }

@@ -447,6 +447,43 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_media_audio_windows gates map-side; payload text never shuffles") {
+    shufflePayloads("q_media_audio_windows").foreach { cols =>
+      assert(!cols.contains("text"),
+        s"audio payload leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+    val rows = SparkEntry.queries("q_media_audio_windows")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 1"))
+      .selectExpr("doc_id", "length(text) AS len").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("len")).toMap
+    assert(rows.length == lens.size, "one rollup row per audio asset")
+    rows.foreach { r =>
+      val nw = r.getAs[Long]("n_windows"); val nv = r.getAs[Long]("n_voiced")
+      val len = lens(r.getAs[Long]("doc_id"))
+      val expect = if (len >= 400) 1L + (len - 400L) / 160L else 1L
+      assert(nw == expect, s"window count for len=$len: $nw vs $expect")
+      assert(nv >= 0L && nv <= nw, r.toString)
+    }
+  }
+
+  test("q_dp_contribution bounds sensitivity without moving payloads") {
+    shufflePayloads("q_dp_contribution").foreach { cols =>
+      assert(!cols.contains("props") && !cols.contains("value"),
+        s"event payload leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+    SparkEntry.queries("q_dp_contribution")(spark, sf).collect().foreach { r =>
+      val raw = r.getAs[Long]("raw_count"); val b = r.getAs[Long]("bounded_count")
+      val nu = r.getAs[Long]("n_users"); val cu = r.getAs[Long]("clipped_users")
+      // bounded ≤ raw, bounded ≤ C·users (the sensitivity bound DP needs),
+      // and clipping accounting is consistent
+      assert(b <= raw && b <= 10L * nu && cu <= nu, r.toString)
+      assert((cu == 0L) == (raw == b) || raw > b, r.toString)
+      assert(r.getAs[Long]("max_contribution") >= raw / math.max(nu, 1L))
+    }
+  }
+
   test("q_ivf_drift never shuffles raw embeddings and is share-consistent") {
     shufflePayloads("q_ivf_drift").foreach { cols =>
       assert(!cols.contains("embedding"),
