@@ -530,7 +530,75 @@ object Ranking {
     )
   )
 
+  /** q_prf_expansion — pseudo-relevance-feedback query expansion
+    * (RM-style, Lavrenko & Croft 2001; the RM3 first half): take the
+    * BM25 top-10 as the pseudo-relevant set, harvest candidate terms
+    * from those documents (≥ 4 chars, not an original query term),
+    * and weight each candidate by total feedback tf × corpus idf
+    * (ln-quantized to 1e-6 like every idf in this module). Top-10
+    * expansion terms — what a retrieval-based curation loop appends
+    * to its seed query to widen the mined set.
+    *
+    * 100 TB shape: the pseudo-relevant set is 10 doc_ids (broadcast);
+    * candidate vocabulary comes only from those 10 documents
+    * (broadcast); corpus document frequencies for the candidates are
+    * a broadcast semi-join against the corpus token stream — the
+    * decontaminate shape — so the full-corpus pass shuffles only
+    * (term, doc) pairs for candidate terms. Corpus text never moves.
+    */
+  val qPrfExpansion = Q(
+    "q_prf_expansion",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+      val top = qBm25.fn(s, d).limit(10).select("doc_id")
+      val cand = docs.join(broadcast(top), "doc_id")
+        .select(explode(col("t")).as("term"))
+        .filter(length(col("term")) >= 4 && !col("term").isin(terms: _*))
+        .groupBy("term").agg(count(lit(1)).as("tf_top"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val dfc = docs
+        .select(col("doc_id"), explode(array_distinct(col("t"))).as("term"))
+        .join(broadcast(cand.select("term")), "term")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+      val idf = floor(log(col("n_docs") / col("df")) * 1e6 + 0.5) / 1e6
+      cand.join(dfc, "term")
+        .select(col("term"), col("tf_top"), col("df"),
+          (col("tf_top") * idf).as("rm_score"))
+        .orderBy(desc("rm_score"), col("term"))
+        .limit(10)
+    },
+    Some {
+      val bm = qBm25.oracle.get
+      """WITH bm AS (BMSQL),
+        |top AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |cand AS (
+        |  SELECT term, count(*) AS tf_top
+        |  FROM toks JOIN top USING (doc_id), UNNEST(t) AS u(term)
+        |  WHERE length(term) >= 4
+        |    AND term NOT IN ('spark', 'join', 'window')
+        |  GROUP BY term),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |dfc AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df
+        |  FROM toks, UNNEST(t) AS u(term)
+        |  WHERE term IN (SELECT term FROM cand)
+        |  GROUP BY term)
+        |SELECT c.term, c.tf_top, d.df,
+        |  c.tf_top * (floor(ln((SELECT n FROM stats) / d.df) * 1e6 + 0.5)
+        |    / 1e6) AS rm_score
+        |FROM cand c JOIN dfc d ON c.term = d.term
+        |ORDER BY rm_score DESC, c.term LIMIT 10""".stripMargin
+        .replace("BMSQL", bm)
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore, qInvertedIndex,
-      qPmiCooccur, qRrfFusion)
+      qPmiCooccur, qRrfFusion, qPrfExpansion)
 }

@@ -447,6 +447,22 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_prf_expansion broadcasts the feedback set; text never shuffles") {
+    val p = plan("q_prf_expansion")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    shufflePayloads("q_prf_expansion").foreach { cols =>
+      assert(!cols.contains("text"),
+        s"corpus text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+    val rows = SparkEntry.queries("q_prf_expansion")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val t = r.getAs[String]("term")
+      assert(t.length >= 4 && !Seq("spark", "join", "window").contains(t))
+      assert(r.getAs[Long]("df") >= 1L && r.getAs[Long]("tf_top") >= 1L)
+    }
+  }
+
   test("q_media_audio_windows gates map-side; payload text never shuffles") {
     shufflePayloads("q_media_audio_windows").foreach { cols =>
       assert(!cols.contains("text"),
