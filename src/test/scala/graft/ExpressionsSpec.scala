@@ -270,6 +270,50 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(er.getString(2) === "0" * 16) // every bit votes -1 → '0'
   }
 
+  test("interpreted eval agrees with codegen for every fused kernel") {
+    // codegen (DataFrame collect) vs the interpreted nullSafeEval path —
+    // the path Spark falls back to when a plan exceeds codegen limits;
+    // a divergence would corrupt results silently only on wide plans
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    import spark.implicits._
+
+    val gram  = "the quick 中文 brown 🎉 fox"
+    val grams = Seq("the quick brown fox", "jumps over", "the lazy dog",
+      "中文漢字", "", "aaaa")
+    val toks = Seq("a", "b", "a", "b", "a", "c")
+
+    val cg = Seq(gram).toDF("g")
+      .withColumn("grams", typedLit(grams))
+      .withColumn("t", typedLit(toks))
+      .select(
+        GraftFunctions.minhash_slices(col("g")).as("mh"),
+        GraftFunctions.simhash16(col("grams")).as("sh"),
+        GraftFunctions.gram_run_stats(col("t"), 2).as("rs"),
+        GraftFunctions.chars_in_ranges(col("g"),
+          Seq((0x61, 0x7a), (0x4e00, 0x9fff))).as("cr"))
+      .collect()(0)
+
+    val mhE = graft.functions.MinhashSlices(Literal.create(gram, StringType))
+      .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(mhE === cg.getSeq[Long](0), "minhash_slices eval vs codegen")
+
+    val shE = graft.functions.Simhash16(
+      Literal.create(grams, ArrayType(StringType))).eval(null).toString
+    assert(shE === cg.getString(1), "simhash16 eval vs codegen")
+
+    val rsE = graft.functions.GramRunStats(
+      Literal.create(toks, ArrayType(StringType)), 2)
+      .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(rsE === cg.getSeq[Long](2), "gram_run_stats eval vs codegen")
+
+    val crE = graft.functions.CountCharsInRanges(
+      Literal.create(gram, StringType), Seq((0x61, 0x7a), (0x4e00, 0x9fff)))
+      .eval(null)
+    assert(crE === cg.getInt(3), "chars_in_ranges eval vs codegen")
+  }
+
   test("FuseDotProduct rewrites the HOF idiom into dot_product_q") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
