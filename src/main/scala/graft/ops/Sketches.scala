@@ -321,6 +321,94 @@ object Sketches {
     }
   )
 
+  /** q_quantile_sketch — mergeable rank-based quantile summary (the
+    * GK/t-digest role with engine-reproducible registers, like KMV for
+    * distinct counts): each order-priority group is summarized by its
+    * k=32 evenly-spaced order statistics, each register carrying the
+    * group's row count as weight; the five per-group summaries merge
+    * by weighted cumulative rank into global p50/p90/p99 estimates,
+    * reported next to the exact percentiles with the signed error —
+    * the accuracy contract a 1000-executor rollup relies on when it
+    * combines per-shard summaries instead of re-sorting the data.
+    *
+    * 100 TB shape: the register extraction is a per-group window
+    * (shuffle keyed by group, sort within partition) + a rank filter —
+    * never a collect; the merge touches groups×k = 160 rows. The
+    * exact side is the verification baseline (global sorted list),
+    * present for the same reason q_ann_recall computes exact KNN.
+    *
+    * Cross-engine exactness: registers are selected by integer rank
+    * arithmetic; cumulative weights and thresholds are exact BIGINTs;
+    * estimates/exacts are picked values (no interpolation), so the
+    * only doubles are the data itself.
+    */
+  val qQuantileSketch = Q(
+    "q_quantile_sketch",
+    (s, d) => {
+      import s.implicits._
+      val k = 32
+      val vals = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+      val ng = vals.groupBy("g").agg(count(lit(1)).as("n"))
+      val ranked = vals.withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("v")).cast("long"))
+      val regs = ranked.join(broadcast(ng), "g")
+        .filter(expr(s"array_contains(transform(sequence(0, ${k - 1}), " +
+          s"i -> 1L + (CAST(i AS BIGINT) * (n - 1)) div ${k - 1}), rn)"))
+      val tot = ng.agg((sum(col("n")) * k).as("w"))
+      // groups×k rows: the single-partition window is over ≤ 160 rows
+      val cum = regs.crossJoin(broadcast(tot))
+        .withColumn("cw", sum(col("n")).over(
+          Window.orderBy("v", "g", "rn")))
+      val pcts = Seq(50, 90, 99).toDF("pct")
+      val est = cum.crossJoin(broadcast(pcts))
+        .filter(col("cw") >= expr("(pct * w + 99) div 100"))
+        .groupBy("pct").agg(min(col("v")).as("est"))
+      val exact = Tables.orders(s, d)
+        .agg(sort_array(collect_list(col("o_totalprice"))).as("vs"))
+        .crossJoin(broadcast(pcts))
+        .select(col("pct"), element_at(col("vs"),
+          greatest(expr("(pct * size(vs) + 99) div 100"), lit(1L))
+            .cast("int")).as("exact"))
+      est.join(exact, "pct")
+        .select(col("pct"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("err"))
+        .orderBy("pct")
+    },
+    Some(
+      """WITH vals AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders),
+        |ng AS (SELECT g, count(*) AS n FROM vals GROUP BY g),
+        |ranked AS (
+        |  SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS rn
+        |  FROM vals),
+        |regs AS (
+        |  SELECT r.g, r.v, r.rn, ng.n
+        |  FROM ranked r JOIN ng USING (g)
+        |  WHERE list_contains(list_transform(range(0, 32),
+        |    i -> 1 + (i * (n - 1)) // 31), r.rn)),
+        |tot AS (SELECT CAST(sum(n) * 32 AS BIGINT) AS w FROM ng),
+        |cum AS (
+        |  SELECT g, v, rn, n,
+        |    CAST(sum(n) OVER (ORDER BY v, g, rn) AS BIGINT) AS cw
+        |  FROM regs),
+        |pcts AS (SELECT unnest([50, 90, 99]) AS pct),
+        |est AS (
+        |  SELECT pct, min(v) AS est FROM cum, tot, pcts
+        |  WHERE cw >= (pct * w + 99) // 100 GROUP BY pct),
+        |sorted AS (SELECT list_sort(list(v)) AS vs FROM vals),
+        |exact AS (
+        |  SELECT pct,
+        |    vs[CAST(greatest((pct * len(vs) + 99) // 100, 1) AS INT)]
+        |      AS exact
+        |  FROM sorted, pcts)
+        |SELECT e.pct, e.est, x.exact, e.est - x.exact AS err
+        |FROM est e JOIN exact x USING (pct) ORDER BY pct""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qKmvDistinct, qCountMin, qKmvIntersect,
-    qBloomPrefilter)
+    qBloomPrefilter, qQuantileSketch)
 }

@@ -188,6 +188,30 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_quantile_sketch: estimates bracket the data, heavy window is partitioned") {
+    val rows = run("q_quantile_sketch").collect()
+    assert(rows.map(_.getAs[Int]("pct")).toSeq == Seq(50, 90, 99))
+    val mm = Tables.orders(spark, sf)
+      .agg(org.apache.spark.sql.functions.min("o_totalprice"),
+        org.apache.spark.sql.functions.max("o_totalprice")).collect()(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est"); val ex = r.getAs[Double]("exact")
+      assert(est >= lo && est <= hi && ex >= lo && ex <= hi, r.toString)
+      assert(r.getAs[Double]("err") === est - ex)
+    }
+    // estimates must be monotone in the percentile
+    val ests = rows.map(_.getAs[Double]("est"))
+    assert(ests.sorted.toSeq == ests.toSeq, ests.mkString(","))
+    // the corpus-sized rank window must be partitioned by group — only
+    // the ≤ groups×k register merge may run single-partition
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = SparkEntry.queries("q_quantile_sketch")(spark, sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "per-group register extraction must use a partitioned window")
+  }
+
   test("q_triangles: oriented enumeration is consistent with handshake bounds") {
     val r = run("q_triangles").collect().head
     val (n, e, t) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
