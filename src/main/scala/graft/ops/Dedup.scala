@@ -328,70 +328,125 @@ object Dedup {
     * bucket degree. No all-pairs gram self-join exists in the plan
     * (spec-asserted).
     */
+  /** Candidate-pair 3-gram overlap counts shared by the exact-verify
+    * scorers ([[qNgramJaccard]], [[qContainment]]):
+    * (id_a, id_b, n_inter, s_a, s_b) for every LSH candidate pair.
+    */
+  private def pairGramCounts(s: SparkSession, d: String): DataFrame = {
+    val cand = lshPairs(s, d)
+    val ids = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val grams3 = array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+        i => col("text").substr(i, lit(3))
+      )
+    )
+    // broadcast the candidate id set (bare longs) so the corpus text
+    // never shuffles for the semi join — the BroadcastHashJoin sits
+    // directly on the scan
+    val g = Tables.documents(s, d)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(grams3).as("g"))
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val ga = cand.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
+      .select(col("id_a"), col("id_b"), col("ga.g").as("gram"))
+    val inter = ga
+      .join(g.as("gb"),
+        col("id_b") === col("gb.doc_id") && col("gram") === col("gb.g"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("sa.s").as("s_a"), col("sb.s").as("s_b"))
+  }
+
   val qNgramJaccard = Q(
     "q_ngram_jaccard",
-    (s, d) => {
-      val cand = lshPairs(s, d)
-      val ids = cand.select(col("id_a").as("doc_id"))
-        .union(cand.select(col("id_b").as("doc_id"))).distinct()
-      val grams3 = array_distinct(
-        transform(
-          sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
-          i => col("text").substr(i, lit(3))
-        )
-      )
-      // broadcast the candidate id set (bare longs) so the corpus text
-      // never shuffles for the semi join — the BroadcastHashJoin sits
-      // directly on the scan
-      val g = Tables.documents(s, d)
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), explode(grams3).as("g"))
-      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("s"))
-      val ga = cand.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
-        .select(col("id_a"), col("id_b"), col("ga.g").as("gram"))
-      val inter = ga
-        .join(g.as("gb"),
-          col("id_b") === col("gb.doc_id") && col("gram") === col("gb.g"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("n_inter"))
-      cand
-        .join(inter, Seq("id_a", "id_b"), "left")
-        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
-        .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+    (s, d) =>
+      pairGramCounts(s, d)
         .select(
           col("id_a"),
           col("id_b"),
           col("n_inter"),
-          (col("sa.s") + col("sb.s") - col("n_inter")).as("n_union"),
+          (col("s_a") + col("s_b") - col("n_inter")).as("n_union"),
           (col("n_inter").cast("double") /
-            (col("sa.s") + col("sb.s") - col("n_inter"))).as("jaccard")
+            (col("s_a") + col("s_b") - col("n_inter"))).as("jaccard")
         )
-        .orderBy("id_a", "id_b")
-    },
+        .orderBy("id_a", "id_b"),
     Some(
-      s"""WITH pairs AS ($lshPairsSql),
-         |ids AS (
-         |  SELECT id_a AS doc_id FROM pairs
-         |  UNION SELECT id_b FROM pairs),
-         |g AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, greatest(length(text) - 2, 1) + 1),
-         |    i -> substr(text, i, 3)))) AS g
-         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM ids)),
-         |sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY doc_id),
-         |ga AS (
-         |  SELECT id_a, id_b, g.g AS gram
-         |  FROM pairs JOIN g ON g.doc_id = id_a),
-         |inter AS (
-         |  SELECT id_a, id_b, count(*) AS n_inter
-         |  FROM ga JOIN g gb ON gb.doc_id = id_b AND gb.g = gram
-         |  GROUP BY 1, 2)
+      s"""$pairGramCtes
          |SELECT p.id_a, p.id_b,
          |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
          |  CAST(sa.s + sb.s - coalesce(n_inter, 0) AS BIGINT) AS n_union,
          |  CAST(coalesce(n_inter, 0) AS DOUBLE)
          |    / (sa.s + sb.s - coalesce(n_inter, 0)) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
+         |JOIN sz sa ON sa.doc_id = p.id_a
+         |JOIN sz sb ON sb.doc_id = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin
+    )
+  )
+
+  /** Shared CTE prelude for the candidate-pair gram scorers — the SQL
+    * mirror of [[pairGramCounts]].
+    */
+  private lazy val pairGramCtes: String =
+    s"""WITH pairs AS ($lshPairsSql),
+       |ids AS (
+       |  SELECT id_a AS doc_id FROM pairs
+       |  UNION SELECT id_b FROM pairs),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(length(text) - 2, 1) + 1),
+       |    i -> substr(text, i, 3)))) AS g
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM ids)),
+       |sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY doc_id),
+       |ga AS (
+       |  SELECT id_a, id_b, g.g AS gram
+       |  FROM pairs JOIN g ON g.doc_id = id_a),
+       |inter AS (
+       |  SELECT id_a, id_b, count(*) AS n_inter
+       |  FROM ga JOIN g gb ON gb.doc_id = id_b AND gb.g = gram
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** q_containment — Broder's asymmetric CONTAINMENT score over the
+    * same LSH candidate set: c_a = |A∩B|/|A| (how much of document A
+    * lives inside B) and the symmetric max. Jaccard misses doc-in-doc
+    * relations — a short document wholly quoted inside a long one has
+    * tiny Jaccard but c_a = 1.0 — so dedup pipelines score containment
+    * to catch quotation/boilerplate inclusion that near-dup banding
+    * surfaced but Jaccard would wave through.
+    *
+    * 100 TB shape: identical to [[qNgramJaccard]] — work proportional
+    * to the candidate set, text never shuffles, no all-pairs join.
+    */
+  val qContainment = Q(
+    "q_containment",
+    (s, d) =>
+      pairGramCounts(s, d)
+        .select(
+          col("id_a"), col("id_b"), col("n_inter"),
+          col("s_a"), col("s_b"),
+          (col("n_inter").cast("double") / col("s_a")).as("c_a"),
+          (col("n_inter").cast("double") / col("s_b")).as("c_b"))
+        .withColumn("containment", greatest(col("c_a"), col("c_b")))
+        .orderBy("id_a", "id_b"),
+    Some(
+      s"""$pairGramCtes
+         |SELECT p.id_a, p.id_b,
+         |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+         |  CAST(sa.s AS BIGINT) AS s_a,
+         |  CAST(sb.s AS BIGINT) AS s_b,
+         |  CAST(coalesce(n_inter, 0) AS DOUBLE) / sa.s AS c_a,
+         |  CAST(coalesce(n_inter, 0) AS DOUBLE) / sb.s AS c_b,
+         |  greatest(CAST(coalesce(n_inter, 0) AS DOUBLE) / sa.s,
+         |    CAST(coalesce(n_inter, 0) AS DOUBLE) / sb.s) AS containment
          |FROM pairs p
          |LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
          |JOIN sz sa ON sa.doc_id = p.id_a
@@ -926,6 +981,7 @@ object Dedup {
     qDedupClusters,
     qSimhash,
     qNgramJaccard,
+    qContainment,
     qDedupIncremental,
     qEditVerify,
     qClusterStats,

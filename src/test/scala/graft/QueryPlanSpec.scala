@@ -307,6 +307,22 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_containment dominates jaccard on every candidate pair") {
+    val j = SparkEntry.queries("q_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val rows = SparkEntry.queries("q_containment")(spark, sf).collect()
+    assert(rows.length == j.size, "same candidate set as the jaccard scorer")
+    rows.foreach { r =>
+      val ca = r.getAs[Double]("c_a"); val cb = r.getAs[Double]("c_b")
+      val c = r.getAs[Double]("containment")
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0, r.toString)
+      assert(c == math.max(ca, cb), r.toString)
+      // |A∩B|/min ≥ |A∩B|/|A∪B|: containment can only exceed jaccard
+      assert(c >= j((r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))) - 1e-12)
+    }
+  }
+
   test("q_semdedup bounds candidate pairs by cluster (cid-keyed pair join)") {
     val p = plan("q_semdedup")
     // the pair join must be an equi-join on the cluster id — a pair
