@@ -453,7 +453,38 @@ object Layout {
     )
   )
 
+  /** q_salted_join — the [[Skew.saltedJoin]] surface oracle-verified:
+    * lineitem ⋈ orders with the fact side split across 8 deterministic
+    * sub-keys and the mid-size build side replicated per salt, then
+    * rolled up per priority. Salting must be semantically invisible —
+    * the oracle is the PLAIN join — while the shuffle keys carry
+    * (key, __salt), so one hot order key lands on 8 reducers instead
+    * of melting one (the deterministic tool for skew AQE can't see,
+    * e.g. aggregation-state builds; plan shape asserted in spec).
+    */
+  val qSaltedJoin = Q(
+    "q_salted_join",
+    (s, d) => {
+      import graft.Exact
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.dec(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
     qFormatRoundtrip, qTargetedDelete, qCompact, qMergeUpsert,
-    qSchemaEvolution)
+    qSchemaEvolution, qSaltedJoin)
 }

@@ -463,6 +463,25 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_salted_join shuffles on (key, salt) — the skew split is in the plan") {
+    // at test scale the replicated build side broadcasts (also fine);
+    // force the at-scale shuffle-join shape to assert the salt split
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val exec = SparkEntry.queries("q_salted_join")(spark, sf)
+        .queryExecution.executedPlan
+      val shuffleKeys = exec.collect { case e: ShuffleExchangeExec =>
+        e.outputPartitioning.toString }
+      assert(shuffleKeys.exists(_.contains("__salt")),
+        s"expected __salt among the join shuffle keys: $shuffleKeys")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("q_prf_expansion broadcasts the feedback set; text never shuffles") {
     val p = plan("q_prf_expansion")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
