@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -956,8 +956,156 @@ object Corpus {
     )
   )
 
+  /** q_topic_clusters — lexical document clustering: k-means (k=4,
+    * two exact Lloyd iterations, seeds = docs 0–3) over 16-dim hashed
+    * bag-of-words features (feature j = count of tokens with
+    * md5-hash ≡ j mod 16 — the hashing trick), the no-embedding-model
+    * topic grouping a corpus pipeline uses for mixture balancing
+    * before any encoder exists ([[Similarity]]'s k-means clusters
+    * embeddings; this clusters raw text). Emits per cluster its size
+    * and the dominant hashed dimension of the final centroid.
+    *
+    * Cross-engine exactness: features and centroids are exact BIGINTs
+    * (Lloyd means round via floor(x+0.5), the shared convention);
+    * distance is exact integer L2 decomposed as
+    * Σc² + Σ_{j∈doc}(f²−2fc), so sparse docs never densify. Ties →
+    * smaller cid, matching the embeddings trainer.
+    *
+    * 100 TB shape: one tokenize pass partial-aggregates to
+    * (doc, dim, count) — 16 dims max per doc, smaller than the text;
+    * centroids are a 64-row broadcast per iteration; assignment is a
+    * per-doc window over k=4 candidate rows. The feature frame is
+    * cached across the three assignment passes.
+    */
+  val qTopicClusters = Q(
+    "q_topic_clusters",
+    (s, d) => {
+      val k = 4
+      val dims = 16
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.wsTokens(lower(col("text")))).as("tok"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+            % dims).as("j"))
+        .groupBy("doc_id", "j").agg(count(lit(1)).as("cnt"))
+        .cache()
+      val grid = s.range(k).select(col("id").as("cid"))
+        .crossJoin(s.range(dims).select(col("id").as("j")))
+      // per-doc cluster assignment against the current centroid table
+      def assignTo(cent: DataFrame): DataFrame = {
+        val nc = cent.groupBy("cid").agg(sum(col("c") * col("c")).as("nc"))
+        val pd = f.join(broadcast(cent), Seq("j"))
+          .groupBy(col("doc_id"), col("cid"))
+          .agg(sum(col("cnt") * col("cnt")
+            - lit(2L) * col("cnt") * col("c")).as("part"))
+        val dist = pd.join(broadcast(nc), Seq("cid"))
+          .select(col("doc_id"), col("cid"),
+            (col("part") + col("nc")).as("dist"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("dist").asc, col("cid").asc)
+        dist.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("doc_id", "cid")
+      }
+      var cent = grid
+        .join(f.filter(col("doc_id") < k)
+          .select(col("doc_id").as("fcid"), col("j").as("fj"),
+            col("cnt")),
+          grid("cid") === col("fcid") && grid("j") === col("fj"), "left")
+        .select(grid("cid"), grid("j"), coalesce(col("cnt"), lit(0L)).as("c"))
+        .localCheckpoint()
+      for (_ <- 0 until 2) {
+        val a = assignTo(cent)
+        val n = a.groupBy("cid").agg(count(lit(1)).as("na"))
+        val sf = a.join(f, "doc_id").groupBy("cid", "j")
+          .agg(sum(col("cnt")).as("sf"))
+        cent = grid
+          .join(sf, Seq("cid", "j"), "left")
+          .join(n, Seq("cid"), "left")
+          .join(cent.select(col("cid"), col("j"), col("c").as("cprev")),
+            Seq("cid", "j"))
+          .select(col("cid"), col("j"),
+            when(col("na").isNull, col("cprev"))
+              .otherwise(floor(coalesce(col("sf"), lit(0L)).cast("double")
+                / col("na") + lit(0.5)).cast("long")).as("c"))
+          .localCheckpoint()
+      }
+      val sizes = assignTo(cent).groupBy("cid")
+        .agg(count(lit(1)).as("n_docs"))
+      val top = cent.withColumn("rn", row_number().over(
+          Window.partitionBy("cid").orderBy(col("c").desc, col("j").asc)))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("j").as("top_dim"),
+          col("c").as("top_weight"))
+      s.range(k).select(col("id").as("cid"))
+        .join(sizes, Seq("cid"), "left")
+        .join(top, Seq("cid"))
+        .select(col("cid"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          col("top_dim"), col("top_weight"))
+        .orderBy("cid")
+    },
+    Some {
+      def iter(x: Int): String =
+        s"""nc$x AS (SELECT cid, sum(c * c) AS nc FROM c$x GROUP BY cid),
+           |pd$x AS (
+           |  SELECT f.doc_id, c.cid,
+           |    sum(f.cnt * f.cnt - 2 * f.cnt * c.c) AS part
+           |  FROM f JOIN c$x c ON c.j = f.j GROUP BY 1, 2),
+           |dist$x AS (
+           |  SELECT p.doc_id, p.cid, p.part + n.nc AS dist
+           |  FROM pd$x p JOIN nc$x n ON n.cid = p.cid),
+           |a$x AS (
+           |  SELECT doc_id, cid FROM (
+           |    SELECT doc_id, cid, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY dist ASC, cid ASC) AS rn
+           |    FROM dist$x) t WHERE rn = 1),
+           |n$x AS (SELECT cid, count(*) AS na FROM a$x GROUP BY cid),
+           |s$x AS (
+           |  SELECT a.cid, f.j, CAST(sum(f.cnt) AS BIGINT) AS sf
+           |  FROM a$x a JOIN f ON f.doc_id = a.doc_id GROUP BY 1, 2),
+           |c${x + 1} AS (
+           |  SELECT g.cid, g.j,
+           |    CASE WHEN n.na IS NULL THEN c.c
+           |    ELSE CAST(floor(CAST(coalesce(s.sf, 0) AS DOUBLE) / n.na
+           |      + 0.5) AS BIGINT) END AS c
+           |  FROM grid g
+           |  LEFT JOIN s$x s ON s.cid = g.cid AND s.j = g.j
+           |  LEFT JOIN n$x n ON n.cid = g.cid
+           |  JOIN c$x c ON c.cid = g.cid AND c.j = g.j)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+         |  FROM documents),
+         |hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+         |f AS (
+         |  SELECT doc_id, $hexToLong % 16 AS j, count(*) AS cnt
+         |  FROM hs GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT c.cid, d.j
+         |  FROM range(0, 4) c(cid), range(0, 16) d(j)),
+         |c0 AS (
+         |  SELECT g.cid, g.j, CAST(coalesce(f.cnt, 0) AS BIGINT) AS c
+         |  FROM grid g
+         |  LEFT JOIN f ON f.doc_id = g.cid AND f.j = g.j),
+         |${iter(0)},
+         |${iter(1)},
+         |${iter(2).split(",\\n\\|?n2 AS")(0)}
+         |SELECT g.cid,
+         |  coalesce(sz.n_docs, 0) AS n_docs, t.top_dim, t.top_weight
+         |FROM (SELECT DISTINCT cid FROM grid) g
+         |LEFT JOIN (SELECT cid, count(*) AS n_docs FROM a2 GROUP BY cid) sz
+         |  ON sz.cid = g.cid
+         |JOIN (
+         |  SELECT cid, j AS top_dim, c AS top_weight FROM (
+         |    SELECT cid, j, c, row_number() OVER (PARTITION BY cid
+         |      ORDER BY c DESC, j ASC) AS rn
+         |    FROM c2) t WHERE rn = 1) t ON t.cid = g.cid
+         |ORDER BY g.cid""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
     qConcentration, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency,
-    qTokenBudget, qNovelty, qZipfFit, qDocEntropy)
+    qTokenBudget, qNovelty, qZipfFit, qDocEntropy, qTopicClusters)
 }

@@ -463,6 +463,22 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_topic_clusters partitions the corpus; text never shuffles") {
+    shufflePayloads("q_topic_clusters").foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("tok"),
+        s"text/tokens leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+    val rows = SparkEntry.queries("q_topic_clusters")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("cid")).toSeq == Seq(0L, 1L, 2L, 3L))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n,
+      "every document must land in exactly one cluster")
+    rows.foreach { r =>
+      val td = r.getAs[Long]("top_dim")
+      assert(td >= 0L && td < 16L && r.getAs[Long]("top_weight") >= 0L)
+    }
+  }
+
   test("q_salted_join shuffles on (key, salt) — the skew split is in the plan") {
     // at test scale the replicated build side broadcasts (also fine);
     // force the at-scale shuffle-join shape to assert the salt split
