@@ -971,12 +971,225 @@ object Dedup {
     }
   )
 
+  /** q_bbit_minhash — b-bit MinHash (Li & König 2010): store only the
+    * lowest b = 2 bits of each signature component, an instant 16×
+    * compression of the full 32-bit slices, and correct the resulting
+    * accidental collisions analytically: E[agreement] = C + (1−C)·J
+    * with collision baseline C = 2^−b, so Ĵ_b = (A − C)/(1 − C). For
+    * every LSH candidate pair this reports the full-width estimate,
+    * the b-bit estimate, and both errors against the exact 3-gram
+    * Jaccard — the calibration table that justifies shipping 2-bit
+    * registers at scale. A is dyadic (k/8), C = 0.25 exact, and the
+    * correction is two IEEE ops on identical operands, so both
+    * engines agree bitwise.
+    *
+    * 100 TB shape: identical to q_jaccard_est — candidate-bounded
+    * joins of the (now 8×2-bit) signature table; at a trillion docs
+    * the b-bit table is 2 bytes/doc where the full signature is 64,
+    * which is the difference between an in-memory broadcast tier and
+    * a shuffle.
+    */
+  val qBbitMinhash = Q(
+    "q_bbit_minhash",
+    (s, d) => {
+      val jac = qNgramJaccard.fn(s, d).select("id_a", "id_b", "jaccard")
+      val sig = signatures(s, d)
+      val sa = sig.select(col("doc_id").as("id_a") +:
+        (0 until nHashes).map(j => col(s"h$j").as(s"a$j")): _*)
+      val sb = sig.select(col("doc_id").as("id_b") +:
+        (0 until nHashes).map(j => col(s"h$j").as(s"b$j")): _*)
+      val agreeFull = (0 until nHashes)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val agreeB = (0 until nHashes)
+        .map(j => when(col(s"a$j") % 4 === col(s"b$j") % 4, 1).otherwise(0))
+        .reduce(_ + _)
+      val estFull = agreeFull.cast("double") / lit(nHashes.toDouble)
+      val estB = (agreeB.cast("double") / lit(nHashes.toDouble) - lit(0.25)) /
+        lit(0.75)
+      jac.join(sa, "id_a").join(sb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          agreeFull.cast("int").as("n_agree_full"),
+          agreeB.cast("int").as("n_agree_b"),
+          estFull.as("est_full"),
+          estB.as("est_b"),
+          col("jaccard"),
+          (estB - col("jaccard")).as("err_b"))
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val aFull = (0 until nHashes)
+        .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val aB = (0 until nHashes)
+        .map(j => s"CASE WHEN a.h$j % 4 = b.h$j % 4 THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH jac AS (
+         |  SELECT id_a, id_b, jaccard FROM (${qNgramJaccard.oracle.get})),
+         |sigs AS ($signaturesSql)
+         |SELECT j.id_a, j.id_b,
+         |  CAST($aFull AS INT) AS n_agree_full,
+         |  CAST($aB AS INT) AS n_agree_b,
+         |  CAST($aFull AS DOUBLE) / ${nHashes}.0 AS est_full,
+         |  (CAST($aB AS DOUBLE) / ${nHashes}.0 - 0.25) / 0.75 AS est_b,
+         |  j.jaccard,
+         |  (CAST($aB AS DOUBLE) / ${nHashes}.0 - 0.25) / 0.75 - j.jaccard
+         |    AS err_b
+         |FROM jac j
+         |JOIN sigs a ON a.doc_id = j.id_a
+         |JOIN sigs b ON b.doc_id = j.id_b
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+  )
+
+  /** q_lsh_recall — end-to-end recall/precision audit of the LSH
+    * banding against exact ground truth: within a bounded audit block
+    * (≤ 25 docs per source, deterministic lowest-doc_id sample), ALL
+    * intra-source pairs are scored with exact 3-gram Jaccard, and for
+    * each threshold the table reports how many truth pairs the
+    * banding surfaced (recall) and how clean the candidate set is
+    * (precision). q_jaccard_est calibrates the ESTIMATOR on pairs the
+    * banding already found; this measures what the banding MISSES —
+    * the number a dedup pipeline must know before trusting 2 bands ×
+    * 4 rows at scale.
+    *
+    * 100 TB shape: exact all-pairs ground truth is inherently
+    * quadratic, so the audit is block-bounded by construction — the
+    * per-source cap fixes the pair count at cap²/2 × sources
+    * regardless of corpus size (the standard recall-auditing pattern:
+    * sample blocks, not the corpus). The gram-intersection join is
+    * keyed (source, gram) inside the capped sample; the full corpus
+    * is never pair-joined.
+    */
+  val qLshRecall = Q(
+    "q_lsh_recall",
+    (s, d) => {
+      import s.implicits._
+      val cap = 25
+      // the audit-block id pick runs on a pruned (doc_id, source) scan
+      // — windowing the full row would ship the corpus text through
+      // the partition-by-source exchange; instead the capped id set
+      // (sources × 25 bare longs) broadcasts back onto the text scan
+      val sampleIds = Tables.documents(s, d)
+        .select("doc_id", "source")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .filter(col("rn") <= cap)
+        .select("doc_id", "source")
+      val sample = Tables.documents(s, d)
+        .select("doc_id", "source", "text")
+        .join(broadcast(sampleIds.select("doc_id")), Seq("doc_id"),
+          "left_semi")
+      val grams3 = array_distinct(
+        transform(
+          sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+          i => col("text").substr(i, lit(3))))
+      val g = sample.select(col("source"), col("doc_id"),
+        explode(grams3).as("g"))
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("s"))
+      val inter = g.as("a").join(g.as("b"),
+          col("a.source") === col("b.source") && col("a.g") === col("b.g") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val scored = inter
+        .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          (col("n_inter").cast("double") /
+            (col("sa.s") + col("sb.s") - col("n_inter"))).as("jaccard"))
+      val pairsAll = sampleIds
+        .select(col("doc_id").as("id_a"), col("source"))
+        .join(sampleIds.select(col("doc_id").as("id_b"), col("source")),
+          "source")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val cand = lshPairs(s, d).withColumn("cand", lit(1L))
+      val truth = pairsAll
+        .join(scored, Seq("id_a", "id_b"), "left")
+        .na.fill(0.0, Seq("jaccard"))
+        .join(cand, Seq("id_a", "id_b"), "left")
+        .na.fill(0L, Seq("cand"))
+      val ths = Seq(0.1, 0.3, 0.5, 0.7).toDF("th")
+      truth.crossJoin(broadcast(ths))
+        .groupBy("th")
+        .agg(
+          sum(when(col("jaccard") >= col("th"), 1L).otherwise(0L))
+            .as("n_truth"),
+          sum(when(col("jaccard") >= col("th") && col("cand") === 1L, 1L)
+            .otherwise(0L)).as("n_caught"),
+          sum(col("cand")).as("n_cand"))
+        .select(col("th"), col("n_truth"), col("n_caught"),
+          expr("CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE n_caught * 1000000 div n_truth END").as("recall_ppm"),
+          col("n_cand"),
+          expr("CASE WHEN n_cand = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE n_caught * 1000000 div n_cand END").as("precision_ppm"))
+        .orderBy("th")
+    },
+    Some(
+      s"""WITH sample AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |        AS rn
+         |    FROM documents) WHERE rn <= 25),
+         |g AS (
+         |  SELECT source, doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(length(text) - 2, 1) + 1),
+         |    i -> substr(text, i, 3)))) AS g
+         |  FROM sample),
+         |sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM g a JOIN g b ON a.source = b.source AND a.g = b.g
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sample a JOIN sample b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id),
+         |cand AS ($lshPairsSql),
+         |scored AS (
+         |  SELECT p.id_a, p.id_b,
+         |    coalesce(CAST(n_inter AS DOUBLE)
+         |      / (sa.s + sb.s - n_inter), 0.0) AS jaccard,
+         |    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS cand
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |  JOIN sz sa ON sa.doc_id = p.id_a
+         |  JOIN sz sb ON sb.doc_id = p.id_b
+         |  LEFT JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b),
+         |ths AS (SELECT CAST(unnest([0.1, 0.3, 0.5, 0.7]) AS DOUBLE)
+         |          AS th)
+         |SELECT th,
+         |  CAST(sum(CASE WHEN jaccard >= th THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN jaccard >= th AND cand = 1 THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_caught,
+         |  CASE WHEN sum(CASE WHEN jaccard >= th THEN 1 ELSE 0 END) = 0
+         |    THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST(sum(CASE WHEN jaccard >= th AND cand = 1
+         |        THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+         |      // CAST(sum(CASE WHEN jaccard >= th THEN 1 ELSE 0 END)
+         |        AS BIGINT) END AS recall_ppm,
+         |  CAST(sum(cand) AS BIGINT) AS n_cand,
+         |  CASE WHEN sum(cand) = 0 THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST(sum(CASE WHEN jaccard >= th AND cand = 1
+         |        THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+         |      // CAST(sum(cand) AS BIGINT) END AS precision_ppm
+         |FROM scored, ths GROUP BY th ORDER BY th""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qSubstrRegions,
     qSubstrCut,
     qDedupExact,
     qMinhashSignature,
     qJaccardEst,
+    qBbitMinhash,
+    qLshRecall,
     qMinhashLshPairs,
     qDedupClusters,
     qSimhash,

@@ -409,6 +409,130 @@ object Sketches {
     )
   )
 
+  /** q_hll_distinct — HyperLogLog distinct-count sketch (Flajolet et
+    * al. 2007) with engine-reproducible registers, completing the
+    * sketch family next to KMV: p = 6 → m = 64 registers; bucket =
+    * top-6 bits of the md5-prefix hash, register = max over rows of
+    * the leading-zero rank of the remaining 26 bits. The rank is pure
+    * integer/string arithmetic — `position('1' in lpad(bin(rem), 26,
+    * '0'))` — deliberately NOT floor(log2(x)), whose exact-power
+    * rounding could differ between libm implementations; `bin` emits
+    * the same minimal-width binary string in both engines. The 'ALL'
+    * row merges the five per-group sketches register-wise by max (the
+    * HLL union), never re-scanning the data. Estimate = α₆₄·m²/Σ2^−M_j;
+    * each 2^−M_j term and every partial sum is an exactly-representable
+    * power-of-two combination (exponent spread 33 < 53 bits), so the
+    * double sum is shuffle-order-independent and bit-identical across
+    * engines; the α multiply/divide are single IEEE ops on identical
+    * operands. The small-range linear-counting branch (E ≤ 2.5m with
+    * empty registers) uses the repo's quantized-ln convention.
+    *
+    * 100 TB shape: registers partial-aggregate map-side (max is
+    * algebraic), so the shuffle carries ≤ 64 rows per (partition,
+    * group); merging per-source sketches into the global estimate
+    * touches 5×64 rows — the same bounded-summary contract as KMV,
+    * with O(m) memory instead of KMV's O(k) values.
+    */
+  val qHllDistinct = Q(
+    "q_hll_distinct",
+    (s, d) => {
+      val rankExpr =
+        "CASE WHEN rem = 0 THEN 27 " +
+          "ELSE position('1' in lpad(bin(rem), 26, '0')) END"
+      val hashed = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"),
+          h32(col("o_custkey").cast("string")).as("h"))
+        .distinct()
+        .withColumn("bucket", expr("h div 67108864"))
+        .withColumn("rem", expr("h % 67108864"))
+        .withColumn("r", expr(rankExpr).cast("long"))
+      val regs = hashed.groupBy("g", "bucket").agg(max(col("r")).as("r"))
+      val buckets = s.range(0, 64).select(col("id").as("bucket"))
+      val gs = regs.select("g").distinct()
+      val perG = gs.crossJoin(broadcast(buckets))
+        .join(regs, Seq("g", "bucket"), "left")
+        .select(col("g").as("scope"), col("bucket"),
+          coalesce(col("r"), lit(0L)).as("r"))
+      // sketch union: register-wise max across the five group sketches
+      val merged = regs.groupBy("bucket").agg(max(col("r")).as("r"))
+      val mergedFull = buckets
+        .join(merged, Seq("bucket"), "left")
+        .select(lit("ALL").as("scope"), col("bucket"),
+          coalesce(col("r"), lit(0L)).as("r"))
+      val est = perG.unionByName(mergedFull)
+        .groupBy("scope")
+        .agg(sum(expr("1.0 / shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))"))
+          .as("ssum"),
+          sum(when(col("r") === 0, 1L).otherwise(0L)).as("v0"))
+        .withColumn("hll_est", expr(
+          "CASE WHEN 0.709 * 4096.0 / ssum <= 160.0 AND v0 > 0 " +
+            "THEN CAST(floor(64.0 * ln(64.0 / v0) * 1000000.0 + 0.5) " +
+            "AS BIGINT) div 1000000 " +
+            "ELSE CAST(floor(0.709 * 4096.0 / ssum + 0.5) AS BIGINT) END"))
+        .select(col("scope"), col("hll_est"))
+      val exactG = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("scope"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      val exactAll = Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        .select(lit("ALL").as("scope"), col("n_exact"))
+      est.join(exactG.unionByName(exactAll), "scope")
+        .select(col("scope"), col("n_exact"), col("hll_est"),
+          expr("(hll_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+        .orderBy("scope")
+    },
+    Some {
+      val h = h32Sql("CAST(o_custkey AS VARCHAR)")
+      """WITH hashed AS (
+        |  SELECT g, h, h // 67108864 AS bucket, h % 67108864 AS rem
+        |  FROM (SELECT DISTINCT o_orderpriority AS g, HEXPR AS h
+        |        FROM orders)),
+        |ranked AS (
+        |  SELECT g, bucket,
+        |    CAST(CASE WHEN rem = 0 THEN 27
+        |      ELSE position('1' in lpad(bin(rem), 26, '0')) END AS BIGINT)
+        |      AS r
+        |  FROM hashed),
+        |regs AS (SELECT g, bucket, max(r) AS r FROM ranked GROUP BY 1, 2),
+        |buckets AS (SELECT CAST(v.b AS BIGINT) AS bucket
+        |            FROM UNNEST(range(0, 64)) AS v(b)),
+        |perg AS (
+        |  SELECT gs.g AS scope, b.bucket, coalesce(regs.r, 0) AS r
+        |  FROM (SELECT DISTINCT g FROM regs) gs
+        |  CROSS JOIN buckets b
+        |  LEFT JOIN regs ON regs.g = gs.g AND regs.bucket = b.bucket),
+        |merged AS (
+        |  SELECT 'ALL' AS scope, b.bucket, coalesce(m.r, 0) AS r
+        |  FROM buckets b LEFT JOIN
+        |    (SELECT bucket, max(r) AS r FROM regs GROUP BY 1) m
+        |    ON m.bucket = b.bucket),
+        |est AS (
+        |  SELECT scope,
+        |    sum(1.0 / (CAST(1 AS BIGINT) << CAST(r AS INT))) AS ssum,
+        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+        |  FROM (SELECT * FROM perg UNION ALL SELECT * FROM merged)
+        |  GROUP BY scope),
+        |final_est AS (
+        |  SELECT scope,
+        |    CASE WHEN 0.709 * 4096.0 / ssum <= 160.0 AND v0 > 0
+        |      THEN CAST(floor(64.0 * ln(64.0 / v0) * 1000000.0 + 0.5)
+        |        AS BIGINT) // 1000000
+        |      ELSE CAST(floor(0.709 * 4096.0 / ssum + 0.5) AS BIGINT) END
+        |      AS hll_est
+        |  FROM est),
+        |exact AS (
+        |  SELECT o_orderpriority AS scope, count(DISTINCT o_custkey)
+        |    AS n_exact
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', count(DISTINCT o_custkey) FROM orders)
+        |SELECT scope, n_exact, hll_est,
+        |  ((hll_est - n_exact) * 1000000) // n_exact AS err_ppm
+        |FROM final_est JOIN exact USING (scope)
+        |ORDER BY scope""".stripMargin.replace("HEXPR", h)
+    }
+  )
+
   val all: Seq[Q] = Seq(qKmvDistinct, qCountMin, qKmvIntersect,
-    qBloomPrefilter, qQuantileSketch)
+    qBloomPrefilter, qQuantileSketch, qHllDistinct)
 }

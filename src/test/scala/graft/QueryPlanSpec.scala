@@ -594,4 +594,40 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"document text leaked into a shuffle: ${cols.mkString(", ")}")
     }
   }
+
+  test("q_bbit_minhash: 2-bit agreement dominates full-width agreement") {
+    val rows = SparkEntry.queries("q_bbit_minhash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val full = r.getAs[Int]("n_agree_full")
+      val b = r.getAs[Int]("n_agree_b")
+      // equal 32-bit slices always have equal low bits, so b-bit
+      // agreement can only ADD accidental collisions, never lose one
+      assert(b >= full, r.toString)
+      assert(b <= 8 && full >= 0, r.toString)
+      // the correction maps baseline agreement (A = 1/4) to Ĵ = 0
+      val estB = r.getAs[Double]("est_b")
+      assert(estB == (b / 8.0 - 0.25) / 0.75, r.toString)
+    }
+  }
+
+  test("q_lsh_recall: truth tiers are monotone and text never shuffles") {
+    val rows = SparkEntry.queries("q_lsh_recall")(spark, sf).collect()
+    assert(rows.length == 4, "one row per audit threshold")
+    val byTh = rows.sortBy(_.getAs[Double]("th"))
+    val truths = byTh.map(_.getAs[Long]("n_truth"))
+    // raising the Jaccard threshold can only shrink the truth set
+    assert(truths.zip(truths.tail).forall { case (a, b) => a >= b },
+      truths.mkString(","))
+    byTh.foreach { r =>
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_truth"),
+        r.toString)
+    }
+    // the candidate count is threshold-independent (one audit block)
+    assert(byTh.map(_.getAs[Long]("n_cand")).distinct.length == 1)
+    shufflePayloads("q_lsh_recall").foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
 }

@@ -212,6 +212,25 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-group register extraction must use a partitioned window")
   }
 
+  test("q_hll_distinct: merged ALL sketch present, estimates inside 3σ") {
+    val rows = run("q_hll_distinct").collect()
+    assert(rows.length == 6, "5 priority groups + the merged ALL row")
+    val all = rows.find(_.getAs[String]("scope") == "ALL")
+    assert(all.isDefined, "register-wise max merge must produce ALL")
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("hll_est")
+      assert(est > 0, r.toString)
+      // m = 64 → σ ≈ 1.04/√64 = 13% relative error; 3σ = 39%
+      assert(math.abs(est - exact).toDouble / exact < 0.40,
+        s"HLL estimate outside 3σ: $r")
+    }
+    // the merged estimate covers the union: ALL ≥ any single group's
+    val maxGroup = rows.filter(_.getAs[String]("scope") != "ALL")
+      .map(_.getAs[Long]("n_exact")).max
+    assert(all.get.getAs[Long]("n_exact") >= maxGroup)
+  }
+
   test("q_triangles: oriented enumeration is consistent with handshake bounds") {
     val r = run("q_triangles").collect().head
     val (n, e, t) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
