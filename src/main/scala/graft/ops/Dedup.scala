@@ -1182,6 +1182,61 @@ object Dedup {
     )
   )
 
+  /** q_record_linkage — classic blocking-based entity resolution
+    * (Fellegi–Sunter shape): candidate pairs come from an equi-join
+    * on the blocking key (p_brand, p_type) — never all-pairs — and
+    * each candidate is scored with Levenshtein edit distance; pairs
+    * within distance 2 are emitted as links with an integer
+    * similarity in ppm. The Spark side uses the THRESHOLD form
+    * `levenshtein(a, b, 2)`, which runs the banded O(k·n) DP and
+    * bails at distance 3+ instead of filling the full O(n·m) matrix
+    * — same kept rows as the oracle's plain distance + filter.
+    *
+    * 100 TB shape: the pair count is quadratic only within a block,
+    * so the blocking key bounds the work exactly like LSH buckets
+    * bound near-dup: (brand × type) fixes the block count and the
+    * per-block join is an ordinary shuffled equi-join. A skewed
+    * block would get the [[bandCells]] triangle treatment; name
+    * strings move once to their block, no global pair set exists.
+    */
+  val qRecordLinkage = Q(
+    "q_record_linkage",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_name"))
+      val a = p.select(col("p_brand"), col("p_type"),
+        col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_type"),
+        col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand", "p_type"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          col("dist"),
+          expr("(greatest(length(name_a), length(name_b)) - dist) " +
+            "* 1000000 div greatest(length(name_a), length(name_b))")
+            .cast("long").as("sim_ppm"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """SELECT id_a, id_b, name_a, name_b, CAST(dist AS INT) AS dist,
+        |  CAST((greatest(length(name_a), length(name_b)) - dist)
+        |    * 1000000 // greatest(length(name_a), length(name_b))
+        |    AS BIGINT) AS sim_ppm
+        |FROM (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    a.p_name AS name_a, b.p_name AS name_b,
+        |    levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |    AND a.p_partkey < b.p_partkey)
+        |WHERE dist <= 2
+        |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qSubstrRegions,
     qSubstrCut,
@@ -1190,6 +1245,7 @@ object Dedup {
     qJaccardEst,
     qBbitMinhash,
     qLshRecall,
+    qRecordLinkage,
     qMinhashLshPairs,
     qDedupClusters,
     qSimhash,

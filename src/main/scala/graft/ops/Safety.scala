@@ -257,5 +257,78 @@ object Safety {
     )
   )
 
-  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity, qDpContribution)
+  /** q_dp_release_sim — a deterministic DRY-RUN of the Laplace release
+    * mechanism over the q_dp_contribution bounds: pipeline validation
+    * for the noise-scale arithmetic (b = sensitivity/ε = 10/1.0), not
+    * a secure release — a real release draws from a secure RNG at
+    * publish time (the q_dp_contribution design note); CI needs the
+    * same mechanism with a PINNED seed so the expected |error| ≈ b
+    * and the released values are reproducible. The draw is inverse-CDF
+    * Laplace from the md5-uniform u ∈ (0,1): noise = −b·sign(u−½)·
+    * ln(1−2|u−½|), with the single transcendental ln quantized to
+    * 1e-6 (the repo convention) and everything after it exact integer
+    * micro-units, so both engines agree bitwise.
+    *
+    * 100 TB shape: identical to q_dp_contribution — the noise step
+    * adds one map-side expression over the k-row release table.
+    */
+  val qDpReleaseSim = Q(
+    "q_dp_release_sim",
+    (s, d) => {
+      val cap = 10
+      val per = Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val bounded = per.groupBy("event_type")
+        .agg(sum(least(col("cnt"), lit(cap.toLong))).as("bounded_count"))
+      val u = (conv(substring(md5(concat(lit("dp:"), col("event_type"))),
+        1, 8), 16, 10).cast("long").cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+      bounded
+        .withColumn("u", u)
+        // lnq in micro-units; |noise| = b * |ln(1-2|u-1/2|)|, b = 10
+        .withColumn("lnq", floor(
+          log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("noise_micros",
+          when(col("u") >= 0.5, lit(-10L) * col("lnq"))
+            .otherwise(lit(10L) * col("lnq")))
+        .select(col("event_type"), col("bounded_count"),
+          col("noise_micros"),
+          expr("(bounded_count * 1000000 + noise_micros) div 1000000")
+            .as("released"))
+        .orderBy("event_type")
+    },
+    Some {
+      val hexToLong = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr(h, ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH per AS (
+         |  SELECT event_type, user_id, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |bounded AS (
+         |  SELECT event_type, CAST(sum(least(cnt, 10)) AS BIGINT)
+         |    AS bounded_count
+         |  FROM per GROUP BY event_type),
+         |seeded AS (
+         |  SELECT event_type, bounded_count,
+         |    (CAST($hexToLong AS DOUBLE) + 0.5) / 4294967296.0e0 AS u
+         |  FROM (SELECT event_type, bounded_count,
+         |          substr(md5('dp:' || event_type), 1, 8) AS h
+         |        FROM bounded)),
+         |noised AS (
+         |  SELECT event_type, bounded_count,
+         |    CASE WHEN u >= 0.5 THEN -10 ELSE 10 END *
+         |      CAST(floor(ln(1.0e0 - 2.0e0 * abs(u - 0.5e0))
+         |        * 1000000.0e0 + 0.5e0) AS BIGINT) AS noise_micros
+         |  FROM seeded)
+         |SELECT event_type, bounded_count, noise_micros,
+         |  (bounded_count * 1000000 + noise_micros) // 1000000 AS released
+         |FROM noised ORDER BY event_type""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity, qDpContribution,
+    qDpReleaseSim)
 }

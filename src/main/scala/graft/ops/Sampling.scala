@@ -285,7 +285,64 @@ object Sampling {
     }
   )
 
+  /** q_epoch_shuffle — deterministic per-epoch training-order shuffle:
+    * for each epoch the corpus gets a fresh pseudo-random permutation
+    * keyed by md5(epoch ‖ doc_id), materialized as (epoch, shard,
+    * position) — the (shard, position) pair IS the data-loader read
+    * order. Epoch-seeded hashing gives a different, reproducible
+    * permutation per epoch with no RNG state to coordinate across
+    * executors.
+    *
+    * 100 TB shape: the order is sharded on purpose — position is a
+    * row_number window partitioned by (epoch, shard), so the sort is
+    * per-shard (corpus/8 rows), never a global total order; a global
+    * ORDER BY at this scale would be one range-partitioned sort of
+    * the whole corpus per epoch. Loaders stream shards independently,
+    * which is exactly how epoch shuffling is served in practice
+    * (shard-level shuffle + within-shard order).
+    */
+  val qEpochShuffle = Q(
+    "q_epoch_shuffle",
+    (s, d) => {
+      val epochs = 3
+      val shards = 8
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"))
+        .crossJoin(broadcast(
+          s.range(0, epochs).select(col("id").cast("int").as("epoch"))))
+        .withColumn("h", conv(substring(
+          md5(concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("shard", (col("h") % shards).cast("int"))
+      keyed
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("epoch", "shard")
+            .orderBy(col("h"), col("doc_id"))))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy("epoch", "shard", "pos")
+    },
+    Some {
+      val hexToLong = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr(hh, ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH keyed AS (
+         |  SELECT epoch, doc_id, CAST($hexToLong AS BIGINT) AS h
+         |  FROM (
+         |    SELECT CAST(e.v AS INT) AS epoch, doc_id,
+         |      substr(md5(CAST(e.v AS VARCHAR) || ':' ||
+         |        CAST(doc_id AS VARCHAR)), 1, 8) AS hh
+         |    FROM documents, UNNEST(range(0, 3)) AS e(v)))
+         |SELECT epoch, CAST(h % 8 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY epoch, h % 8
+         |    ORDER BY h, doc_id) AS INT) AS pos,
+         |  doc_id
+         |FROM keyed
+         |ORDER BY epoch, shard, pos""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qHashSample, qStratifiedSample, qTrainValSplit, qImportanceSample,
-      qTemperatureMix, qCurriculum, qWeightedReservoir)
+      qTemperatureMix, qCurriculum, qWeightedReservoir, qEpochShuffle)
 }

@@ -630,4 +630,64 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"document text leaked into a shuffle: ${cols.mkString(", ")}")
     }
   }
+
+  test("q_record_linkage pairs only within blocks (equi-join on the key)") {
+    val p = plan("q_record_linkage")
+    // the candidate join must be keyed by the blocking attributes — a
+    // theta-only join (p_partkey <) would enumerate all part pairs
+    assert(p.contains("p_brand") && p.contains("p_type"), p)
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.exists(l => l.contains("p_brand") && l.contains("p_type")),
+      s"expected the blocking equi-join on (p_brand, p_type):\n$joins")
+    val rows = SparkEntry.queries("q_record_linkage")(spark, sf).collect()
+    rows.foreach { r =>
+      val dist = r.getAs[Int]("dist")
+      assert(dist >= 0 && dist <= 2, r.toString)
+      assert(r.getAs[Long]("sim_ppm") <= 1000000L, r.toString)
+    }
+  }
+
+  test("q_epoch_shuffle: every doc once per epoch, permutations differ") {
+    val rows = SparkEntry.queries("q_epoch_shuffle")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    byEpoch.values.foreach { es =>
+      assert(es.map(_.getAs[Long]("doc_id")).distinct.length == nDocs,
+        "an epoch must contain every document exactly once")
+      // positions are dense per shard starting at 1
+      es.groupBy(_.getAs[Int]("shard")).values.foreach { sh =>
+        val ps = sh.map(_.getAs[Int]("pos")).sorted
+        assert(ps.toSeq == (1 to sh.length).toSeq, "dense shard order")
+      }
+    }
+    // epoch-seeded hashing must yield different read orders per epoch
+    def order(e: Int) = byEpoch(e)
+      .sortBy(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(order(0) != order(1) && order(1) != order(2))
+    // the position window is partitioned — never a single global sort
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = SparkEntry.queries("q_epoch_shuffle")(spark, sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "epoch order must be computed per (epoch, shard), not globally")
+  }
+
+  test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
+    val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
+    val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "the dry-run mechanism must be deterministic")
+    a.foreach { r =>
+      val noise = r.getAs[Long]("noise_micros")
+      // Laplace(b=10) micro-units: |noise| = 10·|ln(1−2|u−½|)|·1e6;
+      // u has 32 random bits so |ln| < 23 → |noise| < 230e6
+      assert(math.abs(noise) < 230L * 1000000L, r.toString)
+      val released = r.getAs[Long]("released")
+      val bounded = r.getAs[Long]("bounded_count")
+      assert(math.abs(released - bounded) <= math.abs(noise) / 1000000 + 1,
+        r.toString)
+    }
+  }
 }
