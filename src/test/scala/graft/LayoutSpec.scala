@@ -319,4 +319,48 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(tight).orderBy("doc_id").collect().toSeq ===
       docs.orderBy("doc_id").collect().toSeq)
   }
+
+  /** Independent order-8 Hilbert xy→d (the standard iterative
+    * algorithm, written directly in Scala) — the ground truth the SQL
+    * fold chain is checked against.
+    */
+  private def refHilbert(x0: Int, y0: Int): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 128
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("q_hilbert matches an independent reference implementation") {
+    val rows = SparkEntry.queries("q_hilbert")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val zx = r.getAs[Long]("zx").toInt
+      val zy = r.getAs[Long]("zy").toInt
+      assert(r.getAs[Long]("hkey") == refHilbert(zx, zy),
+        s"SQL fold diverges from reference at ($zx, $zy)")
+    }
+    // the curve visits each cell exactly once: key is a bijection
+    val cells = rows.map(r => (r.getAs[Long]("zx"), r.getAs[Long]("zy")))
+      .distinct.length
+    assert(rows.map(_.getAs[Long]("hkey")).distinct.length == cells)
+  }
+
+  test("q_layout_locality: Hilbert strictly beats Z-order on avg jump") {
+    val rows = SparkEntry.queries("q_layout_locality")(spark, sf).collect()
+    val byCurve = rows.map(r =>
+      r.getAs[String]("curve") -> r.getAs[Long]("avg_jump_ppm")).toMap
+    assert(byCurve.keySet == Set("hilbert", "zorder"))
+    assert(byCurve("hilbert") < byCurve("zorder"),
+      s"Hilbert locality must improve on Z-order: $byCurve")
+  }
 }
