@@ -1237,6 +1237,114 @@ object Dedup {
     )
   )
 
+  /** q_cdc_chunks — content-defined chunking (the Rabin/Gear rolling-
+    * hash pattern storage dedup uses, applied to corpus text): a chunk
+    * boundary falls after every position whose 4-char window hashes to
+    * 0 mod 64 (expected chunk ≈ 64 chars), so chunk edges are defined
+    * by CONTENT — an insertion early in a document shifts every
+    * fixed-width block but leaves all CDC chunks after the next
+    * boundary identical, which is what makes chunk-digest dedup robust
+    * to edits. Per source: chunk count, duplicate-chunk instances
+    * (same md5 digest seen earlier by (doc_id, start) order anywhere
+    * in the corpus), and the duplicated bytes — the storage-style
+    * dedup ratio at sub-document granularity.
+    *
+    * 100 TB shape: boundary detection, chunk assembly, and digesting
+    * are ONE map-side projection (higher-order functions over the
+    * in-row text; no position explosion ships, no text ever shuffles
+    * — spec-asserted); the only shuffles carry (digest, source, len)
+    * for the survivor window and the 20-row source rollup.
+    */
+  val qCdcChunks = Q(
+    "q_cdc_chunks",
+    (s, d) => {
+      val lenT = length(col("text"))
+      val posSeq = when(lenT >= 4, sequence(lit(1), (lenT - 3).cast("int")))
+        .otherwise(expr("CAST(array() AS ARRAY<INT>)"))
+      val isBoundary = (i: Column) =>
+        conv(substring(md5(col("text").substr(i, lit(4))), 1, 8), 16, 10)
+          .cast("long") % 64 === 0
+      val ends = concat(
+        filter(transform(filter(posSeq, isBoundary), i => i + 3),
+          e => e < lenT),
+        array(lenT.cast("int")))
+      val chunks = transform(
+        sequence(lit(0), size(ends) - 1),
+        k => {
+          val start = when(k === 0, lit(1))
+            .otherwise(element_at(ends, k) + 1)
+          val clen = element_at(ends, k + 1) - start + 1
+          struct(k.as("chunk_no"), start.as("start"), clen.as("clen"),
+            md5(col("text").substr(start, clen)).as("digest"))
+        })
+      val rows = Tables.documents(s, d)
+        .filter(lenT >= 1)
+        .select(col("doc_id"), col("source"), explode(chunks).as("c"))
+        .select(col("doc_id"), col("source"),
+          col("c.start").as("start"), col("c.clen").as("clen"),
+          col("c.digest").as("digest"))
+      val inst = rows.withColumn("rn", row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id", "start")))
+      inst.groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"),
+          sum(col("clen").cast("long")).as("bytes_total"),
+          sum(when(col("rn") > 1, col("clen").cast("long")).otherwise(0L))
+            .as("bytes_dup"))
+        .select(col("source"), col("n_chunks"), col("n_dup"),
+          expr("n_dup * 1000000 div n_chunks").as("dup_ppm"),
+          col("bytes_total"), col("bytes_dup"))
+        .orderBy("source")
+    },
+    Some {
+      val h = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr(md5(substr(text, CAST(i AS INT), 4)), ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text, length(text) AS n
+         |  FROM documents WHERE length(text) >= 1),
+         |withends AS (
+         |  SELECT doc_id, source, text, n,
+         |    list_concat(
+         |      list_filter(list_transform(
+         |        list_filter(range(1, greatest(n - 3, 0) + 1),
+         |          i -> ($h) % 64 = 0),
+         |        i -> i + 3),
+         |        e -> e < n),
+         |      [n]) AS ends
+         |  FROM base),
+         |chunkrows AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN t.k = 0 THEN 1 ELSE ends[CAST(t.k AS INT)] + 1 END
+         |      AS start,
+         |    ends[CAST(t.k AS INT) + 1]
+         |      - CASE WHEN t.k = 0 THEN 1 ELSE ends[CAST(t.k AS INT)] + 1
+         |        END + 1 AS clen,
+         |    md5(substr(text,
+         |      CAST(CASE WHEN t.k = 0 THEN 1
+         |        ELSE ends[CAST(t.k AS INT)] + 1 END AS INT),
+         |      CAST(ends[CAST(t.k AS INT) + 1]
+         |        - CASE WHEN t.k = 0 THEN 1 ELSE ends[CAST(t.k AS INT)] + 1
+         |          END + 1 AS INT))) AS digest
+         |  FROM withends, UNNEST(range(0, len(ends))) AS t(k)),
+         |inst AS (
+         |  SELECT source, clen,
+         |    row_number() OVER (PARTITION BY digest ORDER BY doc_id, start)
+         |      AS rn
+         |  FROM chunkrows)
+         |SELECT source, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup,
+         |  (CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*) AS dup_ppm,
+         |  CAST(sum(clen) AS BIGINT) AS bytes_total,
+         |  CAST(sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS BIGINT)
+         |    AS bytes_dup
+         |FROM inst GROUP BY source ORDER BY source""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(
     qSubstrRegions,
     qSubstrCut,
@@ -1246,6 +1354,7 @@ object Dedup {
     qBbitMinhash,
     qLshRecall,
     qRecordLinkage,
+    qCdcChunks,
     qMinhashLshPairs,
     qDedupClusters,
     qSimhash,

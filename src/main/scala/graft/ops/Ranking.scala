@@ -598,7 +598,66 @@ object Ranking {
     }
   )
 
+  /** q_calibration — the reliability table a pipeline builds before
+    * trusting a classifier's scores as probabilities: classifier
+    * margins (q_classifier_score serving) are cut into 10 equal-width
+    * bins over the observed margin range, and each bin reports its
+    * size, mean margin, and the fraction of documents the independent
+    * quality heuristic (q_quality_score > 0.625, the corpus median — 0.625 = 5/8 is exactly representable) marks positive. A
+    * well-calibrated ranker shows pos_ppm rising with the bin; this
+    * measures it instead of assuming it (the md5 stand-in weights are
+    * expected to look flat — the CONTRACT is the audit table itself).
+    * Binning is pure integer arithmetic off a broadcast 1-row min/max,
+    * so both engines agree exactly.
+    *
+    * 100 TB shape: margins and labels are the two serving passes
+    * (each already scale-shaped); the min/max is a broadcast scalar;
+    * the rollup shuffles one partial row per (partition, bin).
+    */
+  val qCalibration = Q(
+    "q_calibration",
+    (s, d) => {
+      val margins = qClassifierScore.fn(s, d).select("doc_id", "margin")
+      val labels = TextOps.qQualityScore.fn(s, d)
+        .select(col("doc_id"), (col("quality") > 0.625).as("pos"))
+      val mm = margins.agg(min(col("margin")).as("mn"),
+        max(col("margin")).as("mx"))
+      margins.join(labels, "doc_id")
+        .crossJoin(broadcast(mm))
+        .withColumn("bin",
+          expr("(margin - mn) * 10 div (mx - mn + 1)").cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("margin")).as("m_sum"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        .select(col("bin"), col("n_docs"),
+          expr("m_sum div n_docs").as("mean_margin"),
+          col("n_pos"),
+          expr("n_pos * 1000000 div n_docs").as("pos_ppm"))
+        .orderBy("bin")
+    },
+    Some(
+      s"""WITH margins AS (
+         |  SELECT doc_id, margin FROM (${qClassifierScore.oracle.get})),
+         |labels AS (
+         |  SELECT doc_id, quality > 0.625 AS pos
+         |  FROM (${TextOps.qQualityScore.oracle.get})),
+         |mm AS (SELECT min(margin) AS mn, max(margin) AS mx FROM margins),
+         |binned AS (
+         |  SELECT CAST((margin - mn) * 10 // (mx - mn + 1) AS INT)
+         |      AS bin,
+         |    margin, pos
+         |  FROM margins JOIN labels USING (doc_id), mm)
+         |SELECT bin, count(*) AS n_docs,
+         |  CAST(sum(margin) AS BIGINT) // count(*) AS mean_margin,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*) AS pos_ppm
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore, qInvertedIndex,
-      qPmiCooccur, qRrfFusion, qPrfExpansion)
+      qPmiCooccur, qRrfFusion, qPrfExpansion, qCalibration)
 }

@@ -674,6 +674,45 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "epoch order must be computed per (epoch, shard), not globally")
   }
 
+  test("q_cdc_chunks: chunks partition the text exactly, text never shuffles") {
+    val rows = SparkEntry.queries("q_cdc_chunks")(spark, sf).collect()
+    val charsBySource = Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n"))
+      .toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      // CDC boundaries split text without loss: chunk bytes == text bytes
+      assert(r.getAs[Long]("bytes_total") == charsBySource(src),
+        s"chunks must partition the text exactly: $r")
+      assert(r.getAs[Long]("bytes_dup") <= r.getAs[Long]("bytes_total"))
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_chunks"))
+    }
+    shufflePayloads("q_cdc_chunks").foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_calibration: bins cover the margin range, fractions bounded") {
+    val rows = SparkEntry.queries("q_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      assert(bin >= 0 && bin <= 9, r.toString)
+      assert(r.getAs[Long]("pos_ppm") <= 1000000L, r.toString)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"), r.toString)
+    }
+    // mean margins are strictly increasing across bins (equal-width
+    // bins over the margin axis)
+    val means = rows.sortBy(_.getAs[Int]("bin")).map(_.getAs[Long]("mean_margin"))
+    assert(means.zip(means.tail).forall { case (a, b) => a < b },
+      means.mkString(","))
+  }
+
   test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
     val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
     val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
