@@ -1104,8 +1104,96 @@ object Corpus {
     }
   )
 
+  /** q_ccnet_buckets — the CCNet head/middle/tail split (Wenzek et
+    * al. 2020): within each source, documents are ranked by bigram-LM
+    * average log-probability (the q_bigram_lm model) and dealt into
+    * perplexity terciles — bucket 1 = head (most LM-like), 3 = tail
+    * (least). CCNet keeps head+middle and drops or down-weights tail;
+    * this emits the per-(source, bucket) manifest with the exact
+    * per-doc metric range so the cut is auditable. The per-doc metric
+    * is integer micro-units (quantized-ln model scores summed, then
+    * one integer division), so ranking and the bucket means are exact
+    * in both engines.
+    *
+    * 100 TB shape: the model build is the q_bigram_lm shape (two
+    * partial-aggregated count passes, model broadcast back); the
+    * tercile is ntile over a window PARTITIONED BY source — per-source
+    * sort, no global order; the rollup is 3×sources rows.
+    */
+  val qCcnetBuckets = Q(
+    "q_ccnet_buckets",
+    (s, d) => {
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(transform(
+            sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      val pairCnt = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val startCnt = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val model = pairCnt.join(startCnt, "w1")
+        .select(col("w1"), col("w2"),
+          floor(log(col("c2").cast("double") / col("c1").cast("double"))
+            * 1e6 + 0.5).cast("long").as("lpq"))
+      val perDoc = bigrams.join(broadcast(model), Seq("w1", "w2"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lpq")).as("sumq"))
+        .select(col("doc_id"), col("source"),
+          expr("sumq div n_bigrams").as("lp_micro"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("lp_micro").desc, col("doc_id").asc)
+      perDoc
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("lp_micro")).as("lsum"),
+          min(col("lp_micro")).as("min_lp_micro"),
+          max(col("lp_micro")).as("max_lp_micro"))
+        .select(col("source"), col("bucket"), col("n_docs"),
+          expr("lsum div n_docs").as("mean_lp_micro"),
+          col("min_lp_micro"), col("max_lp_micro"))
+        .orderBy("source", "bucket")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |pair_cnt AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |start_cnt AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |model AS (
+        |  SELECT w1, w2,
+        |    CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS lpq
+        |  FROM pair_cnt JOIN start_cnt USING (w1)),
+        |per_doc AS (
+        |  SELECT doc_id, source,
+        |    CAST(sum(lpq) AS BIGINT) // count(*) AS lp_micro
+        |  FROM bg JOIN model USING (w1, w2)
+        |  GROUP BY doc_id, source),
+        |bucketed AS (
+        |  SELECT source, lp_micro,
+        |    ntile(3) OVER (PARTITION BY source
+        |      ORDER BY lp_micro DESC, doc_id ASC) AS bucket
+        |  FROM per_doc)
+        |SELECT source, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(lp_micro) AS BIGINT) // count(*) AS mean_lp_micro,
+        |  min(lp_micro) AS min_lp_micro, max(lp_micro) AS max_lp_micro
+        |FROM bucketed GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
     qConcentration, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency,
-    qTokenBudget, qNovelty, qZipfFit, qDocEntropy, qTopicClusters)
+    qTokenBudget, qNovelty, qZipfFit, qDocEntropy, qTopicClusters,
+    qCcnetBuckets)
 }

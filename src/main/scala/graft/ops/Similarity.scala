@@ -1770,9 +1770,88 @@ object Similarity {
     )
   )
 
+  /** q_embedding_coherence — per-label embedding-space health audit:
+    * each label's centroid (per-dimension integer mean of the
+    * quantized vectors) and the distribution of member-to-centroid
+    * cosines (mean/min/max, in ppm). Low mean coherence for a label
+    * flags embedding collapse or a mislabeled cluster before ANN
+    * indexes or SemDeDup thresholds are trusted on it; the spread
+    * (min vs max) flags outlier members. All sums are exact integers
+    * on the shared 1e-6 quantization; the one sqrt per vector is
+    * IEEE-correctly-rounded (deterministic cross-engine, unlike
+    * ln/exp) and each cosine is ppm-quantized BEFORE the per-label
+    * mean so no shuffle-order float sum exists.
+    *
+    * 100 TB shape: centroids partial-aggregate by (label, pos) — the
+    * shuffle carries one partial per (partition, label, dim); the
+    * centroid table (labels × dims) is broadcast back for the dot
+    * pass; per-vector work is map-side after that.
+    */
+  val qEmbeddingCoherence = Q(
+    "q_embedding_coherence",
+    (s, d) => {
+      val (v, nv) = quantized(s, d)
+      val labels = Tables.embeddings(s, d).select("vec_id", "label")
+      val vl = v.join(labels, "vec_id")
+      val cent = vl.groupBy("label", "pos")
+        .agg(expr("sum(q) div count(1)").as("cq"))
+      val nc = cent.groupBy("label").agg(sum(col("cq") * col("cq")).as("nc"))
+      val dots = vl.join(broadcast(cent), Seq("label", "pos"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("q") * col("cq")).as("dot"))
+      val cosq = dots.join(nv, "vec_id").join(broadcast(nc), "label")
+        .select(col("label"),
+          floor(col("dot").cast("double") /
+            sqrt(col("nv").cast("double") * col("nc").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long").as("cppm"))
+      cosq.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("cppm")).as("csum"),
+          min(col("cppm")).as("min_cos_ppm"),
+          max(col("cppm")).as("max_cos_ppm"))
+        .select(col("label"), col("n_vecs"),
+          expr("csum div n_vecs").as("mean_cos_ppm"),
+          col("min_cos_ppm"), col("max_cos_ppm"))
+        .orderBy("label")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $qvecSql AS qv FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, label, CAST(u.i AS INT) AS pos, qv[u.i] AS q
+         |  FROM e, UNNEST(range(1, len(qv) + 1)) AS u(i)),
+         |nv AS (
+         |  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nv
+         |  FROM v GROUP BY 1),
+         |cent AS (
+         |  SELECT label, pos, CAST(sum(q) AS BIGINT) // count(*) AS cq
+         |  FROM v GROUP BY 1, 2),
+         |nc AS (
+         |  SELECT label, CAST(sum(cq * cq) AS BIGINT) AS nc
+         |  FROM cent GROUP BY 1),
+         |dots AS (
+         |  SELECT v.vec_id, v.label, CAST(sum(v.q * c.cq) AS BIGINT)
+         |    AS dot
+         |  FROM v JOIN cent c ON c.label = v.label AND c.pos = v.pos
+         |  GROUP BY 1, 2),
+         |cosq AS (
+         |  SELECT d.label,
+         |    CAST(floor(CAST(dot AS DOUBLE)
+         |      / sqrt(CAST(nv.nv AS DOUBLE) * CAST(nc.nc AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS cppm
+         |  FROM dots d JOIN nv USING (vec_id)
+         |  JOIN nc ON nc.label = d.label)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(cppm) AS BIGINT) // count(*) AS mean_cos_ppm,
+         |  min(cppm) AS min_cos_ppm, max(cppm) AS max_cos_ppm
+         |FROM cosq GROUP BY label ORDER BY label""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
-      qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift)
+      qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift,
+      qEmbeddingCoherence)
 }

@@ -713,6 +713,35 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       means.mkString(","))
   }
 
+  test("q_embedding_coherence: own-label cosine is positive and bounded") {
+    val rows = SparkEntry.queries("q_embedding_coherence")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Long]("min_cos_ppm"),
+        r.getAs[Long]("mean_cos_ppm"), r.getAs[Long]("max_cos_ppm"))
+      assert(mn <= mean && mean <= mx, r.toString)
+      assert(mx <= 1000001L, s"cosine cannot exceed 1: $r")
+      // labeled clusters must cohere: members lean toward their own
+      // centroid on average
+      assert(mean > 0, s"collapsed or mislabeled cluster: $r")
+    }
+  }
+
+  test("q_ccnet_buckets: terciles ordered head>=middle>=tail per source") {
+    val rows = SparkEntry.queries("q_ccnet_buckets")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byB = rs.sortBy(_.getAs[Int]("bucket"))
+      assert(byB.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 2, 3),
+        s"$src must have exactly the three CCNet buckets")
+      val means = byB.map(_.getAs[Long]("mean_lp_micro"))
+      assert(means.zip(means.tail).forall { case (a, b) => a >= b },
+        s"$src: head must be most LM-like: ${means.mkString(",")}")
+      // ntile deals sizes within 1 of each other
+      val sizes = byB.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$src: ${sizes.mkString(",")}")
+    }
+  }
+
   test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
     val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
     val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
