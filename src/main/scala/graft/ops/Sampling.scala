@@ -342,7 +342,103 @@ object Sampling {
     }
   )
 
+  /** q_split_leakage — train/val contamination audit over the
+    * content-hash split (q_train_val_split's rule): exact-duplicate
+    * leakage is structurally IMPOSSIBLE under a content-hash split
+    * (identical text → identical digest → same side), and the audit
+    * proves it (exact_leak_docs is computed, not assumed, and must be
+    * 0); near-duplicate leakage is NOT prevented — LSH candidate
+    * pairs that straddle the split are the val documents whose
+    * near-copy sits in train, the contamination that silently
+    * inflates eval scores. Reports both, plus the leaked-val fraction
+    * in ppm.
+    *
+    * 100 TB shape: the exact check joins 16-byte digests (never
+    * text); the near-dup check reuses the banded LSH pair generation
+    * (skew-guarded, candidate-bounded); split labels are a map-side
+    * expression on each side of the pair join.
+    */
+  val qSplitLeakage = Q(
+    "q_split_leakage",
+    (s, d) => {
+      val split = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(substring(md5(col("text")), 1, 1) < "8", "train")
+            .otherwise("val").as("split"),
+          md5(col("text")).as("digest"))
+      val counts = split.groupBy().agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+      // exact leakage: digests present on BOTH sides (0 by construction
+      // under a content-hash split — computed to prove it)
+      val exactLeak = split.groupBy("digest")
+        .agg(countDistinct(col("split")).as("nsides"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("nval"))
+        .filter(col("nsides") === 2)
+        .agg(coalesce(sum(col("nval")), lit(0L)).as("exact_leak_docs"))
+      // near-dup leakage: LSH candidate pairs straddling the split
+      val pairs = Dedup.lshPairs(s, d)
+      val sa = split.select(col("doc_id").as("id_a"),
+        col("split").as("split_a"))
+      val sb = split.select(col("doc_id").as("id_b"),
+        col("split").as("split_b"))
+      val cross = pairs.join(sa, "id_a").join(sb, "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(when(col("split_a") === "val", col("id_a"))
+          .otherwise(col("id_b")).as("val_doc"))
+      val nearLeak = cross.agg(
+        count(lit(1)).as("neardup_leak_pairs"),
+        countDistinct(col("val_doc")).as("leaked_val_docs"))
+      counts.crossJoin(broadcast(exactLeak)).crossJoin(broadcast(nearLeak))
+        .select(col("n_train"), col("n_val"), col("exact_leak_docs"),
+          col("neardup_leak_pairs"), col("leaked_val_docs"),
+          expr("leaked_val_docs * 1000000 div n_val").as("leak_ppm"))
+    },
+    Some(
+      s"""WITH split AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substr(md5(text), 1, 1) < '8' THEN 'train'
+         |      ELSE 'val' END AS split,
+         |    md5(text) AS digest
+         |  FROM documents),
+         |counts AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_val
+         |  FROM split),
+         |exact_leak AS (
+         |  SELECT CAST(coalesce(sum(nval), 0) AS BIGINT)
+         |    AS exact_leak_docs
+         |  FROM (
+         |    SELECT digest, count(DISTINCT split) AS nsides,
+         |      sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS nval
+         |    FROM split GROUP BY digest)
+         |  WHERE nsides = 2),
+         |pairs AS (${Dedup.lshPairsSql}),
+         |cross_pairs AS (
+         |  SELECT CASE WHEN a.split = 'val' THEN p.id_a ELSE p.id_b END
+         |    AS val_doc
+         |  FROM pairs p
+         |  JOIN split a ON a.doc_id = p.id_a
+         |  JOIN split b ON b.doc_id = p.id_b
+         |  WHERE a.split <> b.split),
+         |near_leak AS (
+         |  SELECT count(*) AS neardup_leak_pairs,
+         |    count(DISTINCT val_doc) AS leaked_val_docs
+         |  FROM cross_pairs)
+         |SELECT n_train, n_val, exact_leak_docs,
+         |  CAST(neardup_leak_pairs AS BIGINT) AS neardup_leak_pairs,
+         |  CAST(leaked_val_docs AS BIGINT) AS leaked_val_docs,
+         |  (CAST(leaked_val_docs AS BIGINT) * 1000000) // n_val
+         |    AS leak_ppm
+         |FROM counts, exact_leak, near_leak""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qHashSample, qStratifiedSample, qTrainValSplit, qImportanceSample,
-      qTemperatureMix, qCurriculum, qWeightedReservoir, qEpochShuffle)
+      qTemperatureMix, qCurriculum, qWeightedReservoir, qEpochShuffle,
+      qSplitLeakage)
 }

@@ -742,6 +742,49 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_setsim_join: prefix filtering is lossless vs brute force") {
+    import org.apache.spark.sql.functions.{col, collect_set, lower => _}
+    val rows = SparkEntry.queries("q_setsim_join")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // brute force over every pair via collected shingle sets — the
+    // shingling mirrors shinglesOfTokens exactly (raw split tokens,
+    // out-of-range positions skipped like concat_ws skips NULLs)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").split("\\s+")
+        val n = toks.length
+        val sh = (1 to math.max(n - 2, 1)).map { i =>
+          Seq(i - 1, i, i + 1).filter(k => k >= 0 && k < n)
+            .map(toks).mkString(" ")
+        }.toSet
+        r.getAs[Long]("doc_id") -> sh
+      }.sortBy(_._1)
+    val expected = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (ida, sa) = docs(i); (idb, sb) = docs(j)
+      inter = (sa & sb).size
+      uni = sa.size + sb.size - inter
+      if uni > 0 && inter.toDouble / uni >= 0.5
+    } yield (ida, idb)).toSet
+    assert(rows.keySet == expected,
+      s"missed: ${(expected -- rows.keySet).take(5)}; " +
+        s"extra: ${(rows.keySet -- expected).take(5)}")
+  }
+
+  test("q_split_leakage: content-hash split makes exact leakage impossible") {
+    val r = SparkEntry.queries("q_split_leakage")(spark, sf).collect().head
+    // identical text hashes to the same side — the audit must PROVE 0
+    assert(r.getAs[Long]("exact_leak_docs") == 0L, r.toString)
+    val nVal = r.getAs[Long]("n_val")
+    val leaked = r.getAs[Long]("leaked_val_docs")
+    assert(leaked <= nVal && leaked <= r.getAs[Long]("neardup_leak_pairs"),
+      r.toString)
+    assert(r.getAs[Long]("n_train") + nVal ==
+      Tables.documents(spark, sf).count(), r.toString)
+  }
+
   test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
     val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
     val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
