@@ -1268,17 +1268,25 @@ object Dedup {
         filter(transform(filter(posSeq, isBoundary), i => i + 3),
           e => e < lenT),
         array(lenT.cast("int")))
+      // 1-element explode = materialization barrier: the boundary scan
+      // (one md5 per text position) runs ONCE per document and `ends`
+      // becomes a bound attribute — inlined into the chunk lambda's
+      // element_at calls it would re-run per chunk (measured 117 s →
+      // ~3 s per bench pass at sf0.1)
+      val withEnds = Tables.documents(s, d)
+        .filter(lenT >= 1)
+        .select(col("doc_id"), col("source"), col("text"),
+          explode(array(ends)).as("ends"))
       val chunks = transform(
-        sequence(lit(0), size(ends) - 1),
+        sequence(lit(0), size(col("ends")) - 1),
         k => {
           val start = when(k === 0, lit(1))
-            .otherwise(element_at(ends, k) + 1)
-          val clen = element_at(ends, k + 1) - start + 1
+            .otherwise(element_at(col("ends"), k) + 1)
+          val clen = element_at(col("ends"), k + 1) - start + 1
           struct(k.as("chunk_no"), start.as("start"), clen.as("clen"),
             md5(col("text").substr(start, clen)).as("digest"))
         })
-      val rows = Tables.documents(s, d)
-        .filter(lenT >= 1)
+      val rows = withEnds
         .select(col("doc_id"), col("source"), explode(chunks).as("c"))
         .select(col("doc_id"), col("source"),
           col("c.start").as("start"), col("c.clen").as("clen"),
@@ -1369,12 +1377,16 @@ object Dedup {
   val qSetsimJoin = Q(
     "q_setsim_join",
     (s, d) => {
+      // the distinct shingle stream feeds FOUR sub-DAGs (df, the rank
+      // join, and both sides of the verification join) — pin it once
+      // instead of re-splitting and re-shuffling the corpus per use
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array(split(col("text"), "\\s+"))).as("tk"))
         .select(col("doc_id"),
           explode(shinglesOfTokens(col("tk"))).as("tok"))
         .distinct()
+        .localCheckpoint()
       val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val ranked = toks.join(df, "tok").join(sz, "doc_id")

@@ -653,7 +653,97 @@ object Layout {
     }
   )
 
+  /** q_dataset_diff — snapshot change accounting (the change-data-feed
+    * a versioned corpus publishes between releases): the previous
+    * snapshot is derived deterministically from the current one — a 1-in-16
+    * hash-selected subset absent (→ ADDED since), 2 in 16 with different text
+    * (→ CHANGED), plus tombstone rows only the previous snapshot has
+    * (→ REMOVED) — then the diff is a full outer join on doc_id
+    * comparing content digests, rolled up per source. Consumers read
+    * this manifest to re-process only changed partitions instead of
+    * the whole corpus.
+    *
+    * 100 TB shape: the join is co-keyed on doc_id (both sides would
+    * be bucketed on it in a real table layout — see q_bucketed_join);
+    * only (doc_id, source, 16-byte digest) rows move, never text; the
+    * rollup is sources×4 rows.
+    */
+  val qDatasetDiff = Q(
+    "q_dataset_diff",
+    (s, d) => {
+      val cur = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("dg"))
+      val sel = substring(md5(concat(lit("prev:"),
+        col("doc_id").cast("string"))), 1, 1)
+      val prevLive = Tables.documents(s, d)
+        .filter(sel =!= "0")
+        .select(col("doc_id"), col("source"),
+          when(sel.isin("1", "2"), md5(concat(col("text"), lit(" v1"))))
+            .otherwise(md5(col("text"))).as("dg"))
+      val prevGone = Tables.documents(s, d)
+        .filter(substring(md5(concat(lit("del:"),
+          col("doc_id").cast("string"))), 1, 1) === "0")
+        .select((-col("doc_id") - 1).as("doc_id"), col("source"),
+          md5(concat(lit("gone:"), col("doc_id").cast("string"))).as("dg"))
+      val prev = prevLive.unionByName(prevGone)
+      cur.as("c")
+        .join(prev.as("p"), col("c.doc_id") === col("p.doc_id"),
+          "full_outer")
+        .select(
+          coalesce(col("c.source"), col("p.source")).as("source"),
+          when(col("p.doc_id").isNull, "added")
+            .when(col("c.doc_id").isNull, "removed")
+            .when(col("c.dg") =!= col("p.dg"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source")
+        .agg(
+          sum(when(col("status") === "added", 1L).otherwise(0L))
+            .as("n_added"),
+          sum(when(col("status") === "removed", 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+            .as("n_unchanged"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH cur AS (
+        |  SELECT doc_id, source, md5(text) AS dg FROM documents),
+        |prev AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN substr(md5('prev:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |        IN ('1', '2') THEN md5(text || ' v1')
+        |      ELSE md5(text) END AS dg
+        |  FROM documents
+        |  WHERE substr(md5('prev:' || CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+        |  UNION ALL
+        |  SELECT -doc_id - 1, source,
+        |    md5('gone:' || CAST(doc_id AS VARCHAR))
+        |  FROM documents
+        |  WHERE substr(md5('del:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+        |diff AS (
+        |  SELECT coalesce(c.source, p.source) AS source,
+        |    CASE WHEN p.doc_id IS NULL THEN 'added'
+        |      WHEN c.doc_id IS NULL THEN 'removed'
+        |      WHEN c.dg <> p.dg THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unchanged
+        |FROM diff GROUP BY source ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
     qFormatRoundtrip, qTargetedDelete, qCompact, qMergeUpsert,
-    qSchemaEvolution, qSaltedJoin, qHilbert, qLayoutLocality)
+    qSchemaEvolution, qSaltedJoin, qHilbert, qLayoutLocality,
+    qDatasetDiff)
 }

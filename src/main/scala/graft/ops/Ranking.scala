@@ -657,7 +657,85 @@ object Ranking {
     )
   )
 
+  /** q_rank_correlation — Spearman rank correlation between two
+    * rankings of the same candidate set, per query term: documents
+    * ranked by length-normalized tf (tf/dl, the TF-IDF ordering — idf
+    * is constant within a term) vs raw tf. ρ = 1 − 6·Σd²/(n(n²−1))
+    * answers "how much does length normalization actually change the
+    * ranking" — the ranker-agreement audit run before swapping
+    * scoring functions in a retrieval pipeline. Σd² and n(n²−1) are
+    * exact integers; ρ is one IEEE division, bit-identical across
+    * engines. Ties in either ordering break by doc_id, so both ranks
+    * are total orders.
+    *
+    * 100 TB shape: both rank windows are PARTITIONED BY term — the
+    * candidate set per term, never a global order; the rollup is one
+    * row per query term.
+    */
+  val qRankCorrelation = Q(
+    "q_rank_correlation",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+      val tf = docs
+        .select(col("doc_id"), size(col("t")).as("dl"),
+          explode(col("t")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+      // tf/dl ordering as exact integer cross-multiplication is not a
+      // sortable key; tf*1e6 div dl is — the same quantized ordering
+      // in both engines (ties → doc_id)
+      val scored = tf.withColumn("norm_q", expr("tf * 1000000 div dl"))
+      val rA = row_number().over(Window.partitionBy("term")
+        .orderBy(col("norm_q").desc, col("doc_id").asc))
+      val rB = row_number().over(Window.partitionBy("term")
+        .orderBy(col("tf").desc, col("doc_id").asc))
+      scored
+        .withColumn("ra", rA.cast("long"))
+        .withColumn("rb", rB.cast("long"))
+        .withColumn("d2", (col("ra") - col("rb")) * (col("ra") - col("rb")))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n_docs"), sum(col("d2")).as("sum_d2"))
+        .select(col("term"), col("n_docs"), col("sum_d2"),
+          when(col("n_docs") > 1,
+            lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+              (col("n_docs").cast("double") *
+                (col("n_docs") * col("n_docs") - 1).cast("double")))
+            .otherwise(lit(1.0)).as("spearman"))
+        .orderBy("term")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+        |  FROM toks, UNNEST(t) AS u(term)
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT term,
+        |    CAST(row_number() OVER (PARTITION BY term
+        |      ORDER BY (tf * 1000000) // dl DESC, doc_id ASC) AS BIGINT)
+        |      AS ra,
+        |    CAST(row_number() OVER (PARTITION BY term
+        |      ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rb
+        |  FROM tf)
+        |SELECT term, count(*) AS n_docs,
+        |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+        |  CASE WHEN count(*) > 1
+        |    THEN 1.0 - 6.0 * CAST(sum((ra - rb) * (ra - rb)) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE)
+        |        * CAST(count(*) * count(*) - 1 AS DOUBLE))
+        |    ELSE 1.0 END AS spearman
+        |FROM ranked GROUP BY term ORDER BY term""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore, qInvertedIndex,
-      qPmiCooccur, qRrfFusion, qPrfExpansion, qCalibration)
+      qPmiCooccur, qRrfFusion, qPrfExpansion, qCalibration,
+      qRankCorrelation)
 }

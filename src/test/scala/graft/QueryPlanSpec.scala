@@ -785,6 +785,40 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables.documents(spark, sf).count(), r.toString)
   }
 
+  test("q_rank_correlation: rho bounded, d-squared sum has even parity") {
+    val rows = SparkEntry.queries("q_rank_correlation")(spark, sf).collect()
+    assert(rows.length == 3, "one row per query term")
+    rows.foreach { r =>
+      val rho = r.getAs[Double]("spearman")
+      assert(rho >= -1.0 && rho <= 1.0, r.toString)
+      // both rankings are permutations of the same set, so Σd is 0 and
+      // Σd² ≡ Σd (mod 2) — an exact structural invariant
+      assert(r.getAs[Long]("sum_d2") % 2 == 0, r.toString)
+    }
+  }
+
+  test("q_dataset_diff: change accounting conserves the snapshot sizes") {
+    import org.apache.spark.sql.functions.{col, md5, concat, lit, substring}
+    val rows = SparkEntry.queries("q_dataset_diff")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val curBySource = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val goneBySource = docs
+      .filter(substring(md5(concat(lit("del:"),
+        col("doc_id").cast("string"))), 1, 1) === "0")
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      // every current doc is added, changed, or unchanged
+      assert(r.getAs[Long]("n_added") + r.getAs[Long]("n_changed") +
+        r.getAs[Long]("n_unchanged") == curBySource(src), r.toString)
+      // removed rows are exactly the tombstones
+      assert(r.getAs[Long]("n_removed") == goneBySource.getOrElse(src, 0L),
+        r.toString)
+    }
+  }
+
   test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
     val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
     val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
