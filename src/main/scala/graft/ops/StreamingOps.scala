@@ -720,8 +720,114 @@ object StreamingOps {
     )
   )
 
+  /** q_stream_late — EXPLICIT lateness gating, the pattern a pipeline
+    * needs when a lateness cut is a correctness requirement: Spark's
+    * own watermark only PERMITS dropping late rows — measured here,
+    * a 5-day-watermarked day-window aggregation fed the newest 4 days
+    * first and then the full 25-day backlog still aggregated every
+    * backlog row in both append and update mode (late state is
+    * re-created and immediately finalized). So exact-lateness
+    * pipelines (billing, SLA counters) gate explicitly: this query
+    * replays the log as two deterministic micro-batches (mtime-ordered
+    * files, maxFilesPerTrigger=1) through foreachBatch, which keeps a
+    * one-long high-water mark and filters each batch to rows whose
+    * day-window end exceeds (high-water − 5 d) BEFORE aggregating.
+    * The result joins gated per-day counts against batch truth;
+    * n_dropped is exactly the rows the gate rejected, and the oracle
+    * reproduces the gate arithmetically (kept iff in batch 1 or
+    * window end > max(batch-1 ts) − 5 d) — so the lateness semantics
+    * themselves are what the cross-engine hash verifies.
+    *
+    * 100 TB shape: the gate is a map-side filter per micro-batch; the
+    * per-batch partial counts append to the sink and the final rollup
+    * is day-cardinality. Driver-side state is ONE long (the
+    * high-water mark) — the bounded-scalar pattern every streaming
+    * query here uses.
+    */
+  val qStreamLate = Q(
+    "q_stream_late",
+    (s, d) => {
+      import java.nio.file.{Files, StandardCopyOption}
+      val dayUs = 86400L * 1000000L
+      val lateUs = 5L * dayUs
+      val ev = Tables.events(s, d).select(col("ts"))
+      val tmp = graft.Scratch.dir("stream_late")
+      val inDir = tmp.resolve("in")
+      Files.createDirectories(inDir)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val cutUs = (maxUs / dayUs) * dayUs - 4L * dayUs
+      def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+          mtimeSec: Long): Unit = {
+        val stage = tmp.resolve(name + "_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = inDir.resolve(name + ".parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+      }
+      writeBatch(ev.filter(unix_micros(col("ts")) >= cutUs), "b1", 1000000L)
+      writeBatch(ev.filter(unix_micros(col("ts")) < cutUs), "b2", 1000100L)
+      val sinkDir = tmp.resolve("gated").toString
+      // the explicit gate's entire state: one high-water-mark long
+      var highWater = Long.MinValue
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val wm = if (highWater == Long.MinValue) Long.MinValue
+            else highWater - lateUs
+          val gated = batch.filter(
+            (floor(unix_micros(col("ts")) / dayUs) + 1) * dayUs > wm)
+          gated
+            .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+              .as("day"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(sinkDir)
+          val bMax = batch.agg(max(unix_micros(col("ts"))))
+            .collect()(0)
+          if (!bMax.isNullAt(0))
+            highWater = math.max(highWater, bMax.getLong(0))
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val streamed = s.read.parquet(sinkDir)
+        .groupBy("day").agg(sum(col("n")).as("n_stream"))
+      val batchTruth = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(count(lit(1)).as("n_batch"))
+      batchTruth.join(streamed, Seq("day"), "left")
+        .select(col("day"), col("n_batch"),
+          coalesce(col("n_stream"), lit(0L)).as("n_stream"),
+          (col("n_batch") - coalesce(col("n_stream"), lit(0L)))
+            .as("n_dropped"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |counts AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS n_batch,
+        |    CAST(sum(CASE
+        |      WHEN ts >= date_trunc('day', (SELECT m FROM mx))
+        |          - INTERVAL 4 DAY
+        |        OR date_trunc('day', ts) + INTERVAL 1 DAY
+        |          > (SELECT m FROM mx) - INTERVAL 5 DAY
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stream
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_batch, n_stream, n_batch - n_stream AS n_dropped
+        |FROM counts ORDER BY day""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
-      qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv)
+      qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv,
+      qStreamLate)
 }

@@ -819,6 +819,24 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_stream_late: the gate drops a prefix and spares the fresh batch") {
+    val rows = SparkEntry.queries("q_stream_late")(spark, sf).collect()
+      .sortBy(_.getAs[java.time.LocalDateTime]("day").toString)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_stream") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_batch"), r.toString)
+    }
+    // lateness is monotone in event time: dropped days form a prefix
+    val droppedFlags = rows.map(_.getAs[Long]("n_dropped") > 0)
+    assert(!droppedFlags.dropWhile(identity).exists(identity),
+      s"dropped days must be a prefix: ${droppedFlags.mkString(",")}")
+    // the fresh (batch-1) days — the last 4 — are never gated
+    assert(rows.takeRight(4).forall(_.getAs[Long]("n_dropped") == 0L))
+    // and the gate actually dropped something on this replay
+    assert(rows.head.getAs[Long]("n_dropped") > 0L)
+  }
+
   test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
     val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
     val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
