@@ -682,8 +682,74 @@ object TextOps {
     )
   )
 
+  /** q_pareto_front — per-source skyline (Pareto-optimal) document
+    * selection over (quality, length): a document is on the front iff
+    * no other document in its source has ≥ quality AND ≥ chars with
+    * at least one strict — the multi-metric curation pick when a
+    * single blended score would hide the tradeoff. Computed by the
+    * sorted-sweep skyline, not the quadratic pair join: one window
+    * gives the running max length over STRICTLY higher quality
+    * (integer-quantized, so the RANGE frame excludes ties exactly),
+    * a second the max length within the quality tie group; a row
+    * survives iff neither dominates it. Quality is ppm-quantized with
+    * the repo convention so both engines rank identically.
+    *
+    * 100 TB shape: both windows are partitioned by source (the
+    * skyline's natural block); no pair join exists — the sweep is
+    * O(n log n) in the partition sort.
+    */
+  val qParetoFront = Q(
+    "q_pareto_front",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          qualityColumns.last)
+        .withColumn("qm",
+          floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long"))
+      val wStrict = Window.partitionBy("source").orderBy(col("qm").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wTie = Window.partitionBy("source", "qm")
+      scored
+        .withColumn("rm_strict", max(col("n_chars")).over(wStrict))
+        .withColumn("rm_tie", max(col("n_chars")).over(wTie))
+        .filter((col("rm_strict").isNull ||
+          col("rm_strict") < col("n_chars")) &&
+          col("rm_tie") === col("n_chars"))
+        .select(col("source"), col("doc_id"), col("qm"), col("n_chars"))
+        .orderBy(col("source"), col("qm").desc, col("doc_id"))
+    },
+    Some(
+      """WITH q AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(floor((
+        |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1) * 0.4
+        |      + (1.0 - CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1)) * 0.2
+        |      + CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |          t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |        / greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |          t -> t <> '')), 1) * 0.2
+        |      + least(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.2
+        |    ) * 1000000.0 + 0.5) AS BIGINT) AS qm
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, doc_id, qm, n_chars,
+        |    max(n_chars) OVER (PARTITION BY source ORDER BY qm DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS rm_strict,
+        |    max(n_chars) OVER (PARTITION BY source, qm) AS rm_tie
+        |  FROM q)
+        |SELECT source, doc_id, qm, n_chars FROM w
+        |WHERE (rm_strict IS NULL OR rm_strict < n_chars)
+        |  AND rm_tie = n_chars
+        |ORDER BY source, qm DESC, doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
-      qFimSplit, qDpoPairs)
+      qFimSplit, qDpoPairs, qParetoFront)
 }

@@ -837,6 +837,28 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getAs[Long]("n_dropped") > 0L)
   }
 
+  test("q_pareto_front: sweep result equals the brute-force skyline") {
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val front = SparkEntry.queries("q_pareto_front")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    val docs = SparkEntry.queries("q_quality_score")(spark, sf)
+      .select(col("doc_id"),
+        floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("qm"))
+      .join(Tables.documents(spark, sf).select("doc_id", "source", "n_chars"),
+        "doc_id")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("qm"), r.getAs[Long]("n_chars")))
+    val expected = docs.filter { case (src, id, q, n) =>
+      !docs.exists { case (s2, id2, q2, n2) =>
+        s2 == src && id2 != id && q2 >= q && n2 >= n && (q2 > q || n2 > n)
+      }
+    }.map(t => (t._1, t._2)).toSet
+    assert(front == expected,
+      s"missed: ${(expected -- front).take(5)}; extra: ${(front -- expected).take(5)}")
+  }
+
   test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
     val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
     val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()

@@ -327,4 +327,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perRow.length === batch.length)
     assert(perRow.toSeq === batch.toSeq)
   }
+
+  test("checkpointed file sink is exactly-once across a mid-stream restart") {
+    // the recovery contract every streaming query here relies on: kill
+    // a query after its first micro-batch, restart from the SAME
+    // checkpoint, and the sink must hold each input row exactly once —
+    // no loss (batch 1 not reprocessed-and-skipped) and no duplication
+    // (batch 0 not re-emitted)
+    import java.nio.file.{Files, StandardCopyOption}
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val tmp = Files.createTempDirectory("eo_spec")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+        mtimeSec: Long): Unit = {
+      val stage = tmp.resolve(name + "_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = inDir.resolve(name + ".parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+    }
+    writeBatch(ev.filter(col("event_id") % 2 === 0), "b1", 1000000L)
+    writeBatch(ev.filter(col("event_id") % 2 =!= 0), "b2", 1000100L)
+    val outDir = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def start() = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    // run exactly one micro-batch, then stop (simulated failure)
+    val q1 = start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(q1.recentProgress.exists(_.numInputRows > 0), "first batch ran")
+    } finally q1.stop()
+    // restart from the same checkpoint; it must finish the rest only
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val sunk = spark.read.parquet(outDir).select("event_id").collect()
+      .map(_.getLong(0)).sorted
+    val expected = ev.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(sunk.length === expected.length,
+      s"exactly-once violated: ${sunk.length} vs ${expected.length}")
+    assert(sunk.toSeq === expected.toSeq)
+  }
 }
