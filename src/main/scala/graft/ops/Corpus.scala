@@ -440,6 +440,92 @@ object Corpus {
     )
   )
 
+  /** q_source_minhash — source-level similarity from MERGEABLE
+    * signatures: each source is summarized by an 8-slot MinHash over
+    * its distinct token vocabulary (slot = min of the fused
+    * `minhash_slices` kernel's digest slices — the same hash family
+    * as the per-doc signatures), and every source pair gets the
+    * agreement estimate next to q_source_overlap's exact vocabulary
+    * Jaccard with the signed error. The point is the merge property:
+    * slot-min is associative/commutative, so a source's signature
+    * partial-aggregates map-side and two shards' signatures combine
+    * by element-wise min — at 100 TB a source's similarity summary is
+    * 8 longs, while the exact pair intersection re-joins the whole
+    * vocabulary. The estimator's coarseness (8 slots) is visible in
+    * `err` — the same calibration contract as q_jaccard_est.
+    *
+    * 100 TB shape: the signature aggregate shuffles ≤ 8 longs per
+    * (partition, source); the pair scoring is a broadcast of
+    * sources×8 longs onto the exact table.
+    */
+  val qSourceMinhash = Q(
+    "q_source_minhash",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.wsTokens(col("text"))).as("token"))
+        .distinct()
+      val sliced = toks.select(col("source"),
+        graft.functions.GraftFunctions.minhash_slices(col("token"))
+          .as("hs"))
+      val mins = (0 until 8).map(j => min(col("hs").getItem(j)).as(s"h$j"))
+      val sig = sliced.groupBy("source").agg(mins.head, mins.tail: _*)
+      val sa = sig.select(col("source").as("src_a") +:
+        (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
+      val sb = sig.select(col("source").as("src_b") +:
+        (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
+      val agree = (0 until 8)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      qSourceOverlap.fn(s, d).select("src_a", "src_b", "jaccard")
+        .join(broadcast(sa), "src_a")
+        .join(broadcast(sb), "src_b")
+        .select(col("src_a"), col("src_b"),
+          agree.cast("int").as("n_agree"),
+          (agree.cast("double") / lit(8.0)).as("est_jaccard"),
+          col("jaccard"),
+          ((agree.cast("double") / lit(8.0)) - col("jaccard")).as("err"))
+        .orderBy("src_a", "src_b")
+    },
+    Some {
+      def hexToLong(expr: String, start: Int): String =
+        (0 until 8).map { k =>
+          val mult = 1L << (4 * (7 - k))
+          s"(strpos('0123456789abcdef', substr($expr, ${start + k}, 1)) - 1) * $mult"
+        }.mkString("(", " + ", ")")
+      val hs = (0 until 8).map { j =>
+        val dig = if (j < 4) "d0" else "d1"
+        val st = (j % 4) * 8 + 1
+        s"CAST(min(${hexToLong(dig, st)}) AS BIGINT) AS h$j"
+      }.mkString(",\n    ")
+      val agreeSql = (0 until 8)
+        .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH vocab AS (
+         |  SELECT DISTINCT source, token
+         |  FROM (SELECT source,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+         |    FROM documents), UNNEST(t) AS u(token)),
+         |dg AS (
+         |  SELECT source, md5('0|' || token) AS d0, md5('1|' || token) AS d1
+         |  FROM vocab),
+         |sig AS (
+         |  SELECT source,
+         |    $hs
+         |  FROM dg GROUP BY source),
+         |exact AS (${qSourceOverlap.oracle.get})
+         |SELECT e.src_a, e.src_b,
+         |  CAST($agreeSql AS INT) AS n_agree,
+         |  CAST($agreeSql AS DOUBLE) / 8.0 AS est_jaccard,
+         |  e.jaccard,
+         |  CAST($agreeSql AS DOUBLE) / 8.0 - e.jaccard AS err
+         |FROM exact e
+         |JOIN sig a ON a.source = e.src_a
+         |JOIN sig b ON b.source = e.src_b
+         |ORDER BY e.src_a, e.src_b""".stripMargin
+    }
+  )
+
   /** q_concentration — per-source token concentration: Herfindahl index
     * HHI = Σ cnt² / total² (and the equivalent effective vocabulary size
     * 1/HHI) — the inverse view of [[qEntropy]]'s diversity, fully exact:
@@ -1193,7 +1279,7 @@ object Corpus {
 
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
-    qConcentration, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency,
+    qConcentration, qSourceMinhash, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency,
     qTokenBudget, qNovelty, qZipfFit, qDocEntropy, qTopicClusters,
     qCcnetBuckets)
 }

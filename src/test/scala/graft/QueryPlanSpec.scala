@@ -859,6 +859,20 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed: ${(expected -- front).take(5)}; extra: ${(front -- expected).take(5)}")
   }
 
+  test("q_source_minhash: estimator dyadic, error honest vs exact") {
+    val rows = SparkEntry.queries("q_source_minhash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val agree = r.getAs[Int]("n_agree")
+      assert(agree >= 0 && agree <= 8, r.toString)
+      assert(r.getAs[Double]("est_jaccard") == agree / 8.0, r.toString)
+      assert(math.abs(r.getAs[Double]("err")) <= 1.0, r.toString)
+    }
+    // the pair set is exactly the exact-overlap pair set
+    val exact = SparkEntry.queries("q_source_overlap")(spark, sf).count()
+    assert(rows.length.toLong == exact)
+  }
+
   test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
     val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
     val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
