@@ -213,61 +213,172 @@ object Graph {
     * WindowGroupLimit-style rank-1 argmax; the edge list itself never
     * re-shuffles. The oracle unrolls all 5 rounds as CTEs.
     */
+  /** The 5-round deterministic LPA label vector (node, lbl) — shared
+    * by q_label_prop (community sizes) and q_modularity (partition
+    * quality).
+    */
+  private def lpaLabels(s: SparkSession, d: String, n: Long): DataFrame = {
+    val und = undirected(s, d, n)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      val neigh = sym.join(labels, sym("dst") === labels("node"))
+        .select(col("src").as("v"), col("lbl"))
+      val cnt = neigh.groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("v").orderBy(col("c").desc, col("lbl"))
+      val top = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("lbl").as("top_lbl"))
+      // same lineage pin as q_ppr_seed: the label vector is O(nodes)
+      labels = labels.join(top, labels("node") === top("v"), "left")
+        .select(col("node"), coalesce(col("top_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** The oracle's LPA CTE chain: e0/und/sym/l0 + the unrolled rounds;
+    * the final labels are in `l{LpaRounds}`.
+    */
+  private def lpaSqlCtes(n: String): String = {
+    val steps = (1 to LpaRounds).map { t =>
+      s"""c$t AS (
+         |  SELECT e.src AS v, l.lbl, count(*) AS c
+         |  FROM sym e JOIN l${t - 1} l ON l.node = e.dst
+         |  GROUP BY 1, 2),
+         |t$t AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT v, lbl,
+         |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+         |    FROM c$t) WHERE rn = 1),
+         |l$t AS (
+         |  SELECT p.node, coalesce(t.lbl, p.lbl) AS lbl
+         |  FROM l${t - 1} p LEFT JOIN t$t t ON t.v = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (${edgesSql(n)}),
+       |und AS ($UndSql),
+       |sym AS (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT s_suppkey AS node, s_suppkey AS lbl FROM supplier),
+       |$steps""".stripMargin
+  }
+
   val qLabelProp = Q(
     "q_label_prop",
     (s, d) => {
-      val n   = Tables.supplier(s, d).count()
-      val und = undirected(s, d, n)
-      val sym = und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b").as("src"), col("a").as("dst")))
-        .cache()
-      val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
-      var labels = nodes.select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to LpaRounds) {
-        val neigh = sym.join(labels, sym("dst") === labels("node"))
-          .select(col("src").as("v"), col("lbl"))
-        val cnt = neigh.groupBy("v", "lbl").agg(count(lit(1)).as("c"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("v").orderBy(col("c").desc, col("lbl"))
-        val top = cnt.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("v"), col("lbl").as("top_lbl"))
-        // same lineage pin as q_ppr_seed: the label vector is O(nodes)
-        labels = labels.join(top, labels("node") === top("v"), "left")
-          .select(col("node"), coalesce(col("top_lbl"), col("lbl")).as("lbl"))
-          .localCheckpoint()
-      }
-      labels.groupBy(col("lbl").as("community"))
+      val n = Tables.supplier(s, d).count()
+      lpaLabels(s, d, n)
+        .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("community"))
         .limit(20)
     },
     Some {
       val n = "(SELECT count(*) FROM supplier)"
-      val steps = (1 to LpaRounds).map { t =>
-        s"""c$t AS (
-           |  SELECT e.src AS v, l.lbl, count(*) AS c
-           |  FROM sym e JOIN l${t - 1} l ON l.node = e.dst
-           |  GROUP BY 1, 2),
-           |t$t AS (
-           |  SELECT v, lbl FROM (
-           |    SELECT v, lbl,
-           |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
-           |    FROM c$t) WHERE rn = 1),
-           |l$t AS (
-           |  SELECT p.node, coalesce(t.lbl, p.lbl) AS lbl
-           |  FROM l${t - 1} p LEFT JOIN t$t t ON t.v = p.node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e0 AS (${edgesSql(n)}),
-         |und AS ($UndSql),
-         |sym AS (
-         |  SELECT a AS src, b AS dst FROM und
-         |  UNION ALL SELECT b, a FROM und),
-         |l0 AS (SELECT s_suppkey AS node, s_suppkey AS lbl FROM supplier),
-         |$steps
+      s"""WITH ${lpaSqlCtes(n)}
          |SELECT lbl AS community, count(*) AS size
          |FROM l$LpaRounds GROUP BY lbl
          |ORDER BY size DESC, community LIMIT 20""".stripMargin
+    }
+  )
+
+  /** q_modularity — Newman modularity of the LPA partition: Q = Σ_c
+    * [e_c/m − (d_c/2m)²] over communities, the standard "is this
+    * clustering better than random" score a pipeline checks before
+    * acting on detected communities (e.g., collapsing template
+    * clusters). e_c (intra-community edges), d_c (degree mass), and m
+    * are exact integers; each community's term is nano-quantized
+    * BEFORE the cross-community sum, so no shuffle-order float sum
+    * exists. Reported with node/edge/community counts in one row.
+    *
+    * 100 TB shape: edges join the O(nodes) label vector twice
+    * (co-keyed by endpoint); degrees partial-aggregate; the term
+    * table is community-cardinality.
+    */
+  val qModularity = Q(
+    "q_modularity",
+    (s, d) => {
+      val n = Tables.supplier(s, d).count()
+      val und = undirected(s, d, n).cache()
+      val labels = lpaLabels(s, d, n)
+      val la = labels.select(col("node").as("a"), col("lbl").as("la"))
+      val lb = labels.select(col("node").as("b"), col("lbl").as("lb"))
+      val eIn = und.join(la, "a").join(lb, "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community"))
+        .agg(count(lit(1)).as("e_c"))
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val dC = labels.join(deg, "node")
+        .groupBy(col("lbl").as("community"))
+        .agg(sum(col("deg")).as("d_c"))
+      val allC = labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val mRow = und.agg(count(lit(1)).as("m"))
+      val terms = allC
+        .join(eIn, Seq("community"), "left")
+        .join(dC, Seq("community"), "left")
+        .na.fill(0L, Seq("e_c", "d_c"))
+        .crossJoin(broadcast(mRow))
+        .withColumn("term_nano", floor(
+          (col("e_c").cast("double") / col("m") -
+            (col("d_c").cast("double") / (col("m") * 2)) *
+              (col("d_c").cast("double") / (col("m") * 2))) *
+            lit(1000000000.0) + lit(0.5)).cast("long"))
+      terms.agg(
+        max(col("m")).as("m_edges"),
+        count(lit(1)).as("n_communities"),
+        sum(col("term_nano")).as("modularity_nano"))
+        .crossJoin(broadcast(
+          Tables.supplier(s, d).agg(count(lit(1)).as("n_nodes"))))
+        .select(col("n_nodes"), col("m_edges"), col("n_communities"),
+          col("modularity_nano"))
+    },
+    Some {
+      val n = "(SELECT count(*) FROM supplier)"
+      s"""WITH ${lpaSqlCtes(n)},
+         |ein AS (
+         |  SELECT la.lbl AS community, count(*) AS e_c
+         |  FROM und
+         |  JOIN l$LpaRounds la ON la.node = und.a
+         |  JOIN l$LpaRounds lb ON lb.node = und.b
+         |  WHERE la.lbl = lb.lbl
+         |  GROUP BY 1),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM und
+         |    UNION ALL SELECT b FROM und)
+         |  GROUP BY node),
+         |dc AS (
+         |  SELECT l.lbl AS community, CAST(sum(deg) AS BIGINT) AS d_c
+         |  FROM l$LpaRounds l JOIN deg ON deg.node = l.node
+         |  GROUP BY 1),
+         |allc AS (
+         |  SELECT lbl AS community, count(*) AS n_nodes
+         |  FROM l$LpaRounds GROUP BY lbl),
+         |m AS (SELECT count(*) AS m FROM und),
+         |terms AS (
+         |  SELECT allc.community,
+         |    CAST(floor((CAST(coalesce(e_c, 0) AS DOUBLE) / m.m
+         |      - (CAST(coalesce(d_c, 0) AS DOUBLE) / (m.m * 2))
+         |        * (CAST(coalesce(d_c, 0) AS DOUBLE) / (m.m * 2)))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS term_nano,
+         |    m.m
+         |  FROM allc
+         |  LEFT JOIN ein ON ein.community = allc.community
+         |  LEFT JOIN dc ON dc.community = allc.community
+         |  CROSS JOIN m)
+         |SELECT $n AS n_nodes,
+         |  CAST(max(m) AS BIGINT) AS m_edges,
+         |  count(*) AS n_communities,
+         |  CAST(sum(term_nano) AS BIGINT) AS modularity_nano
+         |FROM terms""".stripMargin
     }
   )
 
@@ -334,5 +445,5 @@ object Graph {
     }
   )
 
-  val all: Seq[Q] = Seq(qPprSeed, qTriangles, qLabelProp, qBfsHops)
+  val all: Seq[Q] = Seq(qPprSeed, qTriangles, qLabelProp, qBfsHops, qModularity)
 }

@@ -231,6 +231,20 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.get.getAs[Long]("n_exact") >= maxGroup)
   }
 
+  test("q_modularity: terms bounded, accounting consistent with the graph") {
+    val r = run("q_modularity").collect().head
+    val (nn, m, nc, qNano) = (r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("m_edges"), r.getAs[Long]("n_communities"),
+      r.getAs[Long]("modularity_nano"))
+    assert(nn > 0 && m > 0 && nc > 0)
+    assert(nc <= nn, "at most one community per node")
+    // modularity is bounded in [-1/2, 1)
+    assert(qNano > -500000000L && qNano < 1000000000L, qNano.toString)
+    // the triangle query sees the same undirected simple graph
+    val tri = run("q_triangles").collect().head
+    assert(tri.getAs[Long]("n_edges") == m && tri.getAs[Long]("n_nodes") == nn)
+  }
+
   test("q_triangles: oriented enumeration is consistent with handshake bounds") {
     val r = run("q_triangles").collect().head
     val (n, e, t) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
