@@ -668,9 +668,14 @@ object Ranking {
     * engines. Ties in either ordering break by doc_id, so both ranks
     * are total orders.
     *
-    * 100 TB shape: both rank windows are PARTITIONED BY term — the
-    * candidate set per term, never a global order; the rollup is one
-    * row per query term.
+    * 100 TB shape: both rank windows are PARTITIONED BY term — never
+    * a global order — but parallelism is bounded by the query-term
+    * count, and a head term's candidate set is one partition's sort.
+    * That is acceptable for an audit over a handful of probe terms;
+    * a corpus-wide sweep would first cap candidates per term with a
+    * deterministic hash sample (the q_lsh_recall block-cap pattern)
+    * so each term's sort stays executor-sized. The rollup is one row
+    * per query term.
     */
   val qRankCorrelation = Q(
     "q_rank_correlation",
