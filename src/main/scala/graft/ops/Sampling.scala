@@ -437,8 +437,68 @@ object Sampling {
     )
   )
 
+  /** q_time_decay_sample — recency-weighted event sampling: each
+    * event's keep-probability decays exponentially with age, p =
+    * exp(−age/τ) with τ = 10 days, and the keep decision is the
+    * deterministic content-hash Bernoulli (u_ppm < p_ppm) — the
+    * freshness-biased downsampling a training pipeline applies to
+    * interaction logs so stale behavior fades without a hard cutoff.
+    * Age is exact µs integer arithmetic off the in-plan max
+    * timestamp; the one transcendental (exp) is ppm-quantized with
+    * the repo's floor(x·1e6 + 0.5) convention before the integer
+    * compare, so keep-sets are identical across engines. Reports the
+    * per-day decay curve: events, mean p in ppm, kept.
+    *
+    * 100 TB shape: the max-ts is a broadcast 1-row aggregate; the
+    * weight/keep decision is map-side on the scan; the rollup
+    * shuffles one partial row per (partition, day).
+    */
+  val qTimeDecaySample = Q(
+    "q_time_decay_sample",
+    (s, d) => {
+      val tauUs = 10.0 * 86400.0 * 1000000.0
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      val mx = ev.agg(max(col("us")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("p_ppm", floor(
+          exp((col("us") - col("mx")).cast("double") / lit(tauUs)) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("u_ppm",
+          conv(substring(md5(concat(lit("decay:"),
+            col("event_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000000)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("sum(p_ppm) div count(1)").as("mean_p_ppm"),
+          sum(when(col("u_ppm") < col("p_ppm"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy("day")
+    },
+    Some {
+      val hexToLong = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr(md5('decay:' || CAST(event_id AS VARCHAR)), ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |w AS (
+         |  SELECT ts, event_id,
+         |    CAST(floor(exp(CAST(epoch_us(ts) - mx.mx AS DOUBLE)
+         |      / 864000000000.0e0) * 1000000.0e0 + 0.5e0) AS BIGINT)
+         |      AS p_ppm,
+         |    $hexToLong % 1000000 AS u_ppm
+         |  FROM events, mx)
+         |SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+         |  CAST(sum(p_ppm) AS BIGINT) // count(*) AS mean_p_ppm,
+         |  CAST(sum(CASE WHEN u_ppm < p_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept
+         |FROM w GROUP BY 1 ORDER BY day""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qHashSample, qStratifiedSample, qTrainValSplit, qImportanceSample,
       qTemperatureMix, qCurriculum, qWeightedReservoir, qEpochShuffle,
-      qSplitLeakage)
+      qSplitLeakage, qTimeDecaySample)
 }

@@ -873,6 +873,22 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length.toLong == exact)
   }
 
+  test("q_time_decay_sample: decay curve is monotone toward recency") {
+    val rows = SparkEntry.queries("q_time_decay_sample")(spark, sf).collect()
+      .sortBy(_.getAs[java.time.LocalDateTime]("day").toString)
+    assert(rows.nonEmpty)
+    // mean keep-probability rises monotonically toward the newest day
+    val ps = rows.map(_.getAs[Long]("mean_p_ppm"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+      ps.mkString(","))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mean_p_ppm") <= 1000000L, r.toString)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_events"), r.toString)
+    }
+    // the newest day keeps nearly everything, the oldest nearly nothing
+    assert(ps.last > 900000L && ps.head < 100000L, s"${ps.head}..${ps.last}")
+  }
+
   test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
     val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
     val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
