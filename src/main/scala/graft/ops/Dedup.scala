@@ -1255,42 +1255,53 @@ object Dedup {
     * — spec-asserted); the only shuffles carry (digest, source, len)
     * for the survivor window and the 20-row source rollup.
     */
+  /** CDC chunk rows (start, clen, digest per chunk) for any frame with
+    * a `text` column; `keep` columns pass through. The boundary scan
+    * materializes through a 1-element explode barrier — see the
+    * q_cdc_chunks scaladoc. Shared by the registry query and the
+    * edit-stability property spec.
+    */
+  private[graft] def cdcChunkRows(df: DataFrame,
+      keep: Seq[String]): DataFrame = {
+    val lenT = length(col("text"))
+    val posSeq = when(lenT >= 4, sequence(lit(1), (lenT - 3).cast("int")))
+      .otherwise(expr("CAST(array() AS ARRAY<INT>)"))
+    val isBoundary = (i: Column) =>
+      conv(substring(md5(col("text").substr(i, lit(4))), 1, 8), 16, 10)
+        .cast("long") % 64 === 0
+    val ends = concat(
+      filter(transform(filter(posSeq, isBoundary), i => i + 3),
+        e => e < lenT),
+      array(lenT.cast("int")))
+    // 1-element explode = materialization barrier: the boundary scan
+    // (one md5 per text position) runs ONCE per document and `ends`
+    // becomes a bound attribute — inlined into the chunk lambda's
+    // element_at calls it would re-run per chunk (measured 117 s →
+    // ~3 s per bench pass at sf0.1)
+    val withEnds = df
+      .filter(lenT >= 1)
+      .select(keep.map(col) ++ Seq(col("text"),
+        explode(array(ends)).as("ends")): _*)
+    val chunks = transform(
+      sequence(lit(0), size(col("ends")) - 1),
+      k => {
+        val start = when(k === 0, lit(1))
+          .otherwise(element_at(col("ends"), k) + 1)
+        val clen = element_at(col("ends"), k + 1) - start + 1
+        struct(k.as("chunk_no"), start.as("start"), clen.as("clen"),
+          md5(col("text").substr(start, clen)).as("digest"))
+      })
+    withEnds
+      .select(keep.map(col) :+ explode(chunks).as("c"): _*)
+      .select(keep.map(col) ++ Seq(col("c.start").as("start"),
+        col("c.clen").as("clen"), col("c.digest").as("digest")): _*)
+  }
+
   val qCdcChunks = Q(
     "q_cdc_chunks",
     (s, d) => {
-      val lenT = length(col("text"))
-      val posSeq = when(lenT >= 4, sequence(lit(1), (lenT - 3).cast("int")))
-        .otherwise(expr("CAST(array() AS ARRAY<INT>)"))
-      val isBoundary = (i: Column) =>
-        conv(substring(md5(col("text").substr(i, lit(4))), 1, 8), 16, 10)
-          .cast("long") % 64 === 0
-      val ends = concat(
-        filter(transform(filter(posSeq, isBoundary), i => i + 3),
-          e => e < lenT),
-        array(lenT.cast("int")))
-      // 1-element explode = materialization barrier: the boundary scan
-      // (one md5 per text position) runs ONCE per document and `ends`
-      // becomes a bound attribute — inlined into the chunk lambda's
-      // element_at calls it would re-run per chunk (measured 117 s →
-      // ~3 s per bench pass at sf0.1)
-      val withEnds = Tables.documents(s, d)
-        .filter(lenT >= 1)
-        .select(col("doc_id"), col("source"), col("text"),
-          explode(array(ends)).as("ends"))
-      val chunks = transform(
-        sequence(lit(0), size(col("ends")) - 1),
-        k => {
-          val start = when(k === 0, lit(1))
-            .otherwise(element_at(col("ends"), k) + 1)
-          val clen = element_at(col("ends"), k + 1) - start + 1
-          struct(k.as("chunk_no"), start.as("start"), clen.as("clen"),
-            md5(col("text").substr(start, clen)).as("digest"))
-        })
-      val rows = withEnds
-        .select(col("doc_id"), col("source"), explode(chunks).as("c"))
-        .select(col("doc_id"), col("source"),
-          col("c.start").as("start"), col("c.clen").as("clen"),
-          col("c.digest").as("digest"))
+      val rows = cdcChunkRows(Tables.documents(s, d),
+        Seq("doc_id", "source"))
       val inst = rows.withColumn("rn", row_number().over(
         Window.partitionBy("digest").orderBy("doc_id", "start")))
       inst.groupBy("source")

@@ -770,14 +770,22 @@ object StreamingOps {
       writeBatch(ev.filter(unix_micros(col("ts")) >= cutUs), "b1", 1000000L)
       writeBatch(ev.filter(unix_micros(col("ts")) < cutUs), "b2", 1000100L)
       val sinkDir = tmp.resolve("gated").toString
-      // the explicit gate's entire state: one high-water-mark long
-      var highWater = Long.MinValue
+      // the explicit gate's entire state: one high-water-mark long,
+      // persisted NEXT TO the sink so a restarted query resumes the
+      // same watermark (a process-local var would silently reset the
+      // gate after recovery — the batches themselves are not replayed,
+      // but later batches would re-admit already-expired lateness)
+      val hwmFile = tmp.resolve("hwm.txt")
+      def readHwm(): Long =
+        if (Files.exists(hwmFile)) Files.readString(hwmFile).trim.toLong
+        else Long.MinValue
       val q = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
         .writeStream
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val highWater = readHwm()
           val wm = if (highWater == Long.MinValue) Long.MinValue
             else highWater - lateUs
           val gated = batch.filter(
@@ -790,7 +798,8 @@ object StreamingOps {
           val bMax = batch.agg(max(unix_micros(col("ts"))))
             .collect()(0)
           if (!bMax.isNullAt(0))
-            highWater = math.max(highWater, bMax.getLong(0))
+            Files.writeString(hwmFile,
+              math.max(highWater, bMax.getLong(0)).toString)
           ()
         }
         .start()

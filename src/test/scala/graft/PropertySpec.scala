@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Property-style tests over seeded-random generated inputs — the
+  * invariants the fixture corpus alone cannot stress:
+  *
+  *  - the band-cells skew guard must preserve the EXACT pair set for
+  *    every bucket-size distribution and cap (its whole correctness
+  *    claim is "same pairs, bounded reducers");
+  *  - CDC chunking must (a) partition any text exactly and (b) keep
+  *    chunk digests stable downstream of an edit once a boundary
+  *    re-synchronizes — the content-defined property that justifies
+  *    chunk-digest dedup over fixed-width blocks.
+  *
+  * Generators are seeded (fixed scala.util.Random seeds), so failures
+  * reproduce exactly.
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("property-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  test("bandPairs preserves the exact pair set for arbitrary skew and cap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (caseNo <- 1 to 6) {
+      // skewed band table: few buckets, one deliberately giant
+      val nDocs = 30 + rnd.nextInt(50)
+      val nBuckets = 1 + rnd.nextInt(4)
+      val rows = (0 until nDocs).map { id =>
+        // bucket 0 absorbs ~half the docs — the skew case the guard exists for
+        val b = if (rnd.nextBoolean()) 0 else rnd.nextInt(nBuckets)
+        (id.toLong, 0, s"bv$b")
+      }
+      val bands = rows.toDF("doc_id", "band", "bv")
+      val cap = 1 + rnd.nextInt(10) // caps far below bucket sizes
+      val guarded = Dedup.bandPairs(bands, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = rows.groupBy(_._3).values.flatMap { members =>
+        val ids = members.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+      assert(guarded == plain,
+        s"case $caseNo (cap=$cap): missed ${(plain -- guarded).take(3)} " +
+          s"extra ${(guarded -- plain).take(3)}")
+    }
+  }
+
+  test("CDC chunks partition random texts exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh \n"
+    val texts = (1 to 40).map { i =>
+      val len = 1 + rnd.nextInt(600)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = texts.toDF("id", "text")
+    val chunks = Dedup.cdcChunkRows(df, Seq("id")).collect()
+      .groupBy(_.getAs[Long]("id"))
+    texts.foreach { case (id, text) =>
+      val cs = chunks(id).sortBy(_.getAs[Int]("start"))
+      // contiguous cover: starts/lens tile [1, len] exactly
+      var expectStart = 1
+      cs.foreach { c =>
+        assert(c.getAs[Int]("start") == expectStart, s"id=$id gap at $c")
+        expectStart += c.getAs[Int]("clen")
+      }
+      assert(expectStart == text.length + 1, s"id=$id tail mismatch")
+    }
+  }
+
+  test("CDC digests re-synchronize after an edit (content-defined property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefgh "
+    val cases = (1 to 25).map { i =>
+      val len = 300 + rnd.nextInt(300)
+      val text = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val at = rnd.nextInt(len / 2) // edit in the first half
+      val edited = text.substring(0, at) + "XYZ" + text.substring(at)
+      (i.toLong, text, edited, at)
+    }
+    val orig = cases.map(c => (c._1, c._2)).toDF("id", "text")
+    val edit = cases.map(c => (c._1, c._3)).toDF("id", "text")
+    val co = Dedup.cdcChunkRows(orig, Seq("id")).collect()
+      .groupBy(_.getAs[Long]("id"))
+    val ce = Dedup.cdcChunkRows(edit, Seq("id")).collect()
+      .groupBy(_.getAs[Long]("id"))
+    var resynced = 0
+    cases.foreach { case (id, text, _, at) =>
+      def digestsFrom(m: Map[Long, Array[org.apache.spark.sql.Row]],
+          minStart: Int, shift: Int): Seq[String] =
+        m(id).filter(_.getAs[Int]("start") > minStart + shift)
+          .sortBy(_.getAs[Int]("start")).map(_.getAs[String]("digest")).toSeq
+      // chunks that start after the first boundary beyond the edit
+      // point must be IDENTICAL in both versions (shifted by 3 chars)
+      val boundariesAfter = co(id).map(_.getAs[Int]("start"))
+        .filter(_ > at + 4)
+      if (boundariesAfter.nonEmpty) {
+        val sync = boundariesAfter.min
+        val do_ = digestsFrom(co, sync - 1, 0)
+        val de = digestsFrom(ce, sync - 1, 3)
+        assert(do_ == de,
+          s"id=$id: downstream digests diverged after resync point $sync")
+        if (do_.nonEmpty) resynced += 1
+      }
+    }
+    // the property must actually bite: most cases have surviving chunks
+    assert(resynced >= 15, s"only $resynced cases exercised the invariant")
+  }
+}
