@@ -509,7 +509,7 @@ object Layout {
   /** Apply the 8 Hilbert fold steps to a frame carrying (hx, hy, hd)
     * plus `keep` passthrough columns; hd ends as the Hilbert index.
     */
-  private[ops] def hilbert8(df: org.apache.spark.sql.DataFrame,
+  private[graft] def hilbert8(df: org.apache.spark.sql.DataFrame,
       keep: Seq[String]): org.apache.spark.sql.DataFrame =
     hilbertSides.foldLeft(df) { (acc, s) =>
       val (rs, us) = hilbertStepExprs(s)

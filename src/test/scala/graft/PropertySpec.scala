@@ -62,6 +62,20 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Hilbert key is a bijection over the FULL 256x256 grid") {
+    // exhaustive, not sampled: every (x, y) cell once, one Spark pass
+    val grid = spark.range(0, 65536).selectExpr(
+      "id div 256 AS zx", "id % 256 AS zy",
+      "id div 256 AS hx", "id % 256 AS hy", "CAST(0 AS BIGINT) AS hd")
+    val keys = graft.ops.Layout.hilbert8(grid, Seq("zx", "zy"))
+      .selectExpr("hd").collect().map(_.getLong(0))
+    assert(keys.length == 65536)
+    val distinct = keys.distinct
+    assert(distinct.length == 65536, "curve must visit every cell once")
+    assert(distinct.min == 0L && distinct.max == 65535L,
+      "keys must cover exactly [0, 2^16)")
+  }
+
   test("CDC chunks partition random texts exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
