@@ -651,6 +651,92 @@ object Corpus {
     )
   )
 
+  /** q_kneser_ney — interpolated Kneser–Ney bigram scoring (the
+    * smoothing KenLM uses, i.e. what CCNet-style quality filtering
+    * actually runs — the plain MLE q_bigram_lm assigns zero mass to
+    * unseen continuations; KN discounts every seen bigram by d = 0.75
+    * and redistributes via the CONTINUATION unigram, "how many
+    * contexts does this word complete", not raw frequency):
+    * P(w₂|w₁) = max(c(w₁w₂)−d, 0)/c(w₁) + d·N₁₊(w₁·)/c(w₁) ·
+    * N₁₊(·w₂)/D. All counts are exact integers from two aggregate
+    * passes over the bigram stream; each bigram's ln P is quantized
+    * to 1e-6 (repo convention) and summed as integers per document —
+    * no shuffle-order float sum. Emits per-doc n_bigrams and the
+    * KN average log-probability.
+    *
+    * 100 TB shape: the q_bigram_lm shape plus one more
+    * vocabulary-sized aggregate (continuation counts); the model
+    * tables broadcast back onto the corpus-layout bigram stream, so
+    * document text never shuffles.
+    */
+  val qKneserNey = Q(
+    "q_kneser_ney",
+    (s, d) => {
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val pairCnt = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = pairCnt.groupBy("w1").agg(sum(col("c2")).as("c1"),
+        count(lit(1)).as("n1f"))
+      val n1b = pairCnt.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val dTot = pairCnt.agg(count(lit(1)).as("dd"))
+      val model = pairCnt.join(c1, "w1").join(n1b, "w2")
+        .crossJoin(broadcast(dTot))
+        .select(col("w1"), col("w2"),
+          floor(log(
+            (greatest(col("c2").cast("double") - lit(0.75), lit(0.0)) +
+              lit(0.75) * col("n1f") *
+                (col("n1b").cast("double") / col("dd"))) /
+              col("c1")) * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("lpq"))
+      bigrams.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          sum(col("lpq")).as("sumq"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sumq").cast("double") / 1e6 / col("n_bigrams"))
+            .as("kn_logprob"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |pair_cnt AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (
+        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+        |  FROM pair_cnt GROUP BY w1),
+        |n1b AS (SELECT w2, count(*) AS n1b FROM pair_cnt GROUP BY w2),
+        |dtot AS (SELECT count(*) AS dd FROM pair_cnt),
+        |model AS (
+        |  SELECT p.w1, p.w2,
+        |    CAST(floor(ln(
+        |      (greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0)
+        |        + 0.75 * n1f * (CAST(n1b AS DOUBLE) / dd)) / c1)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS lpq
+        |  FROM pair_cnt p
+        |  JOIN c1 ON c1.w1 = p.w1
+        |  JOIN n1b ON n1b.w2 = p.w2
+        |  CROSS JOIN dtot)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |  CAST(sum(lpq) AS DOUBLE) / 1e6 / count(*) AS kn_logprob
+        |FROM bg JOIN model USING (w1, w2)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** q_shard_balance — balanced training-shard assignment: documents
     * are dealt onto 8 shards in SNAKE (boustrophedon) order of global
     * token-count rank (1st..8th largest → shards 0..7, 9th..16th →
@@ -1279,7 +1365,7 @@ object Corpus {
 
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
-    qConcentration, qSourceMinhash, qBigramLm, qShardBalance, qBoilerplate, qPackEfficiency,
+    qConcentration, qSourceMinhash, qBigramLm, qKneserNey, qShardBalance, qBoilerplate, qPackEfficiency,
     qTokenBudget, qNovelty, qZipfFit, qDocEntropy, qTopicClusters,
     qCcnetBuckets)
 }

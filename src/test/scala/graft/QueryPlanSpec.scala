@@ -889,6 +889,28 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ps.last > 900000L && ps.head < 100000L, s"${ps.head}..${ps.last}")
   }
 
+  test("q_kneser_ney: probabilities proper, smoothing beats MLE on tail mass") {
+    val kn = SparkEntry.queries("q_kneser_ney")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_bigrams"), r.getAs[Double]("kn_logprob"))).toMap
+    val mle = SparkEntry.queries("q_bigram_lm")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(kn.keySet == mle.keySet, "same scored document set")
+    kn.foreach { case (id, (n, lp)) =>
+      assert(n == mle(id)._1, s"doc $id: same bigram count")
+      assert(lp < 0.0, s"doc $id: log-probabilities must be negative")
+    }
+    // smoothing must actually change scores (per-doc direction is NOT
+    // fixed: the continuation bonus can exceed the discount for very
+    // common words, so only divergence itself is asserted)
+    val changed = kn.count { case (id, (_, lp)) =>
+      math.abs(lp - mle(id)._2) > 1e-9
+    }
+    assert(changed >= kn.size * 9 / 10,
+      s"smoothing changed only $changed/${kn.size} docs")
+  }
+
   test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
     val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
     val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
