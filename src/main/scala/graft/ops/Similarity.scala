@@ -1848,10 +1848,108 @@ object Similarity {
     )
   )
 
+  /** q_kcenter_coreset — greedy farthest-point (k-center / Gonzalez
+    * 1985) coreset selection: starting from the smallest vec_id, each
+    * round picks the vector FARTHEST from the selected set (max of
+    * min squared distance, ties → smallest id) — the coverage-first
+    * data-selection primitive (coreset distillation, diverse
+    * fine-tuning subsets); MMR balances relevance+diversity, k-center
+    * is pure coverage with a 2-approximation guarantee on the
+    * covering radius, which the output REPORTS (d2_at_pick is the
+    * radius when that center was chosen — monotonically
+    * non-increasing, spec-asserted). Distances are exact BIGINT
+    * squared L2 on the shared quantization (‖a‖² + ‖b‖² − 2a·b — no
+    * sqrt anywhere), so selection is bit-deterministic in both
+    * engines.
+    *
+    * 100 TB shape: each round is ONE pass — the newest center (64
+    * ints) broadcasts against the pos-exploded corpus for dots, the
+    * O(n) min-distance vector updates and pins (localCheckpoint, the
+    * MMR/PPR lesson), and the argmax is a 1-row bounded collect (the
+    * BPE-argmax pattern). k rounds total; no pairwise matrix ever
+    * exists.
+    */
+  val qKcenterCoreset = Q(
+    "q_kcenter_coreset",
+    (s, d) => {
+      import s.implicits._
+      val k = 8
+      val (v, nv) = quantized(s, d)
+      val c0 = nv.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      def d2To(center: Long): DataFrame = {
+        val cv = v.filter(col("vec_id") === center)
+          .select(col("pos"), col("q").as("cq"))
+        val cn = nv.filter(col("vec_id") === center)
+          .select(col("nv").as("nc"))
+        v.join(broadcast(cv), "pos")
+          .groupBy("vec_id").agg(sum(col("q") * col("cq")).as("dot"))
+          .join(nv, "vec_id")
+          .crossJoin(broadcast(cn))
+          .select(col("vec_id"),
+            (col("nv") + col("nc") - lit(2L) * col("dot")).as("d2"))
+      }
+      var md = d2To(c0).select(col("vec_id"), col("d2").as("md"))
+        .localCheckpoint()
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (0, c0, Option.empty[Long]))
+      for (r <- 1 until k) {
+        val top = md.orderBy(col("md").desc, col("vec_id").asc)
+          .limit(1).collect()(0)
+        val (cid, radius) = (top.getLong(0), top.getLong(1))
+        picks += ((r, cid, Some(radius)))
+        md = md.join(d2To(cid), "vec_id")
+          .select(col("vec_id"), least(col("md"), col("d2")).as("md"))
+          .localCheckpoint()
+      }
+      picks.toSeq
+        .map { case (p, id, rad) => (p, id, rad.map(Long.box).orNull) }
+        .toDF("pick_no", "vec_id", "d2_at_pick")
+        .selectExpr("pick_no", "vec_id", "CAST(d2_at_pick AS BIGINT) AS d2_at_pick")
+        .orderBy("pick_no")
+    },
+    Some {
+      val k = 8
+      def d2Sql(mdPrev: String, pick: String): String =
+        s"""SELECT v.vec_id,
+           |  least($mdPrev.md,
+           |    v.nq + c.nq - 2 * ${dotqSql("v.qv", "c.qv")}) AS md
+           |FROM $mdPrev JOIN n v USING (vec_id),
+           |  (SELECT qv, nq FROM n WHERE vec_id = (SELECT vec_id FROM $pick)) c"""
+          .stripMargin
+      val steps = (1 until k).map { r =>
+        s"""p$r AS (
+           |  SELECT vec_id, md FROM md${r - 1}
+           |  ORDER BY md DESC, vec_id ASC LIMIT 1),
+           |md$r AS (
+           |${d2Sql(s"md${r - 1}", s"p$r")})""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 until k).map { r =>
+        s"SELECT $r AS pick_no, vec_id, CAST(md AS BIGINT) AS d2_at_pick FROM p$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (
+         |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, qv, ${dotqSql("qv", "qv")} AS nq FROM e),
+         |md0 AS (
+         |  SELECT v.vec_id,
+         |    v.nq + c.nq - 2 * ${dotqSql("v.qv", "c.qv")} AS md
+         |  FROM n v,
+         |    (SELECT qv, nq FROM n
+         |     WHERE vec_id = (SELECT min(vec_id) FROM n)) c),
+         |$steps
+         |SELECT CAST(pick_no AS INT) AS pick_no, vec_id, d2_at_pick
+         |FROM (
+         |  SELECT 0 AS pick_no, (SELECT min(vec_id) FROM n) AS vec_id,
+         |    CAST(NULL AS BIGINT) AS d2_at_pick
+         |  UNION ALL $unions)
+         |ORDER BY pick_no""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
       qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift,
-      qEmbeddingCoherence)
+      qEmbeddingCoherence, qKcenterCoreset)
 }

@@ -911,6 +911,22 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"smoothing changed only $changed/${kn.size} docs")
   }
 
+  test("q_kcenter_coreset: radius shrinks monotonically, picks distinct") {
+    val rows = SparkEntry.queries("q_kcenter_coreset")(spark, sf).collect()
+      .sortBy(_.getAs[Int]("pick_no"))
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 8,
+      "a center can never be re-picked (its min-distance is 0)")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("d2_at_pick")),
+      "the seed has no distance-at-pick")
+    // Gonzalez invariant: each pick's covering radius is <= the last —
+    // the min-distance vector only shrinks as centers are added
+    val radii = rows.tail.map(_.getAs[Long]("d2_at_pick"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      radii.mkString(","))
+    assert(radii.forall(_ > 0L))
+  }
+
   test("q_dp_release_sim: pinned-seed noise is reproducible and b-scaled") {
     val a = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
     val b = SparkEntry.queries("q_dp_release_sim")(spark, sf).collect()
