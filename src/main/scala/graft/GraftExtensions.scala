@@ -104,6 +104,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => DotProductQ(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => SimplifyGraftExpressions)
     ext.injectOptimizerRule(_ => FuseDotProduct)
+    // injected optimizer rules run in the operator-optimization batch,
+    // BEFORE the early scan-pushdown batch turns DataSourceV2Relation
+    // into a planned scan — which is exactly where the automatic
+    // late-materialization rewrite must see the raw mailbox relation
+    ext.injectOptimizerRule(_ => graft.plans.AutoLateMaterialization)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -1070,7 +1070,11 @@ object Dedup {
       // — windowing the full row would ship the corpus text through
       // the partition-by-source exchange; instead the capped id set
       // (sources × 25 bare longs) broadcasts back onto the text scan
+      // docs with NULL text are excluded up front, on BOTH engines —
+      // stating the no-3-grams edge once instead of encoding it as a
+      // left-join fill here and an inner-join drop in the oracle
       val sampleIds = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
         .select("doc_id", "source")
         .withColumn("rn", row_number().over(
           Window.partitionBy("source").orderBy("doc_id")))
@@ -1133,7 +1137,7 @@ object Dedup {
          |    SELECT doc_id, source, text,
          |      row_number() OVER (PARTITION BY source ORDER BY doc_id)
          |        AS rn
-         |    FROM documents) WHERE rn <= 25),
+         |    FROM documents WHERE text IS NOT NULL) WHERE rn <= 25),
          |g AS (
          |  SELECT source, doc_id, unnest(list_distinct(list_transform(
          |    range(1, greatest(length(text) - 2, 1) + 1),

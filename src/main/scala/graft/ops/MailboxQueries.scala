@@ -136,6 +136,43 @@ object MailboxQueries {
     )
   )
 
+  /** Late materialization, AUTOMATIC (A10): the same filter/sort/limit
+    * semantics as q_mailbox_latemat but written as the PLAIN wide-scan
+    * query — no helper, no virtual columns in user code. The
+    * [[graft.plans.AutoLateMaterialization]] optimizer rule (installed
+    * via GraftExtensions, the path the driver's Verify session uses)
+    * rewrites it into the narrow-scan → row-id broadcast-rejoin shape
+    * the reference's host applies automatically (pst_extension.cpp:
+    * 26-34, query_optimizations.test:49-53); AutoLateMatSpec asserts
+    * the rejoin appears in this exact query's executed plan. The sort
+    * key (subject) is unique among the matching rows, so the result is
+    * identical with or without the rewrite — correctness never depends
+    * on the optimization firing.
+    */
+  val qLateMatAuto = Q(
+    "q_latemat_auto",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .messages(s, unittest)
+        .filter(col("subject").like("Test mail%"))
+        .orderBy("subject")
+        .limit(3)
+        .select(col("node_id"), col("subject"), col("sender_name"),
+          col("sender_email_address"), col("message_class"),
+          col("message_size"), col("conversation_topic"),
+          col("internet_message_id"))
+    },
+    Some(
+      s"""SELECT node_id, subject, sender_name, sender_email_address,
+         |  message_class, message_size, conversation_topic,
+         |  internet_message_id
+         |FROM ${jsonSrc(unittest)}
+         |WHERE record_type = 'message' AND subject LIKE 'Test mail%'
+         |ORDER BY subject LIMIT 3""".stripMargin
+    )
+  )
+
   /** Nested navigation on connector data: unnest the distribution list's
     * one-off members (read_unittest_pst.test:65-69).
     */
@@ -536,6 +573,7 @@ object MailboxQueries {
   )
 
   val all: Seq[Q] = Seq(
+    qLateMatAuto,
     qMailboxSqlView,
     qMailboxMinmax,
     qMailboxClassStats,

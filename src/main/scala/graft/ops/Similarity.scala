@@ -1857,7 +1857,11 @@ object Similarity {
     * is pure coverage with a 2-approximation guarantee on the
     * covering radius, which the output REPORTS (d2_at_pick is the
     * radius when that center was chosen — monotonically
-    * non-increasing, spec-asserted). Distances are exact BIGINT
+    * non-increasing, spec-asserted). Selection stops early when the
+    * radius reaches 0 (fewer than k distinct vectors): the remaining
+    * corpus is exact duplicates of chosen centers, so the output has
+    * one row per DISTINCT pick, never a repeat. Distances are exact
+    * BIGINT
     * squared L2 on the shared quantization (‖a‖² + ‖b‖² − 2a·b — no
     * sqrt anywhere), so selection is bit-deterministic in both
     * engines.
@@ -1892,14 +1896,25 @@ object Similarity {
         .localCheckpoint()
       val picks = scala.collection.mutable.ArrayBuffer(
         (0, c0, Option.empty[Long]))
-      for (r <- 1 until k) {
+      // stop when the covering radius hits 0: every remaining vector
+      // is an exact duplicate of a selected center, and the argmax
+      // (md desc, vec_id asc) would re-pick an already-selected id —
+      // a corpus with < k distinct vectors yields < k picks, never a
+      // duplicate pick (mirrored by WHERE md > 0 in the oracle CTEs)
+      var r = 1
+      var saturated = false
+      while (r < k && !saturated) {
         val top = md.orderBy(col("md").desc, col("vec_id").asc)
-          .limit(1).collect()(0)
-        val (cid, radius) = (top.getLong(0), top.getLong(1))
-        picks += ((r, cid, Some(radius)))
-        md = md.join(d2To(cid), "vec_id")
-          .select(col("vec_id"), least(col("md"), col("d2")).as("md"))
-          .localCheckpoint()
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getLong(1) == 0L) saturated = true
+        else {
+          val (cid, radius) = (top(0).getLong(0), top(0).getLong(1))
+          picks += ((r, cid, Some(radius)))
+          md = md.join(d2To(cid), "vec_id")
+            .select(col("vec_id"), least(col("md"), col("d2")).as("md"))
+            .localCheckpoint()
+          r += 1
+        }
       }
       picks.toSeq
         .map { case (p, id, rad) => (p, id, rad.map(Long.box).orNull) }
@@ -1918,7 +1933,7 @@ object Similarity {
           .stripMargin
       val steps = (1 until k).map { r =>
         s"""p$r AS (
-           |  SELECT vec_id, md FROM md${r - 1}
+           |  SELECT vec_id, md FROM md${r - 1} WHERE md > 0
            |  ORDER BY md DESC, vec_id ASC LIMIT 1),
            |md$r AS (
            |${d2Sql(s"md${r - 1}", s"p$r")})""".stripMargin

@@ -334,8 +334,10 @@ object Sketches {
     * 100 TB shape: the register extraction is a per-group window
     * (shuffle keyed by group, sort within partition) + a rank filter —
     * never a collect; the merge touches groups×k = 160 rows. The
-    * exact side is the verification baseline (global sorted list),
-    * present for the same reason q_ann_recall computes exact KNN.
+    * exact verification baseline is itself distributed (the
+    * q_weighted_median machinery): pre-aggregate by value, then a
+    * cumulative-count threshold over the aggregated rows — no global
+    * sorted list is ever materialized in one buffer.
     *
     * Cross-engine exactness: registers are selected by integer rank
     * arithmetic; cumulative weights and thresholds are exact BIGINTs;
@@ -364,12 +366,22 @@ object Sketches {
       val est = cum.crossJoin(broadcast(pcts))
         .filter(col("cw") >= expr("(pct * w + 99) div 100"))
         .groupBy("pct").agg(min(col("v")).as("est"))
-      val exact = Tables.orders(s, d)
-        .agg(sort_array(collect_list(col("o_totalprice"))).as("vs"))
+      // exact side = the distributed order statistic (the
+      // q_weighted_median machinery): pre-aggregate by VALUE, then a
+      // cumulative-count threshold scan over the aggregated rows —
+      // value-identical to indexing a sorted list at ceil(pct·n/100)
+      // (min v with cumcount ≥ r IS the r-th order statistic), with
+      // no whole-table collect_list into a single aggregation buffer
+      val byV = vals.groupBy(col("v").as("ev")).agg(count(lit(1)).as("c"))
+      val nTot = vals.agg(count(lit(1)).as("n"))
+      val exact = byV
+        .withColumn("ecw", sum(col("c")).over(
+          Window.orderBy("ev")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(nTot))
         .crossJoin(broadcast(pcts))
-        .select(col("pct"), element_at(col("vs"),
-          greatest(expr("(pct * size(vs) + 99) div 100"), lit(1L))
-            .cast("int")).as("exact"))
+        .filter(col("ecw") >= expr("(pct * n + 99) div 100"))
+        .groupBy("pct").agg(min(col("ev")).as("exact"))
       est.join(exact, "pct")
         .select(col("pct"), col("est"), col("exact"),
           (col("est") - col("exact")).as("err"))
@@ -398,12 +410,16 @@ object Sketches {
         |est AS (
         |  SELECT pct, min(v) AS est FROM cum, tot, pcts
         |  WHERE cw >= (pct * w + 99) // 100 GROUP BY pct),
-        |sorted AS (SELECT list_sort(list(v)) AS vs FROM vals),
+        |byv AS (SELECT v AS ev, count(*) AS c FROM vals GROUP BY v),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+        |ecum AS (
+        |  SELECT ev, CAST(sum(c) OVER (ORDER BY ev) AS BIGINT) AS ecw
+        |  FROM byv),
         |exact AS (
-        |  SELECT pct,
-        |    vs[CAST(greatest((pct * len(vs) + 99) // 100, 1) AS INT)]
-        |      AS exact
-        |  FROM sorted, pcts)
+        |  SELECT pct, min(ev) AS exact
+        |  FROM ecum, nn, pcts
+        |  WHERE ecw >= (pct * n + 99) // 100
+        |  GROUP BY pct)
         |SELECT e.pct, e.est, x.exact, e.est - x.exact AS err
         |FROM est e JOIN exact x USING (pct) ORDER BY pct""".stripMargin
     )
@@ -461,12 +477,21 @@ object Sketches {
           coalesce(col("r"), lit(0L)).as("r"))
       val est = perG.unionByName(mergedFull)
         .groupBy("scope")
-        .agg(sum(expr("1.0 / shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))"))
+        // CAST(1 AS DOUBLE): a bare 1.0 literal parses as DECIMAL in
+        // Spark (DOUBLE in DuckDB), putting the estimator sum in two
+        // different numeric domains; both engines are forced to IEEE
+        // double here so the power-of-two-sum determinism argument in
+        // the scaladoc actually holds (same for 64/v0 in the
+        // linear-counting branch, whose DECIMAL/BIGINT division would
+        // round before ln)
+        .agg(sum(expr(
+          "CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), CAST(r AS INT))"))
           .as("ssum"),
           sum(when(col("r") === 0, 1L).otherwise(0L)).as("v0"))
         .withColumn("hll_est", expr(
           "CASE WHEN 0.709 * 4096.0 / ssum <= 160.0 AND v0 > 0 " +
-            "THEN CAST(floor(64.0 * ln(64.0 / v0) * 1000000.0 + 0.5) " +
+            "THEN CAST(floor(CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v0) " +
+            "* 1000000.0 + 0.5) " +
             "AS BIGINT) div 1000000 " +
             "ELSE CAST(floor(0.709 * 4096.0 / ssum + 0.5) AS BIGINT) END"))
         .select(col("scope"), col("hll_est"))
@@ -508,14 +533,16 @@ object Sketches {
         |    ON m.bucket = b.bucket),
         |est AS (
         |  SELECT scope,
-        |    sum(1.0 / (CAST(1 AS BIGINT) << CAST(r AS INT))) AS ssum,
+        |    sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << CAST(r AS INT)))
+        |      AS ssum,
         |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
         |  FROM (SELECT * FROM perg UNION ALL SELECT * FROM merged)
         |  GROUP BY scope),
         |final_est AS (
         |  SELECT scope,
         |    CASE WHEN 0.709 * 4096.0 / ssum <= 160.0 AND v0 > 0
-        |      THEN CAST(floor(64.0 * ln(64.0 / v0) * 1000000.0 + 0.5)
+        |      THEN CAST(floor(CAST(64 AS DOUBLE)
+        |          * ln(CAST(64 AS DOUBLE) / v0) * 1000000.0 + 0.5)
         |        AS BIGINT) // 1000000
         |      ELSE CAST(floor(0.709 * 4096.0 / ssum + 0.5) AS BIGINT) END
         |      AS hll_est

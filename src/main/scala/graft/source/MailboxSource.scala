@@ -179,7 +179,7 @@ object MailboxTable {
   }
 }
 
-class MailboxTable(opts: MailboxOptions) extends Table with SupportsRead {
+class MailboxTable(val opts: MailboxOptions) extends Table with SupportsRead {
   override def name(): String = s"mailbox(${opts.path}, mode=${opts.mode})"
   override def schema(): StructType = MailboxTable.schemaFor(opts)
   override def capabilities(): java.util.Set[TableCapability] =

@@ -943,4 +943,12 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.toString)
     }
   }
+
+  test("q_quantile_sketch: exact side is distributed (no whole-table collect_list)") {
+    val p = plan("q_quantile_sketch")
+    assert(!p.contains("collect_list"),
+      "the exact quantile must be the pre-aggregated threshold scan, " +
+        "not a single-buffer sorted list:\n" + p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
