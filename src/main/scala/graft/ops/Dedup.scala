@@ -178,6 +178,10 @@ object Dedup {
     * reducer keys of ≤ ~2·cap members each, preserving the exact pair
     * set. Buckets at or under the cap get S = 1: the single cell (0,0),
     * i.e. the plain join, with no replication.
+    *
+    * Any columns beyond (doc_id, band, bv) ride along unchanged —
+    * callers that need per-row payload at pair time (the PPJoin
+    * positional filter's token ranks) join on the same cell keys.
     */
   private[graft] def bandCells(bands: DataFrame, cap: Int): DataFrame = {
     val sizes = bands.groupBy("band", "bv").agg(count(lit(1)).as("bn"))
@@ -186,10 +190,9 @@ object Dedup {
       .withColumn("nsalt", greatest(lit(1L), ceil(col("bn") / cap)).cast("int"))
       .withColumn("salt", pmod(xxhash64(col("doc_id")), col("nsalt")).cast("int"))
       .withColumn("t", explode(sequence(lit(0), col("nsalt") - 1)))
-      .select(
-        col("doc_id"), col("band"), col("bv"), col("salt"),
-        least(col("salt"), col("t")).as("lo"),
-        greatest(col("salt"), col("t")).as("hi"))
+      .withColumn("lo", least(col("salt"), col("t")))
+      .withColumn("hi", greatest(col("salt"), col("t")))
+      .drop("bn", "nsalt", "t")
   }
 
   /** Exact candidate pairs from band rows (id_a < id_b, distinct),
@@ -1368,18 +1371,95 @@ object Dedup {
     }
   )
 
+  /** The q_setsim_join pipeline up to candidate generation, exposed so
+    * the losslessness spec can count candidates with and without the
+    * PPJoin filters. Returns (toks, sz, candidates):
+    *  - `toks`: the pinned distinct (doc_id, shingle) stream;
+    *  - `sz`: per-doc distinct-shingle counts;
+    *  - candidates: prefix-sharing pairs that ALSO pass the PPJoin
+    *    length filter (2·min(|x|,|y|) ≥ max(|x|,|y|)) and positional
+    *    filter (`withPpjoinFilters = true`), or the bare prefix join
+    *    (`false` — the round-6 shape, for the reduction measurement).
+    */
+  private[graft] def setsimCandidates(
+      s: SparkSession, d: String,
+      withPpjoinFilters: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+    // the distinct shingle stream feeds FOUR sub-DAGs (df, the rank
+    // join, and both sides of the verification join) — pin it once
+    // instead of re-splitting and re-shuffling the corpus per use
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array(split(col("text"), "\\s+"))).as("tk"))
+      .select(col("doc_id"),
+        explode(shinglesOfTokens(col("tk"))).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ranked = toks.join(df, "tok").join(sz, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "tok")))
+    // prefix rows carry the token's rank and the doc size so the
+    // PPJoin positional/length filters (Xiao et al., WWW'08) can
+    // reject candidates BEFORE the verification join
+    val prefix = ranked.filter(expr("rk <= sz div 2 + 1"))
+      .select(col("doc_id"), lit(0).as("band"), col("tok").as("bv"),
+        col("rk"), col("sz"))
+    if (!withPpjoinFilters)
+      return (toks, sz, bandPairs(prefix, BucketCap))
+    // prefix-shingle buckets through the SAME giant-bucket triangle
+    // guard as the LSH bands: a freak high-df prefix shingle cannot
+    // pin one reducer; the surviving pair set is a filter-pruned
+    // subset of the plain join's (every pruned pair provably fails
+    // the threshold, so the RESULT is identical — spec-asserted
+    // lossless vs brute force)
+    val cells = bandCells(prefix, BucketCap)
+    val shared = cells.as("x").join(cells.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.lo") === col("y.lo") && col("x.hi") === col("y.hi") &&
+          col("x.lo") === least(col("x.salt"), col("y.salt")) &&
+          col("x.hi") === greatest(col("x.salt"), col("y.salt")) &&
+          col("x.doc_id") < col("y.doc_id") &&
+          // LENGTH filter: J ≥ 1/2 forces 2·min(|x|,|y|) ≥ max(|x|,|y|)
+          lit(2) * least(col("x.sz"), col("y.sz")) >=
+            greatest(col("x.sz"), col("y.sz")))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.rk").as("rka"), col("y.rk").as("rkb"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
+    // POSITIONAL filter, applied at the pair's FIRST shared prefix
+    // token (min rank — the global (df, tok) order makes per-doc
+    // ranks mutually consistent, so at that token the common-prefix
+    // count is exactly 1): overlap ≤ 1 + min(|x|−i, |y|−j) must
+    // reach the J ≥ 1/2 overlap threshold ⌈(|x|+|y|)/3⌉
+    val cand = shared.groupBy("id_a", "id_b", "sza", "szb")
+      .agg(min(struct(col("rka"), col("rkb"))).as("m"))
+      .filter(lit(1) +
+        least(col("sza") - col("m.rka"), col("szb") - col("m.rkb")) >=
+        expr("(sza + szb + 2) div 3"))
+      .select("id_a", "id_b")
+    (toks, sz, cand)
+  }
+
   /** q_setsim_join — EXACT set-similarity join via prefix filtering
-    * (the AllPairs/PPJoin family, Bayardo et al. WWW'07): two
-    * documents with shingle-Jaccard ≥ t = 0.5 MUST share at least one
-    * shingle among each one's ⌊(1−t)·|x|⌋+1 globally RAREST shingles,
-    * so candidates come from an equi-join on prefix shingles only and
-    * the result is guaranteed complete — the deterministic complement
-    * to the LSH banding (which trades recall for fewer candidates;
-    * q_lsh_recall measures that trade, this join has recall 1 by
-    * construction, spec-asserted against brute force). Uses the SAME
-    * word 3-shingle unit as the MinHash signatures. On the fixture
-    * corpus the prefix filter cuts 124,750 possible pairs to 977
-    * candidates (127×) before exact verification.
+    * plus the PPJoin positional and length filters (Bayardo et al.
+    * WWW'07; Xiao et al. WWW'08): two documents with shingle-Jaccard
+    * ≥ t = 0.5 MUST share at least one shingle among each one's
+    * ⌊(1−t)·|x|⌋+1 globally RAREST shingles, so candidates come from
+    * an equi-join on prefix shingles only — then the length filter
+    * (compatible sizes) and the positional filter (enough remaining
+    * tokens after the first shared prefix token to reach the overlap
+    * threshold) reject provably-unreachable pairs before any
+    * verification work. The result is guaranteed complete — the
+    * deterministic complement to the LSH banding (which trades recall
+    * for fewer candidates; q_lsh_recall measures that trade, this
+    * join has recall 1 by construction, spec-asserted against brute
+    * force). Uses the SAME word 3-shingle unit as the MinHash
+    * signatures. On the sf0.01 fixture corpus the prefix filter cuts
+    * 124,750 possible pairs to 977 candidates and the PPJoin filters
+    * cut those to 27 (4,620× total) before exact verification — the
+    * candidate set is now barely larger than the 25-pair answer
+    * (QueryPlanSpec's losslessness test measures the same reduction
+    * at sf0.001: 1,139 → 29).
     *
     * 100 TB shape: the global shingle-frequency table co-joins on the
     * shingle key (never broadcast — vocabulary-sized); the prefix
@@ -1392,30 +1472,7 @@ object Dedup {
   val qSetsimJoin = Q(
     "q_setsim_join",
     (s, d) => {
-      // the distinct shingle stream feeds FOUR sub-DAGs (df, the rank
-      // join, and both sides of the verification join) — pin it once
-      // instead of re-splitting and re-shuffling the corpus per use
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array(split(col("text"), "\\s+"))).as("tk"))
-        .select(col("doc_id"),
-          explode(shinglesOfTokens(col("tk"))).as("tok"))
-        .distinct()
-        .localCheckpoint()
-      val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val ranked = toks.join(df, "tok").join(sz, "doc_id")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy("df", "tok")))
-      val prefix = ranked.filter(expr("rk <= sz div 2 + 1"))
-        .select("doc_id", "tok")
-      // prefix-shingle buckets through the SAME giant-bucket triangle
-      // guard as the LSH bands: a freak high-df prefix shingle cannot
-      // pin one reducer; the pair set is identical to the plain join
-      val cand = bandPairs(
-        prefix.select(col("doc_id"), lit(0).as("band"),
-          col("tok").as("bv")),
-        BucketCap)
+      val (toks, sz, cand) = setsimCandidates(s, d)
       val inter = cand
         .join(toks.as("ta"), col("id_a") === col("ta.doc_id"))
         .join(toks.as("tb"),

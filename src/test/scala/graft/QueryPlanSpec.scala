@@ -771,6 +771,17 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.keySet == expected,
       s"missed: ${(expected -- rows.keySet).take(5)}; " +
         s"extra: ${(rows.keySet -- expected).take(5)}")
+    // the PPJoin positional+length filters must prune candidates the
+    // bare prefix join admits WITHOUT losing a single true pair
+    // (completeness is the assertion above); measured so the scaladoc
+    // reduction numbers stay real
+    val bare = graft.ops.Dedup
+      .setsimCandidates(spark, sf, withPpjoinFilters = false)._3.count()
+    val filtered = graft.ops.Dedup.setsimCandidates(spark, sf)._3.count()
+    info(s"setsim candidates: bare prefix $bare -> ppjoin-filtered $filtered")
+    assert(filtered < bare,
+      s"positional/length filters pruned nothing ($bare -> $filtered)")
+    assert(filtered >= expected.size.toLong)
   }
 
   test("q_split_leakage: content-hash split makes exact leakage impossible") {
