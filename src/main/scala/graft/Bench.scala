@@ -109,11 +109,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val total  = results.filter(_.err.isEmpty).map(_.median).sum
     val total2 = results2.filter(_.err.isEmpty).map(_.median).sum
-    println(
+    val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":${medians(results)},"runs":${spreads(results)},""" +
         s""""tier2_total":${fmt(total2)},"queries_tier2":${medians(results2)},""" +
-        s""""runs_tier2":${spreads(results2)},"failed":$failed,"sf":"$sfDir"}""")
+        s""""runs_tier2":${spreads(results2)},"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's BENCH_r{N}.json tail truncates at 2000 chars; the
+    // full artifact (every median + per-run spread) is also written to
+    // a file so each round can commit it as bench_local_r{N}.json
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_local_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable =>
+      System.err.println(s"bench artifact write failed: $t") }
     spark.stop()
     if ((results ++ results2).exists(_.err.isDefined)) sys.exit(1)
   }

@@ -43,7 +43,16 @@ class S3ReadSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val objects = Map(
     "/test-bucket/pst/unittest.pst" -> "/root/reference/test/unittest.pst",
     "/test-bucket/mbx/synth_a.mbx"  -> "fixtures/mailbox/synth_a.mbx",
-    "/test-bucket/mbx/synth_a.mbx.idx" -> "fixtures/mailbox/synth_a.mbx.idx"
+    "/test-bucket/mbx/synth_a.mbx.idx" -> "fixtures/mailbox/synth_a.mbx.idx",
+    // glob corpus: two PSTs behind one wildcard (same local bytes under
+    // two keys — enumeration is what's under test), plus both synthetic
+    // mailboxes + sidecars under a shared prefix
+    "/test-bucket/multi/a.pst" -> "/root/reference/test/unittest.pst",
+    "/test-bucket/multi/b.pst" -> "/root/reference/test/unittest.pst",
+    "/test-bucket/multi/mbx/synth_a.mbx" -> "fixtures/mailbox/synth_a.mbx",
+    "/test-bucket/multi/mbx/synth_a.mbx.idx" -> "fixtures/mailbox/synth_a.mbx.idx",
+    "/test-bucket/multi/mbx/synth_b.mbx" -> "fixtures/mailbox/synth_b.mbx",
+    "/test-bucket/multi/mbx/synth_b.mbx.idx" -> "fixtures/mailbox/synth_b.mbx.idx"
   )
 
   private val RangeSpec = """bytes=(\d+)-(\d*)""".r
@@ -59,6 +68,9 @@ class S3ReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.hadoop.fs.s3a.access.key", Access)
     .config("spark.hadoop.fs.s3a.secret.key", Secret)
     .config("spark.hadoop.fs.s3a.endpoint.region", Region)
+    // 2-entry ListObjectsV2 pages: every multi-object listing in this
+    // spec must walk the continuation-token path to enumerate fully
+    .config("spark.hadoop.fs.s3a.paging.maximum", "2")
     .getOrCreate()
 
   override def beforeAll(): Unit = {
@@ -69,12 +81,16 @@ class S3ReadSpec extends AnyFunSuite with BeforeAndAfterAll {
         val method = ex.getRequestMethod
         val range  = Option(ex.getRequestHeaders.getFirst("Range"))
         val authOk = verify(ex)
+        val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
         if (!authOk) {
           reqs.add(Req(method, path, range, 0, authOk = false))
           val err = ("<?xml version=\"1.0\"?><Error>" +
             "<Code>SignatureDoesNotMatch</Code></Error>").getBytes
           ex.sendResponseHeaders(403, err.length.toLong)
           ex.getResponseBody.write(err)
+        } else if (method == "GET" && path.stripSuffix("/") == "/test-bucket"
+            && rawQuery.contains("list-type=2")) {
+          handleList(ex, rawQuery)
         } else objects.get(path) match {
           case None =>
             reqs.add(Req(method, path, range, 0, authOk = true))
@@ -127,8 +143,9 @@ class S3ReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       .set("fs.s3a.endpoint", s"http://127.0.0.1:$port")
   }
 
-  /** Recompute the SigV4 signature with the shared secret; a request
-    * is authorized iff its Authorization header matches exactly.
+  /** Recompute the SigV4 signature with the shared secret (query string
+    * included — ListObjectsV2 requests sign theirs); a request is
+    * authorized iff its Authorization header matches exactly.
     */
   private def verify(ex: HttpExchange): Boolean = {
     val h = ex.getRequestHeaders
@@ -138,9 +155,71 @@ class S3ReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       host    <- Option(h.getFirst("Host"))
     } yield {
       val expect = S3SigV4.authorization(ex.getRequestMethod,
-        ex.getRequestURI.getPath, host, amzDate, Region, Access, Secret)
+        ex.getRequestURI.getPath,
+        Option(ex.getRequestURI.getRawQuery).getOrElse(""),
+        host, amzDate, Region, Access, Secret)
       auth == expect
     }).getOrElse(false)
+  }
+
+  /** ListObjectsV2 over the fixture key set: prefix + `delimiter=/`
+    * grouping into CommonPrefixes, lexicographic order,
+    * max-keys/continuation-token pagination (token = resume-after
+    * entry name), S3-shaped XML.
+    */
+  private def handleList(ex: HttpExchange, rawQuery: String): Unit = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val params = rawQuery.split("&").filter(_.contains("="))
+      .map { p => val Array(k, v) = p.split("=", 2); dec(k) -> dec(v) }
+      .toMap
+    val prefix  = params.getOrElse("prefix", "")
+    val delim   = params.get("delimiter")
+    val maxKeys = params.get("max-keys").map(_.toInt).getOrElse(1000)
+    val after   = params.get("continuation-token")
+
+    val keys = objects.keys.map(_.stripPrefix("/test-bucket/"))
+      .filter(_.startsWith(prefix)).toSeq.sorted
+    // entries in key order: Left(commonPrefix) | Right((key, size))
+    val entries = scala.collection.mutable.LinkedHashMap
+      .empty[String, Either[String, (String, Long)]]
+    keys.foreach { k =>
+      val rest = k.drop(prefix.length)
+      delim.map(d => rest.indexOf(d)).filter(_ >= 0) match {
+        case Some(i) =>
+          val cp = prefix + rest.take(i + 1)
+          entries.getOrElseUpdate(cp, Left(cp))
+        case None =>
+          entries.getOrElseUpdate(k,
+            Right(k -> Files.size(Paths.get(objects("/test-bucket/" + k)))))
+      }
+    }
+    val ordered = entries.toSeq.sortBy(_._1)
+      .dropWhile { case (name, _) => after.exists(name <= _) }
+    val page      = ordered.take(maxKeys)
+    val truncated = ordered.length > maxKeys
+    val body = {
+      val sb = new StringBuilder
+      sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+      sb ++= "<ListBucketResult><Name>test-bucket</Name>"
+      sb ++= s"<Prefix>$prefix</Prefix><KeyCount>${page.length}</KeyCount>"
+      sb ++= s"<MaxKeys>$maxKeys</MaxKeys>"
+      sb ++= s"<IsTruncated>$truncated</IsTruncated>"
+      if (truncated)
+        sb ++= s"<NextContinuationToken>${page.last._1}</NextContinuationToken>"
+      page.foreach {
+        case (_, Right((k, size))) =>
+          sb ++= s"<Contents><Key>$k</Key><Size>$size</Size></Contents>"
+        case (_, Left(cp)) =>
+          sb ++= s"<CommonPrefixes><Prefix>$cp</Prefix></CommonPrefixes>"
+      }
+      sb ++= "</ListBucketResult>"
+      sb.toString.getBytes("UTF-8")
+    }
+    reqs.add(Req("LIST", s"?prefix=$prefix", None, page.length.toLong,
+      authOk = true))
+    ex.getResponseHeaders.set("Content-Type", "application/xml")
+    ex.sendResponseHeaders(200, body.length.toLong)
+    ex.getResponseBody.write(body)
   }
 
   override def afterAll(): Unit = {
@@ -192,6 +271,55 @@ class S3ReadSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.method == "GET")
     assert(idx.nonEmpty && idx.forall(_.range.isDefined),
       "sidecar planning must ride ranged GETs")
+  }
+
+  test("s3a wildcard enumerates via ListObjectsV2 and scans every match") {
+    reset()
+    val remote = read("contacts", "s3a://test-bucket/multi/*.pst")
+    val local  = read("contacts", "/root/reference/test/unittest.pst")
+    // two keys behind the wildcard, each the unittest corpus
+    assert(remote.count() === 2 * local.count())
+    val paths = remote.select("pst_path").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(paths.toSeq === Seq("s3a://test-bucket/multi/a.pst",
+      "s3a://test-bucket/multi/b.pst"))
+    val lists = snapshot().filter(_.method == "LIST")
+    assert(lists.nonEmpty, "glob resolution must ride ListObjectsV2")
+    // multi/ holds 3 entries (a.pst, b.pst, mbx/) with 2-entry pages:
+    // full enumeration requires the continuation-token walk
+    assert(lists.count(_.path == "?prefix=multi/") >= 2,
+      s"expected a paginated listing, got: $lists")
+    assert(lists.forall(_.authOk), "LIST requests must be SigV4-signed")
+  }
+
+  test("s3a mbx glob: both mailboxes scanned, sidecar planning intact") {
+    reset()
+    val remote = read("messages", "s3a://test-bucket/multi/mbx/*.mbx")
+    val localA = read("messages", "fixtures/mailbox/synth_a.mbx")
+    val localB = read("messages", "fixtures/mailbox/synth_b.mbx")
+    assert(remote.count() === localA.count() + localB.count())
+    val idx = snapshot().filter(r => r.method == "GET" &&
+      r.path.endsWith(".idx"))
+    assert(idx.map(_.path).distinct.size === 2,
+      "each glob member's sidecar must be read (O(#files) planning)")
+    assert(idx.forall(_.range.isDefined),
+      "sidecar reads must stay ranged under the glob path")
+  }
+
+  test("directory prefix stats as a directory; unknown prefix is missing") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path("s3a://test-bucket/multi")
+    val fs  = dir.getFileSystem(conf)
+    assert(fs.getFileStatus(dir).isDirectory,
+      "a pure key prefix must present as a directory")
+    val ls = fs.listStatus(dir).map(s =>
+      (s.getPath.getName, s.isDirectory)).sortBy(_._1)
+    assert(ls.toSeq === Seq(("a.pst", false), ("b.pst", false),
+      ("mbx", true)))
+    intercept[java.io.FileNotFoundException] {
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        "s3a://test-bucket/no-such-prefix"))
+    }
   }
 
   test("a wrong secret key fails the read (403, not silent emptiness)") {
