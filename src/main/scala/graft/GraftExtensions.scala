@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductQ, FiletimeToTimestamp, HammingDistance}
+import graft.functions.{DotProductQ, FiletimeToTimestamp, HammingDistance, HllSketchAgg}
 
 /** Algebraic simplification of graft's own expressions — a
   * Rule[LogicalPlan] injected as an optimizer rule: `hamming_distance
@@ -102,6 +102,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("dot_product_q"),
         new ExpressionInfo(classOf[DotProductQ].getName, "dot_product_q"),
         (exprs: Seq[Expression]) => DotProductQ(exprs.head, exprs(1))))
+    // a native AGGREGATE function: the analyzer wraps an
+    // AggregateFunction-valued builder in AggregateExpression itself
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_hll"),
+        new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll"),
+        (exprs: Seq[Expression]) => HllSketchAgg(exprs.head)))
     ext.injectOptimizerRule(_ => SimplifyGraftExpressions)
     ext.injectOptimizerRule(_ => FuseDotProduct)
     // injected optimizer rules run in the operator-optimization batch,

@@ -485,6 +485,13 @@ object GraftFunctions {
   def gram_run_stats(c: Column, n: Int): Column =
     ColumnBridge.column(GramRunStats(ColumnBridge.expression(c), n))
 
+  /** The native HLL aggregate ([[HllSketchAgg]]) as a Column — wraps
+    * the aggregate in its AggregateExpression(Complete) form.
+    */
+  def graft_hll(c: Column): Column =
+    ColumnBridge.column(
+      HllSketchAgg(ColumnBridge.expression(c)).toAggregateExpression())
+
   /** Register `filetime_to_timestamp` / `hamming_distance` for SQL use. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -499,6 +506,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "dot_product_q",
       exprs => DotProductQ(exprs.head, exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hll",
+      exprs => HllSketchAgg(exprs.head),
       "built-in")
   }
 }

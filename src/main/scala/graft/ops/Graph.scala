@@ -445,5 +445,85 @@ object Graph {
     }
   )
 
-  val all: Seq[Q] = Seq(qPprSeed, qTriangles, qLabelProp, qBfsHops, qModularity)
+  private val KcoreK      = 4
+  private val KcoreRounds = 6
+
+  /** q_kcore — k-core decomposition (k = 4) of the undirected supplier
+    * graph by synchronous peeling (Batagelj–Zaveršnik semantics, run
+    * as the parallel fixed-point: each round drops every node whose
+    * degree among the survivors is < k, simultaneously). The k-core is
+    * the standard "dense heart" extraction for graph-shaped corpora —
+    * citation/link spam collapses out of the core while genuinely
+    * referenced content stays. Six unrolled rounds with the per-round
+    * peel trace (round, nodes_alive, edges_alive); the fixture graph
+    * reaches its fixed point in 3 rounds, and because BOTH engines
+    * unroll the same fixed count the comparison never depends on
+    * convergence.
+    *
+    * 100 TB shape: each round is one degree aggregation over the
+    * surviving symmetric edge list (map-side partial count) plus two
+    * semi-joins that shrink the frontier; the O(nodes) survivor vector
+    * is pinned per round with an eager localCheckpoint — the same
+    * lineage discipline as q_ppr_seed/q_label_prop (without it the six
+    * rounds compound into one 6-deep re-executing prefix).
+    */
+  val qKcore = Q(
+    "q_kcore",
+    (s, d) => {
+      val n   = Tables.supplier(s, d).count()
+      val und = undirected(s, d, n).cache()
+      val sym = und.select(col("a").as("node"), col("b").as("other"))
+        .unionAll(und.select(col("b").as("node"), col("a").as("other")))
+      var alive = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+      val traces = (1 to KcoreRounds).map { r =>
+        val deg = sym
+          .join(alive, "node")
+          .join(alive.withColumnRenamed("node", "other"), "other")
+          .groupBy("node")
+          .agg(count(lit(1)).as("deg"))
+        alive = deg.filter(col("deg") >= KcoreK).select("node")
+          .localCheckpoint()
+        val nodesAlive = alive.agg(count(lit(1)).as("nodes_alive"))
+        val edgesAlive = und
+          .join(alive.withColumnRenamed("node", "a"), "a")
+          .join(alive.withColumnRenamed("node", "b"), "b")
+          .agg(count(lit(1)).as("edges_alive"))
+        nodesAlive.crossJoin(edgesAlive)
+          .select(lit(r).cast("long").as("round"),
+            col("nodes_alive"), col("edges_alive"))
+      }
+      traces.reduce(_.unionByName(_)).orderBy("round")
+    },
+    Some {
+      val n = "(SELECT count(*) FROM supplier)"
+      val peels = (1 to KcoreRounds).map { t =>
+        s"""a$t AS (
+           |  SELECT node FROM (
+           |    SELECT x.node, count(*) AS deg
+           |    FROM sym x
+           |    JOIN a${t - 1} p ON p.node = x.node
+           |    JOIN a${t - 1} q ON q.node = x.other
+           |    GROUP BY x.node)
+           |  WHERE deg >= $KcoreK)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to KcoreRounds).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS round,
+           |  (SELECT count(*) FROM a$t) AS nodes_alive,
+           |  (SELECT count(*) FROM und u
+           |   JOIN a$t x ON x.node = u.a
+           |   JOIN a$t y ON y.node = u.b) AS edges_alive""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e0 AS (${edgesSql(n)}),
+         |und AS ($UndSql),
+         |sym AS (SELECT a AS node, b AS other FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |a0 AS (SELECT s_suppkey AS node FROM supplier),
+         |$peels
+         |$rows
+         |ORDER BY round""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qPprSeed, qTriangles, qLabelProp, qBfsHops, qModularity,
+    qKcore)
 }

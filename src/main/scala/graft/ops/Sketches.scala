@@ -506,7 +506,17 @@ object Sketches {
           expr("(hll_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
         .orderBy("scope")
     },
-    Some {
+    Some(hllOracle)
+  )
+
+  /** Shared DuckDB formulation of the m=64 HLL register DAG + estimator
+    * — the oracle for BOTH q_hll_distinct (hand-assembled register
+    * aggregation) and q_hll_agg (the native [[graft.functions
+    * .HllSketchAgg]] aggregate): two different Spark plans, one defined
+    * result. Duplicate (g, h) pairs cannot change a register max, so
+    * the DISTINCT here is semantics-neutral between the two.
+    */
+  private lazy val hllOracle: String = {
       val h = h32Sql("CAST(o_custkey AS VARCHAR)")
       """WITH hashed AS (
         |  SELECT g, h, h // 67108864 AS bucket, h % 67108864 AS rem
@@ -557,9 +567,51 @@ object Sketches {
         |  ((hll_est - n_exact) * 1000000) // n_exact AS err_ppm
         |FROM final_est JOIN exact USING (scope)
         |ORDER BY scope""".stripMargin.replace("HEXPR", h)
-    }
+  }
+
+  /** q_hll_agg — the SAME HLL distinct-count as q_hll_distinct, but run
+    * through [[graft.functions.HllSketchAgg]]: graft's native Catalyst
+    * aggregate function (`graft_hll`, registered both via
+    * GraftExtensions.injectFunction and as a session temp function), so
+    * the whole register DAG collapses into ONE aggregate call per scope.
+    * The sketch buffer partial-aggregates map-side under
+    * ObjectHashAggregate and serializes to 64 bytes per (partition,
+    * group) for the shuffle — the mergeable-summary contract expressed
+    * as a first-class aggregate rather than a hand-assembled
+    * bucket/register join (plan- and value-asserted in HllAggSpec).
+    *
+    * 100 TB shape: two aggregations over orders (sketch + exact
+    * comparison column), each with algebraic partial aggregation; the
+    * broadcast-joined summary is 6 rows. At a real 100 TB run the
+    * n_exact audit column would be dropped and only the O(m)-state
+    * sketch pass would remain.
+    */
+  val qHllAgg = Q(
+    "q_hll_agg",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.graft_hll
+      val est = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("scope"))
+        .agg(graft_hll(col("o_custkey").cast("string")).as("hll_est"))
+      val estAll = Tables.orders(s, d)
+        .agg(graft_hll(col("o_custkey").cast("string")).as("hll_est"))
+        .select(lit("ALL").as("scope"), col("hll_est"))
+      val exactG = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("scope"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      val exactAll = Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        .select(lit("ALL").as("scope"), col("n_exact"))
+      est.unionByName(estAll)
+        .join(exactG.unionByName(exactAll), "scope")
+        .select(col("scope"), col("n_exact"), col("hll_est"),
+          expr("(hll_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+        .orderBy("scope")
+    },
+    Some(hllOracle)
   )
 
   val all: Seq[Q] = Seq(qKmvDistinct, qCountMin, qKmvIntersect,
-    qBloomPrefilter, qQuantileSketch, qHllDistinct)
+    qBloomPrefilter, qQuantileSketch, qHllDistinct, qHllAgg)
 }

@@ -748,8 +748,90 @@ object TextOps {
     )
   )
 
+  /** q_gopher_rules — the hard pass/fail quality-rule suite of Rae et
+    * al. 2021 (Gopher, Table A1), the standard pre-filter a web-scale
+    * corpus runs BEFORE any model-based scoring (and the rule-flag
+    * complement of q_quality_score's continuous heuristics): word
+    * count bounds, mean-word-length band, symbol-to-word ratio,
+    * alphabetic-word fraction, and the ≥2-distinct-stopwords test.
+    * Bounds are the paper's where the synthetic corpus can exercise
+    * them and tightened where it cannot: word count ≥ 50 (corpus range
+    * 10–99; the paper's 50 lower bound kept, its 100k upper bound
+    * unreachable here), mean word length in [4.0, 5.0] (corpus range
+    * 3.7–5.3; paper band 3–10 would never fire), stopword set = the
+    * repo's {the, a, and, of, to, in} (the paper's eight-word set has
+    * one member in this vocabulary). Every metric is an exact-integer
+    * count or a single IEEE division of exact ints, so both engines
+    * compute bit-identical flags.
+    *
+    * 100 TB shape: map-only projection over the document scan — no
+    * shuffle at all (the output sort is the test harness's, not the
+    * operator's); rule flags partition the corpus for downstream
+    * routing without materializing anything.
+    */
+  val qGopherRules = Q(
+    "q_gopher_rules",
+    (s, d) => {
+      val text = col("text")
+      val toks = wsTokens(text)
+      val wc = greatest(size(toks), lit(1))
+      val alphaChars = graft.functions.GraftFunctions
+        .chars_in_ranges(text, Seq('a'.toInt -> 'z'.toInt, 'A'.toInt -> 'Z'.toInt))
+      val mwl = alphaChars.cast("double") / wc
+      val symbols = graft.functions.GraftFunctions
+        .chars_in_ranges(text, Seq('#'.toInt -> '#'.toInt)) +
+        (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)
+      val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      val stopHits = size(array_intersect(toks,
+        array(lit("the"), lit("a"), lit("and"), lit("of"), lit("to"), lit("in"))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).as("wc"),
+          mwl.as("mean_word_len"),
+          (size(toks) >= 50).as("wc_ok"),
+          (mwl >= 4.0 && mwl <= 5.0).as("mwl_ok"),
+          (symbols.cast("double") / wc <= 0.1).as("sym_ok"),
+          (alphaWords.cast("double") / wc >= 0.8).as("alpha_ok"),
+          (stopHits >= 2).as("stop_ok"))
+        .withColumn("keep",
+          col("wc_ok") && col("mwl_ok") && col("sym_ok") &&
+            col("alpha_ok") && col("stop_ok"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+        |      AS wc,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+        |    length(regexp_replace(text, '[^#]', '', 'g'))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS symbols,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        t -> regexp_matches(t, '[a-zA-Z]'))) AS alpha_words,
+        |    len(list_intersect(
+        |        list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+        |        ['the', 'a', 'and', 'of', 'to', 'in'])) AS stop_hits
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, wc,
+        |    CAST(alpha_chars AS DOUBLE) / greatest(wc, 1) AS mean_word_len,
+        |    wc >= 50 AS wc_ok,
+        |    CAST(alpha_chars AS DOUBLE) / greatest(wc, 1) >= 4.0
+        |      AND CAST(alpha_chars AS DOUBLE) / greatest(wc, 1) <= 5.0
+        |      AS mwl_ok,
+        |    CAST(symbols AS DOUBLE) / greatest(wc, 1) <= 0.1 AS sym_ok,
+        |    CAST(alpha_words AS DOUBLE) / greatest(wc, 1) >= 0.8 AS alpha_ok,
+        |    stop_hits >= 2 AS stop_ok
+        |  FROM m)
+        |SELECT doc_id, wc, mean_word_len, wc_ok, mwl_ok, sym_ok, alpha_ok,
+        |  stop_ok,
+        |  wc_ok AND mwl_ok AND sym_ok AND alpha_ok AND stop_ok AS keep
+        |FROM f ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
-      qFimSplit, qDpoPairs, qParetoFront)
+      qFimSplit, qDpoPairs, qParetoFront, qGopherRules)
 }

@@ -254,4 +254,54 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // K4-free-ish sanity: triangles cannot exceed the theoretical max
     assert(t <= e * (e - 1) / 2)
   }
+
+  test("q_kcore: peel trace matches an independent driver-side recompute") {
+    // rebuild the same graph brute-force (md5-prefix edges, outdeg 3,
+    // self-loops dropped, canonical a<b distinct) and run the peel in
+    // plain Scala collections — shares no code with the operator
+    val n = Tables.supplier(spark, sf).count()
+    val keys = Tables.supplier(spark, sf)
+      .select("s_suppkey").collect().map(_.getLong(0))
+    def h32(sv: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val und = (for {
+      s0 <- keys; e <- 1 to 3
+      d0 = h32(s"$s0:$e") % n
+      if d0 != s0
+    } yield (math.min(s0, d0), math.max(s0, d0))).toSet
+    var alive = keys.toSet
+    val expected = (1 to 6).map { r =>
+      val deg = und.toSeq
+        .filter { case (a, b) => alive(a) && alive(b) }
+        .flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      alive = alive.filter(v => deg.getOrElse(v, 0) >= 4)
+      val ea = und.count { case (a, b) => alive(a) && alive(b) }
+      (r.toLong, alive.size.toLong, ea.toLong)
+    }
+    val got = run("q_kcore").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got === expected)
+    // the trace is monotonically non-increasing (peeling never revives)
+    assert(got.map(_._2).sliding(2).forall(w => w.last <= w.head))
+  }
+
+  test("q_gopher_rules is map-only: no shuffle below the output sort") {
+    val payloads = shufflePayloads("q_gopher_rules")
+    // the only exchange is the final orderBy's range partitioning
+    assert(payloads.size <= 1, payloads.toString)
+    val rows = run("q_gopher_rules").collect()
+    // keep == conjunction of the five rule flags, row by row
+    rows.foreach { r =>
+      val flags = Seq("wc_ok", "mwl_ok", "sym_ok", "alpha_ok", "stop_ok")
+        .map(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") === flags.forall(identity))
+    }
+    // the tightened rules actually discriminate on the fixture corpus
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
 }
