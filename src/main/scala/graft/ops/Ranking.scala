@@ -91,9 +91,13 @@ object Ranking {
     * value, picked into a fixed column slot by conditional aggregation
     * and added in a fixed order — never a shuffle-ordered float sum.
     */
-  val qBm25 = Q(
-    "q_bm25",
-    (s, d) => {
+  /** The BM25 score frame (doc_id, bm25) — shared by q_bm25 (which
+    * just orders it) and q_ndcg (which evaluates it against a graded
+    * relevance label). Docs containing none of the query terms are
+    * absent (score 0 by convention at the call sites).
+    */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
       val k1 = 1.2
       val b  = 0.75
       val docs = Tables.documents(s, d)
@@ -133,10 +137,13 @@ object Ranking {
             .as("s3"))
         .select(col("doc_id"),
           (col("s1") + col("s2") + col("s3")).as("bm25"))
-        .orderBy(desc("bm25"), col("doc_id"))
-    },
-    Some(
-      """WITH toks AS (
+  }
+
+  /** The BM25 scoring pipeline as DuckDB CTEs ending in
+    * `bscores(doc_id, bm25)` — the SQL mirror of [[bm25Scores]].
+    */
+  private val bm25SqlCtes =
+      """toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
         |  FROM documents),
@@ -160,12 +167,21 @@ object Ranking {
         |  SELECT doc_id, tf.term AS term,
         |    idf * (tf * 2.2e0) / (tf + 1.2e0 * (1 - 0.75e0
         |      + 0.75e0 * dl / (SELECT avgdl FROM stats))) AS s
-        |  FROM tf JOIN df ON tf.term = df.term)
-        |SELECT doc_id,
-        |  coalesce(max(s) FILTER (WHERE term = 'spark'), 0.0)
-        |  + coalesce(max(s) FILTER (WHERE term = 'join'), 0.0)
-        |  + coalesce(max(s) FILTER (WHERE term = 'window'), 0.0) AS bm25
-        |FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin
+        |  FROM tf JOIN df ON tf.term = df.term),
+        |bscores AS (
+        |  SELECT doc_id,
+        |    coalesce(max(s) FILTER (WHERE term = 'spark'), 0.0)
+        |    + coalesce(max(s) FILTER (WHERE term = 'join'), 0.0)
+        |    + coalesce(max(s) FILTER (WHERE term = 'window'), 0.0) AS bm25
+        |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  val qBm25 = Q(
+    "q_bm25",
+    (s, d) => bm25Scores(s, d).orderBy(desc("bm25"), col("doc_id")),
+    Some(
+      s"""WITH $bm25SqlCtes
+         |SELECT doc_id, bm25 FROM bscores
+         |ORDER BY bm25 DESC, doc_id""".stripMargin
     )
   )
 
@@ -739,8 +755,118 @@ object Ranking {
     )
   )
 
+  /** q_ndcg — NDCG@10 of the BM25 ranking, per source: the standard
+    * graded retrieval-eval metric (Järvelin & Kekäläinen 2002),
+    * complementing q_rank_correlation's Spearman (which compares two
+    * rankings; NDCG scores one ranking against labeled relevance).
+    * Graded relevance = number of distinct query terms present (0–3) —
+    * a deterministic label both engines derive from the text. Each
+    * source's docs are ranked by the corpus-wide BM25 score (absent
+    * docs score 0), DCG@10 uses gain 2^rel − 1 with the log2(i+1)
+    * discount, IDCG re-ranks by rel desc, NDCG = DCG/IDCG.
+    *
+    * Determinism: gains are exact ints; the discount is the repo's
+    * quantized-transcendental convention (floor(log2(i+1)·1e6 + 0.5)
+    * as integer ppm); each positional term is then PURE integer
+    * arithmetic — (gain·1e12 + d/2) div d — and the per-source sums
+    * are integer sums, so no float ever crosses a shuffle. Outputs are
+    * ppm-scaled BIGINTs.
+    *
+    * 100 TB shape: relevance labels and ranks ride the same one-pass
+    * token scan BM25 already does; the rank window is per-source
+    * (retrieval eval sets are bounded by construction) and carries
+    * (source, doc_id, rel, bm25) only — 4 narrow columns, no text.
+    */
+  val qNdcg = Q(
+    "q_ndcg",
+    (s, d) => {
+      val rel = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          wsTokens(col("text")).as("t"))
+        .select(col("doc_id"), col("source"),
+          (array_contains(col("t"), "spark").cast("int") +
+            array_contains(col("t"), "join").cast("int") +
+            array_contains(col("t"), "window").cast("int")).as("rel"))
+      val ranked = rel
+        .join(bm25Scores(s, d), Seq("doc_id"), "left")
+        .na.fill(0.0, Seq("bm25"))
+      val wSys = Window.partitionBy("source")
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val wIdeal = Window.partitionBy("source")
+        .orderBy(col("rel").desc, col("doc_id").asc)
+      val positioned = ranked
+        .withColumn("i", row_number().over(wSys))
+        .withColumn("j", row_number().over(wIdeal))
+      val scoredTerms = positioned.select(col("source"),
+        when(col("i") <= 10,
+          expr("(((shiftleft(1L, rel) - 1L) * 1000000000000L) + " +
+            "cast(floor(log2(cast(i as double) + 1.0) * 1e6 + 0.5) as long) div 2) div " +
+            "cast(floor(log2(cast(i as double) + 1.0) * 1e6 + 0.5) as long)"))
+          .otherwise(lit(0L)).as("dcg_term"),
+        when(col("j") <= 10,
+          expr("(((shiftleft(1L, rel) - 1L) * 1000000000000L) + " +
+            "cast(floor(log2(cast(j as double) + 1.0) * 1e6 + 0.5) as long) div 2) div " +
+            "cast(floor(log2(cast(j as double) + 1.0) * 1e6 + 0.5) as long)"))
+          .otherwise(lit(0L)).as("idcg_term"))
+      scoredTerms.groupBy("source")
+        .agg(sum(col("dcg_term")).as("dcg_ppm"),
+          sum(col("idcg_term")).as("idcg_ppm"))
+        .select(col("source"), col("dcg_ppm"), col("idcg_ppm"),
+          // integer div end to end — no double ever enters the metric
+          expr("CASE WHEN idcg_ppm > 0 " +
+            "THEN dcg_ppm * 1000000L div idcg_ppm ELSE 0L END")
+            .as("ndcg_ppm"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH $bm25SqlCtes,
+         |rel AS (
+         |  SELECT k.doc_id, d.source,
+         |    CAST(list_contains(k.t, 'spark') AS INT)
+         |      + CAST(list_contains(k.t, 'join') AS INT)
+         |      + CAST(list_contains(k.t, 'window') AS INT) AS rel
+         |  FROM toks k JOIN documents d ON d.doc_id = k.doc_id),
+         |ranked AS (
+         |  SELECT r.source, r.doc_id, r.rel,
+         |    coalesce(b.bm25, 0.0) AS bm25
+         |  FROM rel r LEFT JOIN bscores b ON b.doc_id = r.doc_id),
+         |positioned AS (
+         |  SELECT source, rel,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY bm25 DESC, doc_id ASC) AS i,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY rel DESC, doc_id ASC) AS j
+         |  FROM ranked),
+         |terms AS (
+         |  SELECT source,
+         |    CASE WHEN i <= 10 THEN
+         |      ((((1 << rel) - 1) * 1000000000000)
+         |        + CAST(floor(log2(CAST(i AS DOUBLE) + 1.0) * 1e6 + 0.5)
+         |            AS BIGINT) // 2)
+         |      // CAST(floor(log2(CAST(i AS DOUBLE) + 1.0) * 1e6 + 0.5)
+         |           AS BIGINT)
+         |      ELSE 0 END AS dcg_term,
+         |    CASE WHEN j <= 10 THEN
+         |      ((((1 << rel) - 1) * 1000000000000)
+         |        + CAST(floor(log2(CAST(j AS DOUBLE) + 1.0) * 1e6 + 0.5)
+         |            AS BIGINT) // 2)
+         |      // CAST(floor(log2(CAST(j AS DOUBLE) + 1.0) * 1e6 + 0.5)
+         |           AS BIGINT)
+         |      ELSE 0 END AS idcg_term
+         |  FROM positioned)
+         |SELECT source,
+         |  CAST(sum(dcg_term) AS BIGINT) AS dcg_ppm,
+         |  CAST(sum(idcg_term) AS BIGINT) AS idcg_ppm,
+         |  CASE WHEN sum(idcg_term) > 0
+         |    THEN CAST(sum(dcg_term) AS BIGINT) * 1000000
+         |      // CAST(sum(idcg_term) AS BIGINT)
+         |    ELSE 0 END AS ndcg_ppm
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore, qInvertedIndex,
       qPmiCooccur, qRrfFusion, qPrfExpansion, qCalibration,
-      qRankCorrelation)
+      qRankCorrelation, qNdcg)
 }

@@ -1961,10 +1961,114 @@ object Similarity {
     }
   )
 
+  private val Dim = 64
+
+  /** Full-width binary (1-bit-per-dimension) signature: the sign bit of
+    * every coordinate, as a 64-char bit string.
+    */
+  private def binSig(v: Column): Column =
+    concat((1 to Dim).map(i =>
+      when(element_at(v, i) > 0f, "1").otherwise("0")): _*)
+
+  private val binSigSql = (1 to Dim)
+    .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
+    .mkString(" || ")
+
+  /** q_ann_hamming — binary-quantization ANN (1 bit per dimension, a
+    * 32× memory compression over float32): rank the corpus by Hamming
+    * distance between sign signatures (the native codegen'd
+    * [[graft.functions.HammingDistance]] — for random unit vectors
+    * Hamming(sign(a), sign(b)) ≈ D·θ(a,b)/π, the sign-LSH collision
+    * identity), keep the top-20 candidates per query, then rerank
+    * exactly by quantized cosine and emit the top 3. Completes the
+    * compression ladder next to SQ8 (8 bit) and PQ (sub-vector
+    * codebooks).
+    *
+    * 100 TB shape: the Hamming pass is a broadcast of 8 query
+    * signatures against a corpus scan that carries ONLY (vec_id, 64-
+    * char sig) — float vectors never move; the exact rerank joins the
+    * ≤ 20·|queries| surviving ids back to the corpus (the
+    * late-materialization shape, plan-asserted: the wide vector scan
+    * sits above the candidate filter, and at 64 bits/vector the whole
+    * signature index for a billion vectors is 8 GB — executor-cacheable
+    * where the float corpus is 256 GB).
+    */
+  val qAnnHamming = Q(
+    "q_ann_hamming",
+    (s, d) => {
+      val sigs = Tables.embeddings(s, d)
+        .select(col("vec_id"), binSig(col("embedding")).as("sig"))
+      val qsigs = sigs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+      val ham = sigs.filter(col("vec_id") >= 8)
+        .join(broadcast(qsigs))
+        .select(col("qid"), col("vec_id").as("neighbor_id"),
+          graft.functions.GraftFunctions
+            .hamming_distance(col("qsig"), col("sig")).as("ham"))
+      val wH = Window.partitionBy("qid")
+        .orderBy(col("ham").asc, col("neighbor_id").asc)
+      val cands = ham.withColumn("hrank", row_number().over(wH))
+        .filter(col("hrank") <= 20)
+        .select("qid", "neighbor_id", "ham")
+      // exact rerank: vectors join in only for the surviving candidates
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+      val qvecs = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("qv").as("quv"),
+          col("nq").as("qn"))
+      val scored = cands
+        .join(vecs.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(broadcast(qvecs), "qid")
+        .select(col("qid"), col("neighbor_id"), col("ham"),
+          cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq"))
+            .as("cos_sim"))
+      val wC = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("nrank", row_number().over(wC))
+        .filter(col("nrank") <= 3)
+        .select("qid", "nrank", "neighbor_id", "ham", "cos_sim")
+        .orderBy("qid", "nrank")
+    },
+    Some(
+      s"""WITH sigs AS (
+         |  SELECT vec_id, $binSigSql AS sig FROM embeddings),
+         |ham AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         |    CAST(len(list_filter(range(1, $Dim + 1),
+         |      i -> substr(q.sig, CAST(i AS INT), 1)
+         |        <> substr(c.sig, CAST(i AS INT), 1))) AS INT) AS ham
+         |  FROM sigs q JOIN sigs c ON q.vec_id < 8 AND c.vec_id >= 8),
+         |cand AS (
+         |  SELECT qid, neighbor_id, ham FROM (
+         |    SELECT qid, neighbor_id, ham,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY ham ASC, neighbor_id ASC) AS hrank
+         |    FROM ham) WHERE hrank <= 20),
+         |vecs AS (
+         |  SELECT vec_id, qv, ${dotqSql("qv", "qv")} AS nq
+         |  FROM (SELECT vec_id, $qvecSql AS qv FROM embeddings)),
+         |scored AS (
+         |  SELECT cand.qid, cand.neighbor_id, cand.ham,
+         |    CAST(${dotqSql("q.qv", "c.qv")} AS DOUBLE)
+         |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(c.nq AS DOUBLE)) AS cos_sim
+         |  FROM cand
+         |  JOIN vecs c ON c.vec_id = cand.neighbor_id
+         |  JOIN vecs q ON q.vec_id = cand.qid)
+         |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, ham, cos_sim
+         |FROM (
+         |  SELECT qid, neighbor_id, ham, cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+         |  FROM scored)
+         |WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
       qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift,
-      qEmbeddingCoherence, qKcenterCoreset)
+      qEmbeddingCoherence, qKcenterCoreset, qAnnHamming)
 }

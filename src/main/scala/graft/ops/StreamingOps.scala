@@ -834,9 +834,140 @@ object StreamingOps {
     )
   )
 
+  /** Stage `df` as one parquet file under `inDir` with a pinned mtime —
+    * the deterministic-replay trick (mtime-ordered files +
+    * maxFilesPerTrigger=1) q_stream_late introduced, shared with
+    * q_stream_merge.
+    */
+  private def writeOrderedBatch(df: org.apache.spark.sql.DataFrame,
+      tmp: java.nio.file.Path, name: String, mtimeSec: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val stage = tmp.resolve(name + "_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val dest = tmp.resolve("in").resolve(name + ".parquet")
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+  }
+
+  /** q_stream_merge — streaming MERGE-upsert: the CDC-consumer pattern
+    * where a micro-batch stream continuously upserts a keyed serving
+    * table (Delta's `foreachBatch` + MERGE idiom, built here on the
+    * repo's own copy-on-write [[Layout.mergeUpsert]]). A per-user
+    * profile table (event count, total cents, latest event) is
+    * bootstrapped from the first time-tercile of the log, then the
+    * remaining two terciles replay as deterministic micro-batches;
+    * each batch partially aggregates per user, merges with the
+    * CURRENT profile row (count/sum add; "latest" = lexicographic max
+    * of the (ts_us, event_id, type) struct — associative, so
+    * incremental merging provably equals the one-shot aggregate the
+    * oracle computes), and rewrites ONLY the hash-bucket partitions
+    * holding touched users.
+    *
+    * 100 TB shape: per batch the update set is |users-in-batch| rows
+    * (partial aggregation shrinks it map-side), the state read is
+    * partition-pruned to affected buckets, and the write rewrites just
+    * those buckets — the table is never rewritten wholesale. Driver
+    * state: the affected-bucket value list (≤ 8 here) plus two scalar
+    * tercile cuts.
+    */
+  val qStreamMerge = Q(
+    "q_stream_merge",
+    (s, d) => {
+      import java.nio.file.Files
+      val tmp = graft.Scratch.dir("stream_merge")
+      Files.createDirectories(tmp.resolve("in"))
+      val stateDir = tmp.resolve("state").toString
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).collect()(0)
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * ((hi - lo) / 3)
+      def profile(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"),
+          max(struct(col("ts_us"), col("event_id"), col("event_type")))
+            .as("last"))
+        .select(col("user_id"), pmod(col("user_id"), lit(8L)).as("bucket"),
+          col("n_events"), col("total_cents"),
+          col("last.ts_us").as("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"))
+      profile(ev.filter(col("ts_us") <= c1))
+        .write.partitionBy("bucket").mode("overwrite").parquet(stateDir)
+      writeOrderedBatch(ev.filter(col("ts_us") > c1 && col("ts_us") <= c2),
+        tmp, "b1", 1000000L)
+      writeOrderedBatch(ev.filter(col("ts_us") > c2), tmp, "b2", 1000100L)
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp.resolve("in").toString)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bp = profile(batch)
+          val cur = s.read.parquet(stateDir)
+            .select(col("user_id"), col("n_events").as("sn"),
+              col("total_cents").as("sc"),
+              struct(col("last_ts_us").as("ts_us"),
+                col("last_event_id").as("event_id"),
+                col("last_type").as("event_type")).as("slast"))
+          val merged = bp
+            .join(cur, Seq("user_id"), "left")
+            .select(col("user_id"), col("bucket"),
+              (col("n_events") + coalesce(col("sn"), lit(0L))).as("n_events"),
+              (col("total_cents") + coalesce(col("sc"), lit(0L)))
+                .as("total_cents"),
+              // greatest skips nulls: a first-seen user keeps its own
+              greatest(
+                struct(col("last_ts_us").as("ts_us"),
+                  col("last_event_id").as("event_id"),
+                  col("last_type").as("event_type")),
+                col("slast")).as("last"))
+            .select(col("user_id"), col("bucket"), col("n_events"),
+              col("total_cents"),
+              col("last.ts_us").as("last_ts_us"),
+              col("last.event_id").as("last_event_id"),
+              col("last.event_type").as("last_type"))
+          Layout.mergeUpsert(s, stateDir, "bucket", "user_id", merged)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.read.parquet(stateDir)
+        .select(col("user_id"), col("n_events"), col("total_cents"),
+          col("last_ts_us"), col("last_event_id"), col("last_type"))
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |last AS (
+        |  SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+        |    event_type AS last_type
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM ev GROUP BY 1)
+        |SELECT a.user_id, a.n_events, a.total_cents,
+        |  l.last_ts_us, l.last_event_id, l.last_type
+        |FROM agg a JOIN last l USING (user_id)
+        |ORDER BY user_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
       qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv,
-      qStreamLate)
+      qStreamLate, qStreamMerge)
 }

@@ -962,4 +962,38 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "not a single-buffer sorted list:\n" + p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q_ann_hamming: float vectors never enter the Hamming-ranking shuffle") {
+    // the candidate pass carries only (qid, neighbor_id, ham[, sig]);
+    // quantized vectors (qv/quv) join in after the top-20 filter
+    shufflePayloads("q_ann_hamming").foreach { cols =>
+      assert(!cols.contains("qv") && !cols.contains("quv"),
+        s"vector columns leaked into a shuffle: ${cols.mkString(", ")}")
+      assert(!cols.contains("embedding"),
+        s"raw embedding leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+    val rows = SparkEntry.queries("q_ann_hamming")(spark, sf).collect()
+    // 8 queries × top 3, Hamming distance within [0, 64], cosine in [-1, 1]
+    assert(rows.length === 24)
+    rows.foreach { r =>
+      val ham = r.getAs[Int]("ham")
+      assert(ham >= 0 && ham <= 64, r.toString)
+      val cs = r.getAs[Double]("cos_sim")
+      assert(cs >= -1.0 - 1e-9 && cs <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
+  test("q_ndcg: ppm metrics bounded, dcg never exceeds idcg") {
+    val rows = SparkEntry.queries("q_ndcg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dcg = r.getAs[Long]("dcg_ppm")
+      val idcg = r.getAs[Long]("idcg_ppm")
+      val ndcg = r.getAs[Long]("ndcg_ppm")
+      assert(dcg >= 0 && idcg >= 0, r.toString)
+      // the ideal ordering maximizes DCG, so dcg <= idcg always
+      assert(dcg <= idcg, r.toString)
+      assert(ndcg >= 0 && ndcg <= 1000000L, r.toString)
+    }
+  }
 }

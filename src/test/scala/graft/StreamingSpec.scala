@@ -378,4 +378,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly-once violated: ${sunk.length} vs ${expected.length}")
     assert(sunk.toSeq === expected.toSeq)
   }
+
+  test("q_stream_merge: incremental upserts equal the one-shot aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_stream_merge")(spark, sf).collect()
+    // independent batch recompute of the same profile
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val expected = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .as("last"))
+      .select(col("user_id"), col("n_events"), col("total_cents"),
+        col("last.ts_us"), col("last.event_id"), col("last.event_type"))
+      .orderBy("user_id").collect()
+    assert(got.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
+  }
 }
