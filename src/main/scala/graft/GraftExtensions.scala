@@ -109,6 +109,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("graft_hll"),
         new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll"),
         (exprs: Seq[Expression]) => HllSketchAgg(exprs.head)))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName,
+          "graft_minhash"),
+        (exprs: Seq[Expression]) => graft.functions.MinHashAgg(exprs.head)))
     ext.injectOptimizerRule(_ => SimplifyGraftExpressions)
     ext.injectOptimizerRule(_ => FuseDotProduct)
     // injected optimizer rules run in the operator-optimization batch,

@@ -492,6 +492,11 @@ object GraftFunctions {
     ColumnBridge.column(
       HllSketchAgg(ColumnBridge.expression(c)).toAggregateExpression())
 
+  /** The native 8-slot MinHash aggregate ([[MinHashAgg]]) as a Column. */
+  def graft_minhash(c: Column): Column =
+    ColumnBridge.column(
+      MinHashAgg(ColumnBridge.expression(c)).toAggregateExpression())
+
   /** Register `filetime_to_timestamp` / `hamming_distance` for SQL use. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -510,6 +515,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_hll",
       exprs => HllSketchAgg(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashAgg(exprs.head),
       "built-in")
   }
 }

@@ -377,6 +377,69 @@ object Analytics {
     qDateFuncs,
     qDateFuncs2,
     qJsonExtract,
-    qMathFuncs
+    qMathFuncs,
+    qItemsets
+  )
+
+  /** q_itemsets — frequent-pair mining over order baskets (A-priori
+    * level 2 / market-basket co-occurrence): the pairs of parts bought
+    * together in ≥ 2 orders, with the lift of each pair over item
+    * independence (n_pair·N_baskets / (n_a·n_b), as exact ppm). The
+    * basket-itemset shape complements q_pmi_cooccur's token-window
+    * co-occurrence — co-purchase, not co-location. Top-50 by support
+    * with full key tie-breaks.
+    *
+    * 100 TB shape: pair generation is a self-equi-join on the basket
+    * key — pairs materialize only within an order (basket size ≤ 7
+    * lines in this schema, so ≤ 21 pairs per basket, linear in the
+    * corpus) and partial-aggregate before the (pa, pb) shuffle; the
+    * support filter then bounds the lift join's left side, and the
+    * per-item counts are a parts-vocabulary-sized table.
+    */
+  lazy val qItemsets: Q = Q(
+    "q_itemsets",
+    (s, d) => {
+      val basket = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nBaskets = basket.agg(
+        countDistinct(col("ok")).as("n_baskets"))
+      val itemCnt = basket.groupBy("pk")
+        .agg(count(lit(1)).as("n_item"))
+      val pairs = basket.select(col("ok"), col("pk").as("pa"))
+        .join(basket.select(col("ok"), col("pk").as("pb")), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+      pairs
+        .join(broadcast(itemCnt.withColumnRenamed("pk", "pa")
+          .withColumnRenamed("n_item", "n_a")), "pa")
+        .join(broadcast(itemCnt.withColumnRenamed("pk", "pb")
+          .withColumnRenamed("n_item", "n_b")), "pb")
+        .crossJoin(broadcast(nBaskets))
+        .select(col("pa"), col("pb"), col("n_pair"),
+          expr("n_pair * n_baskets * 1000000L div (n_a * n_b)")
+            .as("lift_ppm"))
+        .orderBy(col("n_pair").desc, col("pa"), col("pb"))
+        .limit(50)
+    },
+    Some(
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
+        |ic AS (SELECT pk, count(*) AS n_item FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT a.pk AS pa, c.pk AS pb, count(*) AS n_pair
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, n_pair,
+        |  CAST(n_pair * (SELECT n_baskets FROM nb) * 1000000
+        |    // (ia.n_item * ib.n_item) AS BIGINT) AS lift_ppm
+        |FROM p
+        |JOIN ic ia ON ia.pk = p.pa
+        |JOIN ic ib ON ib.pk = p.pb
+        |ORDER BY n_pair DESC, pa, pb LIMIT 50""".stripMargin
+    )
   )
 }

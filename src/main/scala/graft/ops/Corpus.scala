@@ -526,6 +526,76 @@ object Corpus {
     }
   )
 
+  /** q_minhash_agg — the same per-source 8-slot MinHash signatures as
+    * q_source_minhash's hand-assembled min aggregation, computed by
+    * [[graft.functions.MinHashAgg]]: graft's native `graft_minhash`
+    * Catalyst aggregate (registered via both the extensions hook and
+    * the session temp function). Slot-min is order-independent —
+    * unlike order-sensitive sketches (a Misra-Gries counter set
+    * depends on arrival order, so under Spark's nondeterministic
+    * partition order it could never be hash-compared; that design was
+    * considered for a heavy-hitters aggregate and rejected) — so the
+    * native signature is deterministic and shares its defined result
+    * with the SQL register DAG. The 'ALL' row aggregates the whole
+    * vocabulary stream: because merge is element-wise min, it equals
+    * the merge of the per-source sketches (the union property, spec-
+    * asserted); signatures are flattened to h0..h7 columns (array
+    * cells crash the driver's sort — the q_inverted_index lesson).
+    *
+    * 100 TB shape: one tokenize pass; the aggregate buffer is 64 bytes
+    * per (partition, source) under ObjectHashAggregate partial
+    * aggregation — the text never shuffles, only 8-long sketch rows.
+    */
+  val qMinhashAgg = Q(
+    "q_minhash_agg",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.graft_minhash
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.wsTokens(col("text"))).as("token"))
+        .distinct()
+      val perSrc = toks.groupBy("source")
+        .agg(graft_minhash(col("token")).as("sig"))
+      val allRow = toks.agg(graft_minhash(col("token")).as("sig"))
+        .select(lit("ALL").as("source"), col("sig"))
+      perSrc.unionByName(allRow)
+        .select(col("source") +:
+          (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+        .orderBy("source")
+    },
+    Some {
+      def hexToLong(expr: String, start: Int): String =
+        (0 until 8).map { k =>
+          val mult = 1L << (4 * (7 - k))
+          s"(strpos('0123456789abcdef', substr($expr, ${start + k}, 1)) - 1) * $mult"
+        }.mkString("(", " + ", ")")
+      val hs = (0 until 8).map { j =>
+        val dig = if (j < 4) "d0" else "d1"
+        val st = (j % 4) * 8 + 1
+        s"CAST(min(${hexToLong(dig, st)}) AS BIGINT) AS h$j"
+      }.mkString(",\n    ")
+      s"""WITH vocab AS (
+         |  SELECT DISTINCT source, token
+         |  FROM (SELECT source,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+         |    FROM documents), UNNEST(t) AS u(token)),
+         |dg AS (
+         |  SELECT source, md5('0|' || token) AS d0, md5('1|' || token) AS d1
+         |  FROM vocab),
+         |sig AS (
+         |  SELECT source,
+         |    $hs
+         |  FROM dg GROUP BY source
+         |  UNION ALL
+         |  SELECT 'ALL',
+         |    $hs
+         |  FROM dg)
+         |SELECT source, h0, h1, h2, h3, h4, h5, h6, h7
+         |FROM sig ORDER BY source""".stripMargin
+    }
+  )
+
   /** q_concentration — per-source token concentration: Herfindahl index
     * HHI = Σ cnt² / total² (and the equivalent effective vocabulary size
     * 1/HHI) — the inverse view of [[qEntropy]]'s diversity, fully exact:
@@ -1365,7 +1435,7 @@ object Corpus {
 
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
-    qConcentration, qSourceMinhash, qBigramLm, qKneserNey, qShardBalance, qBoilerplate, qPackEfficiency,
+    qConcentration, qSourceMinhash, qMinhashAgg, qBigramLm, qKneserNey, qShardBalance, qBoilerplate, qPackEfficiency,
     qTokenBudget, qNovelty, qZipfFit, qDocEntropy, qTopicClusters,
     qCcnetBuckets)
 }

@@ -524,6 +524,66 @@ object Graph {
     }
   )
 
+  /** q_graph_jaccard — structural (common-neighbor) similarity: for
+    * node pairs sharing at least one neighbor, J(a,b) =
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — the link-based analog of the text
+    * ops' token Jaccard, used for graph-side entity resolution (two
+    * accounts interacting with the same peers) and link prediction.
+    * Exact ppm integers (common·1e6 div (da+db−common)); top-20 with
+    * full key tie-breaks.
+    *
+    * 100 TB shape: candidate pairs materialize ONLY through a shared
+    * neighbor (one self-equi-join of the symmetric edge list on the
+    * neighbor column — work Σ_v deg(v)², bounded here by the
+    * outdeg-3 construction; a power-law graph would cap or salt hub
+    * degrees first, the same guard as the LSH banding buckets), then
+    * partial-aggregate to (a, b, common) before the pair shuffle.
+    * Degrees are a node-cardinality broadcast table.
+    */
+  val qGraphJaccard = Q(
+    "q_graph_jaccard",
+    (s, d) => {
+      val n   = Tables.supplier(s, d).count()
+      val und = undirected(s, d, n).cache()
+      val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+        .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+      val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+      val common = sym.select(col("node").as("x"), col("nbr"))
+        .join(sym.select(col("node").as("y"), col("nbr")), "nbr")
+        .filter(col("x") < col("y"))
+        .groupBy("x", "y")
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(broadcast(deg.select(col("node").as("x"),
+          col("deg").as("dx"))), "x")
+        .join(broadcast(deg.select(col("node").as("y"),
+          col("deg").as("dy"))), "y")
+        .select(col("x"), col("y"), col("common"),
+          expr("common * 1000000L div (dx + dy - common)").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("x"), col("y"))
+        .limit(20)
+    },
+    Some {
+      val n = "(SELECT count(*) FROM supplier)"
+      s"""WITH e0 AS (${edgesSql(n)}),
+         |und AS ($UndSql),
+         |sym AS (SELECT a AS node, b AS nbr FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY 1),
+         |common AS (
+         |  SELECT p.node AS x, q.node AS y, count(*) AS common
+         |  FROM sym p JOIN sym q ON p.nbr = q.nbr AND p.node < q.node
+         |  GROUP BY 1, 2)
+         |SELECT x, y, common,
+         |  CAST(common * 1000000 // (dx.deg + dy.deg - common) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM common
+         |JOIN deg dx ON dx.node = x
+         |JOIN deg dy ON dy.node = y
+         |ORDER BY jaccard_ppm DESC, x, y LIMIT 20""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(qPprSeed, qTriangles, qLabelProp, qBfsHops, qModularity,
-    qKcore)
+    qKcore, qGraphJaccard)
 }

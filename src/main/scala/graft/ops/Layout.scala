@@ -742,8 +742,71 @@ object Layout {
     )
   )
 
+  /** q_time_travel — manifest-based snapshot isolation (the
+    * Iceberg/Delta time-travel core, reduced to its essential
+    * mechanism): a snapshot is an immutable MANIFEST listing immutable
+    * data files. v1 lists {f1, f2}; a copy-on-write update rewrites
+    * f2's rows (n_chars +1000 where doc_id ≡ 0 mod 7) into a NEW file
+    * f3 and commits v2 = {f1, f3} — f1 is shared between versions, f2
+    * is never touched, and BOTH snapshots stay readable after the
+    * commit (the query reads v1 AS OF and v2 AS OF in one plan; the
+    * spec additionally pins f2's bytes unchanged on disk). Emits the
+    * per-version rollup the oracle reproduces relationally.
+    *
+    * 100 TB shape: a commit costs O(|rewritten files|) data IO plus
+    * one manifest write; time travel costs nothing at read time beyond
+    * choosing the file list (no log replay) — and old snapshots are
+    * garbage-collectible by manifest reachability. The aggregate here
+    * is a count/sum partial-agg per version.
+    */
+  val qTimeTravel = Q(
+    "q_time_travel",
+    (s, d) => {
+      import java.nio.file.Files
+      val root = graft.Scratch.dir("time_travel")
+      val files = root.resolve("files")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .write.parquet(files.resolve("f1").toString)
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+        .write.parquet(files.resolve("f2").toString)
+      // copy-on-write rewrite of f2 → f3 (f2 itself is never modified)
+      s.read.parquet(files.resolve("f2").toString)
+        .withColumn("n_chars",
+          when(pmod(col("doc_id"), lit(7L)) === 0, col("n_chars") + 1000L)
+            .otherwise(col("n_chars")))
+        .write.parquet(files.resolve("f3").toString)
+      val manifests = root.resolve("manifests")
+      Files.createDirectories(manifests)
+      Files.write(manifests.resolve("v1.manifest"), "f1\nf2\n".getBytes)
+      Files.write(manifests.resolve("v2.manifest"), "f1\nf3\n".getBytes)
+      def snapshot(v: String) = {
+        val paths = Files.readAllLines(manifests.resolve(s"$v.manifest"))
+          .toArray.map(f => files.resolve(f.toString).toString)
+        s.read.parquet(paths.toIndexedSeq: _*)
+      }
+      def rollup(v: Int, df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_chars"))
+      rollup(1, snapshot("v1")).unionByName(rollup(2, snapshot("v2")))
+        .orderBy("version")
+    },
+    Some(
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(n_chars + CASE WHEN doc_id % 2 = 1 AND doc_id % 7 = 0
+        |    THEN 1000 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |ORDER BY version""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
     qFormatRoundtrip, qTargetedDelete, qCompact, qMergeUpsert,
     qSchemaEvolution, qSaltedJoin, qHilbert, qLayoutLocality,
-    qDatasetDiff)
+    qDatasetDiff, qTimeTravel)
 }

@@ -272,9 +272,28 @@ object Similarity {
   private val artifacts = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), AnyRef]()
 
-  private def memo[T <: AnyRef](s: SparkSession, d: String, key: String)(
-      build: => T): T =
-    artifacts.computeIfAbsent((s, d, key), _ => build).asInstanceOf[T]
+  /** NOT computeIfAbsent: artifact builds NEST (ivfpq → pq → kmeans →
+    * quantized all memoize), and a nested computeIfAbsent on the same
+    * map throws IllegalStateException("Recursive update") whenever the
+    * inner key lands in the bin the outer call holds — a hash-layout
+    * coincidence (keys include the session object), so it surfaced as
+    * a once-in-several-rounds bench failure (r07) rather than a
+    * reproducible one. Building OUTSIDE the map's lock makes nesting
+    * structurally safe; the worst case is a duplicate concurrent build
+    * of a value-identical (deterministic) artifact, settled by
+    * putIfAbsent. MemoNestingSpec pins the regression.
+    */
+  private[graft] def memo[T <: AnyRef](s: SparkSession, d: String,
+      key: String)(build: => T): T = {
+    val k = (s, d, key)
+    val cached = artifacts.get(k)
+    if (cached != null) cached.asInstanceOf[T]
+    else {
+      val v = build
+      val prev = artifacts.putIfAbsent(k, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   /** Pos-exploded quantized vectors (vec_id, pos, q) + exact norms. */
   private def quantized(s: SparkSession, d: String): (DataFrame, DataFrame) =

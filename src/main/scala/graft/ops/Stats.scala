@@ -473,8 +473,186 @@ object Stats {
     )
   )
 
+  /** q_mad_outliers — robust outlier detection by median absolute
+    * deviation (the estimator that, unlike q_outliers' mean/stddev
+    * z-score, is not dragged by the outliers it is hunting): per
+    * return-flag group, med = lower median of exact price cents, MAD =
+    * lower median of |cents − med|, and a row is an outlier when
+    * dev > 3·1.4826·MAD (the normal-consistency constant, applied as
+    * the exact integer comparison dev·10000 > 44478·MAD — no float
+    * enters the decision). Reports per-group med/MAD and outlier
+    * counts.
+    *
+    * Scale shape: BOTH medians run on the q_weighted_median
+    * pre-aggregated form — counts by (group, value) — so the per-group
+    * windows see #distinct-value rows, never the corpus; the dev pass
+    * re-joins the broadcast 3-row median table map-side. The oracle
+    * keeps the definitional row-level windows.
+    */
+  val qMadOutliers = Q(
+    "q_mad_outliers",
+    (s, d) => {
+      val cents = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+      def lowerMedian(df: org.apache.spark.sql.DataFrame, vc: String) = {
+        val byV = df.groupBy(col("g"), col(vc))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("g").orderBy(vc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("g")
+        byV.withColumn("cum", sum(col("n")).over(w))
+          .withColumn("tot", sum(col("n")).over(wAll))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy("g").agg(min(col(vc)).as("med"))
+      }
+      val med = lowerMedian(cents, "cents")
+      val dev = cents.join(broadcast(med), "g")
+        .select(col("g"), col("cents"),
+          abs(col("cents") - col("med")).as("dev"))
+      val mad = lowerMedian(dev.select(col("g"), col("dev")), "dev")
+        .withColumnRenamed("med", "mad")
+      dev.join(broadcast(med), "g").join(broadcast(mad), "g")
+        .groupBy("g")
+        .agg(max(col("med")).as("med_cents"), max(col("mad")).as("mad_cents"),
+          sum(when(col("dev") * 10000 > col("mad") * 44478, 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("g")
+    },
+    Some(
+      """WITH cents AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |m1 AS (
+        |  SELECT g, min(cents) AS med FROM (
+        |    SELECT g, cents,
+        |      count(*) OVER (PARTITION BY g ORDER BY cents
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      count(*) OVER (PARTITION BY g) AS tot
+        |    FROM cents)
+        |  WHERE cum * 2 >= tot GROUP BY g),
+        |dev AS (
+        |  SELECT c.g, c.cents, abs(c.cents - m1.med) AS dev
+        |  FROM cents c JOIN m1 ON m1.g = c.g),
+        |m2 AS (
+        |  SELECT g, min(dev) AS mad FROM (
+        |    SELECT g, dev,
+        |      count(*) OVER (PARTITION BY g ORDER BY dev
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      count(*) OVER (PARTITION BY g) AS tot
+        |    FROM dev)
+        |  WHERE cum * 2 >= tot GROUP BY g)
+        |SELECT dev.g, max(m1.med) AS med_cents, max(m2.mad) AS mad_cents,
+        |  CAST(sum(CASE WHEN dev.dev * 10000 > m2.mad * 44478
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n_rows
+        |FROM dev JOIN m1 ON m1.g = dev.g JOIN m2 ON m2.g = dev.g
+        |GROUP BY dev.g ORDER BY dev.g""".stripMargin
+    )
+  )
+
+  /** q_bootstrap_ci — a Poissonized bootstrap confidence interval for
+    * the mean order value: 32 resampling replicates where each row's
+    * weight in replicate r is an independent Poisson(1) draw (the
+    * standard large-N approximation of multinomial resampling —
+    * Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", the shape Poisson bootstrap was invented for: each
+    * replicate is ONE map-side weighted aggregation, no resample
+    * materialization). Draws are derandomized through the repo's
+    * md5-prefix uniform hash of (order, replicate) against the exact
+    * ppm inverse-CDF thresholds of Poisson(1), so both engines see
+    * identical weights; replicate means are exact integer cents
+    * (weighted cents div weight), and the CI is the 2nd-smallest /
+    * 2nd-largest replicate mean (≈ the 3–97% band for R = 32) around
+    * the plain mean — every output an exact BIGINT.
+    *
+    * 100 TB shape: the 32-way expansion happens map-side (explode of a
+    * literal range), partial-aggregates to 32 (replicate) rows, and
+    * the order-statistic pass touches 32 rows — uncertainty
+    * quantification at corpus scale for one extra scan constant.
+    */
+  val qBootstrapCi = Q(
+    "q_bootstrap_ci",
+    (s, d) => {
+      // cumulative ppm thresholds of Poisson(1): floor(F(k)·1e6)
+      val t = Seq(367879L, 735758L, 919698L, 981011L, 996340L)
+      val cents = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+      val reps = cents
+        .select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("r"))
+        .withColumn("u",
+          conv(substring(md5(concat(col("o_orderkey").cast("string"),
+            lit(":"), col("r").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000000L)
+        .withColumn("w",
+          when(col("u") < t(0), 0L).when(col("u") < t(1), 1L)
+            .when(col("u") < t(2), 2L).when(col("u") < t(3), 3L)
+            .when(col("u") < t(4), 4L).otherwise(5L))
+      val means = reps.groupBy("r")
+        .agg(sum(col("w") * col("cents")).as("sw"), sum(col("w")).as("nw"))
+        .select(col("r"), expr("sw div nw").as("mean_r"))
+      // 2nd smallest / 2nd largest of the 32 replicate means
+      val ranked = means
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("mean_r").asc, col("r").asc)))
+        .withColumn("rd", row_number().over(
+          Window.orderBy(col("mean_r").desc, col("r").desc)))
+      val ci = ranked.agg(
+        max(when(col("ra") === 2, col("mean_r"))).as("ci_lo_cents"),
+        max(when(col("rd") === 2, col("mean_r"))).as("ci_hi_cents"))
+      val point = cents.agg(sum(col("cents")).as("sc"),
+          count(lit(1)).as("nc"))
+        .select(expr("sc div nc").as("mean_cents"))
+      point.crossJoin(ci)
+        .select(col("mean_cents"), col("ci_lo_cents"), col("ci_hi_cents"))
+    },
+    Some(
+      """WITH cents AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |reps AS (
+        |  SELECT o_orderkey, cents, CAST(v.r AS INT) AS r,
+        |    (HEXPR) % 1000000 AS u
+        |  FROM cents, UNNEST(range(0, 32)) AS v(r)),
+        |wts AS (
+        |  SELECT r, cents,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |      WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |      WHEN u < 996340 THEN 4 ELSE 5 END AS w
+        |  FROM reps),
+        |means AS (
+        |  SELECT r, CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_r
+        |  FROM wts GROUP BY r),
+        |ranked AS (
+        |  SELECT mean_r,
+        |    row_number() OVER (ORDER BY mean_r ASC, r ASC) AS ra,
+        |    row_number() OVER (ORDER BY mean_r DESC, r DESC) AS rd
+        |  FROM means),
+        |ci AS (
+        |  SELECT max(CASE WHEN ra = 2 THEN mean_r END) AS ci_lo_cents,
+        |    max(CASE WHEN rd = 2 THEN mean_r END) AS ci_hi_cents
+        |  FROM ranked),
+        |pt AS (
+        |  SELECT CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+        |  FROM cents)
+        |SELECT mean_cents, ci_lo_cents, ci_hi_cents FROM pt, ci""".stripMargin
+        .replace("HEXPR",
+          (0 until 8).map { k =>
+            val mult = 1L << (4 * (7 - k))
+            s"(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(v.r AS VARCHAR)), ${1 + k}, 1)) - 1) * $mult"
+          }.mkString("(", " + ", ")"))
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
-      qWeightedMedian)
+      qWeightedMedian, qMadOutliers, qBootstrapCi)
 }

@@ -124,6 +124,47 @@ class HllAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(e1 - exact).toDouble / exact < 0.5, s"est=$e1 exact=$exact")
   }
 
+  test("graft_minhash equals the hand-assembled slot-min DAG") {
+    import graft.functions.GraftFunctions.{graft_minhash, minhash_slices}
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).as("token"))
+      .distinct()
+    val native = toks.groupBy("source")
+      .agg(graft_minhash(col("token")).as("sig"))
+      .select(col("source") +:
+        (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+      .orderBy("source").collect()
+    val sliced = toks.select(col("source"),
+      minhash_slices(col("token")).as("hs"))
+    val mins = (0 until 8).map(j => min(col("hs").getItem(j)).as(s"h$j"))
+    val dag = sliced.groupBy("source").agg(mins.head, mins.tail: _*)
+      .orderBy("source").collect()
+    assert(native.map(_.toSeq).toSeq === dag.map(_.toSeq).toSeq)
+  }
+
+  test("graft_minhash ALL row is the element-wise min of the group sketches") {
+    val rows = SparkEntry.queries("q_minhash_agg")(spark, sf).collect()
+    val all = rows.find(_.getString(0) == "ALL").get
+    val groups = rows.filterNot(_.getString(0) == "ALL")
+    assert(groups.nonEmpty)
+    for (j <- 1 to 8) {
+      val merged = groups.map(_.getLong(j)).min
+      assert(all.getLong(j) === merged, s"slot $j")
+    }
+  }
+
+  test("graft_minhash is invariant to input partitioning") {
+    import graft.functions.GraftFunctions.graft_minhash
+    val toks = Tables.documents(spark, sf)
+      .select(explode(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).as("token"))
+    val one = toks.repartition(1).agg(graft_minhash(col("token")))
+      .head().getSeq[Long](0)
+    val many = toks.repartition(11).agg(graft_minhash(col("token")))
+      .head().getSeq[Long](0)
+    assert(one === many)
+  }
+
   test("NULL inputs are skipped; an empty relation estimates 0") {
     import spark.implicits._
     import graft.functions.GraftFunctions.graft_hll

@@ -983,6 +983,65 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_mad_outliers matches a driver-side brute-force recompute") {
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val rows = SparkEntry.queries("q_mad_outliers")(spark, sf).collect()
+    val cents = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length - 1) / 2) // smallest x with 2*cum >= n
+    }
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val vals = cents.filter(_._1 == g).map(_._2).toSeq
+      val med = lowerMedian(vals)
+      val mad = lowerMedian(vals.map(v => math.abs(v - med)))
+      assert(r.getAs[Long]("med_cents") === med, g)
+      assert(r.getAs[Long]("mad_cents") === mad, g)
+      val n = vals.count(v => math.abs(v - med) * 10000 > mad * 44478)
+      assert(r.getAs[Long]("n_outliers") === n, g)
+      assert(r.getAs[Long]("n_rows") === vals.length, g)
+    }
+  }
+
+  test("q_bootstrap_ci: interval brackets the point estimate") {
+    val r = SparkEntry.queries("q_bootstrap_ci")(spark, sf).collect().head
+    val (pt, lo, hi) = (r.getAs[Long]("mean_cents"),
+      r.getAs[Long]("ci_lo_cents"), r.getAs[Long]("ci_hi_cents"))
+    assert(lo <= hi)
+    assert(lo <= pt && pt <= hi, s"pt=$pt lo=$lo hi=$hi")
+    // bootstrap spread of a mean over thousands of rows is small
+    // relative to the mean itself
+    assert((hi - lo).toDouble / pt < 0.2, s"pt=$pt lo=$lo hi=$hi")
+  }
+
+  test("q_itemsets: supports and lift are internally consistent") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = SparkEntry.queries("q_itemsets")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pair") >= 2, r.toString)
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"), r.toString)
+    }
+    // recompute one pair's support + lift brute-force
+    val top = rows.head
+    val b = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = b.map(_._1).distinct.length
+    val byOrder = b.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (pa, pb) = (top.getAs[Long]("pa"), top.getAs[Long]("pb"))
+    val nPair = byOrder.valuesIterator.count(s => s(pa) && s(pb))
+    val na = b.count(_._2 == pa)
+    val nb = b.count(_._2 == pb)
+    assert(top.getAs[Long]("n_pair") === nPair)
+    assert(top.getAs[Long]("lift_ppm") ===
+      nPair.toLong * nBaskets * 1000000L / (na.toLong * nb))
+  }
+
   test("q_ndcg: ppm metrics bounded, dcg never exceeds idcg") {
     val rows = SparkEntry.queries("q_ndcg")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -289,6 +289,38 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).sliding(2).forall(w => w.last <= w.head))
   }
 
+  test("q_graph_jaccard: similarity bounds hold and one pair verifies") {
+    val rows = run("q_graph_jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("jaccard_ppm")
+      assert(j >= 0 && j <= 1000000L, r.toString)
+      assert(r.getAs[Long]("common") >= 1, r.toString)
+    }
+    // brute-force the top pair's neighborhoods
+    val n = Tables.supplier(spark, sf).count()
+    val keys = Tables.supplier(spark, sf).select("s_suppkey")
+      .collect().map(_.getLong(0))
+    def h32(sv: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val und = (for { s0 <- keys; e <- 1 to 3; d0 = h32(s"$s0:$e") % n
+      if d0 != s0 } yield (math.min(s0, d0), math.max(s0, d0))).toSet
+    val adj = und.foldLeft(Map.empty[Long, Set[Long]]) { case (m, (a, b)) =>
+      m.updated(a, m.getOrElse(a, Set.empty) + b)
+        .updated(b, m.getOrElse(b, Set.empty) + a)
+    }
+    val top = rows.head
+    val (x, y) = (top.getAs[Long]("x"), top.getAs[Long]("y"))
+    val (nx, ny) = (adj(x), adj(y))
+    val common = (nx & ny).size.toLong
+    assert(top.getAs[Long]("common") === common)
+    assert(top.getAs[Long]("jaccard_ppm") ===
+      common * 1000000L / (nx.size + ny.size - common))
+  }
+
   test("q_gopher_rules is map-only: no shuffle below the output sort") {
     val payloads = shufflePayloads("q_gopher_rules")
     // the only exchange is the final orderBy's range partitioning
