@@ -396,6 +396,18 @@ object Analytics {
     * support filter then bounds the lift join's left side, and the
     * per-item counts are a parts-vocabulary-sized table.
     */
+  /** Pair supports over an arbitrary basket table `basket(ok, pk)` —
+    * factored out for PropertySpec's random-basket brute-force check.
+    */
+  private[graft] def pairSupports(basket: org.apache.spark.sql.DataFrame,
+      minSupport: Long): org.apache.spark.sql.DataFrame =
+    basket.select(col("ok"), col("pk").as("pa"))
+      .join(basket.select(col("ok"), col("pk").as("pb")), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+
   lazy val qItemsets: Q = Q(
     "q_itemsets",
     (s, d) => {
@@ -406,12 +418,7 @@ object Analytics {
         countDistinct(col("ok")).as("n_baskets"))
       val itemCnt = basket.groupBy("pk")
         .agg(count(lit(1)).as("n_item"))
-      val pairs = basket.select(col("ok"), col("pk").as("pa"))
-        .join(basket.select(col("ok"), col("pk").as("pb")), "ok")
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb")
-        .agg(count(lit(1)).as("n_pair"))
-        .filter(col("n_pair") >= 2)
+      val pairs = pairSupports(basket, 2L)
       pairs
         .join(broadcast(itemCnt.withColumnRenamed("pk", "pa")
           .withColumnRenamed("n_item", "n_a")), "pa")

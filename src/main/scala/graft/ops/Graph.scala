@@ -467,32 +467,45 @@ object Graph {
     * lineage discipline as q_ppr_seed/q_label_prop (without it the six
     * rounds compound into one 6-deep re-executing prefix).
     */
+  /** The synchronous-peel trace over an arbitrary canonical edge list
+    * `und(a, b)` and node set `nodes(node)` — factored out so
+    * PropertySpec can stress it on seeded random graphs the fixture
+    * cannot produce.
+    */
+  private[graft] def kcorePeelTrace(und: org.apache.spark.sql.DataFrame,
+      nodes: org.apache.spark.sql.DataFrame, k: Int,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val sym = und.select(col("a").as("node"), col("b").as("other"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("other")))
+    var alive = nodes
+    val traces = (1 to rounds).map { r =>
+      val deg = sym
+        .join(alive, "node")
+        .join(alive.withColumnRenamed("node", "other"), "other")
+        .groupBy("node")
+        .agg(count(lit(1)).as("deg"))
+      alive = deg.filter(col("deg") >= k).select("node")
+        .localCheckpoint()
+      val nodesAlive = alive.agg(count(lit(1)).as("nodes_alive"))
+      val edgesAlive = und
+        .join(alive.withColumnRenamed("node", "a"), "a")
+        .join(alive.withColumnRenamed("node", "b"), "b")
+        .agg(count(lit(1)).as("edges_alive"))
+      nodesAlive.crossJoin(edgesAlive)
+        .select(lit(r).cast("long").as("round"),
+          col("nodes_alive"), col("edges_alive"))
+    }
+    traces.reduce(_.unionByName(_)).orderBy("round")
+  }
+
   val qKcore = Q(
     "q_kcore",
     (s, d) => {
       val n   = Tables.supplier(s, d).count()
       val und = undirected(s, d, n).cache()
-      val sym = und.select(col("a").as("node"), col("b").as("other"))
-        .unionAll(und.select(col("b").as("node"), col("a").as("other")))
-      var alive = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
-      val traces = (1 to KcoreRounds).map { r =>
-        val deg = sym
-          .join(alive, "node")
-          .join(alive.withColumnRenamed("node", "other"), "other")
-          .groupBy("node")
-          .agg(count(lit(1)).as("deg"))
-        alive = deg.filter(col("deg") >= KcoreK).select("node")
-          .localCheckpoint()
-        val nodesAlive = alive.agg(count(lit(1)).as("nodes_alive"))
-        val edgesAlive = und
-          .join(alive.withColumnRenamed("node", "a"), "a")
-          .join(alive.withColumnRenamed("node", "b"), "b")
-          .agg(count(lit(1)).as("edges_alive"))
-        nodesAlive.crossJoin(edgesAlive)
-          .select(lit(r).cast("long").as("round"),
-            col("nodes_alive"), col("edges_alive"))
-      }
-      traces.reduce(_.unionByName(_)).orderBy("round")
+      kcorePeelTrace(und,
+        Tables.supplier(s, d).select(col("s_suppkey").as("node")),
+        KcoreK, KcoreRounds)
     },
     Some {
       val n = "(SELECT count(*) FROM supplier)"

@@ -591,6 +591,66 @@ object MailboxQueries {
     qMailboxBodyTruncation,
     qMailboxTaxonomyNotes,
     qMailboxTaxonomyAppointments,
-    qMailboxTaxonomyClassEq
+    qMailboxTaxonomyClassEq,
+    qMailboxAttachmentDedup
+  )
+
+  /** q_mailbox_attachment_dedup — the connector→pipeline bridge:
+    * attachment blobs scanned out of the mailbox glob (real bytes,
+    * gated by `read_attachment_body` — A13) flow straight into the
+    * engine's exact-dedup accounting. Email corpora duplicate
+    * attachments massively (every reply re-carries them), so the
+    * content-digest inventory — per filename: copies, distinct blobs,
+    * raw bytes vs bytes-after-dedup, savings — is the first number a
+    * mailbox-ingest pipeline computes. Digest = md5 over the canonical
+    * base64 text (RFC 4648 basic on both sides: Spark's base64() and
+    * the fixture's JSON encoding agree byte-for-byte, so the oracle
+    * hashes the JSONL field directly).
+    *
+    * 100 TB shape: blob bytes are digested INSIDE the scan projection
+    * and never shuffle — the aggregate carries (filename, digest,
+    * size) triples; at real scale the digest would ride the sidecar
+    * like the other per-record stats.
+    */
+  lazy val qMailboxAttachmentDedup: Q = Q(
+    "q_mailbox_attachment_dedup",
+    (s, _) => {
+      ensureFixtures()
+      val blobs = Mailbox
+        .messages(s, glob, Map("read_attachment_body" -> "true"))
+        .select(explode(col("attachments")).as("a"))
+        .select(col("a.filename").as("filename"),
+          col("a.size").as("att_size"),
+          md5(base64(col("a.bytes"))).as("digest"))
+        .groupBy("filename", "digest")
+        .agg(count(lit(1)).as("n_copies"), max(col("att_size")).as("sz"))
+      blobs.groupBy("filename")
+        .agg(sum(col("n_copies")).as("n_copies"),
+          count(lit(1)).as("n_distinct_blobs"),
+          sum(col("n_copies") * col("sz")).as("bytes_total"),
+          sum(col("sz")).as("bytes_deduped"))
+        .select(col("filename"), col("n_copies"), col("n_distinct_blobs"),
+          col("bytes_total"), col("bytes_deduped"),
+          expr("(bytes_total - bytes_deduped) * 1000000 div bytes_total")
+            .as("savings_ppm"))
+        .orderBy("filename")
+    },
+    Some(
+      s"""WITH blobs AS (
+         |  SELECT a.filename AS filename, md5(a.bytes) AS digest,
+         |    count(*) AS n_copies, max(a.size) AS sz
+         |  FROM ${jsonSrc(glob)}, UNNEST(attachments) AS u(a)
+         |  WHERE record_type = 'message'
+         |  GROUP BY 1, 2)
+         |SELECT filename,
+         |  CAST(sum(n_copies) AS BIGINT) AS n_copies,
+         |  count(*) AS n_distinct_blobs,
+         |  CAST(sum(n_copies * sz) AS BIGINT) AS bytes_total,
+         |  CAST(sum(sz) AS BIGINT) AS bytes_deduped,
+         |  (CAST(sum(n_copies * sz) AS BIGINT)
+         |    - CAST(sum(sz) AS BIGINT)) * 1000000
+         |    // CAST(sum(n_copies * sz) AS BIGINT) AS savings_ppm
+         |FROM blobs GROUP BY filename ORDER BY filename""".stripMargin
+    )
   )
 }

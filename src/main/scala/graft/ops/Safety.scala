@@ -211,6 +211,59 @@ object Safety {
     )
   )
 
+  /** q_l_diversity — the homogeneity-attack audit k-anonymity alone
+    * misses (Machanavajjhala et al. 2007): a class can be large (k-safe)
+    * yet expose its members anyway if everyone in it shares one
+    * sensitive value. Per activity day, each (user-bucket, day)
+    * equivalence class is scored by its count of DISTINCT sensitive
+    * values (event_type here); classes with < l = 3 are flagged, with
+    * the rows they cover and the day's worst (minimum) diversity.
+    * Complements q_k_anonymity — size-of-class vs
+    * variety-within-class, the two halves of a release audit.
+    *
+    * 100 TB shape: one partial-aggregated distinct pass carrying the
+    * 3-column (bucket, day, type) tuple, one class-sized rollup —
+    * the same bounded-shuffle contract as q_k_anonymity.
+    */
+  val qLDiversity = Q(
+    "q_l_diversity",
+    (s, d) => {
+      val l = 3
+      val classes = Tables.events(s, d)
+        .groupBy((col("user_id") % 50).as("user_bucket"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(countDistinct(col("event_type")).as("div"),
+          count(lit(1)).as("sz"))
+      classes.groupBy("day")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("div") < l, 1L).otherwise(0L)).as("low_div_classes"),
+          sum(when(col("div") < l, col("sz")).otherwise(0L))
+            .as("rows_at_risk"),
+          min(col("div")).as("min_diversity"),
+          sum(col("sz")).as("n_rows"))
+        .select(col("day"), col("n_classes"), col("low_div_classes"),
+          col("rows_at_risk"), col("min_diversity"), col("n_rows"),
+          expr("rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH classes AS (
+        |  SELECT user_id % 50 AS user_bucket, date_trunc('day', ts) AS day,
+        |    count(DISTINCT event_type) AS div, count(*) AS sz
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_div_classes,
+        |  CAST(sum(CASE WHEN div < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(min(div) AS BIGINT) AS min_diversity,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  (CAST(sum(CASE WHEN div < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(sum(sz) AS BIGINT) AS risk_ppm
+        |FROM classes GROUP BY day ORDER BY day""".stripMargin
+    )
+  )
+
   /** q_dp_contribution — per-user contribution bounding, the
     * sensitivity-control step every differentially-private release
     * runs BEFORE adding noise (DP-SQL / Wilson et al., VLDB 2020):
@@ -329,6 +382,6 @@ object Safety {
     }
   )
 
-  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity, qDpContribution,
-    qDpReleaseSim)
+  val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity, qLDiversity,
+    qDpContribution, qDpReleaseSim)
 }

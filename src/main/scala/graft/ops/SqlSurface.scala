@@ -30,6 +30,9 @@ object SqlSurface {
     */
   val qSqlPricing = sqlQ(
     "q_sql_pricing",
+    // measured: a BROADCAST(orders) hint does NOT pay here (1.30 →
+    // 1.35 s at sf0.1) — the l_orderkey aggregate's 150k-group
+    // shuffle dominates, not the join — so the text stays plain
     """SELECT l_orderkey,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
       |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -86,19 +89,42 @@ object SqlSurface {
     */
   val qSqlLocalSupply = sqlQ(
     "q_sql_local_supply",
-    """SELECT n_name,
+    // the Spark text names the join shape the scaladoc promises: the
+    // date-filtered customer⋈orders subtree is a CTE so it can carry a
+    // BROADCAST hint (without it, Catalyst's size estimate for the
+    // subtree exceeds the auto-broadcast threshold at sf0.1 and the
+    // 600k-row lineitem fact gets shuffled into a sort-merge join —
+    // measured 1.46 → 1.04 s median at sf0.1); the oracle keeps the
+    // plain join text, which is semantically identical
+    """WITH co AS (
+      |  SELECT /*+ BROADCAST(customer) */ o_orderkey, c_nationkey
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT /*+ BROADCAST(co, supplier, nation, region) */ n_name,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
       |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-      |FROM customer
-      |JOIN orders   ON c_custkey = o_custkey
-      |JOIN lineitem ON l_orderkey = o_orderkey
+      |FROM lineitem
+      |JOIN co       ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       |JOIN nation   ON c_nationkey = n_nationkey
       |JOIN region   ON n_regionkey = r_regionkey
       |WHERE r_name = 'ASIA'
-      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    duckSql = Some(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
     bench = true
   )
 

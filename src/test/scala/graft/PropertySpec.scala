@@ -138,4 +138,57 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // the property must actually bite: most cases have surviving chunks
     assert(resynced >= 15, s"only $resynced cases exercised the invariant")
   }
+
+  test("kcorePeelTrace matches brute-force peeling on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1301)
+    for (caseNo <- 1 to 5) {
+      val n = 20 + rnd.nextInt(40)
+      val edges = (for {
+        a <- 0L until n; _ <- 0 until (1 + rnd.nextInt(4))
+        b = rnd.nextInt(n).toLong if b != a
+      } yield (math.min(a, b), math.max(a, b))).toSet
+      val k = 2 + rnd.nextInt(3)
+      val rounds = 5
+      val und = edges.toSeq.toDF("a", "b")
+      val nodes = (0L until n).toDF("node")
+      val got = graft.ops.Graph.kcorePeelTrace(und, nodes, k, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var alive = (0L until n).toSet
+      val want = (1 to rounds).map { r =>
+        val deg = edges.toSeq.filter { case (a, b) => alive(a) && alive(b) }
+          .flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (x, v) => x -> v.size }
+        alive = alive.filter(v => deg.getOrElse(v, 0) >= k)
+        val ea = edges.count { case (a, b) => alive(a) && alive(b) }
+        (r.toLong, alive.size.toLong, ea.toLong)
+      }
+      assert(got.toSeq === want, s"case=$caseNo n=$n k=$k")
+    }
+  }
+
+  test("pairSupports matches brute-force pair counting on random baskets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1303)
+    for (caseNo <- 1 to 5) {
+      val nBaskets = 20 + rnd.nextInt(30)
+      val nItems = 5 + rnd.nextInt(10)
+      val rows = (for {
+        ok <- 0L until nBaskets
+        pk <- (0 until (1 + rnd.nextInt(5))).map(_ => rnd.nextInt(nItems).toLong)
+      } yield (ok, pk)).distinct
+      val minSup = 1L + rnd.nextInt(3)
+      val got = graft.ops.Analytics.pairSupports(
+        rows.toDF("ok", "pk"), minSup)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      val byBasket = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val want = byBasket.values
+        .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= minSup).toMap
+      assert(got === want, s"case=$caseNo minSup=$minSup")
+    }
+  }
 }

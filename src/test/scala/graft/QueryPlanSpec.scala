@@ -983,6 +983,17 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_sql_local_supply: the lineitem fact never enters a shuffle") {
+    // the hinted CTE form must keep every join broadcast — the only
+    // exchanges are the 6-row aggregate and the output sort
+    val payloads = shufflePayloads("q_sql_local_supply")
+    assert(payloads.nonEmpty)
+    payloads.foreach { cols =>
+      assert(!cols.exists(_.startsWith("l_")),
+        s"fact columns leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
   test("q_mad_outliers matches a driver-side brute-force recompute") {
     import org.apache.spark.sql.functions.{col, floor, lit}
     val rows = SparkEntry.queries("q_mad_outliers")(spark, sf).collect()
