@@ -781,6 +781,10 @@ object Ranking {
     "q_ndcg",
     (s, d) => {
       val rel = Tables.documents(s, d)
+        // NULL text would make rel NULL (array_contains(null) → null)
+        // while the oracle's toks CTE inner semantics differ —
+        // excluded explicitly on BOTH engines (the q_lsh_recall rule)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
           wsTokens(col("text")).as("t"))
         .select(col("doc_id"), col("source"),
@@ -825,7 +829,8 @@ object Ranking {
          |    CAST(list_contains(k.t, 'spark') AS INT)
          |      + CAST(list_contains(k.t, 'join') AS INT)
          |      + CAST(list_contains(k.t, 'window') AS INT) AS rel
-         |  FROM toks k JOIN documents d ON d.doc_id = k.doc_id),
+         |  FROM toks k JOIN documents d ON d.doc_id = k.doc_id
+         |  WHERE d.text IS NOT NULL),
          |ranked AS (
          |  SELECT r.source, r.doc_id, r.rel,
          |    coalesce(b.bm25, 0.0) AS bm25

@@ -965,9 +965,107 @@ object StreamingOps {
     )
   )
 
+  /** q_stream_hll — the native [[graft.functions.HllSketchAgg]]
+    * aggregate running INSIDE a streaming windowed aggregation:
+    * per-day distinct-user sketches whose 64-register buffers live in
+    * the streaming state store and merge across micro-batches — the
+    * composition that makes a mergeable sketch valuable (Spark's own
+    * approx_count_distinct has exactly this shape, but its HLL++
+    * registers are engine-private; graft_hll's registers are the
+    * md5-recipe both engines reproduce, so the STREAMING estimate is
+    * value-verified against a DuckDB oracle, not just sanity-checked).
+    * Register max is order- and batching-independent, so the streamed
+    * result provably equals the batch one. Output: per-day estimate
+    * next to the exact distinct count with signed ppm error.
+    *
+    * 100 TB shape: state per (window) key is one 64-byte sketch;
+    * micro-batch partials merge map-side before touching the store.
+    * The complete-mode memory sink is the oracle harness;
+    * q_stream_window_prod establishes the append/watermark production
+    * shape for this operator family.
+    */
+  val qStreamHll = Q(
+    "q_stream_hll",
+    (s, d) => {
+      import graft.functions.GraftFunctions.graft_hll
+      val rawSchema = Tables.eventsRaw(s, d).schema
+      val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val stream = withTsMicros(s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(graft_hll(col("user_id").cast("string")).as("hll_users"))
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qn)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      val est = s.table(qn)
+        .select(col("window.start").cast("timestamp_ntz").as("day"),
+          col("hll_users"))
+      val exact = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, "day")
+        .select(col("day"), col("n_exact"), col("hll_users"),
+          expr("(hll_users - n_exact) * 1000000 div n_exact").as("err_ppm"))
+        .orderBy("day")
+    },
+    Some {
+      val h = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH hashed AS (
+         |  SELECT day, h, h // 67108864 AS bucket, h % 67108864 AS rem
+         |  FROM (SELECT DISTINCT date_trunc('day', ts) AS day, $h AS h
+         |        FROM events)),
+         |ranked AS (
+         |  SELECT day, bucket,
+         |    CAST(CASE WHEN rem = 0 THEN 27
+         |      ELSE position('1' in lpad(bin(rem), 26, '0')) END AS BIGINT)
+         |      AS r
+         |  FROM hashed),
+         |regs AS (SELECT day, bucket, max(r) AS r FROM ranked GROUP BY 1, 2),
+         |buckets AS (SELECT CAST(v.b AS BIGINT) AS bucket
+         |            FROM UNNEST(range(0, 64)) AS v(b)),
+         |perday AS (
+         |  SELECT ds.day, b.bucket, coalesce(regs.r, 0) AS r
+         |  FROM (SELECT DISTINCT day FROM regs) ds
+         |  CROSS JOIN buckets b
+         |  LEFT JOIN regs ON regs.day = ds.day AND regs.bucket = b.bucket),
+         |est AS (
+         |  SELECT day,
+         |    sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << CAST(r AS INT)))
+         |      AS ssum,
+         |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+         |  FROM perday GROUP BY day),
+         |final_est AS (
+         |  SELECT day,
+         |    CASE WHEN 0.709 * 4096.0 / ssum <= 160.0 AND v0 > 0
+         |      THEN CAST(floor(CAST(64 AS DOUBLE)
+         |          * ln(CAST(64 AS DOUBLE) / v0) * 1000000.0 + 0.5)
+         |        AS BIGINT) // 1000000
+         |      ELSE CAST(floor(0.709 * 4096.0 / ssum + 0.5) AS BIGINT) END
+         |      AS hll_users
+         |  FROM est),
+         |exact AS (
+         |  SELECT date_trunc('day', ts) AS day,
+         |    count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT f.day, x.n_exact, f.hll_users,
+         |  ((f.hll_users - x.n_exact) * 1000000) // x.n_exact AS err_ppm
+         |FROM final_est f JOIN exact x ON x.day = f.day
+         |ORDER BY f.day""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
       qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv,
-      qStreamLate, qStreamMerge)
+      qStreamLate, qStreamMerge, qStreamHll)
 }

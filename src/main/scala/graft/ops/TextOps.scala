@@ -785,6 +785,10 @@ object TextOps {
       val stopHits = size(array_intersect(toks,
         array(lit("the"), lit("a"), lit("and"), lit("of"), lit("to"), lit("in"))))
       Tables.documents(s, d)
+        // NULL text would diverge (Spark size(null) = -1 vs DuckDB
+        // NULL propagation) — excluded explicitly on BOTH engines so
+        // the semantics are stated once (the q_lsh_recall lesson)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), size(toks).as("wc"),
           mwl.as("mean_word_len"),
           (size(toks) >= 50).as("wc_ok"),
@@ -811,7 +815,7 @@ object TextOps {
         |    len(list_intersect(
         |        list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
         |        ['the', 'a', 'and', 'of', 'to', 'in'])) AS stop_hits
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |f AS (
         |  SELECT doc_id, wc,
         |    CAST(alpha_chars AS DOUBLE) / greatest(wc, 1) AS mean_word_len,
@@ -830,8 +834,69 @@ object TextOps {
     )
   )
 
+  /** q_augment_mask — deterministic data augmentation, the family a
+    * training pipeline runs to multiply contrastive/denoising
+    * examples: per token position, a derandomized uniform draw
+    * (md5(doc_id:pos) ppm — the repo's hash-sampling convention)
+    * routes the token to BERT-style [MASK] substitution (p = 0.15) or
+    * dropout deletion (next 0.10 of the unit interval), leaving the
+    * rest intact. Both augmented views are emitted next to exact
+    * per-channel counts, so the label side (which positions were
+    * masked) is reproducible — the property that lets a denoising
+    * objective regenerate its targets instead of storing them.
+    *
+    * 100 TB shape: map-only (tokenize → per-position hash →
+    * re-join), no shuffle below the harness sort; augmentation
+    * multiplicity at scale is a generated column, not stored copies.
+    */
+  val qAugmentMask = Q(
+    "q_augment_mask",
+    (s, d) => {
+      val toks = wsTokens(col("text"))
+      // ppm draw for 1-based position p of doc_id — identical text on
+      // both engines (Spark lambda index is 0-based, DuckDB's 1-based)
+      def u(p: Column) = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":"), p.cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000000L
+      val masked = transform(toks, (t, i) =>
+        when(u(i + 1) < 150000L, lit("[MASK]")).otherwise(t))
+      val dropped = filter(toks, (t, i) =>
+        !(u(i + 1) >= 150000L && u(i + 1) < 250000L))
+      val nMasked = size(filter(toks, (t, i) => u(i + 1) < 150000L))
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", masked).as("aug_masked"),
+          concat_ws(" ", dropped).as("aug_dropped"),
+          nMasked.cast("long").as("n_masked"),
+          (size(toks) - size(dropped)).cast("long").as("n_dropped"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val u = "(" + (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), ${1 + k}, 1)) - 1) * $mult"
+      }.mkString(" + ") + ") % 1000000"
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(t, (x, i) ->
+         |    CASE WHEN $u < 150000 THEN '[MASK]' ELSE x END), ' ')
+         |    AS aug_masked,
+         |  array_to_string(list_filter(t, (x, i) ->
+         |    NOT ($u >= 150000 AND $u < 250000)), ' ') AS aug_dropped,
+         |  CAST(len(list_filter(t, (x, i) -> $u < 150000)) AS BIGINT)
+         |    AS n_masked,
+         |  CAST(len(t) - len(list_filter(t, (x, i) ->
+         |    NOT ($u >= 150000 AND $u < 250000))) AS BIGINT) AS n_dropped
+         |FROM toks ORDER BY doc_id""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
-      qFimSplit, qDpoPairs, qParetoFront, qGopherRules)
+      qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask)
 }

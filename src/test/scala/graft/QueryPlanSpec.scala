@@ -1053,6 +1053,26 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       nPair.toLong * nBaskets * 1000000L / (na.toLong * nb))
   }
 
+  test("q_augment_mask: map-only; counts reconcile with the views") {
+    val payloads = shufflePayloads("q_augment_mask")
+    assert(payloads.size <= 1, payloads.toString) // only the output sort
+    val rows = SparkEntry.queries("q_augment_mask")(spark, sf).collect()
+    rows.foreach { r =>
+      val masked = r.getAs[String]("aug_masked")
+      val nMask = r.getAs[Long]("n_masked")
+      // fixture tokens never equal the sentinel, so occurrences == label
+      val occ = masked.split("\\s+").count(_ == "[MASK]")
+      assert(occ.toLong === nMask, r.toString)
+      val nTok = masked.split("\\s+").count(_.nonEmpty)
+      val nDropped = r.getAs[Long]("n_dropped")
+      val kept = r.getAs[String]("aug_dropped").split("\\s+")
+        .count(_.nonEmpty)
+      assert(kept.toLong === nTok - nDropped, r.toString)
+      // draws are independent per channel but rates should be sane
+      assert(nMask <= nTok && nDropped <= nTok)
+    }
+  }
+
   test("q_ndcg: ppm metrics bounded, dcg never exceeds idcg") {
     val rows = SparkEntry.queries("q_ndcg")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -395,4 +395,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("user_id").collect()
     assert(got.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
   }
+
+  test("q_stream_hll: streamed sketch equals the batch aggregate per day") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.graft_hll
+    val streamed = SparkEntry.queries("q_stream_hll")(spark, sf).collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("day") ->
+        r.getAs[Long]("hll_users")).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(graft_hll(col("user_id").cast("string")).as("hll_users"))
+      .collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("day") ->
+        r.getAs[Long]("hll_users")).toMap
+    // register max is batching-independent, so streaming == batch
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
