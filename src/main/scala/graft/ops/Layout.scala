@@ -805,6 +805,34 @@ object Layout {
     )
   )
 
+  /** Manifest-reachability garbage collection — the VACUUM verb
+    * completing [[qTimeTravel]]'s snapshot mechanics: a file group
+    * under `filesDir` is live iff some manifest under `manifestsDir`
+    * lists it; everything else (failed-commit debris, expired
+    * snapshots' exclusive files) is deleted. Returns the deleted group
+    * names. Driver state is the manifest file lists — O(#files)
+    * metadata, the same bound as snapshot planning; at scale the walk
+    * shards by manifest exactly like Iceberg's reachability sweep.
+    */
+  def vacuum(filesDir: java.nio.file.Path,
+      manifestsDir: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val reachable = java.nio.file.Files.list(manifestsDir).iterator().asScala
+      .filter(_.toString.endsWith(".manifest"))
+      .flatMap(m => java.nio.file.Files.readAllLines(m).asScala)
+      .map(_.trim).filter(_.nonEmpty).toSet
+    val present = Option(filesDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    val orphans = present.filterNot(reachable)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    orphans.foreach(o => rm(filesDir.resolve(o).toFile))
+    orphans
+  }
+
   val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
     qFormatRoundtrip, qTargetedDelete, qCompact, qMergeUpsert,
     qSchemaEvolution, qSaltedJoin, qHilbert, qLayoutLocality,

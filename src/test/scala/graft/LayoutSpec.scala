@@ -411,4 +411,30 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       root.resolve("f3").toString).count()
     assert(v1n === v2n && v1n === docs.count())
   }
+
+  test("vacuum deletes exactly the manifest-unreachable file groups") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("vacuum_spec")
+    val files = root.resolve("files")
+    val manifests = root.resolve("manifests")
+    java.nio.file.Files.createDirectories(manifests)
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+    for (f <- Seq("f1", "f2", "f3"))
+      docs.write.parquet(files.resolve(f).toString)
+    // failed-commit debris: written but never committed to a manifest
+    docs.limit(10).write.parquet(files.resolve("f4_orphan").toString)
+    java.nio.file.Files.write(manifests.resolve("v1.manifest"),
+      "f1\nf2\n".getBytes)
+    java.nio.file.Files.write(manifests.resolve("v2.manifest"),
+      "f1\nf3\n".getBytes)
+    val deleted = graft.ops.Layout.vacuum(files, manifests)
+    assert(deleted === Seq("f4_orphan"))
+    assert(!files.resolve("f4_orphan").toFile.exists())
+    // every committed snapshot still reads in full after the sweep
+    for (keep <- Seq("f1", "f2", "f3"))
+      assert(spark.read.parquet(files.resolve(keep).toString).count()
+        === docs.count())
+    // idempotent: a second sweep finds nothing
+    assert(graft.ops.Layout.vacuum(files, manifests).isEmpty)
+  }
 }
