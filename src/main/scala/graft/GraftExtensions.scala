@@ -115,6 +115,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName,
           "graft_minhash"),
         (exprs: Seq[Expression]) => graft.functions.MinHashAgg(exprs.head)))
+    // the fused scalar kernels, so SQL users have full parity with the
+    // Column API (literal-argument builders for the parameterized two)
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("minhash_slices"),
+        new ExpressionInfo(classOf[graft.functions.MinhashSlices].getName,
+          "minhash_slices"),
+        (exprs: Seq[Expression]) => graft.functions.MinhashSlices(exprs.head)))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("simhash16"),
+        new ExpressionInfo(classOf[graft.functions.Simhash16].getName,
+          "simhash16"),
+        (exprs: Seq[Expression]) => graft.functions.Simhash16(exprs.head)))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("chars_in_ranges"),
+        new ExpressionInfo(classOf[graft.functions.CountCharsInRanges].getName,
+          "chars_in_ranges"),
+        (exprs: Seq[Expression]) => graft.functions.CountCharsInRanges(
+          exprs.head, graft.functions.GraftFunctions.parseRanges(
+            graft.functions.GraftFunctions.litString(exprs(1),
+              "chars_in_ranges")))))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("gram_run_stats"),
+        new ExpressionInfo(classOf[graft.functions.GramRunStats].getName,
+          "gram_run_stats"),
+        (exprs: Seq[Expression]) => graft.functions.GramRunStats(exprs.head,
+          graft.functions.GraftFunctions.litInt(exprs(1),
+            "gram_run_stats"))))
     ext.injectOptimizerRule(_ => SimplifyGraftExpressions)
     ext.injectOptimizerRule(_ => FuseDotProduct)
     // injected optimizer rules run in the operator-optimization batch,

@@ -497,7 +497,43 @@ object GraftFunctions {
     ColumnBridge.column(
       MinHashAgg(ColumnBridge.expression(c)).toAggregateExpression())
 
-  /** Register `filetime_to_timestamp` / `hamming_distance` for SQL use. */
+  /** Parse a character-class-like literal (`"a-zA-Z0-9#"`) into the
+    * inclusive codepoint ranges [[CountCharsInRanges]] takes — the SQL
+    * surface's argument encoding (a bare char is a 1-char range).
+    */
+  def parseRanges(spec: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < spec.length) {
+      if (i + 2 < spec.length && spec.charAt(i + 1) == '-') {
+        out += (spec.charAt(i).toInt -> spec.charAt(i + 2).toInt)
+        i += 3
+      } else {
+        out += (spec.charAt(i).toInt -> spec.charAt(i).toInt)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** A foldable string literal argument (SQL-surface builders). */
+  def litString(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, _) =>
+      v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a foldable string literal argument, got $e")
+  }
+
+  /** A foldable integer literal argument (SQL-surface builders). */
+  def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a foldable integer literal argument, got $e")
+  }
+
+  /** Register every graft function for SQL use (temp-function path;
+    * GraftExtensions.injectFunction is the standing-session analog).
+    */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
@@ -519,6 +555,24 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_minhash",
       exprs => MinHashAgg(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_slices",
+      exprs => MinhashSlices(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash16",
+      exprs => Simhash16(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "chars_in_ranges",
+      exprs => CountCharsInRanges(exprs.head,
+        parseRanges(litString(exprs(1), "chars_in_ranges"))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "gram_run_stats",
+      exprs => GramRunStats(exprs.head,
+        litInt(exprs(1), "gram_run_stats")),
       "built-in")
   }
 }

@@ -92,5 +92,49 @@ object CustomFnQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(qFiletimeRoundtrip, qSimhashPairs)
+  val all: Seq[Q] = Seq(qFiletimeRoundtrip, qSimhashPairs, qSqlNativeFuncs)
+
+  /** q_sql_native_funcs — the SQL surface of graft's codegen'd scalar
+    * kernels: `chars_in_ranges(text, 'a-zA-Z')` (character-class
+    * literal parsed by the SQL builder into codepoint ranges),
+    * `simhash16(tokens)`, and `hamming_distance(sig, zeros)` invoked
+    * by NAME from `spark.sql` — registered via both
+    * GraftExtensions.injectFunction and the session temp-function
+    * path, so a SQL-only user has full parity with the Column API
+    * (the reference's users only ever had SQL). The oracle retains
+    * the hex/regex formulations each kernel is proven against.
+    *
+    * 100 TB shape: all three are map-side whole-stage-codegen
+    * expressions — the only exchange is the harness sort.
+    */
+  lazy val qSqlNativeFuncs: Q = Q(
+    "q_sql_native_funcs",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents_nf")
+      s.sql(
+        """SELECT doc_id,
+          |  chars_in_ranges(text, 'a-zA-Z') AS n_alpha,
+          |  simhash16(filter(split(text, '\\s+'), t -> t != '')) AS sig,
+          |  hamming_distance(
+          |    simhash16(filter(split(text, '\\s+'), t -> t != '')),
+          |    repeat('0', 16)) AS n_ones
+          |FROM documents_nf
+          |WHERE text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin)
+    },
+    Some {
+      val sig = simhashSql.replace("grams",
+        "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')")
+      s"""WITH sigs AS (
+         |  SELECT doc_id,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT)
+         |      AS n_alpha,
+         |    $sig AS sig
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, n_alpha, sig,
+         |  CAST(length(replace(sig, '0', '')) AS INT) AS n_ones
+         |FROM sigs ORDER BY doc_id""".stripMargin
+    }
+  )
 }

@@ -314,6 +314,43 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(crE === cg.getInt(3), "chars_in_ranges eval vs codegen")
   }
 
+  test("SQL surface of the parameterized kernels equals the Column API") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    spark.range(0, 50)
+      .selectExpr("concat('doc ', id, ' aaa#b\tx aaa aaa') AS text")
+      .createOrReplaceTempView("kernel_sql_t")
+    // chars_in_ranges with a parsed character-class literal
+    val viaSql = spark.sql(
+      """SELECT chars_in_ranges(text, 'a-zA-Z#') AS n,
+        |  gram_run_stats(filter(split(text, '\\s+'), t -> t != ''), 3) AS g,
+        |  simhash16(filter(split(text, '\\s+'), t -> t != '')) AS sig,
+        |  minhash_slices(text) AS mh
+        |FROM kernel_sql_t ORDER BY text""".stripMargin).collect()
+    val toks = org.apache.spark.sql.functions.filter(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), "\\s+"),
+      t => t =!= org.apache.spark.sql.functions.lit(""))
+    val viaCol = spark.table("kernel_sql_t")
+      .select(
+        GraftFunctions.chars_in_ranges(
+          org.apache.spark.sql.functions.col("text"),
+          Seq('a'.toInt -> 'z'.toInt, 'A'.toInt -> 'Z'.toInt,
+            '#'.toInt -> '#'.toInt)).as("n"),
+        GraftFunctions.gram_run_stats(toks, 3).as("g"),
+        GraftFunctions.simhash16(toks).as("sig"),
+        GraftFunctions.minhash_slices(
+          org.apache.spark.sql.functions.col("text")).as("mh"))
+      .orderBy("text").collect()
+    assert(viaSql.map(_.toSeq).toSeq === viaCol.map(_.toSeq).toSeq)
+    // a non-literal parameter argument is rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT chars_in_ranges(text, text) FROM kernel_sql_t")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
   test("FuseDotProduct rewrites the HOF idiom into dot_product_q") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
@@ -344,4 +381,5 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       SparkSession.setDefaultSession(spark)
     }
   }
+
 }
