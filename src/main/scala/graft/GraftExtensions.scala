@@ -140,6 +140,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "chars_in_ranges")))))
     ext.injectFunction(
       (
+        new FunctionIdentifier("jaro_winkler"),
+        new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+          "jaro_winkler"),
+        (exprs: Seq[Expression]) => graft.functions.JaroWinkler(exprs.head,
+          exprs(1))))
+    ext.injectFunction(
+      (
         new FunctionIdentifier("gram_run_stats"),
         new ExpressionInfo(classOf[graft.functions.GramRunStats].getName,
           "gram_run_stats"),

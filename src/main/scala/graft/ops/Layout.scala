@@ -805,6 +805,80 @@ object Layout {
     )
   )
 
+  /** File-skipping over a stats-bearing manifest: each line is
+    * `<group> <min> <max>` for one file group's key column; a range
+    * predicate [lo, hi] selects only groups whose stats interval
+    * intersects it — the Iceberg/Delta data-skipping core, on this
+    * engine's own manifests. Returns the surviving group names in
+    * manifest order (the caller resolves them to paths). O(#files)
+    * driver metadata, zero data IO.
+    */
+  def manifestSkipGroups(manifest: java.nio.file.Path, lo: Long,
+      hi: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(manifest).asScala.toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val Array(g, mn, mx) = line.split("\\s+")
+        (g, mn.toLong, mx.toLong)
+      }
+      .collect { case (g, mn, mx) if mx >= lo && mn <= hi => g }
+  }
+
+  /** q_manifest_skip — stats-based file skipping end-to-end: documents
+    * are written as 8 file groups range-bucketed by doc_id, a manifest
+    * records each group's (min, max), and a doc_id range query plans
+    * its scan from the MANIFEST — only intersecting groups' files are
+    * ever opened (LayoutSpec asserts ≤ 3 of 8 survive the predicate
+    * and that the skipped files stay unread). The oracle is the plain
+    * relational filter, so the hash compare proves skipping loses
+    * nothing.
+    *
+    * 100 TB shape: this is the zone-map/manifest-pruning layer every
+    * table format provides — the scan cost becomes O(intersecting
+    * groups), chosen with O(#files) driver metadata and zero data IO;
+    * composed with the Hilbert/Z-order queries it is why those
+    * layouts pay (clustered keys → tight per-file ranges → most
+    * groups skip).
+    */
+  val qManifestSkip = Q(
+    "q_manifest_skip",
+    (s, d) => {
+      import java.nio.file.Files
+      val root = graft.Scratch.dir("manifest_skip")
+      val files = root.resolve("files")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = maxId / 8 + 1
+      val bucketed = docs.withColumn("grp", expr(s"doc_id div $step"))
+      Files.createDirectories(files)
+      val stats = bucketed.groupBy("grp")
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .orderBy("grp").collect()
+      bucketed.write.partitionBy("grp").mode("overwrite")
+        .parquet(files.toString)
+      val manifest = root.resolve("v1.manifest")
+      Files.write(manifest, stats.map(r =>
+        s"grp=${r.getLong(0)} ${r.getLong(1)} ${r.getLong(2)}")
+        .mkString("", "\n", "\n").getBytes)
+      // the range query: plan the scan from the manifest stats
+      val (lo, hi) = (maxId / 4, maxId / 2)
+      val paths = manifestSkipGroups(manifest, lo, hi)
+        .map(g => files.resolve(g).toString)
+      s.read.parquet(paths: _*)
+        .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id >= (SELECT max(doc_id) FROM documents) // 4
+        |  AND doc_id <= (SELECT max(doc_id) FROM documents) // 2
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Manifest-reachability garbage collection — the VACUUM verb
     * completing [[qTimeTravel]]'s snapshot mechanics: a file group
     * under `filesDir` is live iff some manifest under `manifestsDir`
@@ -836,5 +910,5 @@ object Layout {
   val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
     qFormatRoundtrip, qTargetedDelete, qCompact, qMergeUpsert,
     qSchemaEvolution, qSaltedJoin, qHilbert, qLayoutLocality,
-    qDatasetDiff, qTimeTravel)
+    qDatasetDiff, qTimeTravel, qManifestSkip)
 }

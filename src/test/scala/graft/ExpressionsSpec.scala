@@ -314,6 +314,45 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(crE === cg.getInt(3), "chars_in_ranges eval vs codegen")
   }
 
+  test("jaro_winkler matches the DuckDB-pinned semantics") {
+    import spark.implicits._
+    // expected values computed by DuckDB jaro_winkler_similarity
+    // (the oracle engine) on these exact pairs
+    val vectors = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("", "", 0.0), // DuckDB scores empty-empty 0, not the textbook 1
+      ("a", "", 0.0),
+      ("abc", "abc", 1.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("ab", "ba", 0.0), // window 0: no cross-position matches
+      ("ab", "abcdefgh", 0.8),
+      // BYTE semantics: multi-byte codepoints compare per UTF-8 byte
+      ("ßü", "ßu", 0.7777777777777778),
+      ("中文字", "中字文", 0.9222222222222223)
+    )
+    val rows = vectors.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(GraftFunctions.jaro_winkler(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0))
+    rows.zip(vectors).foreach { case (got, (a, b, want)) =>
+      assert(math.abs(got - want) < 1e-12, s"('$a', '$b'): $got vs $want")
+    }
+    // interpreted eval agrees with codegen (collect used codegen)
+    vectors.foreach { case (a, b, want) =>
+      val e = graft.functions.JaroWinkler(
+        org.apache.spark.sql.catalyst.expressions.Literal(a),
+        org.apache.spark.sql.catalyst.expressions.Literal(b))
+      assert(math.abs(e.eval(null).asInstanceOf[Double] - want) < 1e-12,
+        s"interpreted ('$a', '$b')")
+    }
+    // null propagation
+    val nr = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(GraftFunctions.jaro_winkler(col("a"), col("b")))
+      .collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("SQL surface of the parameterized kernels equals the Column API") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)

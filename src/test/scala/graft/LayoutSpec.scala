@@ -412,6 +412,25 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v1n === v2n && v1n === docs.count())
   }
 
+  test("manifestSkipGroups prunes exactly the non-intersecting groups") {
+    val m = java.nio.file.Files.createTempFile("skip", ".manifest")
+    java.nio.file.Files.write(m,
+      "g0 0 9\ng1 10 19\ng2 20 29\ng3 30 39\n".getBytes)
+    assert(graft.ops.Layout.manifestSkipGroups(m, 12, 25)
+      === Seq("g1", "g2"))
+    assert(graft.ops.Layout.manifestSkipGroups(m, 9, 10)
+      === Seq("g0", "g1")) // boundary inclusion both sides
+    assert(graft.ops.Layout.manifestSkipGroups(m, 40, 99).isEmpty)
+    assert(graft.ops.Layout.manifestSkipGroups(m, 0, 99)
+      === Seq("g0", "g1", "g2", "g3"))
+    // the registry query's scan must actually skip: quartile range over
+    // 8-9 range-bucketed groups touches at most 3
+    val rows = SparkEntry.queries("q_manifest_skip")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted))
+  }
+
   test("vacuum deletes exactly the manifest-unreachable file groups") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("vacuum_spec")
