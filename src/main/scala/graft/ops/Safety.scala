@@ -382,6 +382,117 @@ object Safety {
     }
   )
 
+  /** q_pii_luhn — checksum-validated PII detection: a 16-digit run is
+    * redacted ONLY if its Luhn check digit verifies (ISO/IEC 7812) —
+    * the precision upgrade over q_redact's bare `\d{3,}` rule, because
+    * order ids / timestamps / hashes are digit runs too and
+    * over-redaction destroys exactly the data a pipeline wants to
+    * keep. Half the injected numbers carry a correct check digit and
+    * half a deliberately broken one; the detector must redact exactly
+    * the valid half. The Luhn sum is pure positional integer
+    * arithmetic (doubling at odd right-positions, −9 folding),
+    * identical in both engines.
+    *
+    * 100 TB shape: map-only — extraction, checksum, and conditional
+    * replacement all inside one whole-stage-codegen projection; only
+    * the harness sort exchanges.
+    */
+  val qPiiLuhn = Q(
+    "q_pii_luhn",
+    (s, d) => {
+      val injected = Tables.documents(s, d)
+        .withColumn("b15",
+          lpad((col("doc_id") * 37 + 11).cast("string"), 15, "7"))
+        // base digit at left-position i has right-position 16-i in the
+        // final number → doubled iff i is odd
+        .withColumn("sum_base", expr(
+          """aggregate(sequence(1, 15), 0, (acc, i) -> acc +
+            |  CASE WHEN i % 2 = 1 THEN
+            |    CASE WHEN 2 * CAST(substring(b15, i, 1) AS INT) > 9
+            |      THEN 2 * CAST(substring(b15, i, 1) AS INT) - 9
+            |      ELSE 2 * CAST(substring(b15, i, 1) AS INT) END
+            |  ELSE CAST(substring(b15, i, 1) AS INT) END)""".stripMargin))
+        .withColumn("chk", expr("(10 - sum_base % 10) % 10"))
+        .withColumn("num", concat(col("b15"),
+          when(col("doc_id") % 10 === 0, col("chk"))
+            .otherwise((col("chk") + 5) % 10).cast("string")))
+        .withColumn("t2",
+          when(col("doc_id") % 5 === 0,
+            concat(substring(col("text"), 1, 40), lit(" card "), col("num")))
+            .otherwise(substring(col("text"), 1, 40)))
+      injected
+        .withColumn("found", regexp_extract(col("t2"), "\\d{16}", 0))
+        .withColumn("has_card", col("found") =!= "")
+        // CASE-gated so the digit casts never see the empty no-match
+        // string (ANSI cast would raise; DuckDB likewise)
+        .withColumn("luhn_valid", when(col("has_card"), expr(
+          """aggregate(sequence(1, 16), 0, (acc, i) -> acc +
+            |  CASE WHEN i % 2 = 1 THEN
+            |    CASE WHEN 2 * CAST(substring(found, i, 1) AS INT) > 9
+            |      THEN 2 * CAST(substring(found, i, 1) AS INT) - 9
+            |      ELSE 2 * CAST(substring(found, i, 1) AS INT) END
+            |  ELSE CAST(substring(found, i, 1) AS INT) END)
+            |% 10 = 0""".stripMargin)).otherwise(lit(false)))
+        .withColumn("redacted",
+          when(col("luhn_valid"),
+            regexp_replace(col("t2"), "\\d{16}", "[CARD]"))
+            .otherwise(col("t2")))
+        .select(col("doc_id"), col("has_card"), col("luhn_valid"),
+          expr("right(redacted, 30)").as("tail"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    lpad(CAST(doc_id * 37 + 11 AS VARCHAR), 15, '7') AS b15
+        |  FROM documents),
+        |sums AS (
+        |  SELECT doc_id, text, b15,
+        |    list_sum(list_transform(range(1, 16), i ->
+        |      CASE WHEN i % 2 = 1 THEN
+        |        CASE WHEN 2 * CAST(substring(b15, CAST(i AS INT), 1) AS INT) > 9
+        |          THEN 2 * CAST(substring(b15, CAST(i AS INT), 1) AS INT) - 9
+        |          ELSE 2 * CAST(substring(b15, CAST(i AS INT), 1) AS INT) END
+        |      ELSE CAST(substring(b15, CAST(i AS INT), 1) AS INT) END))
+        |      AS sum_base
+        |  FROM base),
+        |nums AS (
+        |  SELECT doc_id, text,
+        |    b15 || CAST(CASE WHEN doc_id % 10 = 0
+        |      THEN (10 - sum_base % 10) % 10
+        |      ELSE ((10 - sum_base % 10) % 10 + 5) % 10 END AS VARCHAR)
+        |      AS num
+        |  FROM sums),
+        |injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN substr(text, 1, 40) || ' card ' || num
+        |      ELSE substr(text, 1, 40) END AS t2
+        |  FROM nums),
+        |detected AS (
+        |  SELECT doc_id, t2,
+        |    coalesce(regexp_extract(t2, '\d{16}', 0), '') AS found
+        |  FROM injected),
+        |validated AS (
+        |  SELECT doc_id, t2, found, found <> '' AS has_card,
+        |    CASE WHEN found <> '' THEN
+        |      list_sum(list_transform(range(1, 17), i ->
+        |        CASE WHEN i % 2 = 1 THEN
+        |          CASE WHEN 2 * CAST(substring(found, CAST(i AS INT), 1) AS INT) > 9
+        |            THEN 2 * CAST(substring(found, CAST(i AS INT), 1) AS INT) - 9
+        |            ELSE 2 * CAST(substring(found, CAST(i AS INT), 1) AS INT) END
+        |        ELSE CAST(substring(found, CAST(i AS INT), 1) AS INT) END))
+        |        % 10 = 0
+        |    ELSE false END AS luhn_valid
+        |  FROM detected)
+        |SELECT doc_id, has_card, luhn_valid,
+        |  right(CASE WHEN luhn_valid
+        |    THEN regexp_replace(t2, '\d{16}', '[CARD]', 'g')
+        |    ELSE t2 END, 30) AS tail
+        |FROM validated ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity, qLDiversity,
-    qDpContribution, qDpReleaseSim)
+    qDpContribution, qDpReleaseSim, qPiiLuhn)
 }

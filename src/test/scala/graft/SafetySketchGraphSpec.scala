@@ -289,6 +289,27 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).sliding(2).forall(w => w.last <= w.head))
   }
 
+  test("q_pii_luhn: redacts exactly the checksum-valid injections") {
+    val rows = run("q_pii_luhn").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (hasCard, valid) =
+        (r.getAs[Boolean]("has_card"), r.getAs[Boolean]("luhn_valid"))
+      assert(hasCard === (id % 5 == 0), r.toString)
+      assert(valid === (id % 10 == 0), r.toString)
+      val tail = r.getAs[String]("tail")
+      if (valid) assert(tail.contains("[CARD]"), r.toString)
+      else assert(!tail.contains("[CARD]"), r.toString)
+      // the broken-checksum injections survive detection unredacted —
+      // the precision property that distinguishes this from \d{3,}
+      if (hasCard && !valid) assert(tail.takeRight(16).forall(_.isDigit),
+        r.toString)
+    }
+    assert(rows.exists(r => r.getAs[Boolean]("has_card") &&
+      !r.getAs[Boolean]("luhn_valid")))
+    assert(rows.exists(_.getAs[Boolean]("luhn_valid")))
+  }
+
   test("q_graph_jaccard: similarity bounds hold and one pair verifies") {
     val rows = run("q_graph_jaccard").collect()
     assert(rows.nonEmpty)
