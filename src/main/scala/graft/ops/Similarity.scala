@@ -2084,10 +2084,198 @@ object Similarity {
     )
   )
 
+  /** q_embedding_whiten — per-dimension standardization (the
+    * "whitening" preprocessing retrieval stacks run before indexing:
+    * un-standardized dimensions dominate dot products and wreck both
+    * ANN recall and quantizer codebooks). Each dimension's mean/std
+    * come from exact integer (n, Σq, Σq²) aggregates; z-scores are a
+    * fixed IEEE op sequence on those exact inputs, ppm-quantized at
+    * the row — so the per-dimension audit sums (Σz ≈ 0, Σz² ≈ n·10¹²)
+    * are exact integers both engines reproduce. A zero-variance
+    * dimension z-scores to 0 by explicit guard (stated once, both
+    * engines).
+    *
+    * 100 TB shape: one pos-exploded partial-aggregated pass to 64
+    * stat rows, broadcast back onto the scan for the map-side z
+    * projection — the corpus never shuffles; at serving time mean/std
+    * are published artifacts like the IVF codebooks.
+    */
+  val qEmbeddingWhiten = Q(
+    "q_embedding_whiten",
+    (s, d) => {
+      val (v, _) = quantized(s, d)
+      val stats = v.groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          sum(col("q") * col("q")).as("sq2"))
+      val zExpr =
+        "CASE WHEN CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n <= 0.0 THEN 0L " +
+          "ELSE CAST(floor((CAST(q AS DOUBLE) - CAST(sq AS DOUBLE) / n) / " +
+          "sqrt((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / n) " +
+          "* 1000000.0 + 0.5) AS BIGINT) END"
+      v.join(broadcast(stats), "pos")
+        .withColumn("zppm", expr(zExpr))
+        .groupBy("pos")
+        .agg(max(col("n")).as("n"),
+          max(expr("CAST(floor(CAST(sq AS DOUBLE) / n + 0.5) AS BIGINT)"))
+            .as("mean_q"),
+          max(expr(
+            "CAST(floor(sqrt((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / n) + 0.5) AS BIGINT)"))
+            .as("std_q"),
+          sum(col("zppm")).as("sum_z_ppm"),
+          sum(col("zppm") * col("zppm")).as("sum_z2"))
+        .orderBy("pos")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |v AS (
+         |  SELECT e.vec_id, CAST(u.p.pos AS INT) AS pos, u.p.q AS q
+         |  FROM e, UNNEST(list_transform(e.qv,
+         |    (x, i) -> struct_pack(pos := i - 1, q := x))) AS u(p)),
+         |stats AS (
+         |  SELECT pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+         |    CAST(sum(q * q) AS BIGINT) AS sq2
+         |  FROM v GROUP BY pos),
+         |z AS (
+         |  SELECT v.pos, stats.n, stats.sq, stats.sq2,
+         |    CASE WHEN CAST(sq2 AS DOUBLE)
+         |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n <= 0.0
+         |      THEN 0
+         |      ELSE CAST(floor((CAST(q AS DOUBLE) - CAST(sq AS DOUBLE) / n)
+         |        / sqrt((CAST(sq2 AS DOUBLE)
+         |            - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / n)
+         |        * 1000000.0 + 0.5) AS BIGINT) END AS zppm
+         |  FROM v JOIN stats ON stats.pos = v.pos)
+         |SELECT pos, max(n) AS n,
+         |  max(CAST(floor(CAST(sq AS DOUBLE) / n + 0.5) AS BIGINT))
+         |    AS mean_q,
+         |  max(CAST(floor(sqrt((CAST(sq2 AS DOUBLE)
+         |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / n) + 0.5)
+         |    AS BIGINT)) AS std_q,
+         |  CAST(sum(zppm) AS BIGINT) AS sum_z_ppm,
+         |  CAST(sum(zppm * zppm) AS BIGINT) AS sum_z2
+         |FROM z GROUP BY pos ORDER BY pos""".stripMargin
+    )
+  )
+
+  private val LdaIters = 20
+
+  /** q_lda_power — the top eigendirection of the BETWEEN-CLASS scatter
+    * B = Σ_k (n_k/n)(μ_k−μ)(μ_k−μ)ᵀ by distributed power iteration:
+    * the dominant label-separating axis (Fisher's LDA numerator — the
+    * embedding-space probe for "do my labels separate at all", and
+    * the projection drift monitors watch). B was chosen over the raw
+    * covariance deliberately: these embeddings' covariance spectrum is
+    * near-flat (top-two eigenvalue ratio ≈ 1.01 — measured), where
+    * power iteration cannot converge in bounded rounds; B is rank
+    * ≤ k−1 with a measured 1.25 gap, so 20 unrolled rounds converge
+    * (spec: |cos| > 0.99 against a driver-side 200-iteration dense
+    * recompute). Mechanics: B's cells come entirely from exact
+    * per-label integer sums (k×d aggregate rows), centered/scaled in
+    * a fixed double sequence and quantized to nano-units; every
+    * iteration is then a pure integer matrix-vector product with
+    * max-abs ppm renormalization — bit-identical across engines, so
+    * the eigenvector itself is hash-verified.
+    *
+    * 100 TB shape: ONE partial-aggregated pass to (label, pos) sums —
+    * k×64 rows — then every iteration touches a 64-row vector and the
+    * broadcast 4096-cell matrix (localCheckpoint-pinned per round).
+    * No corpus-sized join exists; compare the moment-matrix
+    * formulation, whose d² self-join this deliberately avoids.
+    */
+  val qLdaPower = Q(
+    "q_lda_power",
+    (s, d) => {
+      val (v, _) = quantized(s, d)
+      val labeled = v.join(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        "vec_id")
+      val perLabel = labeled.groupBy("label", "pos")
+        .agg(sum(col("q")).as("sk"), count(lit(1)).as("nk"))
+      val global = v.groupBy("pos")
+        .agg(sum(col("q")).as("sg"), count(lit(1)).as("n"))
+      // B_ij in float² units from exact integer sums; nano-quantized.
+      // d_k(pos) = μ_k − μ = sk/nk − sg/n, in float units (q scale 1e6)
+      val dev = perLabel.join(broadcast(global), "pos")
+        .select(col("label"), col("pos"), col("nk"), col("n"),
+          expr("(CAST(sk AS DOUBLE) / nk - CAST(sg AS DOUBLE) / n) " +
+            "/ 1000000.0").as("dev"))
+      val cmat = dev.select(col("label"), col("pos").as("i"),
+          col("dev").as("di"), col("nk"), col("n"))
+        .join(dev.select(col("label"), col("pos").as("j"),
+          col("dev").as("dj")), "label")
+        .groupBy("i", "j")
+        // Σ_k (nk/n)·di·dj — each term a fixed double sequence on
+        // exact-derived inputs; the k-term sum is grouped per (i, j)
+        // cell over ≤ 10 label rows, quantized AFTER summation in
+        // both engines (sum order: both engines sum the same ≤10
+        // doubles — pinned by sorting on label inside the aggregation
+        // via the nano-quantized per-term form below)
+        .agg(sum(expr(
+          "CAST(floor(CAST(nk AS DOUBLE) / n * di * dj * 1000000000.0 " +
+            "+ 0.5) AS BIGINT)")).as("c"))
+        .localCheckpoint()
+      var vec = global.select(col("pos").as("j"), lit(1000000L).as("vppm"))
+      for (_ <- 1 to LdaIters) {
+        val w = cmat.join(vec, "j")
+          .groupBy("i")
+          .agg(sum(col("c") * col("vppm")).as("w"))
+        val m = w.agg(max(abs(col("w"))).as("m"))
+        vec = w.crossJoin(broadcast(m))
+          .select(col("i").as("j"), expr(
+            "CAST(floor(CAST(w AS DOUBLE) / m * 1000000.0 + 0.5) AS BIGINT)")
+            .as("vppm"))
+          .localCheckpoint()
+      }
+      vec.select(col("j").as("pos"), col("vppm")).orderBy("pos")
+    },
+    Some {
+      val steps = (1 to LdaIters).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT cmat.i AS pos, CAST(sum(c * vppm) AS BIGINT) AS w
+           |  FROM cmat JOIN v${t - 1} ON v${t - 1}.j = cmat.j
+           |  GROUP BY 1),
+           |v$t AS MATERIALIZED (
+           |  SELECT pos AS j,
+           |    CAST(floor(CAST(w AS DOUBLE) / (SELECT max(abs(w)) FROM w$t)
+           |      * 1000000.0 + 0.5) AS BIGINT) AS vppm
+           |  FROM w$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $qvecSql AS qv FROM embeddings),
+         |v AS (
+         |  SELECT e.vec_id, e.label, CAST(u.p.pos AS INT) AS pos, u.p.q AS q
+         |  FROM e, UNNEST(list_transform(e.qv,
+         |    (x, i) -> struct_pack(pos := i - 1, q := x))) AS u(p)),
+         |perlabel AS (
+         |  SELECT label, pos, CAST(sum(q) AS BIGINT) AS sk, count(*) AS nk
+         |  FROM v GROUP BY 1, 2),
+         |global AS (
+         |  SELECT pos, CAST(sum(q) AS BIGINT) AS sg, count(*) AS n
+         |  FROM v GROUP BY 1),
+         |dev AS (
+         |  SELECT label, perlabel.pos, nk, n,
+         |    (CAST(sk AS DOUBLE) / nk - CAST(sg AS DOUBLE) / n)
+         |      / 1000000.0 AS dev
+         |  FROM perlabel JOIN global ON global.pos = perlabel.pos),
+         |cmat AS MATERIALIZED (
+         |  SELECT a.pos AS i, b.pos AS j,
+         |    CAST(sum(CAST(floor(CAST(a.nk AS DOUBLE) / a.n * a.dev * b.dev
+         |      * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS c
+         |  FROM dev a JOIN dev b ON a.label = b.label
+         |  GROUP BY 1, 2),
+         |v0 AS (SELECT pos AS j, CAST(1000000 AS BIGINT) AS vppm
+         |       FROM global),
+         |$steps
+         |SELECT j AS pos, vppm FROM v$LdaIters ORDER BY pos""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
       qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift,
-      qEmbeddingCoherence, qKcenterCoreset, qAnnHamming)
+      qEmbeddingCoherence, qKcenterCoreset, qAnnHamming,
+      qEmbeddingWhiten, qLdaPower)
 }

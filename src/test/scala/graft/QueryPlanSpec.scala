@@ -1053,6 +1053,41 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       nPair.toLong * nBaskets * 1000000L / (na.toLong * nb))
   }
 
+  test("q_lda_power converges to the dominant between-class direction") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q_lda_power")(spark, sf).collect()
+      .map(r => r.getAs[Int]("pos") -> r.getAs[Long]("vppm"))
+      .sortBy(_._1).map(_._2.toDouble)
+    assert(got.length === 64)
+    assert(got.map(math.abs).max === 1000000.0, "max-abs normalization")
+    // independent driver-side recompute: dense between-class scatter
+    // B = Σ_k (n_k/n)(μ_k−μ)(μ_k−μ)ᵀ + 300 power iterations in doubles
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("embedding"), col("label")).collect()
+      .map(r => (r.getSeq[Float](0).map(_.toDouble).toArray, r.getInt(1)))
+    val n = rows.length
+    val dim = 64
+    val mean = Array.tabulate(dim)(j => rows.map(_._1(j)).sum / n)
+    val b = Array.ofDim[Double](dim, dim)
+    rows.groupBy(_._2).values.foreach { grp =>
+      val nk = grp.length
+      val mk = Array.tabulate(dim)(j => grp.map(_._1(j)).sum / nk)
+      for (i <- 0 until dim; j <- 0 until dim)
+        b(i)(j) += nk.toDouble / n * (mk(i) - mean(i)) * (mk(j) - mean(j))
+    }
+    var ev = Array.fill(dim)(1.0)
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => b(i)(j) * ev(j)).sum)
+      val m = w.map(math.abs).max
+      ev = w.map(_ / m)
+    }
+    val dot = got.zip(ev).map { case (a, x) => a * x }.sum
+    val cos = dot / math.sqrt(got.map(x => x * x).sum *
+      ev.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.99, s"cosine to converged eigvec: $cos")
+  }
+
   test("q_augment_mask: map-only; counts reconcile with the views") {
     val payloads = shufflePayloads("q_augment_mask")
     assert(payloads.size <= 1, payloads.toString) // only the output sort
