@@ -50,7 +50,8 @@ object SparkEntry {
       "q_ppr_seed", "q_pmi_cooccur", "q_boilerplate", "q_mmr_rerank",
       "q_random_projection", "q_weighted_reservoir", "q_ann_ivfpq",
       "q_colbert_maxsim", "q_setsim_join", "q_cdc_chunks", "q_hilbert",
-      "q_kcore", "q_stream_merge")
+      "q_kcore", "q_stream_merge", "q_lda_power", "q_bootstrap_ci",
+      "q_mad_outliers")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }
