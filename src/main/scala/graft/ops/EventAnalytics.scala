@@ -303,7 +303,79 @@ object EventAnalytics {
     )
   )
 
+  /** q_window_funnel — TIME-CONSTRAINED ordered funnel (the
+    * windowFunnel primitive product analytics engines ship natively):
+    * view → click → purchase where each step must land within 72 h of
+    * the PREVIOUS step, sequential-first-match semantics (step k's
+    * timestamp is the earliest qualifying event after step k−1;
+    * deterministic — no per-row ambiguity). Complements q_funnel,
+    * which orders two steps but never constrains elapsed time. Emits
+    * the per-step survivor counts and the end-to-end conversion in
+    * exact ppm.
+    *
+    * 100 TB shape: each step is one per-user conditional min —
+    * events shuffle by user_id once per step and the step frames
+    * (one row per surviving user) reuse that partitioning; no event
+    * self-join exists. At cluster scale the three steps fold into one
+    * user-partitioned sort pass (sessionize-style); the per-step
+    * aggregate form keeps the oracle exactly mirrorable.
+    */
+  val qWindowFunnel = Q(
+    "q_window_funnel",
+    (s, d) => {
+      val w = 72L * 3600L * 1000000L // 72 h in µs
+      val ev = graft.Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tsu")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(col("tsu") > col("t1") && col("tsu") <= col("t1") + w)
+        .groupBy("user_id").agg(min(col("tsu")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .filter(col("tsu") > col("t2") && col("tsu") <= col("t2") + w)
+        .groupBy("user_id").agg(min(col("tsu")).as("t3"))
+      val nAll = ev.select("user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val n1 = t1.agg(count(lit(1)).as("n_view"))
+      val n2 = t2.agg(count(lit(1)).as("n_view_click"))
+      val n3 = t3.agg(count(lit(1)).as("n_full_funnel"))
+      nAll.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+        .select(col("n_users"), col("n_view"), col("n_view_click"),
+          col("n_full_funnel"),
+          expr("n_full_funnel * 1000000 div n_users").as("conv_ppm"))
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |t1 AS (
+        |  SELECT user_id, min(tsu) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT ev.user_id, min(tsu) AS t2
+        |  FROM ev JOIN t1 ON t1.user_id = ev.user_id
+        |  WHERE event_type = 'click'
+        |    AND tsu > t1.t1 AND tsu <= t1.t1 + 259200000000
+        |  GROUP BY 1),
+        |t3 AS (
+        |  SELECT ev.user_id, min(tsu) AS t3
+        |  FROM ev JOIN t2 ON t2.user_id = ev.user_id
+        |  WHERE event_type = 'purchase'
+        |    AND tsu > t2.t2 AND tsu <= t2.t2 + 259200000000
+        |  GROUP BY 1)
+        |SELECT
+        |  (SELECT count(DISTINCT user_id) FROM ev) AS n_users,
+        |  (SELECT count(*) FROM t1) AS n_view,
+        |  (SELECT count(*) FROM t2) AS n_view_click,
+        |  (SELECT count(*) FROM t3) AS n_full_funnel,
+        |  (SELECT count(*) FROM t3) * 1000000
+        |    // (SELECT count(DISTINCT user_id) FROM ev) AS conv_ppm""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qDailyUniques, qRetention, qTopUsersPerType, qTransitions,
-      qCohortMatrix, qRfm, qAttribution)
+      qCohortMatrix, qRfm, qAttribution, qWindowFunnel)
 }

@@ -1063,9 +1063,149 @@ object StreamingOps {
     }
   )
 
+  final case class SessEv(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessState(start_us: Long, end_us: Long, n: Long)
+  final case class SessOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** The timer half of the transformWithState API: per-user gap
+    * sessionization where CLOSED sessions emit inline and the LAST
+    * (still-open) session lives in ValueState with an EVENT-TIME TIMER
+    * registered at end + gap — when the watermark passes it, the timer
+    * fires and the session flushes. Real rows beyond `maxRealUs` (the
+    * watermark sentinel) are ignored.
+    */
+  private class SessionProcessor(gapUs: Long, maxRealUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessEv, SessOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var cur: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[SessState]("cur",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[SessEv],
+        timers: TimerValues): Iterator[SessOut] = {
+      val evs = rows.toSeq.filter(_.ts_us <= maxRealUs)
+        .sortBy(e => (e.ts_us, e.event_id))
+      if (evs.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      var st: Option[SessState] =
+        if (cur.exists()) Some(cur.get()) else None
+      evs.foreach { e =>
+        st = st match {
+          case Some(s) if e.ts_us - s.end_us <= gapUs =>
+            Some(SessState(s.start_us, e.ts_us, s.n + 1))
+          case Some(s) =>
+            out += SessOut(key, s.start_us, s.end_us, s.n)
+            Some(SessState(e.ts_us, e.ts_us, 1))
+          case None =>
+            Some(SessState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      val s = st.get
+      cur.update(s)
+      // one live timer per key: re-registering after an extension must
+      // drop the stale expiry first
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer((s.end_us + gapUs) / 1000L + 1L)
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessOut] = {
+      if (cur.exists()) {
+        val s = cur.get()
+        cur.clear()
+        Iterator.single(SessOut(key, s.start_us, s.end_us, s.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** q_stream_session_timer — sessionization on transformWithState
+    * with EVENT-TIME TIMERS, the half of the arbitrary-state API
+    * q_stream_ltv's ValueState does not exercise: closed sessions
+    * (a follower > 30 min away) emit inline; each user's open tail
+    * session waits in state under a registered timer at end + gap and
+    * flushes when the event-time watermark passes it — exactly how an
+    * unbounded production stream closes its last sessions without a
+    * poison pill per key. The finite replay advances the watermark
+    * with one far-future sentinel row (the q_stream_window_prod
+    * trick); the sentinel's own row is ignored by the processor. The
+    * batch oracle is plain gap sessionization over (ts, event_id) —
+    * stateful-with-timers streaming and batch must agree row for row.
+    *
+    * 100 TB shape: state = one (start, end, n) triple + one timer per
+    * LIVE key under RocksDB; each micro-batch touches only its users;
+    * timer expiry scans are per-watermark-advance, not per-row.
+    */
+  val qStreamSessionTimer = Q(
+    "q_stream_session_timer",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val pKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pKey)
+      s.conf.set(pKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val gapUs = 1800L * 1000000L
+        val tmp = graft.Scratch.dir("stream_session_timer")
+        java.nio.file.Files.createDirectories(tmp.resolve("in"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0)
+          .getLong(0)
+        writeOrderedBatch(ev, tmp, "b1", 1000000L)
+        // sentinel 30 days out drives the watermark past every
+        // real session's end + gap
+        writeOrderedBatch(
+          ev.limit(1).select(lit(-1L).as("user_id"),
+            lit(-1L).as("event_id"),
+            Tables.tsLiteral(ev, maxUs + 30L * 86400L * 1000000L)
+              .as("ts")),
+          tmp, "b2", 1000100L)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(tmp.resolve("in").toString)
+          .withWatermark("ts", "10 seconds")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+          .as[SessEv]
+          .groupByKey(_.user_id)
+          .transformWithState(new SessionProcessor(gapUs, maxUs),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF()
+        runToParquetSink(s, "stream_session_timer_out")(stream)
+          .orderBy("user_id", "start_us")
+      } finally prev match {
+        case Some(v) => s.conf.set(pKey, v)
+        case None    => s.conf.unset(pKey)
+      }
+    },
+    Some(
+      """WITH brk AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+        |        > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, tsu,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM brk)
+        |SELECT user_id, CAST(min(tsu) AS BIGINT) AS start_us,
+        |  CAST(max(tsu) AS BIGINT) AS end_us, count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
       qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv,
-      qStreamLate, qStreamMerge, qStreamHll)
+      qStreamLate, qStreamMerge, qStreamHll, qStreamSessionTimer)
 }

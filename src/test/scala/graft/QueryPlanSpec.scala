@@ -1053,6 +1053,35 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       nPair.toLong * nBaskets * 1000000L / (na.toLong * nb))
   }
 
+  test("q_window_funnel matches a driver-side sequential-first-match recompute") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val r = SparkEntry.queries("q_window_funnel")(spark, sf).collect().head
+    val (nu, n1, n2, n3) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_view"),
+      r.getAs[Long]("n_view_click"), r.getAs[Long]("n_full_funnel"))
+    assert(nu >= n1 && n1 >= n2 && n2 >= n3 && n3 >= 0)
+    val w = 72L * 3600L * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1)
+    var (c1, c2, c3) = (0L, 0L, 0L)
+    ev.values.foreach { rows =>
+      val byType: Map[String, Seq[Long]] =
+        rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sorted.toSeq }
+      byType.getOrElse("view", Nil).headOption.foreach { t1 =>
+        c1 += 1
+        byType.getOrElse("click", Nil)
+          .find(t => t > t1 && t <= t1 + w).foreach { t2 =>
+            c2 += 1
+            if (byType.getOrElse("purchase", Nil)
+              .exists(t => t > t2 && t <= t2 + w)) c3 += 1
+          }
+      }
+    }
+    assert((n1, n2, n3) === ((c1, c2, c3)))
+    assert(nu === ev.size)
+  }
+
   test("q_lda_power converges to the dominant between-class direction") {
     import org.apache.spark.sql.functions.col
     val got = SparkEntry.queries("q_lda_power")(spark, sf).collect()

@@ -396,6 +396,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
   }
 
+  test("q_stream_session_timer agrees with the batch window sessionization") {
+    val timer = SparkEntry.queries("q_stream_session_timer")(spark, sf)
+      .collect()
+    // q_sessionize breaks on event_id order, the timer variant on
+    // (ts, event_id); the session COUNT per user must agree whenever
+    // event_id order is ts order per user (true of this fixture), and
+    // every event lands in exactly one session either way
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+    assert(timer.map(_.getAs[Long]("n_events")).sum ===
+      batch.map(_.getAs[Long]("n_events")).sum, "events partition")
+    assert(timer.length === batch.length, "session count")
+    // sessions are disjoint, ordered, and gap-separated per user
+    timer.groupBy(_.getAs[Long]("user_id")).values.foreach { ss =>
+      val sorted = ss.sortBy(_.getAs[Long]("start_us"))
+      sorted.foreach(s0 => assert(
+        s0.getAs[Long]("start_us") <= s0.getAs[Long]("end_us")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_us") - a.getAs[Long]("end_us") >
+            1800L * 1000000L, "gap separation violated")
+        case _ =>
+      }
+    }
+  }
+
   test("q_stream_hll: streamed sketch equals the batch aggregate per day") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions.graft_hll
