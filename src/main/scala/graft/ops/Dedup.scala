@@ -1244,6 +1244,70 @@ object Dedup {
     )
   )
 
+  /** q_contrastive_pairs — the SimCSE/contrastive training-set build:
+    * every doc that has an LSH near-dup candidate becomes an ANCHOR
+    * with one positive (its smallest-id candidate partner — a
+    * deterministic stand-in for similarity-ranked choice; the
+    * estimator that would rank partners is q_jaccard_est's) and three
+    * hash-derived negatives (modular probe over the contiguous doc-id
+    * space; a probe colliding with the anchor or its positive is
+    * dropped rather than re-drawn — deterministic on both engines,
+    * stated once). Long format: (anchor, role, rank, pair_id).
+    *
+    * 100 TB shape: positives ride the already-bounded LSH candidate
+    * pairs (banded buckets + skew guard); negatives are pure
+    * arithmetic on the anchor frame — no corpus scan at all. The
+    * in-batch-negatives trick real contrastive training uses makes
+    * even this column unnecessary at train time; materializing it
+    * here keeps the sampling auditable.
+    */
+  val qContrastivePairs = Q(
+    "q_contrastive_pairs",
+    (s, d) => {
+      val pairs = lshPairs(s, d)
+      val sym = pairs.select(col("id_a").as("anchor"),
+          col("id_b").as("partner"))
+        .unionAll(pairs.select(col("id_b").as("anchor"),
+          col("id_a").as("partner")))
+      val pos = sym.groupBy("anchor").agg(min(col("partner")).as("pos_id"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val posRows = pos.select(col("anchor"), lit("pos").as("role"),
+        lit(1).as("rank"), col("pos_id").as("pair_id"))
+      val negRows = pos.crossJoin(broadcast(nDocs))
+        .select(col("anchor"), col("pos_id"),
+          explode(sequence(lit(1), lit(3))).as("i"), col("n"))
+        .select(col("anchor"), lit("neg").as("role"),
+          (col("i") + 1).as("rank"),
+          ((col("anchor") * 7919 + col("i") * 104729) % col("n"))
+            .as("pair_id"), col("pos_id"))
+        .filter(col("pair_id") =!= col("anchor") &&
+          col("pair_id") =!= col("pos_id"))
+        .drop("pos_id")
+      posRows.unionByName(negRows)
+        .orderBy("anchor", "rank", "pair_id")
+    },
+    Some(
+      s"""WITH pairs AS ($lshPairsSql),
+         |sym AS (
+         |  SELECT id_a AS anchor, id_b AS partner FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |pos AS (SELECT anchor, min(partner) AS pos_id FROM sym GROUP BY 1),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |neg AS (
+         |  SELECT anchor, 'neg' AS role, CAST(v.i + 1 AS INT) AS rank,
+         |    (anchor * 7919 + v.i * 104729) % (SELECT n FROM nd) AS pair_id,
+         |    pos_id
+         |  FROM pos, UNNEST(range(1, 4)) AS v(i))
+         |SELECT anchor, role, rank, pair_id FROM (
+         |  SELECT anchor, 'pos' AS role, 1 AS rank, pos_id AS pair_id
+         |  FROM pos
+         |  UNION ALL
+         |  SELECT anchor, role, rank, pair_id FROM neg
+         |  WHERE pair_id <> anchor AND pair_id <> pos_id)
+         |ORDER BY anchor, rank, pair_id""".stripMargin
+    )
+  )
+
   /** q_jaro_linkage — the same blocked entity resolution scored with
     * the native [[graft.functions.JaroWinkler]] expression instead of
     * edit distance: Jaro-Winkler is transposition-tolerant and
@@ -1587,6 +1651,7 @@ object Dedup {
     qLshRecall,
     qRecordLinkage,
     qJaroLinkage,
+    qContrastivePairs,
     qCdcChunks,
     qSetsimJoin,
     qMinhashLshPairs,

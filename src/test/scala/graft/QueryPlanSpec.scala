@@ -1053,6 +1053,30 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       nPair.toLong * nBaskets * 1000000L / (na.toLong * nb))
   }
 
+  test("q_contrastive_pairs: one positive per anchor, clean negatives") {
+    val rows = SparkEntry.queries("q_contrastive_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byAnchor = rows.groupBy(_.getAs[Long]("anchor"))
+    val lsh = SparkEntry.queries("q_minhash_lsh_pairs")(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0))).toSet
+    byAnchor.foreach { case (a, rs) =>
+      val pos = rs.filter(_.getAs[String]("role") == "pos")
+      val negs = rs.filter(_.getAs[String]("role") == "neg")
+      assert(pos.length === 1, s"anchor $a")
+      // the positive is a genuine LSH candidate partner
+      assert(lsh((a, pos.head.getAs[Long]("pair_id"))), s"anchor $a")
+      assert(negs.length <= 3 && negs.length >= 1, s"anchor $a")
+      negs.foreach { n =>
+        val id = n.getAs[Long]("pair_id")
+        assert(id != a && id != pos.head.getAs[Long]("pair_id"),
+          s"anchor $a neg $id")
+      }
+    }
+    // anchors are exactly the docs with at least one LSH candidate
+    assert(byAnchor.keySet === lsh.map(_._1))
+  }
+
   test("q_window_funnel matches a driver-side sequential-first-match recompute") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     val r = SparkEntry.queries("q_window_funnel")(spark, sf).collect().head
