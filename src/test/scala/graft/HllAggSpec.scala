@@ -165,6 +165,52 @@ class HllAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one === many)
   }
 
+  test("HLL estimate error stays within theory across cardinalities") {
+    // m = 64 → relative standard error ≈ 1.04/√64 ≈ 13%; assert every
+    // seeded-random cardinality estimates within 5σ (the kernel is
+    // deterministic, so this pins real accuracy, not luck)
+    val rnd = new scala.util.Random(2024)
+    for (n <- Seq(10, 50, 200, 1000, 5000, 20000)) {
+      val regs = new Array[Long](64)
+      val values = (0 until n).map(_ => "v" + rnd.nextLong()).distinct
+      values.foreach(v => HllKernel.update(regs, UTF8String.fromString(v)))
+      val est = HllKernel.estimate(regs).toDouble
+      val exact = values.length.toDouble
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr < 5 * 0.13, s"n=$n est=$est exact=$exact err=$relErr")
+    }
+  }
+
+  test("MinHash slot agreement estimates Jaccard on random set pairs") {
+    import graft.functions.MinhashKernel
+    val rnd = new scala.util.Random(4096)
+    var sumAbsErr = 0.0
+    val cases = 40
+    for (_ <- 1 to cases) {
+      val universe = (0 until 400).map("t" + _)
+      val a = universe.filter(_ => rnd.nextDouble() < 0.5).toSet
+      val b = a.filter(_ => rnd.nextDouble() < 0.7) ++
+        universe.filter(_ => rnd.nextDouble() < 0.15)
+      def sig(s: Set[String]): Array[Long] = {
+        val m = Array.fill(8)(Long.MaxValue)
+        s.foreach { t =>
+          val sl = MinhashKernel.slices8(UTF8String.fromString(t))
+          for (j <- 0 until 8) if (sl.getLong(j) < m(j)) m(j) = sl.getLong(j)
+        }
+        m
+      }
+      val (sa, sb) = (sig(a), sig(b.toSet))
+      val est = (0 until 8).count(j => sa(j) == sb(j)) / 8.0
+      val jac = (a & b.toSet).size.toDouble / (a | b.toSet).size
+      sumAbsErr += math.abs(est - jac)
+    }
+    // 8 slots → per-pair σ ≈ √(J(1−J)/8) ≈ 0.17 at J ≈ 0.5, so the
+    // expected |error| is ≈ 0.8σ ≈ 0.14 (measured 0.158 on this seed);
+    // assert the mean stays under 0.2 — an uninformative estimator
+    // (constant or random) would sit near 0.3+
+    assert(sumAbsErr / cases < 0.2, s"mean |err| = ${sumAbsErr / cases}")
+  }
+
   test("NULL inputs are skipped; an empty relation estimates 0") {
     import spark.implicits._
     import graft.functions.GraftFunctions.graft_hll
