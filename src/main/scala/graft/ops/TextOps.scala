@@ -213,6 +213,46 @@ object TextOps {
     }
   )
 
+  /** q_label_noise — label-quality audit: the declared `lang` column
+    * checked against the text-derived language-ID prediction, per
+    * source (the "trust your metadata?" pass a curation pipeline runs
+    * before using provider labels for mixture decisions — disagreement
+    * concentrating in one source usually means that source's metadata
+    * is wrong, not the classifier). Reuses q_lang_id's predictor
+    * verbatim on both engines; reports per-source mismatch in exact
+    * ppm. (The fixture's lang labels are assigned independently of
+    * text, so the measured disagreement is high — which is exactly
+    * what the audit is FOR.)
+    *
+    * 100 TB shape: the predictor is map-only (stopword counts inside
+    * the scan projection); the audit aggregate carries one row per
+    * source.
+    */
+  val qLabelNoise = Q(
+    "q_label_noise",
+    (s, d) =>
+      withLangPredicted(Tables.documents(s, d))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("predicted") =!= col("lang"), 1L).otherwise(0L))
+            .as("n_mismatch"))
+        .select(col("source"), col("n_docs"), col("n_mismatch"),
+          expr("n_mismatch * 1000000 div n_docs").as("mismatch_ppm"))
+        .orderBy("source"),
+    Some(
+      s"""WITH pred AS (
+         |${qLangId.oracle.get}
+         |)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN p.predicted <> p.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_mismatch,
+         |  CAST(sum(CASE WHEN p.predicted <> p.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // count(*) AS mismatch_ppm
+         |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  )
+
   /** q_fingerprint — winnowing-style document fingerprint: md5 over
     * sliding 32-char windows (step 8), keep the lexicographic minimum.
     * Robust to small edits away from the minimal window; the standard
@@ -898,5 +938,6 @@ object TextOps {
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
-      qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask)
+      qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask,
+      qLabelNoise)
 }
