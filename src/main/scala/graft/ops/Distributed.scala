@@ -61,6 +61,42 @@ object Distributed {
     * with the rank in column `__rank0_$tag`, the total row count, and
     * that column's name. `sort` must be a total order.
     */
+  /** Exact global running sum `sum(value) OVER (ORDER BY sort… ROWS
+    * UNBOUNDED PRECEDING)` without a single-partition window — the
+    * prefix-sum sibling of [[globalRank0]]: range-repartition on the
+    * sort key (pinned by localCheckpoint against re-sampled
+    * boundaries), one O(P)-row job collecting each partition's total,
+    * broadcast the exclusive prefix offsets back, then a PARTITIONED
+    * running sum plus the partition offset. `value` must be integral
+    * (it is cast to long; exact for |Σ| < 2^63); `sort` must be a
+    * total order so the running sum is well-defined. Driver state is
+    * P scalars; every task holds one contiguous key range.
+    */
+  def globalCumSum(df: DataFrame, sort: Seq[Column], value: Column,
+      out: String): DataFrame = {
+    val spark  = df.sparkSession
+    val p      = spark.sessionState.conf.numShufflePartitions
+    val pidCol = s"__pid_$out"
+    val offCol = s"__off_$out"
+    val valCol = s"__val_$out"
+    val ranged = df.withColumn(valCol, value.cast("long"))
+      .repartitionByRange(p, sort: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint()
+    val sums = ranged.groupBy(pidCol)
+      .agg(sum(col(valCol)).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.map(_._1).zip(
+      sums.scanLeft(0L)(_ + _._2).dropRight(1))
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF(pidCol, offCol)
+    val w = Window.partitionBy(pidCol).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq(pidCol))
+      .withColumn(out, col(offCol) + sum(col(valCol)).over(w))
+      .drop(pidCol, offCol, valCol)
+  }
+
   def globalRank0(df: DataFrame, sort: Seq[Column], tag: String)
       : (DataFrame, Long, String) = {
     val spark  = df.sparkSession

@@ -331,13 +331,21 @@ object Sketches {
     * the accuracy contract a 1000-executor rollup relies on when it
     * combines per-shard summaries instead of re-sorting the data.
     *
-    * 100 TB shape: the register extraction is a per-group window
-    * (shuffle keyed by group, sort within partition) + a rank filter —
-    * never a collect; the merge touches groups×k = 160 rows. The
-    * exact verification baseline is itself distributed (the
-    * q_weighted_median machinery): pre-aggregate by value, then a
-    * cumulative-count threshold over the aggregated rows — no global
-    * sorted list is ever materialized in one buffer.
+    * 100 TB shape — every corpus-sized stage runs at full
+    * parallelism; NO window in this query is unpartitioned:
+    * (a) the per-group register rank is [[Distributed.globalRank0]]'s
+    * ranged two-pass rank over the total (g, v) order minus each
+    * group's broadcast cumulative offset — a 5-value partition key
+    * would cap parallelism at 5 (~20 TB per task at 100 TB), whereas
+    * the ranged form keys the window on the range-partition id;
+    * (b) the groups×k = 160-row register merge is a broadcast
+    * non-equi self-join + re-aggregate (O(160²) comparisons) instead
+    * of even a bounded single-partition window, so the executed plan
+    * is provably free of SinglePartition exchanges;
+    * (c) the exact baseline pre-aggregates by value then takes
+    * [[Distributed.globalCumSum]]'s ranged two-pass running count —
+    * prices are near-unique, so a plain `Window.orderBy` here would
+    * funnel ~n rows through ONE task.
     *
     * Cross-engine exactness: registers are selected by integer rank
     * arithmetic; cumulative weights and thresholds are exact BIGINTs;
@@ -352,16 +360,36 @@ object Sketches {
       val vals = Tables.orders(s, d)
         .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
       val ng = vals.groupBy("g").agg(count(lit(1)).as("n"))
-      val ranked = vals.withColumn("rn",
-        row_number().over(Window.partitionBy("g").orderBy("v")).cast("long"))
+      // per-group rank at full parallelism: ranged two-pass global rank
+      // over the total (g, v) order, minus each group's broadcast
+      // cumulative offset (5 scalars) — ties on v share the same value,
+      // so the register VALUES are order-independent
+      val (ranked0, _, rc) = Distributed.globalRank0(
+        vals, Seq(col("g"), col("v")), "qsk")
+      val ngRows = ng.orderBy("g").collect()
+      val gOff = ngRows.map(_.getString(0)).zip(
+        ngRows.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1))
+      val offDf = gOff.toSeq.toDF("g", "goff")
+      val ranked = ranked0.join(broadcast(offDf), "g")
+        .withColumn("rn", col(rc) - col("goff") + 1L)
       val regs = ranked.join(broadcast(ng), "g")
         .filter(expr(s"array_contains(transform(sequence(0, ${k - 1}), " +
           s"i -> 1L + (CAST(i AS BIGINT) * (n - 1)) div ${k - 1}), rn)"))
+        .select(col("g"), col("v"), col("rn"), col("n"))
       val tot = ng.agg((sum(col("n")) * k).as("w"))
-      // groups×k rows: the single-partition window is over ≤ 160 rows
-      val cum = regs.crossJoin(broadcast(tot))
-        .withColumn("cw", sum(col("n")).over(
-          Window.orderBy("v", "g", "rn")))
+      // groups×k = 160-row register merge: cumulative weight by
+      // broadcast non-equi self-join (sum n over registers at or
+      // before (v, g, rn) in the unique merge order) — equivalent to
+      // the ordered running sum, with no SinglePartition exchange
+      val r2 = regs.select(col("v").as("v2"), col("g").as("g2"),
+        col("rn").as("rn2"), col("n").as("n2"))
+      val cum = regs.join(broadcast(r2),
+          col("v2") < col("v") ||
+          (col("v2") === col("v") && col("g2") < col("g")) ||
+          (col("v2") === col("v") && col("g2") === col("g") &&
+            col("rn2") <= col("rn")))
+        .groupBy("g", "v", "rn").agg(sum(col("n2")).as("cw"))
+        .crossJoin(broadcast(tot))
       val pcts = Seq(50, 90, 99).toDF("pct")
       val est = cum.crossJoin(broadcast(pcts))
         .filter(col("cw") >= expr("(pct * w + 99) div 100"))
@@ -370,14 +398,13 @@ object Sketches {
       // q_weighted_median machinery): pre-aggregate by VALUE, then a
       // cumulative-count threshold scan over the aggregated rows —
       // value-identical to indexing a sorted list at ceil(pct·n/100)
-      // (min v with cumcount ≥ r IS the r-th order statistic), with
-      // no whole-table collect_list into a single aggregation buffer
+      // (min v with cumcount ≥ r IS the r-th order statistic); the
+      // running count is the ranged two-pass prefix sum because
+      // distinct prices are ~n rows — never an unpartitioned window
       val byV = vals.groupBy(col("v").as("ev")).agg(count(lit(1)).as("c"))
       val nTot = vals.agg(count(lit(1)).as("n"))
-      val exact = byV
-        .withColumn("ecw", sum(col("c")).over(
-          Window.orderBy("ev")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val exact = Distributed.globalCumSum(
+          byV, Seq(col("ev")), col("c"), "ecw")
         .crossJoin(broadcast(nTot))
         .crossJoin(broadcast(pcts))
         .filter(col("ecw") >= expr("(pct * n + 99) div 100"))

@@ -963,6 +963,29 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_quantile_sketch: no single-partition Window or Sort in the executed plan") {
+    // the ranged two-pass rank / prefix sum replace both former
+    // one-task funnels (5-way per-group rank; unpartitioned running
+    // count over near-unique prices). The only SinglePartition
+    // exchanges allowed are the final stages of 1-row global scalar
+    // aggregates (tot/nTot — partials arrive pre-aggregated, one row
+    // per upstream partition); a Sort or Window parent would be a
+    // whole-data one-task funnel
+    val lines = plan("q_quantile_sketch").linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (l, i) =>
+        val parent = lines(i - 1)
+        assert(parent.contains("HashAggregate(keys=[]"),
+          s"SinglePartition exchange feeds a non-scalar-agg parent:\n$parent\n$l")
+      }
+    // and EVERY window in the plan is partitioned (prints with the
+    // synthetic range-partition-id key)
+    lines.filter(_.contains("windowspecdefinition(")).foreach { l =>
+      assert(l.contains("__pid_"),
+        s"window not keyed on the range-partition id: $l")
+    }
+  }
+
   test("q_ann_hamming: float vectors never enter the Hamming-ranking shuffle") {
     // the candidate pass carries only (qid, neighbor_id, ham[, sig]);
     // quantized vectors (qv/quv) join in after the top-20 filter
