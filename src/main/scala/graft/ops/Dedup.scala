@@ -1249,14 +1249,21 @@ object Dedup {
     * with one positive (its smallest-id candidate partner — a
     * deterministic stand-in for similarity-ranked choice; the
     * estimator that would rank partners is q_jaccard_est's) and three
-    * hash-derived negatives (modular probe over the contiguous doc-id
-    * space; a probe colliding with the anchor or its positive is
-    * dropped rather than re-drawn — deterministic on both engines,
-    * stated once). Long format: (anchor, role, rank, pair_id).
+    * hash-derived negatives: probe = u32(md5("neg-anchor-i")) mod n —
+    * the repo's bounded md5-prefix hash convention, so the arithmetic
+    * can never overflow BIGINT no matter how large doc ids grow
+    * (anchor×prime would wrap in Spark but RAISE in DuckDB — a silent
+    * cross-engine divergence); probes are then semi-joined back to
+    * `documents` so only EXISTING doc ids survive (no contiguity
+    * assumption on the id space). A probe colliding with the anchor,
+    * its positive, or a gap in the id space is dropped rather than
+    * re-drawn — deterministic on both engines, stated once.
+    * Long format: (anchor, role, rank, pair_id).
     *
     * 100 TB shape: positives ride the already-bounded LSH candidate
-    * pairs (banded buckets + skew guard); negatives are pure
-    * arithmetic on the anchor frame — no corpus scan at all. The
+    * pairs (banded buckets + skew guard); negatives are hash
+    * arithmetic on the anchor frame plus one doc_id-keyed semi-join
+    * against the pruned single-column id scan. The
     * in-batch-negatives trick real contrastive training uses makes
     * even this column unnecessary at train time; materializing it
     * here keeps the sampling auditable.
@@ -1278,11 +1285,14 @@ object Dedup {
           explode(sequence(lit(1), lit(3))).as("i"), col("n"))
         .select(col("anchor"), lit("neg").as("role"),
           (col("i") + 1).as("rank"),
-          ((col("anchor") * 7919 + col("i") * 104729) % col("n"))
-            .as("pair_id"), col("pos_id"))
+          pmod(conv(substring(md5(concat_ws("-", lit("neg"),
+            col("anchor"), col("i"))), 1, 8), 16, 10).cast("long"),
+            col("n")).as("pair_id"), col("pos_id"))
         .filter(col("pair_id") =!= col("anchor") &&
           col("pair_id") =!= col("pos_id"))
         .drop("pos_id")
+        .join(Tables.documents(s, d).select(col("doc_id").as("pair_id")),
+          Seq("pair_id"), "left_semi")
       posRows.unionByName(negRows)
         .orderBy("anchor", "rank", "pair_id")
     },
@@ -1293,17 +1303,27 @@ object Dedup {
          |  UNION ALL SELECT id_b, id_a FROM pairs),
          |pos AS (SELECT anchor, min(partner) AS pos_id FROM sym GROUP BY 1),
          |nd AS (SELECT count(*) AS n FROM documents),
+         |negh AS (
+         |  SELECT anchor, pos_id, v.i AS i,
+         |    md5('neg-' || CAST(anchor AS VARCHAR) || '-'
+         |      || CAST(v.i AS VARCHAR)) AS h
+         |  FROM pos, UNNEST(range(1, 4)) AS v(i)),
          |neg AS (
-         |  SELECT anchor, 'neg' AS role, CAST(v.i + 1 AS INT) AS rank,
-         |    (anchor * 7919 + v.i * 104729) % (SELECT n FROM nd) AS pair_id,
+         |  SELECT anchor, 'neg' AS role, CAST(i + 1 AS INT) AS rank,
+         |    CAST(${(0 until 8).map { k =>
+                 val mult = 1L << (4 * (7 - k))
+                 s"(strpos('0123456789abcdef', substr(h, ${1 + k}, 1)) - 1) * $mult"
+               }.mkString("(", " + ", ")")} AS BIGINT)
+         |      % (SELECT n FROM nd) AS pair_id,
          |    pos_id
-         |  FROM pos, UNNEST(range(1, 4)) AS v(i))
+         |  FROM negh)
          |SELECT anchor, role, rank, pair_id FROM (
          |  SELECT anchor, 'pos' AS role, 1 AS rank, pos_id AS pair_id
          |  FROM pos
          |  UNION ALL
          |  SELECT anchor, role, rank, pair_id FROM neg
-         |  WHERE pair_id <> anchor AND pair_id <> pos_id)
+         |  WHERE pair_id <> anchor AND pair_id <> pos_id
+         |    AND pair_id IN (SELECT doc_id FROM documents))
          |ORDER BY anchor, rank, pair_id""".stripMargin
     )
   )

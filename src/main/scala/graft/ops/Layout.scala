@@ -887,16 +887,30 @@ object Layout {
     * names. Driver state is the manifest file lists — O(#files)
     * metadata, the same bound as snapshot planning; at scale the walk
     * shards by manifest exactly like Iceberg's reachability sweep.
+    *
+    * Manifest lines may carry per-group stats after the name
+    * ([[qManifestSkip]] writes `grp=N min max`), so only the FIRST
+    * whitespace-delimited token is the reachable group name. And a
+    * reachability sweep whose reachable set intersects NOTHING
+    * present is treated as a mis-pointed manifest dir, not a
+    * 100%-garbage table: it deletes nothing (the Iceberg/Delta
+    * "never vacuum to empty" guard — one bad path must not drop
+    * every live file).
     */
   def vacuum(filesDir: java.nio.file.Path,
       manifestsDir: java.nio.file.Path): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val reachable = java.nio.file.Files.list(manifestsDir).iterator().asScala
-      .filter(_.toString.endsWith(".manifest"))
-      .flatMap(m => java.nio.file.Files.readAllLines(m).asScala)
-      .map(_.trim).filter(_.nonEmpty).toSet
+    val listing = java.nio.file.Files.list(manifestsDir)
+    val reachable =
+      try listing.iterator().asScala
+        .filter(_.toString.endsWith(".manifest"))
+        .flatMap(m => java.nio.file.Files.readAllLines(m).asScala)
+        .map(_.trim).filter(_.nonEmpty)
+        .map(_.split("\\s+")(0)).toSet
+      finally listing.close()
     val present = Option(filesDir.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    if (present.nonEmpty && !present.exists(reachable)) return Seq.empty
     val orphans = present.filterNot(reachable)
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles()

@@ -844,12 +844,25 @@ object StreamingOps {
     import java.nio.file.{Files, StandardCopyOption}
     val stage = tmp.resolve(name + "_stage")
     df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val listing = Files.list(stage)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     val dest = tmp.resolve("in").resolve(name + ".parquet")
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(dest,
       java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+    // drop the _SUCCESS/.crc staging debris — one leaked dir handle
+    // and a stale _stage tree per micro-batch otherwise accumulate
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val kids = Files.list(p)
+        try kids.iterator().forEachRemaining(rmTree)
+        finally kids.close()
+      }
+      Files.deleteIfExists(p): Unit
+    }
+    rmTree(stage)
   }
 
   /** q_stream_merge — streaming MERGE-upsert: the CDC-consumer pattern

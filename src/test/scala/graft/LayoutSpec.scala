@@ -456,4 +456,33 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // idempotent: a second sweep finds nothing
     assert(graft.ops.Layout.vacuum(files, manifests).isEmpty)
   }
+
+  test("vacuum parses stats-format manifests and refuses a zero-overlap sweep") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("vacuum_stats_spec")
+    val files = root.resolve("files")
+    val manifests = root.resolve("manifests")
+    java.nio.file.Files.createDirectories(manifests)
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+    for (g <- Seq("grp=0", "grp=1"))
+      docs.write.parquet(files.resolve(g).toString)
+    docs.limit(5).write.parquet(files.resolve("grp=9_orphan").toString)
+    // q_manifest_skip's stats format: `name min max` — only the first
+    // token is the group name; the stats must NOT poison reachability
+    java.nio.file.Files.write(manifests.resolve("v1.manifest"),
+      "grp=0 100 200\ngrp=1 201 300\n".getBytes)
+    assert(graft.ops.Layout.vacuum(files, manifests)
+      === Seq("grp=9_orphan"))
+    assert(files.resolve("grp=0").toFile.exists())
+    assert(files.resolve("grp=1").toFile.exists())
+    // a manifest dir whose reachable set matches NOTHING present is a
+    // mis-pointed path, not a 100%-garbage table: delete nothing
+    val foreign = root.resolve("foreign_manifests")
+    java.nio.file.Files.createDirectories(foreign)
+    java.nio.file.Files.write(foreign.resolve("v1.manifest"),
+      "other_table_file\n".getBytes)
+    assert(graft.ops.Layout.vacuum(files, foreign).isEmpty)
+    assert(files.resolve("grp=0").toFile.exists())
+    assert(files.resolve("grp=1").toFile.exists())
+  }
 }
