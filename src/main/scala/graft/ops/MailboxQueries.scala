@@ -173,6 +173,40 @@ object MailboxQueries {
     )
   )
 
+  /** Late materialization, AUTOMATIC, Filter-less form (A10): plain
+    * `ORDER BY … LIMIT k` over the wide scan — no filter at all. The
+    * reference's host rewrite pays here identically (the narrow sort
+    * + O(k) wide fetch is the benefit; the filter in
+    * query_optimizations.test:49-53 is incidental), so
+    * [[graft.plans.AutoLateMaterialization]] fires on the
+    * `Limit(Sort(Project(scan)))` pattern too. node_id is appended to
+    * the sort key so ties on subject cannot make the limit
+    * nondeterministic across engines (Spark sorts NULLs first on ASC,
+    * DuckDB last — mirrored by NULLS FIRST in the oracle).
+    */
+  val qLateMatAutoNoFilter = Q(
+    "q_latemat_auto_nofilter",
+    (s, _) => {
+      ensureFixtures()
+      Mailbox
+        .messages(s, unittest)
+        .orderBy("subject", "node_id")
+        .limit(4)
+        .select(col("node_id"), col("subject"), col("sender_name"),
+          col("sender_email_address"), col("message_class"),
+          col("message_size"), col("conversation_topic"),
+          col("internet_message_id"))
+    },
+    Some(
+      s"""SELECT node_id, subject, sender_name, sender_email_address,
+         |  message_class, message_size, conversation_topic,
+         |  internet_message_id
+         |FROM ${jsonSrc(unittest)}
+         |WHERE record_type = 'message'
+         |ORDER BY subject NULLS FIRST, node_id LIMIT 4""".stripMargin
+    )
+  )
+
   /** Nested navigation on connector data: unnest the distribution list's
     * one-off members (read_unittest_pst.test:65-69).
     */
@@ -574,6 +608,7 @@ object MailboxQueries {
 
   val all: Seq[Q] = Seq(
     qLateMatAuto,
+    qLateMatAutoNoFilter,
     qMailboxSqlView,
     qMailboxMinmax,
     qMailboxClassStats,

@@ -71,22 +71,68 @@ object AutoLateMaterialization extends Rule[LogicalPlan] {
   private val MaxLimit = 10000
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    // the two canonical optimizer forms of
-    // scan.filter(cond).orderBy(order).limit(k)[.select(attrs)]:
-    // the pruning Project (when present) ends up between Sort and
-    // Filter because PushDownPredicates moves filters below projects
-    case Limit(IntegerLiteral(k),
-          Sort(order, true, Filter(cond, rel: DataSourceV2Relation), _))
-        if eligible(k, order, cond, rel, rel.output) =>
-      rewrite(k, order, cond, rel, rel.output)
-    case Limit(IntegerLiteral(k),
-          Sort(order, true,
-            Project(pl, Filter(cond, rel: DataSourceV2Relation)), _))
-        if pl.forall(_.isInstanceOf[AttributeReference]) &&
-          eligible(k, order, cond, rel,
-            pl.map(_.asInstanceOf[AttributeReference])) =>
-      rewrite(k, order, cond, rel,
-        pl.map(_.asInstanceOf[AttributeReference]))
+    case SortLimitScan(k, out, order, cond, rel)
+        if eligible(k, order, cond, rel, out) =>
+      rewrite(k, order, cond, rel, out)
+  }
+
+  /** The canonical optimizer forms of
+    * `scan[.filter(cond)].orderBy(order).limit(k)[.select(attrs)]`:
+    *
+    * {{{ Limit k ([Project out]? Sort order ([Project mid]? [Filter cond]? rel)) }}}
+    *
+    * The pruning Project (when present) sits between Sort and Filter
+    * because PushDownPredicates moves filters below projects; a
+    * column-REORDERING select cannot collapse into the relation's
+    * pruned output, so the optimizer leaves it between Limit and
+    * Sort. The Filter-less forms — plain `ORDER BY … LIMIT k` over a
+    * wide scan — fire with a vacuous TRUE condition: the reference's
+    * host rewrite pays here identically (the narrow sort + O(k) wide
+    * fetch is the benefit; the filter is incidental). Yields
+    * (k, output contract, order, condition, relation).
+    */
+  private object SortLimitScan {
+    private def attrsOnly(pl: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+        : Option[Seq[AttributeReference]] =
+      if (pl.forall(_.isInstanceOf[AttributeReference]))
+        Some(pl.map(_.asInstanceOf[AttributeReference]))
+      else None
+
+    def unapply(plan: LogicalPlan): Option[(Int, Seq[AttributeReference],
+        Seq[SortOrder], Expression, DataSourceV2Relation)] = plan match {
+      case Limit(IntegerLiteral(k), below) =>
+        val (outOpt, sortPlan) = below match {
+          case Project(pl, s: Sort) => (attrsOnly(pl).map(Some(_)), s)
+          case s: Sort              => (Some(None), s)
+          case _                    => (None, null)
+        }
+        outOpt match {
+          case Some(topOut) => sortPlan match {
+            case Sort(order, true, child, _) =>
+              val (midOpt, rest) = child match {
+                case Project(pl, c) => (attrsOnly(pl).map(Some(_)), c)
+                case c              => (Some(None), c)
+              }
+              midOpt match {
+                case Some(mid) =>
+                  val (cond, relPlan) = rest match {
+                    case Filter(f, r) => (f, r)
+                    case r            => (Literal.TrueLiteral: Expression, r)
+                  }
+                  relPlan match {
+                    case rel: DataSourceV2Relation =>
+                      val out = topOut.orElse(mid).getOrElse(rel.output)
+                      Some((k, out, order, cond, rel))
+                    case _ => None
+                  }
+                case None => None
+              }
+            case _ => None
+          }
+          case None => None
+        }
+      case _ => None
+    }
   }
 
   private def wideTable(rel: DataSourceV2Relation): Option[MailboxTable] =
@@ -134,11 +180,16 @@ object AutoLateMaterialization extends Rule[LogicalPlan] {
     def toNarrow(e: Expression): Expression = e.transform {
       case a: Attribute => remap.getOrElse(a, a)
     }
+    // a vacuous condition (the Filter-less patterns) adds no Filter
+    // node — a Filter(true) would survive this late optimizer batch
+    val narrowChild =
+      if (cond == Literal.TrueLiteral) narrowRel
+      else Filter(toNarrow(cond), narrowRel)
     val narrowSorted = Sort(
       order.map(so =>
         so.copy(child = toNarrow(so.child), sameOrderExpressions = Nil)),
       global = true,
-      Filter(toNarrow(cond), narrowRel))
+      narrowChild)
     val winners = Project(virtNarrow, Limit(Literal(k), narrowSorted))
     val joinCond = virtNarrow.zip(virtWide)
       .map { case (n, w) => EqualTo(n, w): Expression }

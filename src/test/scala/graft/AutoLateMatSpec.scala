@@ -114,6 +114,59 @@ class AutoLateMatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 2L)
   }
 
+  test("filter-less sort+limit over the wide scan rewrites too") {
+    val df = Mailbox
+      .messages(spark, box)
+      .orderBy("subject")
+      .limit(2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("__node_id") && p.contains("__partition"), p)
+    assert(scans(p) === 2, s"expected narrow + wide scans:\n$p")
+    // the 2 smallest subjects, with or without the rewrite (nulls
+    // sort first on ASC — map to "" for the driver-side comparison)
+    val got = df.select("subject").collect()
+      .map(r => Option(r.getString(0)).getOrElse("")).sorted
+    val want = Mailbox.messages(spark, box)
+      .select("subject").collect()
+      .map(r => Option(r.getString(0)).getOrElse("")).sorted.take(2)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("filter-less sort+limit with a pruning projection rewrites (Project form)") {
+    val df = Mailbox
+      .messages(spark, box)
+      .orderBy("subject", "node_id")
+      .limit(2)
+      .select("node_id", "subject", "sender_name", "message_class",
+        "message_size", "conversation_topic", "sender_email_address",
+        "internet_message_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(scans(p) === 2, s"expected narrow + wide scans:\n$p")
+  }
+
+  test("filter-less narrow projection still declines (rejoin would not pay)") {
+    val df = Mailbox
+      .messages(spark, box)
+      .select("node_id", "subject")
+      .orderBy("subject")
+      .limit(2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(scans(p) === 1, p)
+  }
+
+  test("q_latemat_auto_nofilter registry query: rejoin in plan, 4 rows out") {
+    val df = SparkEntry.queries("q_latemat_auto_nofilter")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("__node_id"), p)
+    assert(scans(p) === 2, p)
+    assert(df.count() === 4L)
+  }
+
   test("q_latemat_auto registry query: rejoin in plan, 3 rows out") {
     val df = SparkEntry.queries("q_latemat_auto")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
