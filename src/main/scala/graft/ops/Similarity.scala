@@ -1017,8 +1017,9 @@ object Similarity {
   )
 
   /** q_ann_recall — the evaluation harness for the approximate search
-    * paths: recall@3 of each ANN method (sign-LSH, SQ8, PQ) against the
-    * exact brute-force top-3, as (method, n_hits, recall_at_3) rows.
+    * paths: recall@3 of each ANN method (sign-LSH, multi-probe LSH,
+    * SQ8, PQ, IVF-PQ, and binary-Hamming) against the exact
+    * brute-force top-3, as (method, n_hits, recall_at_3) rows.
     * Composed directly from the SAME query definitions the registry
     * serves (Spark side calls the Q functions; the oracle nests the Q
     * oracle SQL as subqueries), so the measured recall is exactly the
@@ -1028,7 +1029,13 @@ object Similarity {
     * their entries); the comparison joins are per-query top-k sets —
     * k×#queries rows, trivially broadcast.
     */
-  val qAnnRecall = Q(
+  // lazy: the eagerly-built oracle SQL nests qAnnHamming's oracle,
+  // which is declared LATER in this object — eager init here would
+  // read its helper vals (Dim, binSigSql, …) before they exist and
+  // silently bake a degenerate oracle (caught by the sf0.01 sweep:
+  // Dim interpolated as 0 → every oracle Hamming distance 0). The
+  // end-of-object `all` Seq forces this after every dependency.
+  lazy val qAnnRecall = Q(
     "q_ann_recall",
     (s, d) => {
       def top3(df: DataFrame): DataFrame =
@@ -1047,6 +1054,7 @@ object Similarity {
         .unionByName(row("pq", qAnnPq.fn(s, d)))
         .unionByName(row("sq8", qAnnSq8.fn(s, d)))
         .unionByName(row("ivfpq", qAnnIvfPq.fn(s, d)))
+        .unionByName(row("ham", qAnnHamming.fn(s, d)))
         .orderBy("method")
     },
     Some {
@@ -1067,7 +1075,9 @@ object Similarity {
          |UNION ALL
          |${row("sq8", qAnnSq8.oracle.get)}
          |UNION ALL
-         |${row("ivfpq", qAnnIvfPq.oracle.get)})
+         |${row("ivfpq", qAnnIvfPq.oracle.get)}
+         |UNION ALL
+         |${row("ham", qAnnHamming.oracle.get)})
          |ORDER BY method""".stripMargin
     }
   )

@@ -1006,6 +1006,18 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_ann_recall covers every compression rung including binary Hamming") {
+    val rows = SparkEntry.queries("q_ann_recall")(spark, sf).collect()
+    val methods = rows.map(_.getAs[String]("method")).sorted
+    assert(methods.toSeq ===
+      Seq("ham", "ivfpq", "lsh", "lsh_mp", "pq", "sq8"))
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_3")
+      assert(rec >= 0.0 && rec <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_hits") === math.round(rec * 24), r.toString)
+    }
+  }
+
   test("q_sql_local_supply: the lineitem fact never enters a shuffle") {
     // the hinted CTE form must keep every join broadcast — the only
     // exchanges are the 6-row aggregate and the output sort
