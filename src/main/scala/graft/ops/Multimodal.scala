@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   * video as opaque binary columns with typed metadata, decode/feature-
   * extraction behind a pluggable stub.
   *
-  * The container has no media libraries, so the decode step is a
-  * deterministic fake ([[StubMediaDecoder]]) — but the Spark-side
-  * plumbing is real: a binary payload column, a typed metadata struct,
-  * batch-shaped `mapPartitions` feature extraction over a case-class
-  * Dataset, and partition-friendly schemas. Swap the decoder trait for
-  * a real JNI/FFmpeg/PIL-backed implementation at deployment.
+  * The container has no media libraries, so the generic triad's
+  * decode step is a deterministic fake ([[StubMediaDecoder]]) — but
+  * the Spark-side plumbing is real: a binary payload column, a typed
+  * metadata struct, batch-shaped `mapPartitions` feature extraction
+  * over a case-class Dataset, and partition-friendly schemas. For the
+  * formats simple enough to parse honestly in pure JVM code, the
+  * decode IS real: [[qMediaWavRoundtrip]] and [[qMediaBmpRoundtrip]]
+  * encode genuine WAV/BMP files and re-derive every output field by
+  * parsing the bytes back ([[MediaCodec]]). Swap the decoder trait
+  * for a JNI/FFmpeg/PIL-backed implementation for the rest at
+  * deployment.
   *
   * Oracle strategy: DuckDB's md5 only accepts VARCHAR, so every value
   * the oracle compares is derived from the text payload; Spark routes
@@ -280,7 +285,125 @@ object Multimodal {
     )
   )
 
+  /** q_media_wav_roundtrip — REAL decoder over real bytes: each
+    * "audio" asset is rendered as a genuine PCM16 WAV file (RIFF +
+    * fmt + data, [[MediaCodec.encodeWavPcm16Mono]]) whose samples
+    * and rate derive from closed-form integer arithmetic, and the
+    * decoded facts come ONLY from parsing those bytes back
+    * ([[MediaCodec.decodeWav]]: magic check, chunk walk, fmt field
+    * extraction, little-endian int16 frame decode). The oracle
+    * recomputes every field from the generating parameters — a
+    * header-layout or endianness bug in either codec breaks the
+    * hash. Sample rate alternates 8/16 kHz so the rate field is
+    * PARSED, not assumed.
+    *
+    * 100 TB shape: encode+decode run inside one `mapPartitions` over
+    * the pruned (doc_id) column — map-only, no shuffle before the
+    * output sort, payload bytes never leave the task (the justified
+    * opaque-codec boundary, same as q_media_features).
+    */
+  val qMediaWavRoundtrip = Q(
+    "q_media_wav_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 1) // the "audio" assets
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n    = (160 + id % 320).toInt
+            val rate = if (id % 2 == 0) 8000 else 16000
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort)
+            val wav  = MediaCodec.encodeWavPcm16Mono(samples, rate)
+            val info = MediaCodec.decodeWav(wav)
+            (id, wav.length.toLong, info.sample_rate, info.n_channels,
+              info.bits_per_sample, info.n_samples, info.duration_us,
+              info.peak, info.energy)
+          }
+        }
+        .toDF("doc_id", "file_bytes", "sample_rate", "n_channels",
+          "bits_per_sample", "n_samples", "duration_us", "peak", "energy")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT doc_id, 160 + doc_id % 320 AS n,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT doc_id, n, rate,
+        |    list_transform(range(0, n),
+        |      i -> ((doc_id * 31 + i * 17) % 65536) - 32768) AS smp
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(44 + 2 * n AS BIGINT) AS file_bytes,
+        |  CAST(rate AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS n_channels,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak,
+        |  CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT)
+        |    AS energy
+        |FROM s ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_media_bmp_roundtrip — the image sibling: each "image" asset is
+    * rendered as a genuine 24-bit bottom-up BMP
+    * ([[MediaCodec.encodeBmp24]]: BITMAPINFOHEADER, 4-byte row-stride
+    * padding) and decoded back by [[MediaCodec.decodeBmp]]. The two
+    * sums pin the structure a naive parser gets wrong: `pix_sum`
+    * breaks iff stride padding leaks into the pixels, and
+    * `first_row_sum` (the logical TOP row) breaks iff bottom-up row
+    * storage is mishandled.
+    *
+    * 100 TB shape: identical to the WAV round-trip — one map-only
+    * `mapPartitions` over (doc_id, n_chars), no shuffle before the
+    * output sort.
+    */
+  val qMediaBmpRoundtrip = Q(
+    "q_media_bmp_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the "image" assets
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nc) =>
+            val w = (1 + nc % 16).toInt
+            val h = (1 + (nc * 7) % 16).toInt
+            val bmp = MediaCodec.encodeBmp24(w, h,
+              k => ((k.toLong * 37 + id) % 256).toInt)
+            val info = MediaCodec.decodeBmp(bmp)
+            (id, info.width, info.height, info.bpp, info.file_size,
+              info.pix_sum, info.first_row_sum)
+          }
+        }
+        .toDF("doc_id", "width", "height", "bpp", "file_size",
+          "pix_sum", "first_row_sum")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT doc_id, 1 + n_chars % 16 AS w,
+        |    1 + (n_chars * 7) % 16 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id,
+        |  CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(24 AS INT) AS bpp,
+        |  CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS file_size,
+        |  CAST(list_sum(list_transform(range(0, w * h * 3),
+        |    k -> (k * 37 + doc_id) % 256)) AS BIGINT) AS pix_sum,
+        |  CAST(list_sum(list_transform(range(0, w * 3),
+        |    k -> (k * 37 + doc_id) % 256)) AS BIGINT) AS first_row_sum
+        |FROM a ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qMediaMetadata, qMediaFeatures, qMediaFrames, qMediaFrameDedup,
-      qMediaAudioWindows)
+      qMediaAudioWindows, qMediaWavRoundtrip, qMediaBmpRoundtrip)
 }
