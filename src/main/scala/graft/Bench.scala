@@ -49,6 +49,19 @@ object Bench {
     def run(q: Q, dir: String): Unit =
       q.fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // opt-in tail diagnostics (SPARK_GRAFT_TASKSTATS=1): per timed run,
+    // total task GC time and the longest single task — distinguishes a
+    // GC/contention burst (gc spike, flat max task) from a real plan
+    // skew (one task dominating) when a run is a 3–10× outlier. Not
+    // part of the driver JSON contract; the extra key appears only
+    // when the env var is set.
+    val taskStats =
+      if (sys.env.get("SPARK_GRAFT_TASKSTATS").contains("1")) {
+        val l = new TaskStatListener
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
+
     // default: the headline set (driver contract); args name specific
     // registry queries for ad-hoc local timing
     val bench =
@@ -78,16 +91,24 @@ object Bench {
     final case class R(name: String, runs: Seq[Double], err: Option[String]) {
       def median: Double = runs.sorted.apply(runs.length / 2)
     }
+    val statRows = scala.collection.mutable.Map
+      .empty[String, Vector[(Double, Double, Long)]] // (gc_s, maxTask_s, nTasks)
     /** Round-robin interleaved timing (see header comment). */
     def timePasses(qs: Seq[Q], passes: Int): Seq[R] = {
       val times = Array.fill(qs.length)(Vector.empty[Double])
       val errs  = Array.fill[Option[String]](qs.length)(None)
       for (_ <- 0 until passes) {
         for ((q, i) <- qs.zipWithIndex) {
+          taskStats.foreach(_.reset())
           val t0 = System.nanoTime()
           try run(q, sfDir)
           catch { case t: Throwable => errs(i) = Some(t.toString.take(200)) }
           times(i) :+= (System.nanoTime() - t0) / 1e9
+          taskStats.foreach { l =>
+            val (gc, mx, n) = l.snapshot()
+            statRows(q.name) = statRows.getOrElse(q.name, Vector.empty) :+
+              ((gc / 1e3, mx / 1e3, n))
+          }
         }
         System.gc()
       }
@@ -109,11 +130,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val total  = results.filter(_.err.isEmpty).map(_.median).sum
     val total2 = results2.filter(_.err.isEmpty).map(_.median).sum
+    val statsJson = taskStats.map { _ =>
+      val body = statRows.toSeq.sortBy(_._1).map { case (n, rows) =>
+        "\"" + n + "\":[" + rows.map { case (gc, mx, nt) =>
+          s"[${fmt(gc)},${fmt(mx)},$nt]"
+        }.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s""","taskstats":$body"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":${medians(results)},"runs":${spreads(results)},""" +
         s""""tier2_total":${fmt(total2)},"queries_tier2":${medians(results2)},""" +
-        s""""runs_tier2":${spreads(results2)},"failed":$failed,"sf":"$sfDir"}"""
+        s""""runs_tier2":${spreads(results2)},"failed":$failed$statsJson,"sf":"$sfDir"}"""
     println(json)
     // the driver's BENCH_r{N}.json tail truncates at 2000 chars; the
     // full artifact (every median + per-run spread) is also written to
@@ -126,6 +155,37 @@ object Bench {
       System.err.println(s"bench artifact write failed: $t") }
     spark.stop()
     if ((results ++ results2).exists(_.err.isDefined)) sys.exit(1)
+  }
+
+  /** Accumulates task GC time and the longest single task between
+    * [[reset]] and [[snapshot]]. Listener delivery is async, so
+    * snapshot() first waits (bounded) for the task count to settle.
+    */
+  private final class TaskStatListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private var gcMs = 0L
+    private var maxTaskMs = 0L
+    private var tasks = 0L
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized {
+        if (te.taskMetrics != null) gcMs += te.taskMetrics.jvmGCTime
+        if (te.taskInfo != null) {
+          maxTaskMs = math.max(maxTaskMs, te.taskInfo.duration)
+          tasks += 1
+        }
+      }
+    def reset(): Unit = synchronized { gcMs = 0; maxTaskMs = 0; tasks = 0 }
+    def snapshot(): (Long, Long, Long) = {
+      var last = -1L; var settled = 0
+      val deadline = System.nanoTime() + 500000000L // ≤ 500 ms drain
+      while (settled < 2 && System.nanoTime() < deadline) {
+        val cur = synchronized(tasks)
+        if (cur == last) settled += 1 else { settled = 0; last = cur }
+        Thread.sleep(25)
+      }
+      synchronized((gcMs, maxTaskMs, tasks))
+    }
   }
 
   private def fmt(d: Double): String = BigDecimal(d)

@@ -125,6 +125,32 @@ object MediaCodec {
     info.getOrElse(throw new IllegalArgumentException("no data chunk"))
   }
 
+  /** The raw int16 frames of the data chunk, via the same chunk walk
+    * as [[decodeWav]] — for feature extraction over decoded samples
+    * (zero-crossing rate, silence runs) rather than summary stats.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Short] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag4(off: Int): String = new String(bytes, off, 4, "ASCII")
+    require(bytes.length >= 12 && tag4(0) == "RIFF" && tag4(8) == "WAVE",
+      "not a RIFF/WAVE file")
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id   = tag4(off)
+      val size = buf.getInt(off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"chunk '$id' overruns the file")
+      if (id == "data") {
+        val out = new Array[Short](size / 2)
+        var i = 0
+        while (i < out.length) { out(i) = buf.getShort(off + 8 + 2 * i); i += 1 }
+        return out
+      }
+      off += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException("no data chunk")
+  }
+
   // ───────────────────────── BMP ─────────────────────────
 
   /** Decoded facts about a BMP, derived ONLY from the bytes. The two
@@ -206,5 +232,34 @@ object MediaCodec {
       logicalRow += 1
     }
     BmpInfo(width, height, bpp, fileSize, pixSum, firstRowSum)
+  }
+
+  /** The LOGICAL top-down pixel byte stream (stride padding stripped,
+    * bottom-up storage unwound) — for per-channel feature extraction
+    * over decoded pixels.
+    */
+  def decodeBmpPixels(bytes: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP file")
+    val pixOff    = buf.getInt(10)
+    val width     = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp       = buf.getShort(28) & 0xffff
+    require(bpp == 24, s"only 24-bit BMP supported, got $bpp")
+    val height   = math.abs(rawHeight)
+    val bottomUp = rawHeight > 0
+    val stride   = ((3 * width + 3) / 4) * 4
+    require(pixOff + stride.toLong * height <= bytes.length,
+      "pixel array overruns the file")
+    val out = new Array[Byte](3 * width * height)
+    var logicalRow = 0
+    while (logicalRow < height) {
+      val storedRow = if (bottomUp) height - 1 - logicalRow else logicalRow
+      System.arraycopy(bytes, pixOff + storedRow * stride,
+        out, logicalRow * 3 * width, 3 * width)
+      logicalRow += 1
+    }
+    out
   }
 }

@@ -403,7 +403,153 @@ object Multimodal {
     )
   )
 
+  /** q_media_channel_stats — per-channel feature extraction over REAL
+    * decoded pixels: each "image" asset's BMP (same closed-form
+    * generation as [[qMediaBmpRoundtrip]]) is decoded back to its
+    * logical pixel stream ([[MediaCodec.decodeBmpPixels]] — padding
+    * stripped, bottom-up unwound) and reduced to per-channel (B, G, R)
+    * byte sums and a ppm-quantized channel mean — the
+    * channel-imbalance statistic an image-curation pass uses to drop
+    * monochrome/degenerate assets before a vision encoder sees them.
+    * Any pixel-order or padding bug shifts bytes between channels and
+    * breaks the hash.
+    *
+    * 100 TB shape: map-only mapPartitions (encode+decode inside the
+    * task), 4 small columns out, one output-sort exchange.
+    */
+  val qMediaChannelStats = Q(
+    "q_media_channel_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the "image" assets
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nc) =>
+            val w = (1 + nc % 16).toInt
+            val h = (1 + (nc * 7) % 16).toInt
+            val bmp = MediaCodec.encodeBmp24(w, h,
+              k => ((k.toLong * 37 + id) % 256).toInt)
+            val pix = MediaCodec.decodeBmpPixels(bmp)
+            val sums = Array.fill(3)(0L)
+            var k = 0
+            while (k < pix.length) { sums(k % 3) += pix(k) & 0xff; k += 1 }
+            val n = (pix.length / 3).toLong
+            (id, sums(0), sums(1), sums(2),
+              sums(0) * 1000000L / (255L * n),
+              sums(1) * 1000000L / (255L * n),
+              sums(2) * 1000000L / (255L * n))
+          }
+        }
+        .toDF("doc_id", "b_sum", "g_sum", "r_sum",
+          "b_mean_ppm", "g_mean_ppm", "r_mean_ppm")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT doc_id, 1 + n_chars % 16 AS w,
+        |    1 + (n_chars * 7) % 16 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ch AS (
+        |  SELECT doc_id, w * h AS n,
+        |    list_sum(list_transform(range(0, w * h), p ->
+        |      (p * 3 * 37 + doc_id) % 256)) AS b_sum,
+        |    list_sum(list_transform(range(0, w * h), p ->
+        |      ((p * 3 + 1) * 37 + doc_id) % 256)) AS g_sum,
+        |    list_sum(list_transform(range(0, w * h), p ->
+        |      ((p * 3 + 2) * 37 + doc_id) % 256)) AS r_sum
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(b_sum AS BIGINT) AS b_sum,
+        |  CAST(g_sum AS BIGINT) AS g_sum,
+        |  CAST(r_sum AS BIGINT) AS r_sum,
+        |  CAST(b_sum * 1000000 // (255 * n) AS BIGINT) AS b_mean_ppm,
+        |  CAST(g_sum * 1000000 // (255 * n) AS BIGINT) AS g_mean_ppm,
+        |  CAST(r_sum * 1000000 // (255 * n) AS BIGINT) AS r_mean_ppm
+        |FROM ch ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_media_zero_crossings — signal-level feature extraction over
+    * REAL decoded PCM frames: each "audio" asset's WAV (same
+    * closed-form samples as [[qMediaWavRoundtrip]]) is decoded back
+    * to its int16 frames ([[MediaCodec.decodeWavSamples]]) and
+    * reduced to the zero-crossing count (s_i·s_{i+1} < 0 — the
+    * classic cheap voicing/noisiness discriminator ASR curation uses)
+    * and the longest sub-threshold "silence" run (|s| < 8192), the
+    * trim-detection statistic. Pure integer decisions on decoded
+    * values — an endianness or frame-alignment bug flips them.
+    *
+    * 100 TB shape: map-only mapPartitions, 3 small columns out, one
+    * output-sort exchange.
+    */
+  val qMediaZeroCrossings = Q(
+    "q_media_zero_crossings",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 1) // the "audio" assets
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n    = (160 + id % 320).toInt
+            val rate = if (id % 2 == 0) 8000 else 16000
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort)
+            val smp = MediaCodec.decodeWavSamples(
+              MediaCodec.encodeWavPcm16Mono(samples, rate))
+            var zc = 0L; var run = 0L; var maxRun = 0L
+            var i = 0
+            while (i < smp.length) {
+              if (i > 0 && smp(i - 1).toLong * smp(i).toLong < 0) zc += 1
+              if (math.abs(smp(i).toInt) < 8192) {
+                run += 1; if (run > maxRun) maxRun = run
+              } else run = 0
+              i += 1
+            }
+            (id, smp.length.toLong, zc, maxRun)
+          }
+        }
+        .toDF("doc_id", "n_samples", "zero_crossings", "max_quiet_run")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT doc_id, 160 + doc_id % 320 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, n),
+        |      i -> ((doc_id * 31 + i * 17) % 65536) - 32768) AS smp
+        |  FROM a),
+        |zc AS (
+        |  SELECT doc_id, n,
+        |    list_sum(list_transform(range(1, n),
+        |      i -> CASE WHEN smp[i] * smp[i + 1] < 0
+        |        THEN 1 ELSE 0 END)) AS zero_crossings,
+        |    smp
+        |  FROM s),
+        |runs AS (
+        |  -- longest sub-threshold run: for each start i, the run is
+        |  -- maximal when position i starts a quiet stretch; bounded
+        |  -- n² list arithmetic is fine at n ≤ 480
+        |  SELECT doc_id, n, zero_crossings,
+        |    coalesce(list_max(list_transform(range(1, n + 1), i ->
+        |      CASE WHEN abs(smp[i]) < 8192
+        |        AND (i = 1 OR abs(smp[i - 1]) >= 8192)
+        |      THEN coalesce(list_min(list_filter(range(i, n + 1),
+        |          j -> abs(smp[j]) >= 8192)), n + 1) - i
+        |      ELSE 0 END)), 0) AS max_quiet_run
+        |  FROM zc)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(zero_crossings AS BIGINT) AS zero_crossings,
+        |  CAST(max_quiet_run AS BIGINT) AS max_quiet_run
+        |FROM runs ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qMediaMetadata, qMediaFeatures, qMediaFrames, qMediaFrameDedup,
-      qMediaAudioWindows, qMediaWavRoundtrip, qMediaBmpRoundtrip)
+      qMediaAudioWindows, qMediaWavRoundtrip, qMediaBmpRoundtrip,
+      qMediaChannelStats, qMediaZeroCrossings)
 }

@@ -264,6 +264,107 @@ object Safety {
     )
   )
 
+  /** q_t_closeness — the distribution-skew audit that completes the
+    * k-anonymity → l-diversity ladder (Li, Li & Venkatasubramanian,
+    * ICDE 2007): l-diversity only counts DISTINCT sensitive values
+    * per equivalence class, so a class can pass while its value
+    * DISTRIBUTION still leaks (99% one diagnosis, 1% two others).
+    * t-closeness bounds the distance between each class's sensitive
+    * distribution and the global one; with the equal-distance ground
+    * metric that distance is the variational distance
+    * ½·Σ_v |p_v − q_v|. Classes are the same QI cells as
+    * q_l_diversity ((user_id mod 50, day)); the sensitive attribute
+    * is event_type; threshold t = 0.3.
+    *
+    * Exactness: fractions never materialize — the distance is the
+    * cross-multiplied integer form Σ_v |cnt_v·N − g_v·sz| over
+    * PRESENT values plus sz·(N − Σ_present g_v) for the class's
+    * ABSENT values (each contributes |0 − q_v|), then ppm-quantized
+    * by the exact BIGINT division t_ppm = num·10⁶ div (2·sz·N). Both
+    * engines do identical integer arithmetic; bound: num ≤ 2·sz·N ≤
+    * 2·N², so ppm scaling stays inside int64 up to N ≈ 3·10⁹ events
+    * per audit scope (shard the audit by day/tenant past that).
+    *
+    * 100 TB shape: two partial-aggregated shuffles over (QI, type)
+    * cells and one co-keyed join of cells to class sizes — payload
+    * is counts only; the global distribution (|types| rows)
+    * broadcasts. Final rollup is O(days).
+    */
+  val qTCloseness = Q(
+    "q_t_closeness",
+    (s, d) => {
+      val tPpm = 300000L // t = 0.3
+      val ev = Tables.events(s, d)
+        .select((col("user_id") % 50).as("ub"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          col("event_type"))
+      val global = ev.groupBy("event_type").agg(count(lit(1)).as("g"))
+      val nTot = ev.agg(count(lit(1)).as("n"))
+      val cells = ev.groupBy("ub", "day", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val sz = cells.groupBy("ub", "day").agg(sum(col("cnt")).as("sz"))
+      val perClass = cells
+        .join(sz, Seq("ub", "day"))
+        .join(broadcast(global), "event_type")
+        .crossJoin(broadcast(nTot))
+        .groupBy("ub", "day", "sz", "n")
+        .agg(
+          sum(abs(col("cnt") * col("n") - col("g") * col("sz")))
+            .as("present_num"),
+          sum(col("g")).as("g_present"))
+        .select(col("ub"), col("day"), col("sz"),
+          (col("present_num") +
+            col("sz") * (col("n") - col("g_present"))).as("t_num"),
+          col("n"))
+        .withColumn("t_ppm",
+          expr("t_num * 1000000 div (2 * sz * n)"))
+      perClass.groupBy("day")
+        .agg(count(lit(1)).as("n_classes"),
+          max(col("t_ppm")).as("max_t_ppm"),
+          sum(when(col("t_ppm") > tPpm, 1L).otherwise(0L))
+            .as("violating_classes"),
+          sum(when(col("t_ppm") > tPpm, col("sz")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(col("sz")).as("n_rows"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT user_id % 50 AS ub, date_trunc('day', ts) AS day,
+        |    event_type
+        |  FROM events),
+        |global AS (SELECT event_type, count(*) AS g FROM ev GROUP BY 1),
+        |nt AS (SELECT count(*) AS n FROM ev),
+        |cells AS (
+        |  SELECT ub, day, event_type, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2, 3),
+        |szs AS (SELECT ub, day, sum(cnt) AS sz FROM cells GROUP BY 1, 2),
+        |per AS (
+        |  SELECT c.ub, c.day, CAST(s.sz AS BIGINT) AS sz,
+        |    CAST(nt.n AS BIGINT) AS n,
+        |    CAST(sum(abs(c.cnt * nt.n - global.g * s.sz)) AS BIGINT)
+        |      AS present_num,
+        |    CAST(sum(global.g) AS BIGINT) AS g_present
+        |  FROM cells c
+        |  JOIN szs s ON c.ub = s.ub AND c.day = s.day
+        |  JOIN global USING (event_type), nt
+        |  GROUP BY 1, 2, 3, 4),
+        |cls AS (
+        |  SELECT ub, day, sz,
+        |    (present_num + sz * (n - g_present)) * 1000000
+        |      // (2 * sz * n) AS t_ppm
+        |  FROM per)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(max(t_ppm) AS BIGINT) AS max_t_ppm,
+        |  CAST(sum(CASE WHEN t_ppm > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violating_classes,
+        |  CAST(sum(CASE WHEN t_ppm > 300000 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows
+        |FROM cls GROUP BY day ORDER BY day""".stripMargin
+    )
+  )
+
   /** q_dp_contribution — per-user contribution bounding, the
     * sensitivity-control step every differentially-private release
     * runs BEFORE adding noise (DP-SQL / Wilson et al., VLDB 2020):
@@ -494,5 +595,5 @@ object Safety {
   )
 
   val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity, qLDiversity,
-    qDpContribution, qDpReleaseSim, qPiiLuhn)
+    qTCloseness, qDpContribution, qDpReleaseSim, qPiiLuhn)
 }

@@ -651,8 +651,99 @@ object Stats {
     )
   )
 
+  /** q_trend_test — the Mann-Kendall monotone-trend test (Mann 1945;
+    * Kendall 1975), the nonparametric drift detector dashboards run
+    * on daily series because it needs no distribution assumption and
+    * is exact on ties: per event_type, over the DAILY event-count
+    * series, S = Σ_{i<j} sign(c_j − c_i), the tie-corrected variance
+    * numerator 18·Var(S) = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5), and
+    * Kendall's tau ppm-quantized as S·10⁶ div (n(n−1)/2). Every
+    * quantity is exact BIGINT arithmetic — no doubles anywhere, so
+    * both engines agree bit-for-bit; the z-score (S/√Var) is left to
+    * the consumer because √ is the one step that is display-side.
+    *
+    * 100 TB shape: ONE corpus shuffle (events partial-aggregate to
+    * (type, day) counts); the pairwise sign sum is a self-join over
+    * the DAILY frame — O(types·days²) on a frame of O(types·days)
+    * rows, thousands of rows at any corpus size since days are
+    * calendar-bounded. The tie correction is a second aggregate over
+    * the same tiny frame.
+    */
+  val qTrendTest = Q(
+    "q_trend_test",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val a = daily.select(col("event_type"), col("day").as("d1"),
+        col("c").as("c1"))
+      val b = daily.select(col("event_type"), col("day").as("d2"),
+        col("c").as("c2"))
+      val sStat = a.join(b, Seq("event_type"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("event_type")
+        .agg(sum(when(col("c2") > col("c1"), 1L)
+          .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s_stat"))
+      val nDays = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy("event_type", "c")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_corr"))
+      sStat.join(nDays, "event_type").join(ties, "event_type")
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+            - col("tie_corr")).as("var18"),
+          // sign × magnitude: integer division of a NEGATIVE numerator
+          // truncates in Spark but floors in some engines — divide the
+          // absolute value and re-apply the sign so both agree
+          expr("(CASE WHEN s_stat < 0 THEN -1 ELSE 1 END) * " +
+            "(abs(s_stat) * 1000000 div (n_days * (n_days - 1) div 2))")
+            .as("tau_ppm"))
+        .withColumn("direction",
+          when(col("s_stat") > 0, lit("up"))
+            .when(col("s_stat") < 0, lit("down")).otherwise(lit("flat")))
+        .orderBy("event_type")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |      WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |nd AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+        |  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT s.event_type, nd.n_days, s.s_stat,
+        |  CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+        |    - ties.tie_corr AS BIGINT) AS var18,
+        |  CAST((CASE WHEN s.s_stat < 0 THEN -1 ELSE 1 END)
+        |    * (abs(s.s_stat) * 1000000
+        |       // (nd.n_days * (nd.n_days - 1) // 2)) AS BIGINT)
+        |    AS tau_ppm,
+        |  CASE WHEN s.s_stat > 0 THEN 'up'
+        |       WHEN s.s_stat < 0 THEN 'down' ELSE 'flat' END AS direction
+        |FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
+        |ORDER BY event_type""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
-      qWeightedMedian, qMadOutliers, qBootstrapCi)
+      qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest)
 }

@@ -120,6 +120,21 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeWavSamples returns the exact frames, skipping unknown chunks") {
+    assert(MediaCodec.decodeWavSamples(handWav()).toSeq ===
+      Seq[Short](1000, -2000, 32767, -32768))
+    val withList = MediaCodec.encodeWavPcm16Mono(Array[Short](3, -4), 8000,
+      extraChunk = Some(("LIST", Array[Byte](9, 9, 9))))
+    assert(MediaCodec.decodeWavSamples(withList).toSeq === Seq[Short](3, -4))
+  }
+
+  test("decodeBmpPixels unwinds bottom-up rows and strips padding") {
+    assert(MediaCodec.decodeBmpPixels(handBmp()).toSeq ===
+      (1 to 12).map(_.toByte))
+    assert(MediaCodec.decodeBmpPixels(handBmp(height = -2)).toSeq ===
+      (1 to 12).map(_.toByte))
+  }
+
   test("encodeWavPcm16Mono emits the published 44-byte header layout") {
     val wav = MediaCodec.encodeWavPcm16Mono(Array[Short](1, 2), 16000)
     val b = ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
