@@ -935,9 +935,105 @@ object TextOps {
     }
   )
 
+  /** q_span_corruption — T5-style span corruption bookkeeping (Raffel
+    * et al., JMLR 2020), completing the denoising-augmentation family
+    * next to BERT-style [[qAugmentMask]] and [[qFimSplit]]: token
+    * position p STARTS a span when its derandomized u32 draw
+    * (md5(doc_id#p), the repo convention) lands in the 5% start band,
+    * with span length 1 + (u32 div 1000) mod 5 ∈ [1,5]; a token is
+    * corrupted when ANY span covers it (overlaps merge into maximal
+    * runs, exactly like the reference implementation's greedy merge).
+    * Emitted per doc: token/masked/span counts and the derived
+    * encoder/decoder lengths — input = n − masked + spans (each run
+    * collapses to one sentinel), target = masked + spans (sentinel +
+    * span tokens per run) — the quantities a seq2seq packing planner
+    * budgets on. The label side is regenerable from doc_id alone, so
+    * targets are never stored.
+    *
+    * Exactness: coverage is pure integer interval logic; the only
+    * division (u32 div 1000) is floor on non-negatives, identical in
+    * both engines; mask_ppm is exact BIGINT division.
+    *
+    * 100 TB shape: map-only — tokenize, per-position hash arrays, an
+    * O(5) bounded lookback per token, all inside one projection; no
+    * shuffle below the harness sort.
+    */
+  val qSpanCorruption = Q(
+    "q_span_corruption",
+    (s, d) => {
+      def u(p: Column) = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit("#"), p.cast("string"))),
+        1, 8), 16, 10).cast("long")
+      val toks = wsTokens(col("text"))
+      val base = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) > 0)
+        .withColumn("n", size(col("t")))
+        .withColumn("st", transform(sequence(lit(1), col("n")),
+          p => u(p) % 1000 < 50))
+        .withColumn("ln", transform(sequence(lit(1), col("n")),
+          p => (floor(u(p) / lit(1000)) % 5 + 1).cast("int")))
+        .withColumn("m", transform(sequence(lit(1), col("n")), j =>
+          exists(sequence(greatest(j - 4, lit(1)), j), i =>
+            element_at(col("st"), i) &&
+              (j < i + element_at(col("ln"), i)))))
+      base
+        .withColumn("n_masked",
+          size(filter(col("m"), x => x)).cast("long"))
+        .withColumn("n_spans",
+          size(filter(sequence(lit(1), col("n")), j =>
+            element_at(col("m"), j) &&
+              (j === 1 || !element_at(col("m"), greatest(j - 1, lit(1))))))
+            .cast("long"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          col("n_masked"), col("n_spans"),
+          (col("n") - col("n_masked") + col("n_spans")).as("input_len"),
+          (col("n_masked") + col("n_spans")).as("target_len"))
+        .withColumn("mask_ppm",
+          expr("n_masked * 1000000 div n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val u = "(" + (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(p AS VARCHAR)), ${1 + k}, 1)) - 1) * $mult"
+      }.mkString(" + ") + ")"
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |arr AS (
+         |  SELECT doc_id, len(t) AS n,
+         |    list_transform(range(1, len(t) + 1), p ->
+         |      CASE WHEN $u % 1000 < 50 THEN 1 ELSE 0 END) AS st,
+         |    list_transform(range(1, len(t) + 1), p ->
+         |      1 + ($u // 1000) % 5) AS ln
+         |  FROM toks WHERE len(t) > 0),
+         |msk AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(1, n + 1), j ->
+         |      CASE WHEN len(list_filter(range(greatest(j - 4, 1), j + 1),
+         |        i -> st[i] = 1 AND j < i + ln[i])) > 0
+         |      THEN 1 ELSE 0 END) AS m
+         |  FROM arr),
+         |agg AS (
+         |  SELECT doc_id, n, CAST(list_sum(m) AS BIGINT) AS n_masked,
+         |    CAST(len(list_filter(range(1, n + 1), j ->
+         |      m[j] = 1 AND (j = 1 OR m[greatest(j - 1, 1)] = 0)))
+         |      AS BIGINT) AS n_spans
+         |  FROM msk)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_masked, n_spans,
+         |  CAST(n - n_masked + n_spans AS BIGINT) AS input_len,
+         |  CAST(n_masked + n_spans AS BIGINT) AS target_len,
+         |  CAST(n_masked * 1000000 // n AS BIGINT) AS mask_ppm
+         |FROM agg ORDER BY doc_id""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
       qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask,
-      qLabelNoise)
+      qLabelNoise, qSpanCorruption)
 }
