@@ -742,8 +742,75 @@ object Stats {
     )
   )
 
+  /** q_key_skew — the join-key skew audit run before picking a
+    * shuffle strategy (salt? AQE skew join? broadcast?): over the
+    * per-user event counts it reports the key count, total, the
+    * hottest key's share (ppm), the p99 per-key count (the exact
+    * order statistic), and the Gini concentration index in exact ppm
+    * form — gini = 2·Σ rank·cnt / (n·Σcnt) − (n+1)/n over counts
+    * sorted ascending, quantized as two exact BIGINT divisions (both
+    * engines truncate non-negative operands identically; numerator
+    * bound 2·10⁶·n·Σ needs n·Σ < 9·10¹², so shard the audit per
+    * tenant/day past ~10⁹ keys × 10⁴ events — stated, not silent).
+    *
+    * 100 TB shape: one corpus shuffle to per-key counts, then the
+    * rank is [[Distributed.globalRank0]]'s ranged two-pass form over
+    * the KEY frame — key cardinality is unbounded, so a plain
+    * `row_number() OVER (ORDER BY cnt)` would funnel every key
+    * through one task (the q_quantile_sketch lesson); the final
+    * rollup is one row.
+    */
+  val qKeySkew = Q(
+    "q_key_skew",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val (ranked, n, rc) = Distributed.globalRank0(
+        counts, Seq(col("cnt"), col("user_id")), "skew")
+      val agg = ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_events"),
+        max(col("cnt")).as("max_cnt"),
+        sum((col(rc) + 1L) * col("cnt")).as("num"))
+      val r99 = (99L * n + 99L) / 100L // exact ceil(0.99·n), both engines
+      val p99 = ranked.filter(col(rc) + 1L >= r99)
+        .agg(min(col("cnt")).as("p99_cnt"))
+      agg.crossJoin(broadcast(p99))
+        .select(col("n_keys"), col("total_events"), col("max_cnt"),
+          expr("max_cnt * 1000000 div total_events").as("top1_ppm"),
+          col("p99_cnt"),
+          expr("(2000000 * num) div (n_keys * total_events) " +
+            "- (1000000 * (n_keys + 1)) div n_keys").as("gini_ppm"))
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT)
+        |      AS rk
+        |  FROM c),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS total_events,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |    CAST(sum(rk * cnt) AS BIGINT) AS num
+        |  FROM r),
+        |p AS (
+        |  SELECT CAST(min(cnt) AS BIGINT) AS p99_cnt
+        |  FROM r, a WHERE rk >= (99 * a.n_keys + 99) // 100)
+        |SELECT n_keys, total_events, max_cnt,
+        |  CAST(max_cnt * 1000000 // total_events AS BIGINT) AS top1_ppm,
+        |  p99_cnt,
+        |  CAST((2000000 * num) // (n_keys * total_events)
+        |    - (1000000 * (n_keys + 1)) // n_keys AS BIGINT) AS gini_ppm
+        |FROM a, p""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
-      qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest)
+      qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest, qKeySkew)
 }

@@ -956,7 +956,12 @@ object TextOps {
     *
     * 100 TB shape: map-only — tokenize, per-position hash arrays, an
     * O(5) bounded lookback per token, all inside one projection; no
-    * shuffle below the harness sort.
+    * shuffle below the harness sort. The start/length arrays and the
+    * coverage mask each sit behind a 1-element explode barrier (the
+    * measured q_cdc_chunks technique): without it Catalyst inlines
+    * the array expressions into every element_at lambda and the
+    * per-position md5 scan reruns once per lookback probe —
+    * measured 160 s → ~1 s per bench pass at sf0.1.
     */
   val qSpanCorruption = Q(
     "q_span_corruption",
@@ -964,20 +969,25 @@ object TextOps {
       def u(p: Column) = conv(substring(md5(
         concat(col("doc_id").cast("string"), lit("#"), p.cast("string"))),
         1, 8), 16, 10).cast("long")
-      val toks = wsTokens(col("text"))
-      val base = Tables.documents(s, d)
+      val withArrays = Tables.documents(s, d)
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), toks.as("t"))
-        .filter(size(col("t")) > 0)
-        .withColumn("n", size(col("t")))
-        .withColumn("st", transform(sequence(lit(1), col("n")),
-          p => u(p) % 1000 < 50))
-        .withColumn("ln", transform(sequence(lit(1), col("n")),
-          p => (floor(u(p) / lit(1000)) % 5 + 1).cast("int")))
-        .withColumn("m", transform(sequence(lit(1), col("n")), j =>
-          exists(sequence(greatest(j - 4, lit(1)), j), i =>
-            element_at(col("st"), i) &&
-              (j < i + element_at(col("ln"), i)))))
+        .select(col("doc_id"), size(wsTokens(col("text"))).as("n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("n"),
+          explode(array(struct(
+            transform(sequence(lit(1), col("n")),
+              p => u(p) % 1000 < 50).as("st"),
+            transform(sequence(lit(1), col("n")),
+              p => (floor(u(p) / lit(1000)) % 5 + 1).cast("int"))
+              .as("ln")))).as("a"))
+        .select(col("doc_id"), col("n"),
+          col("a.st").as("st"), col("a.ln").as("ln"))
+      val base = withArrays
+        .select(col("doc_id"), col("n"),
+          explode(array(transform(sequence(lit(1), col("n")), j =>
+            exists(sequence(greatest(j - 4, lit(1)), j), i =>
+              element_at(col("st"), i) &&
+                (j < i + element_at(col("ln"), i)))))).as("m"))
       base
         .withColumn("n_masked",
           size(filter(col("m"), x => x)).cast("long"))
