@@ -809,8 +809,188 @@ object Stats {
     )
   )
 
+  /** q_auc — per-source ROC-AUC of a scorer against a binary label
+    * via the tie-corrected Mann-Whitney rank statistic (Hanley &
+    * McNeil 1982): with the score pre-aggregated per value into
+    * (pos p_v, neg q_v) counts, AUC·2PN = Σ_v p_v·(2·negBelow(v) +
+    * q_v) — each positive beats every lower-scored negative once and
+    * half-counts each same-score tie. Scorer = n_chars (a crude
+    * "longer is higher-quality" ranker), label = lang='en'; the
+    * output is the audit a curation pipeline runs on every candidate
+    * quality signal before gating on it.
+    *
+    * Cross-engine exactness: counts are BIGINT; the pair products are
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) because 2·P·N overflows
+    * int64 once a source holds ≳2³¹ docs — Spark would silently wrap
+    * where DuckDB raises (the contrastive-pairs lesson); auc_ppm is
+    * one exact integral division on both engines (`div` on decimals
+    * returns BIGINT; `//` on HUGEINT is exact floor for non-negative
+    * operands). Sources with no positives or no negatives (AUC
+    * undefined) are excluded on both sides.
+    *
+    * 100 TB shape: one corpus shuffle to the (source, score) count
+    * frame; the per-source running negative count is
+    * [[Distributed.globalCumSum]]'s ranged two-pass prefix sum over
+    * the TOTAL (source, score) order minus each source's broadcast
+    * offset (the q_quantile_sketch pattern — score cardinality is
+    * unbounded, so a per-source `sum() OVER (ORDER BY v)` window
+    * would be 20-way parallel at best); the offset collect is one row
+    * per SOURCE (bounded by the catalog, not the corpus).
+    */
+  val qAuc = Q(
+    "q_auc",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val docs = Tables.documents(s, d).select(
+        col("source").as("g"), col("n_chars").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("isp"))
+      val byv = docs.groupBy("g", "v").agg(
+        sum(col("isp")).as("p"),
+        (count(lit(1)) - sum(col("isp"))).as("q"))
+      val cumAll = Distributed.globalCumSum(
+        byv, Seq(col("g"), col("v")), col("q"), "aq")
+      val gt = byv.groupBy("g").agg(
+        sum(col("p")).as("pn"), sum(col("q")).as("qn"))
+      val gRows = gt.orderBy("g").collect()
+      val gOff = gRows.map(_.getString(0)).zip(
+        gRows.map(_.getLong(2)).scanLeft(0L)(_ + _).dropRight(1))
+      val offDf = gOff.toSeq.toDF("g", "goff")
+      val num2 = cumAll.join(broadcast(offDf), "g")
+        // running neg within g including v's own ties
+        .withColumn("cq", col("aq") - col("goff"))
+        .groupBy("g")
+        .agg(sum(col("p").cast(dec) *
+          (lit(2) * (col("cq") - col("q")).cast(dec) + col("q").cast(dec)))
+          .as("num2"))
+      num2.join(broadcast(gt), "g")
+        .filter(col("pn") > 0 && col("qn") > 0)
+        .select(col("g").as("source"),
+          col("pn").as("pos_n"), col("qn").as("neg_n"),
+          expr("CAST((num2 * 1000000) div " +
+            "(2 * CAST(pn AS DECIMAL(38,0)) * CAST(qn AS DECIMAL(38,0))) " +
+            "AS BIGINT)").as("auc_ppm"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH docs AS (
+        |  SELECT source AS g, n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS isp
+        |  FROM documents),
+        |byv AS (
+        |  SELECT g, v, CAST(sum(isp) AS BIGINT) AS p,
+        |    CAST(count(*) - sum(isp) AS BIGINT) AS q
+        |  FROM docs GROUP BY g, v),
+        |cum AS (
+        |  SELECT g, p, q,
+        |    CAST(sum(q) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cq
+        |  FROM byv),
+        |gt AS (
+        |  SELECT g, CAST(sum(p) AS BIGINT) AS pn,
+        |    CAST(sum(q) AS BIGINT) AS qn
+        |  FROM byv GROUP BY g),
+        |n2 AS (
+        |  SELECT g, sum(CAST(p AS HUGEINT) * (2 * (cq - q) + q)) AS num2
+        |  FROM cum GROUP BY g)
+        |SELECT n2.g AS source, pn AS pos_n, qn AS neg_n,
+        |  CAST((num2 * 1000000) // (2 * CAST(pn AS HUGEINT) * qn)
+        |    AS BIGINT) AS auc_ppm
+        |FROM n2 JOIN gt USING (g)
+        |WHERE pn > 0 AND qn > 0
+        |ORDER BY source""".stripMargin
+    )
+  )
+
+  /** q_ks_test — two-sample Kolmogorov-Smirnov distance between the
+    * order-price distributions of urgent (priority 1-2) and normal
+    * orders: D = sup_x |F1(x) − F2(x)|, the standard drift test run
+    * between a corpus snapshot and its refresh before retraining.
+    * Computed exactly on integer cents: per distinct value the two
+    * cumulative counts k1, k2, then D·n1·n2 = max |k1·n2 − k2·n1|
+    * (cross-multiplied — no per-row division anywhere), surfaced as
+    * d_ppm plus the value attaining the supremum (min such cents —
+    * the sup is reached at a jump point, i.e. at some observed
+    * value, so scanning observed values is exact).
+    *
+    * Cross-engine exactness: cents = floor(price·100 + 0.5) (the
+    * repo-wide convention); the cross products are DECIMAL(38,0) /
+    * HUGEINT because k·n overflows int64 past ~3·10⁹ rows per side;
+    * d_ppm is one exact integral division. The argmax filter compares
+    * exact decimals, so both engines pick identical rows.
+    *
+    * 100 TB shape: one corpus shuffle to the per-cents count frame,
+    * then TWO ranged two-pass prefix sums ([[Distributed.globalCumSum]]
+    * — cents are near-unique, an unpartitioned `sum() OVER (ORDER BY
+    * cents)` would funnel ~n rows through one task); the supremum is
+    * an ordinary max-aggregate plus a one-row broadcast back. Driver
+    * state is 2·P partition offsets.
+    */
+  val qKsTest = Q(
+    "q_ks_test",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val c = Tables.orders(s, d).select(
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("g1"))
+      val byv = c.groupBy("cents").agg(
+        sum(col("g1")).as("c1"),
+        (count(lit(1)) - sum(col("g1"))).as("c2"))
+      val cums = Distributed.globalCumSum(
+        Distributed.globalCumSum(byv, Seq(col("cents")), col("c1"), "k1"),
+        Seq(col("cents")), col("c2"), "k2")
+      val tot = byv.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val diffs = cums.crossJoin(broadcast(tot))
+        .withColumn("dn",
+          abs(col("k1").cast(dec) * col("n2").cast(dec) -
+            col("k2").cast(dec) * col("n1").cast(dec)))
+      val mx = diffs.agg(max(col("dn")).as("mx"))
+      diffs.join(broadcast(mx), col("dn") === col("mx"))
+        .agg(min(col("cents")).as("at_cents"),
+          max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(col("mx")).as("mxv"))
+        .select(col("at_cents"), col("n1"), col("n2"),
+          expr("CAST((mxv * 1000000) div " +
+            "(CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))) " +
+            "AS BIGINT)").as("d_ppm"))
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS g1
+        |  FROM orders),
+        |byv AS (
+        |  SELECT cents, CAST(sum(g1) AS BIGINT) AS c1,
+        |    CAST(count(*) - sum(g1) AS BIGINT) AS c2
+        |  FROM c GROUP BY cents),
+        |cum AS (
+        |  SELECT cents,
+        |    CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS k1,
+        |    CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS k2
+        |  FROM byv),
+        |t AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM byv),
+        |d AS (
+        |  SELECT cents,
+        |    abs(CAST(k1 AS HUGEINT) * n2 - CAST(k2 AS HUGEINT) * n1) AS dn,
+        |    n1, n2
+        |  FROM cum, t),
+        |m AS (SELECT max(dn) AS mx FROM d)
+        |SELECT min(cents) AS at_cents, max(n1) AS n1, max(n2) AS n2,
+        |  CAST((max(mx) * 1000000) // (CAST(max(n1) AS HUGEINT) * max(n2))
+        |    AS BIGINT) AS d_ppm
+        |FROM d, m WHERE dn = mx""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
-      qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest, qKeySkew)
+      qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest, qKeySkew,
+      qAuc, qKsTest)
 }

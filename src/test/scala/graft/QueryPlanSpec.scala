@@ -1209,4 +1209,83 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ndcg >= 0 && ndcg <= 1000000L, r.toString)
     }
   }
+
+  test("q_auc matches a driver-side brute-force Mann-Whitney recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_auc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"), col("lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2) == "en"))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val pos = docs.filter(d => d._1 == src && d._3).map(_._2)
+      val neg = docs.filter(d => d._1 == src && !d._3).map(_._2)
+      assert(r.getAs[Long]("pos_n") === pos.length.toLong, src)
+      assert(r.getAs[Long]("neg_n") === neg.length.toLong, src)
+      // brute-force pair count: wins + half-ties, doubled to stay integral
+      var num2 = BigInt(0)
+      for (p <- pos; n <- neg)
+        num2 += (if (p > n) 2 else if (p == n) 1 else 0)
+      val expect =
+        num2 * 1000000 / (BigInt(2) * pos.length * neg.length)
+      assert(BigInt(r.getAs[Long]("auc_ppm")) === expect, src)
+      assert(r.getAs[Long]("auc_ppm") >= 0L &&
+        r.getAs[Long]("auc_ppm") <= 1000000L, src)
+    }
+    // every source with both classes present must appear
+    val expected = docs.groupBy(_._1).filter { case (_, ds) =>
+      ds.exists(_._3) && ds.exists(!_._3)
+    }.keySet
+    assert(rows.map(_.getAs[String]("source")).toSet === expected)
+  }
+
+  test("q_ks_test matches a driver-side brute-force KS recompute") {
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val r = SparkEntry.queries("q_ks_test")(spark, sf).collect().head
+    val samples = Tables.orders(spark, sf)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
+        col("o_orderpriority"))
+      .collect()
+      .map(x => (x.getLong(0),
+        Set("1-URGENT", "2-HIGH")(x.getString(1))))
+    val s1 = samples.filter(_._2).map(_._1).sorted
+    val s2 = samples.filterNot(_._2).map(_._1).sorted
+    assert(r.getAs[Long]("n1") === s1.length.toLong)
+    assert(r.getAs[Long]("n2") === s2.length.toLong)
+    val values = (s1 ++ s2).distinct.sorted
+    var best = BigInt(-1); var bestAt = Long.MaxValue
+    for (v <- values) {
+      val k1 = BigInt(s1.count(_ <= v)) * s2.length
+      val k2 = BigInt(s2.count(_ <= v)) * s1.length
+      val d = (k1 - k2).abs
+      if (d > best) { best = d; bestAt = v }
+    }
+    assert(r.getAs[Long]("at_cents") === bestAt)
+    val expect = best * 1000000 / (BigInt(s1.length) * s2.length)
+    assert(BigInt(r.getAs[Long]("d_ppm")) === expect)
+    assert(r.getAs[Long]("d_ppm") >= 0L && r.getAs[Long]("d_ppm") <= 1000000L)
+  }
+
+  test("q_auc / q_ks_test: every window is ranged-partitioned (no one-task funnel)") {
+    // both prefix sums route through Distributed.globalCumSum — the
+    // score/cents domains are unbounded, so any windowspec without the
+    // synthetic range-partition-id key would sort ~n rows in ONE task
+    Seq("q_auc", "q_ks_test").foreach { q =>
+      val lines = plan(q).linesIterator.toVector
+      val wins = lines.filter(_.contains("windowspecdefinition("))
+      assert(wins.nonEmpty, s"$q: expected the two-pass prefix-sum window")
+      wins.foreach { l =>
+        assert(l.contains("__pid_"),
+          s"$q: window not keyed on the range-partition id: $l")
+      }
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (l, i) =>
+          val parent = lines(i - 1)
+          assert(parent.contains("HashAggregate(keys=[]"),
+            s"$q: SinglePartition feeds a non-scalar-agg parent:\n$parent\n$l")
+        }
+    }
+  }
 }
