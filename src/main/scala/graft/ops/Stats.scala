@@ -988,9 +988,231 @@ object Stats {
     )
   )
 
+  /** q_stump — exact best decision-stump split: the threshold on
+    * n_chars that minimizes weighted Gini impurity for the lang='en'
+    * label (the first split a gradient-boosted quality classifier
+    * would learn; also THE audit that a candidate numeric signal has
+    * any class-separating power at all). For split "v ≤ t": weighted
+    * impurity ∝ S(t) = pL·(nL−pL)·nR + pR·(nR−pR)·nL (the common-
+    * denominator nL·nR form — every term integral, no per-candidate
+    * division), minimized over all observed thresholds with nR > 0;
+    * ties break to the smallest threshold.
+    *
+    * Cross-engine exactness: S and the reported gini values are
+    * DECIMAL(38,0) / HUGEINT (pL·nL·nR ≤ N³ overflows int64 past
+    * N ≈ 2M rows); gini_split_ppm = 2·S·10⁶ div (nL·nR·M) and
+    * gini_parent_ppm = 2·P·(M−P)·10⁶ div (M·M) are single exact
+    * integral divisions on both engines.
+    *
+    * 100 TB shape: one corpus shuffle to the per-value (pos, total)
+    * count frame, then [[Distributed.globalCumSum]]'s ranged two-pass
+    * prefix sums (char counts are unbounded — an unpartitioned
+    * `sum() OVER (ORDER BY v)` would funnel the distinct-value frame
+    * through one task); the argmin is a 1-row broadcast back and the
+    * class totals are a 1-row scalar aggregate.
+    */
+  val qStump = Q(
+    "q_stump",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val docs = Tables.documents(s, d).select(
+        col("n_chars").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("isp"))
+      val byv = docs.groupBy("v").agg(
+        sum(col("isp")).as("p"), count(lit(1)).as("m"))
+      val cums = Distributed.globalCumSum(
+        Distributed.globalCumSum(byv, Seq(col("v")), col("p"), "cp"),
+        Seq(col("v")), col("m"), "cm")
+      val tot = byv.agg(sum(col("p")).as("pt"), sum(col("m")).as("mt"))
+      val scored = cums.crossJoin(broadcast(tot))
+        .filter(col("cm") < col("mt")) // nR = 0 is not a split
+        .withColumn("nl", col("cm").cast(dec))
+        .withColumn("pl", col("cp").cast(dec))
+        .withColumn("nr", (col("mt") - col("cm")).cast(dec))
+        .withColumn("pr", (col("pt") - col("cp")).cast(dec))
+        .withColumn("sv",
+          col("pl") * (col("nl") - col("pl")) * col("nr") +
+          col("pr") * (col("nr") - col("pr")) * col("nl"))
+      val mn = scored.agg(min(col("sv")).as("mn"))
+      scored.join(broadcast(mn), col("sv") === col("mn"))
+        .orderBy("v").limit(1)
+        .select(col("v").as("threshold"),
+          col("cm").as("n_left"),
+          (col("mt") - col("cm")).as("n_right"),
+          expr("CAST((2 * sv * 1000000) div (nl * nr * CAST(mt AS DECIMAL(38,0))) AS BIGINT)")
+            .as("gini_split_ppm"),
+          expr("CAST((2 * CAST(pt AS DECIMAL(38,0)) * (mt - pt) * 1000000) div " +
+            "(CAST(mt AS DECIMAL(38,0)) * mt) AS BIGINT)")
+            .as("gini_parent_ppm"))
+    },
+    Some(
+      """WITH docs AS (
+        |  SELECT n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS isp
+        |  FROM documents),
+        |byv AS (
+        |  SELECT v, CAST(sum(isp) AS BIGINT) AS p,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM docs GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |    CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS cp,
+        |    CAST(sum(m) OVER (ORDER BY v) AS BIGINT) AS cm
+        |  FROM byv),
+        |t AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS pt,
+        |    CAST(sum(m) AS BIGINT) AS mt
+        |  FROM byv),
+        |scored AS (
+        |  SELECT v, cm, mt, pt,
+        |    CAST(cm AS HUGEINT) AS nl, CAST(cp AS HUGEINT) AS pl,
+        |    CAST(mt - cm AS HUGEINT) AS nr, CAST(pt - cp AS HUGEINT) AS pr,
+        |    CAST(cp AS HUGEINT) * (cm - cp) * (mt - cm) +
+        |      CAST(pt - cp AS HUGEINT) * ((mt - cm) - (pt - cp)) * cm AS sv
+        |  FROM cum, t WHERE cm < mt)
+        |SELECT v AS threshold, cm AS n_left, mt - cm AS n_right,
+        |  CAST((2 * sv * 1000000) // (nl * nr * mt) AS BIGINT)
+        |    AS gini_split_ppm,
+        |  CAST((2 * CAST(pt AS HUGEINT) * (mt - pt) * 1000000)
+        |    // (CAST(mt AS HUGEINT) * mt) AS BIGINT) AS gini_parent_ppm
+        |FROM scored WHERE sv = (SELECT min(sv) FROM scored)
+        |ORDER BY v LIMIT 1""".stripMargin
+    )
+  )
+
+  /** q_cusum — exact CUSUM change-point over the daily-revenue
+    * series: the day t maximizing |S_t − (t/T)·S_T| (cumulative
+    * revenue vs the constant-rate line — Page 1954's cumulative-sum
+    * drift detector, run on a corpus's daily ingest volume before
+    * retraining to locate WHEN a shift happened, complementing
+    * [[qKsTest]]'s "did it shift" and [[qTrendTest]]'s "is it
+    * monotone"). Cross-multiplied to |S_t·T − t·S_T| so no per-row
+    * division exists; the supremum day is the earliest attaining it.
+    *
+    * Cross-engine exactness: revenue in integer cents; the cross
+    * products are DECIMAL(38,0) / HUGEINT (S_t·T overflows int64 once
+    * total cents ≳ 2⁶³/T); stat_ppm = max·10⁶ div (S_T·T) is one
+    * exact integral division. Both engines pick the same argmax row
+    * because the compared decimals are exact.
+    *
+    * 100 TB shape: one corpus shuffle to the per-day frame, then two
+    * ranged two-pass prefix sums ([[Distributed.globalCumSum]] — the
+    * day index t is itself a prefix sum of ones, so no row_number
+    * window is needed anywhere); the supremum is a scalar aggregate
+    * plus a 1-row broadcast back. Nothing driver-side beyond the 2·P
+    * partition offsets.
+    */
+  val qCusum = Q(
+    "q_cusum",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val byday = Tables.orders(s, d).groupBy(col("o_orderdate").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev"))
+        .withColumn("one", lit(1L))
+      val cums = Distributed.globalCumSum(
+        Distributed.globalCumSum(byday, Seq(col("day")), col("rev"), "st"),
+        Seq(col("day")), col("one"), "t")
+      val tot = byday.agg(sum(col("rev")).as("sn"), sum(col("one")).as("tn"))
+      val scored = cums.crossJoin(broadcast(tot))
+        .withColumn("dn",
+          abs(col("st").cast(dec) * col("tn").cast(dec) -
+            col("t").cast(dec) * col("sn").cast(dec)))
+      val mx = scored.agg(max(col("dn")).as("mx"))
+      scored.join(broadcast(mx), col("dn") === col("mx"))
+        .orderBy("day").limit(1)
+        .select(col("day").as("change_date"), col("t").as("day_index"),
+          col("tn").as("n_days"),
+          expr("CAST((dn * 1000000) div " +
+            "(CAST(sn AS DECIMAL(38,0)) * tn) AS BIGINT)").as("stat_ppm"))
+    },
+    Some(
+      """WITH byday AS (
+        |  SELECT o_orderdate AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY day),
+        |cum AS (
+        |  SELECT day,
+        |    CAST(sum(rev) OVER (ORDER BY day) AS BIGINT) AS st,
+        |    CAST(count(*) OVER (ORDER BY day) AS BIGINT) AS t
+        |  FROM byday),
+        |tot AS (
+        |  SELECT CAST(sum(rev) AS BIGINT) AS sn,
+        |    CAST(count(*) AS BIGINT) AS tn
+        |  FROM byday),
+        |scored AS (
+        |  SELECT day, t, tn, sn,
+        |    abs(CAST(st AS HUGEINT) * tn - CAST(t AS HUGEINT) * sn) AS dn
+        |  FROM cum, tot)
+        |SELECT day AS change_date, t AS day_index, tn AS n_days,
+        |  CAST((dn * 1000000) // (CAST(sn AS HUGEINT) * tn) AS BIGINT)
+        |    AS stat_ppm
+        |FROM scored WHERE dn = (SELECT max(dn) FROM scored)
+        |ORDER BY day LIMIT 1""".stripMargin
+    )
+  )
+
+  /** q_benford — Benford first-significant-digit audit of order
+    * totals: observed vs expected leading-digit frequency (Benford
+    * 1938: P(d) = log10(1+1/d)), the standard fabricated-data /
+    * synthetic-leak screen a pipeline runs over numeric columns. The
+    * expected distribution enters as the SAME nine ppm literals on
+    * both engines (floor(log10(1+1/d)·10⁶) precomputed — no
+    * runtime transcendental anywhere), so the comparison is pure
+    * integer arithmetic.
+    *
+    * Cross-engine exactness: digit = first character of the decimal
+    * rendering of positive integer cents (identical on both engines —
+    * no sign, no leading zero); obs_ppm = n·10⁶ div N in
+    * DECIMAL(38,0) / HUGEINT (n·10⁶ overflows int64 past ~9.2e12
+    * rows).
+    *
+    * 100 TB shape: map-only digit extraction into a 9-group
+    * aggregate; the total is a 1-row broadcast. Nothing else moves.
+    */
+  val qBenford = Q(
+    "q_benford",
+    (s, d) => {
+      val expPpm = "array(301029, 176091, 124938, 96910, 79181, " +
+        "66946, 57991, 51152, 45757)"
+      val c = Tables.orders(s, d).select(
+        substring(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      val byd = c.groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = byd.agg(sum(col("n")).as("nt"))
+      byd.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div nt AS BIGINT)")
+            .as("obs_ppm"),
+          expr(s"element_at($expPpm, digit)").cast("long").as("exp_ppm"))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+        .orderBy("digit")
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |byd AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM c GROUP BY digit),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM byd),
+        |e AS (SELECT digit, n,
+        |    CAST((CAST(n AS HUGEINT) * 1000000) // nt AS BIGINT) AS obs_ppm,
+        |    CAST([301029, 176091, 124938, 96910, 79181,
+        |          66946, 57991, 51152, 45757][digit] AS BIGINT) AS exp_ppm
+        |  FROM byd, tot)
+        |SELECT digit, n, obs_ppm, exp_ppm,
+        |  abs(obs_ppm - exp_ppm) AS dev_ppm
+        |FROM e ORDER BY digit""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
       qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest, qKeySkew,
-      qAuc, qKsTest)
+      qAuc, qKsTest, qStump, qCusum, qBenford)
 }

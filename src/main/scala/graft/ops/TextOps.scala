@@ -1041,9 +1041,98 @@ object TextOps {
     }
   )
 
+  /** q_chi2_terms — χ²-style feature selection: the terms whose
+    * document-level presence most separates lang='en' from the rest,
+    * ranked by the exact φ² association of the 2×2 contingency
+    * (a = en docs with term, b = other docs with term, c/d their
+    * complements): φ² = (ad−bc)²/((a+b)(c+d)(a+c)(b+d)) = χ²/N — the
+    * classic vocabulary-pruning step before training a fastText-style
+    * quality/language classifier. min-df 5, top 30, term-ascending
+    * tie-break.
+    *
+    * Cross-engine exactness: all four cells are BIGINT; (ad−bc)² is
+    * DECIMAL(38,0) / HUGEINT (ad ≤ N² overflows int64 past ~3e9
+    * docs); φ²·10⁶ is computed as the SAME two-step floor division on
+    * both engines — ((ad−bc)² div (a+b)(c+d)) · 10⁶ div (a+c)(b+d) —
+    * because the single-step numerator (ad−bc)²·10⁶ would overflow
+    * even 128-bit at ~10⁹ docs; two-step floor ≠ exact φ²·10⁶ in the
+    * last unit, but it is IDENTICAL integer arithmetic on both
+    * engines, which is the property the oracle checks.
+    *
+    * 100 TB shape: doc-distinct terms explode map-side (the only
+    * corpus-sized stage, fused into the scan projection); one shuffle
+    * keyed by term to the (df, df_pos) count frame; class totals are
+    * a 1-row broadcast; ranking is a top-30 TakeOrdered. Text never
+    * moves — only (term, 1, isp) pairs.
+    */
+  val qChi2Terms = Q(
+    "q_chi2_terms",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val docs = Tables.documents(s, d).select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("isp"),
+        explode(array_distinct(wsTokens(lower(col("text"))))).as("term"))
+      val byTerm = docs.groupBy("term").agg(
+        sum(col("isp")).as("a"),
+        (count(lit(1)) - sum(col("isp"))).as("b"))
+      val totDocs = Tables.documents(s, d).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
+      byTerm.crossJoin(broadcast(totDocs))
+        .filter(col("a") + col("b") >= 5 &&
+          col("a") + col("b") < col("np") + col("nn") &&
+          col("np") > 0 && col("nn") > 0)
+        .withColumn("c", (col("np") - col("a")).cast(dec))
+        .withColumn("dd", (col("nn") - col("b")).cast(dec))
+        .withColumn("num",
+          (col("a").cast(dec) * col("dd") - col("b").cast(dec) * col("c")) *
+          (col("a").cast(dec) * col("dd") - col("b").cast(dec) * col("c")))
+        .withColumn("phi2_ppm",
+          // the first quotient fits BIGINT (≤ N²/4); re-widen to
+          // decimal before ·10⁶ so the product can't wrap
+          expr("CAST(CAST(num div ((a + b) * " +
+            "CAST(np + nn - a - b AS DECIMAL(38,0))) AS DECIMAL(38,0))" +
+            " * 1000000 div (CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT)"))
+        .select(col("term"), (col("a") + col("b")).as("df"),
+          col("a").as("df_pos"), col("phi2_ppm"))
+        .orderBy(desc("phi2_ppm"), col("term"))
+        .limit(30)
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS isp,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |byterm AS (
+        |  SELECT term, CAST(sum(isp) AS BIGINT) AS a,
+        |    CAST(count(*) - sum(isp) AS BIGINT) AS b
+        |  FROM toks, UNNEST(t) AS u(term) GROUP BY term),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nn
+        |  FROM documents),
+        |scored AS (
+        |  SELECT term, a + b AS df, a AS df_pos,
+        |    CAST(((CAST(a AS HUGEINT) * (nn - b) -
+        |           CAST(b AS HUGEINT) * (np - a)) *
+        |          (CAST(a AS HUGEINT) * (nn - b) -
+        |           CAST(b AS HUGEINT) * (np - a))
+        |      // (CAST(a + b AS HUGEINT) * (np + nn - a - b)))
+        |      * 1000000 // (CAST(np AS HUGEINT) * nn) AS BIGINT) AS phi2_ppm
+        |  FROM byterm, tot
+        |  WHERE a + b >= 5 AND a + b < np + nn AND np > 0 AND nn > 0)
+        |SELECT term, df, df_pos, phi2_ppm
+        |FROM scored ORDER BY phi2_ppm DESC, term LIMIT 30""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
       qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask,
-      qLabelNoise, qSpanCorruption)
+      qLabelNoise, qSpanCorruption, qChi2Terms)
 }

@@ -1268,11 +1268,118 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("d_ppm") >= 0L && r.getAs[Long]("d_ppm") <= 1000000L)
   }
 
-  test("q_auc / q_ks_test: every window is ranged-partitioned (no one-task funnel)") {
-    // both prefix sums route through Distributed.globalCumSum — the
+  test("q_stump matches a driver-side brute-force best-split recompute") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("q_stump")(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf)
+      .select(col("n_chars"), col("lang")).collect()
+      .map(x => (x.getLong(0), x.getString(1) == "en"))
+    val byv = docs.groupBy(_._1).view.mapValues { ds =>
+      (ds.count(_._2).toLong, ds.length.toLong)
+    }.toMap
+    val vs = byv.keys.toSeq.sorted
+    val mt = docs.length.toLong
+    val pt = docs.count(_._2).toLong
+    var cp = 0L; var cm = 0L
+    var best = BigInt(-1); var bestV = 0L
+    var bestNl = 0L
+    for (v <- vs) {
+      val (p, m) = byv(v); cp += p; cm += m
+      if (cm < mt) {
+        val (nl, pl, nr, pr) =
+          (BigInt(cm), BigInt(cp), BigInt(mt - cm), BigInt(pt - cp))
+        val sv = pl * (nl - pl) * nr + pr * (nr - pr) * nl
+        if (best < 0 || sv < best) { best = sv; bestV = v; bestNl = cm }
+      }
+    }
+    assert(r.getAs[Long]("threshold") === bestV)
+    assert(r.getAs[Long]("n_left") === bestNl)
+    assert(r.getAs[Long]("n_right") === mt - bestNl)
+    val giniSplit =
+      BigInt(2) * best * 1000000 / (BigInt(bestNl) * (mt - bestNl) * mt)
+    val giniParent = BigInt(2) * pt * (mt - pt) * 1000000 / (BigInt(mt) * mt)
+    assert(BigInt(r.getAs[Long]("gini_split_ppm")) === giniSplit)
+    assert(BigInt(r.getAs[Long]("gini_parent_ppm")) === giniParent)
+    // a useful split can only reduce impurity
+    assert(r.getAs[Long]("gini_split_ppm") <=
+      r.getAs[Long]("gini_parent_ppm"))
+  }
+
+  test("q_cusum matches a driver-side brute-force CUSUM recompute") {
+    import org.apache.spark.sql.functions.{col, floor, lit, sum}
+    val r = SparkEntry.queries("q_cusum")(spark, sf).collect().head
+    val days = Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .collect()
+      .map(x => (x.get(0).toString, x.getLong(1)))
+      .sortBy(_._1)
+    val sn = days.map(_._2).sum
+    val tn = days.length.toLong
+    var st = 0L; var best = BigInt(-1); var bestDay = ""; var bestT = 0L
+    days.zipWithIndex.foreach { case ((day, rev), i) =>
+      st += rev
+      val dn = (BigInt(st) * tn - BigInt(i + 1) * sn).abs
+      if (dn > best) { best = dn; bestDay = day; bestT = i + 1 }
+    }
+    assert(r.getAs[Any]("change_date").toString === bestDay)
+    assert(r.getAs[Long]("day_index") === bestT)
+    assert(r.getAs[Long]("n_days") === tn)
+    assert(BigInt(r.getAs[Long]("stat_ppm")) ===
+      best * 1000000 / (BigInt(sn) * tn))
+  }
+
+  test("q_benford: ppm columns are consistent and sum to ~1e6") {
+    val rows = SparkEntry.queries("q_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq === (1 to 9))
+    val nTot = rows.map(_.getAs[Long]("n")).sum
+    var obsSum = 0L
+    rows.foreach { r =>
+      val obs = r.getAs[Long]("obs_ppm")
+      assert(obs === r.getAs[Long]("n") * 1000000L / nTot, r.toString)
+      assert(r.getAs[Long]("dev_ppm") ===
+        math.abs(obs - r.getAs[Long]("exp_ppm")), r.toString)
+      obsSum += obs
+    }
+    // floor rounding loses at most 1 ppm per digit
+    assert(obsSum > 1000000L - 9 && obsSum <= 1000000L, obsSum.toString)
+    // Benford expectation literals sum to ~1e6 too (sanity of constants)
+    val expSum = rows.map(_.getAs[Long]("exp_ppm")).sum
+    assert(expSum > 1000000L - 9 && expSum <= 1000000L, expSum.toString)
+  }
+
+  test("q_chi2_terms: cells and two-step phi2 recompute exactly") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_chi2_terms")(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 30)
+    val docs = Tables.documents(spark, sf)
+      .select(col("text"), col("lang")).collect()
+      .map(x => (x.getString(0).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).toSet, x.getString(1) == "en"))
+    val np = docs.count(_._2).toLong
+    val nn = docs.length.toLong - np
+    rows.foreach { r =>
+      val term = r.getAs[String]("term")
+      val a = docs.count(d => d._2 && d._1(term)).toLong
+      val b = docs.count(d => !d._2 && d._1(term)).toLong
+      assert(r.getAs[Long]("df") === a + b, term)
+      assert(r.getAs[Long]("df_pos") === a, term)
+      val num = (BigInt(a) * (nn - b) - BigInt(b) * (np - a)).pow(2)
+      val phi2 = num / (BigInt(a + b) * (np + nn - a - b)) *
+        1000000 / (BigInt(np) * nn)
+      assert(BigInt(r.getAs[Long]("phi2_ppm")) === phi2, term)
+    }
+    // ranked descending
+    val ppms = rows.map(_.getAs[Long]("phi2_ppm")).toSeq
+    assert(ppms === ppms.sorted.reverse)
+  }
+
+  test("q_auc / q_ks_test / q_stump / q_cusum: every window is ranged-partitioned (no one-task funnel)") {
+    // all prefix sums route through Distributed.globalCumSum — the
     // score/cents domains are unbounded, so any windowspec without the
     // synthetic range-partition-id key would sort ~n rows in ONE task
-    Seq("q_auc", "q_ks_test").foreach { q =>
+    Seq("q_auc", "q_ks_test", "q_stump", "q_cusum").foreach { q =>
       val lines = plan(q).linesIterator.toVector
       val wins = lines.filter(_.contains("windowspecdefinition("))
       assert(wins.nonEmpty, s"$q: expected the two-pass prefix-sum window")
