@@ -1210,9 +1210,96 @@ object Stats {
     )
   )
 
+  /** q_cramers_v — Cramér's V association between two categorical
+    * columns (source × lang over documents): V² = χ²/(N·(min(R,C)−1)),
+    * the audit that tells a mixture designer whether language is
+    * confounded with source before setting per-source sampling
+    * temperatures (a strong association means reweighting one silently
+    * reweights the other). χ²·N is computed as the per-cell integral
+    * form Σ_ij ((o_ij·N − r_i·c_j)² div (r_i·c_j)) over the COMPLETE
+    * R×C grid — absent cells contribute exactly r_i·c_j (no floor
+    * loss since (r·c)² div (r·c) is exact) — so both engines run
+    * identical integer arithmetic; v2_ppm is one more exact division
+    * by N²·(min(R,C)−1).
+    *
+    * Cross-engine exactness: all counts BIGINT; the squared terms are
+    * DECIMAL(38,0) / HUGEINT (o·N overflows int64 past ~3e9 rows);
+    * per-cell floor division is the same documented two-step-floor
+    * convention as [[TextOps.qChi2Terms]].
+    *
+    * 100 TB shape: one corpus shuffle to the (source, lang) count
+    * frame; marginals and the grid are catalog-sized (R×C rows);
+    * totals are a 1-row broadcast. Requires min(R,C) > 1 on both
+    * sides (V undefined otherwise).
+    */
+  val qCramersV = Q(
+    "q_cramers_v",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val docs = Tables.documents(s, d).select("source", "lang")
+      val o = docs.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      val r = docs.groupBy("source").agg(count(lit(1)).as("r"))
+      val c = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+        .crossJoin(r.agg(count(lit(1)).as("rc")))
+        .crossJoin(c.agg(count(lit(1)).as("cc")))
+      val grid = r.crossJoin(broadcast(c))
+        .join(o, Seq("source", "lang"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dev",
+          col("o").cast(dec) * col("n").cast(dec) -
+            col("r").cast(dec) * col("c").cast(dec))
+        .withColumn("term",
+          expr("(dev * dev) div (CAST(r AS DECIMAL(38,0)) * c)"))
+      grid.groupBy("n", "rc", "cc")
+        .agg(sum(col("term").cast(dec)).as("chi2n"))
+        .filter(least(col("rc"), col("cc")) > 1)
+        .select(col("n").as("n_rows"), col("rc").as("r_cats"),
+          col("cc").as("c_cats"),
+          expr("CAST((chi2n * 1000000) div " +
+            "(CAST(n AS DECIMAL(38,0)) * n * (least(rc, cc) - 1)) " +
+            "AS BIGINT)").as("v2_ppm"))
+    },
+    Some(
+      """WITH docs AS (SELECT source, lang FROM documents),
+        |o AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM docs GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(count(*) AS BIGINT) AS r
+        |  FROM docs GROUP BY 1),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM docs GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs) AS n,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM r) AS rc,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM c) AS cc),
+        |grid AS (
+        |  SELECT r.source, c.lang, r.r, c.c, coalesce(o.o, 0) AS o,
+        |    t.n, t.rc, t.cc
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN o ON o.source = r.source AND o.lang = c.lang
+        |  CROSS JOIN tot t),
+        |terms AS (
+        |  SELECT n, rc, cc,
+        |    ((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+        |     (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c))
+        |      // (CAST(r AS HUGEINT) * c) AS term
+        |  FROM grid),
+        |agg AS (
+        |  SELECT n, rc, cc, sum(term) AS chi2n
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT n AS n_rows, rc AS r_cats, cc AS c_cats,
+        |  CAST((chi2n * 1000000) //
+        |    (CAST(n AS HUGEINT) * n * (least(rc, cc) - 1)) AS BIGINT)
+        |    AS v2_ppm
+        |FROM agg WHERE least(rc, cc) > 1""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
       qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest, qKeySkew,
-      qAuc, qKsTest, qStump, qCusum, qBenford)
+      qAuc, qKsTest, qStump, qCusum, qBenford, qCramersV)
 }

@@ -1216,9 +1216,107 @@ object StreamingOps {
     )
   )
 
+  /** q_stream_drift — per-day distribution-drift gate: the
+    * event-type mix of each daily window vs the corpus-wide reference
+    * mix, as exact total-variation distance — the monitor an ingest
+    * pipeline runs on every arriving batch so a schema/source change
+    * trips an alert before the data reaches training (the streaming
+    * companion of the batch [[Stats.qKsTest]]/[[Stats.qCusum]] drift
+    * tests). The genuinely streaming stage is the incremental
+    * per-(window, type) count aggregate; the comparison against the
+    * broadcast reference is a downstream batch join, exactly like
+    * [[qStreamHll]]'s estimate-vs-exact audit.
+    *
+    * Cross-engine exactness: TV(day) = ½·Σ_t |n_dt/N_d − N_t/N| is
+    * cross-multiplied to Σ_t |n_dt·N − N_d·N_t| (DECIMAL(38,0) /
+    * HUGEINT — n_dt·N overflows int64 past ~3e9 events) and divided
+    * ONCE: drift_ppm = Σ·10⁶ div (2·N_d·N). Types absent from a day
+    * still contribute |0 − N_d·N_t|, so the day×type frame is
+    * completed by a cross join against the (≤ #types)-row reference
+    * before the sum on BOTH engines.
+    *
+    * 100 TB shape: the stream shuffles only (window, type) partial
+    * counts (watermark-free complete-mode aggregate over a bounded
+    * key space — #days × #types); the reference is a 1-row-per-type
+    * broadcast; nothing corpus-sized moves after the scan.
+    */
+  val qStreamDrift = Q(
+    "q_stream_drift",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val rawSchema = Tables.eventsRaw(s, d).schema
+      val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val stream = withTsMicros(s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_dt"))
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qn)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      val perDay = s.table(qn)
+        .select(col("window.start").cast("timestamp_ntz").as("day"),
+          col("event_type"), col("n_dt"))
+      val ref = Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val refTot = ref.agg(sum(col("n_t")).as("n")).collect()(0).getLong(0)
+      val dayTot = perDay.groupBy("day").agg(sum(col("n_dt")).as("n_d"))
+      // complete day×type grid so absent types still contribute
+      dayTot.crossJoin(broadcast(ref))
+        .join(perDay, Seq("day", "event_type"), "left")
+        .na.fill(0L, Seq("n_dt"))
+        .withColumn("term",
+          abs(col("n_dt").cast(dec) * lit(refTot) -
+            col("n_d").cast(dec) * col("n_t").cast(dec)))
+        .groupBy("day")
+        .agg(max(col("n_d")).as("n_day"), sum(col("term")).as("tv_num"))
+        .select(col("day"), col("n_day"),
+          expr(s"CAST((tv_num * 1000000) div " +
+            s"(2 * CAST(n_day AS DECIMAL(38,0)) * $refTot) AS BIGINT)")
+            .as("drift_ppm"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH perday AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_dt
+        |  FROM events GROUP BY 1, 2),
+        |ref AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM ref),
+        |daytot AS (
+        |  SELECT day, CAST(sum(n_dt) AS BIGINT) AS n_d
+        |  FROM perday GROUP BY day),
+        |grid AS (
+        |  SELECT dt.day, dt.n_d, r.event_type, r.n_t,
+        |    coalesce(p.n_dt, 0) AS n_dt
+        |  FROM daytot dt CROSS JOIN ref r
+        |  LEFT JOIN perday p
+        |    ON p.day = dt.day AND p.event_type = r.event_type),
+        |tv AS (
+        |  SELECT day, max(n_d) AS n_day,
+        |    sum(abs(CAST(n_dt AS HUGEINT) * (SELECT n FROM tot)
+        |      - CAST(n_d AS HUGEINT) * n_t)) AS tv_num
+        |  FROM grid GROUP BY day)
+        |SELECT day, n_day,
+        |  CAST((tv_num * 1000000) //
+        |    (2 * CAST(n_day AS HUGEINT) * (SELECT n FROM tot)) AS BIGINT)
+        |    AS drift_ppm
+        |FROM tv ORDER BY day""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
       qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv,
-      qStreamLate, qStreamMerge, qStreamHll, qStreamSessionTimer)
+      qStreamLate, qStreamMerge, qStreamHll, qStreamSessionTimer,
+      qStreamDrift)
 }

@@ -1375,6 +1375,30 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ppms === ppms.sorted.reverse)
   }
 
+  test("q_cramers_v matches a driver-side brute-force recompute") {
+    val r = SparkEntry.queries("q_cramers_v")(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = docs.length.toLong
+    val rm = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cm = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(r.getAs[Long]("n_rows") === n)
+    assert(r.getAs[Long]("r_cats") === rm.size.toLong)
+    assert(r.getAs[Long]("c_cats") === cm.size.toLong)
+    var chi2n = BigInt(0)
+    for ((src, rv) <- rm; (lg, cv) <- cm) {
+      val o = docs.count(d => d._1 == src && d._2 == lg).toLong
+      val dev = BigInt(o) * n - BigInt(rv) * cv
+      chi2n += dev * dev / (BigInt(rv) * cv)
+    }
+    val m = math.min(rm.size, cm.size).toLong
+    val expect = chi2n * 1000000 / (BigInt(n) * n * (m - 1))
+    assert(BigInt(r.getAs[Long]("v2_ppm")) === expect)
+    assert(r.getAs[Long]("v2_ppm") >= 0L &&
+      r.getAs[Long]("v2_ppm") <= 1000000L)
+  }
+
   test("q_auc / q_ks_test / q_stump / q_cusum: every window is ranged-partitioned (no one-task funnel)") {
     // all prefix sums route through Distributed.globalCumSum — the
     // score/cents domains are unbounded, so any windowspec without the

@@ -437,4 +437,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("q_stream_drift: streamed TV distance equals a brute-force recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_stream_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val evs = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getString(1)))
+    val n = evs.length.toLong
+    val ref = evs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byDay = evs.groupBy(_._1)
+    assert(rows.length === byDay.size)
+    rows.foreach { r =>
+      val day = r.getAs[java.time.LocalDateTime]("day")
+      val dayEvs = byDay(day)
+      val nd = dayEvs.length.toLong
+      assert(r.getAs[Long]("n_day") === nd, day.toString)
+      // TV over the COMPLETE type grid: absent types contribute n_d·n_t
+      val tvNum = ref.map { case (t, nt) =>
+        (BigInt(dayEvs.count(_._2 == t)) * n - BigInt(nd) * nt).abs
+      }.sum
+      val expect = tvNum * 1000000 / (BigInt(2) * nd * n)
+      assert(BigInt(r.getAs[Long]("drift_ppm")) === expect, day.toString)
+      assert(r.getAs[Long]("drift_ppm") <= 1000000L, day.toString)
+    }
+  }
 }
