@@ -497,8 +497,96 @@ object Sampling {
     }
   )
 
+  /** q_waterfill — exact water-filling token allocation: spread a
+    * global token budget B across sources as evenly as possible
+    * subject to each source's supply cap (its total token count) —
+    * the max-min-fair quota rule a mixture designer applies when a
+    * flat split would over-ask small sources (complementing
+    * [[qTemperatureMix]]'s power-law quotas with the fairness-optimal
+    * ones). A source with cap c gets min(c, L) where the water level
+    * L solves Σ min(c_s, L) = B; the classic exact algorithm: walk
+    * sources by ascending cap, source i (1-based rank, r_i = R−i+1
+    * remaining) saturates iff prefix_{i−1} + c_i·r_i ≤ B — a
+    * MONOTONE predicate, so it is one window pass, no iteration —
+    * then L = (B − P_k) div (R−k) for the k saturated sources'
+    * remainder. B = 9/10 of total supply, so the cap-poor sources
+    * saturate and the rest share the level.
+    *
+    * Cross-engine exactness: all token counts BIGINT; c_i·r_i and the
+    * one division are exact 64-bit (caps ≤ 2⁶³/R); floor division
+    * leaves B − Σalloc < R−k tokens unallocated — stated, determinate,
+    * identical on both engines.
+    *
+    * 100 TB shape: one partial-aggregated count per source; everything
+    * after is a catalog-sized (R-row) frame — windows over it are
+    * bounded by construction. Output: per-source cap, allocation, and
+    * saturation flag, plus the implied water level.
+    */
+  val qWaterfill = Q(
+    "q_waterfill",
+    (s, d) => {
+      val caps = Tables.documents(s, d)
+        .select(col("source"),
+          size(TextOps.wsTokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum(col("n_tok")).as("cap"))
+      val tot = caps.agg(sum(col("cap")).as("supply"),
+        count(lit(1)).as("rr"))
+      val w = Window.orderBy(col("cap"), col("source"))
+      val ranked = caps.crossJoin(broadcast(tot))
+        .withColumn("b", expr("9 * supply div 10"))
+        .withColumn("i", row_number().over(w))
+        .withColumn("pfx", sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("sat",
+          col("pfx") - col("cap") + col("cap") * (col("rr") - col("i") + 1)
+            <= col("b"))
+      val kf = ranked.agg(
+        sum(when(col("sat"), 1L).otherwise(0L)).as("k"),
+        sum(when(col("sat"), col("cap")).otherwise(0L)).as("pk"))
+      ranked.crossJoin(broadcast(kf))
+        .withColumn("level",
+          when(col("rr") > col("k"),
+            expr("(b - pk) div (rr - k)")).otherwise(lit(null)))
+        .select(col("source"), col("cap"),
+          when(col("sat"), col("cap")).otherwise(col("level")).as("alloc"),
+          col("sat").as("saturated"), col("level"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH caps AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> ''))) AS BIGINT) AS cap
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(cap) AS BIGINT) AS supply,
+        |    CAST(count(*) AS BIGINT) AS rr
+        |  FROM caps),
+        |ranked AS (
+        |  SELECT source, cap, supply, rr, (9 * supply) // 10 AS b,
+        |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+        |    CAST(sum(cap) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pfx
+        |  FROM caps, tot),
+        |flagged AS (
+        |  SELECT *, pfx - cap + cap * (rr - i + 1) <= b AS sat
+        |  FROM ranked),
+        |kf AS (
+        |  SELECT CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS k,
+        |    CAST(sum(CASE WHEN sat THEN cap ELSE 0 END) AS BIGINT) AS pk
+        |  FROM flagged)
+        |SELECT source, cap,
+        |  CASE WHEN sat THEN cap
+        |    ELSE (b - pk) // (rr - k) END AS alloc,
+        |  sat AS saturated,
+        |  CASE WHEN rr > k THEN (b - pk) // (rr - k) END AS level
+        |FROM flagged, kf ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qHashSample, qStratifiedSample, qTrainValSplit, qImportanceSample,
       qTemperatureMix, qCurriculum, qWeightedReservoir, qEpochShuffle,
-      qSplitLeakage, qTimeDecaySample)
+      qSplitLeakage, qTimeDecaySample, qWaterfill)
 }

@@ -1297,9 +1297,94 @@ object Stats {
     )
   )
 
+  /** q_theil_sen — Theil-Sen robust slope of the daily-revenue
+    * series: the median over all C(T,2) pairwise slopes, the
+    * outlier-resistant companion to [[qTrendTest]]'s Mann-Kendall
+    * direction test (MK says WHETHER the corpus drifts, Theil-Sen
+    * says HOW FAST — together the standard pre-retraining trend
+    * readout; Sen 1968). Each pair slope is quantized to ppm with the
+    * SIGN-SPLIT floor division ([[qTrendTest]]'s convention:
+    * sign·(|Δrev|·10⁶ div Δt), so negative numerators can't floor
+    * differently across engines), and the median is the lower median
+    * (smallest slope with 2·cum ≥ n) — determinate on ties.
+    *
+    * Cross-engine exactness: revenue in integer cents; |Δrev|·10⁶ is
+    * DECIMAL(38,0) / HUGEINT (daily cents ≳ 9.2e12 would wrap int64);
+    * the quantized slopes and counts are BIGINT.
+    *
+    * 100 TB shape: the pair frame is C(T,2) over the DAILY aggregate
+    * — bounded by the calendar (T ≈ thousands), not the corpus, the
+    * same bounded-by-construction frame [[qTrendTest]] pairs over.
+    * The median's cumulative count runs through
+    * [[Distributed.globalCumSum]] because the slope-VALUE domain is
+    * not bounded (up to C(T,2) distinct values).
+    */
+  val qTheilSen = Q(
+    "q_theil_sen",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val byday = Tables.orders(s, d).groupBy(col("o_orderdate").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev"))
+      val w = Window.orderBy("day") // daily frame: calendar-bounded
+      val idx = byday.withColumn("t", row_number().over(w).cast("long"))
+      val a = idx.select(col("t").as("t1"), col("rev").as("r1"))
+      val b = idx.select(col("t").as("t2"), col("rev").as("r2"))
+      val slopes = a.join(b, col("t1") < col("t2"))
+        .withColumn("dr", col("r2") - col("r1"))
+        .withColumn("dt", col("t2") - col("t1"))
+        .withColumn("mag",
+          expr("CAST((CAST(abs(dr) AS DECIMAL(38,0)) * 1000000) div dt AS BIGINT)"))
+        .withColumn("slope_ppm",
+          when(col("dr") >= 0, col("mag")).otherwise(-col("mag")))
+      val byv = slopes.groupBy("slope_ppm").agg(count(lit(1)).as("cnt"))
+      val cum = Distributed.globalCumSum(
+        byv, Seq(col("slope_ppm")), col("cnt"), "cum")
+      val tot = byv.agg(sum(col("cnt")).as("n_pairs"))
+      val nDays = idx.agg(max(col("t")).as("n_days"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cum") * 2 >= col("n_pairs"))
+        .orderBy("slope_ppm").limit(1)
+        .crossJoin(broadcast(nDays))
+        .select(col("slope_ppm").as("median_slope_ppm"),
+          col("n_pairs"), col("n_days"))
+    },
+    Some(
+      """WITH byday AS (
+        |  SELECT o_orderdate AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY day),
+        |idx AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, rev
+        |  FROM byday),
+        |slopes AS (
+        |  SELECT CASE WHEN b.rev - a.rev >= 0
+        |      THEN CAST((CAST(abs(b.rev - a.rev) AS HUGEINT) * 1000000)
+        |        // (b.t - a.t) AS BIGINT)
+        |      ELSE -CAST((CAST(abs(b.rev - a.rev) AS HUGEINT) * 1000000)
+        |        // (b.t - a.t) AS BIGINT) END AS slope_ppm
+        |  FROM idx a JOIN idx b ON a.t < b.t),
+        |byv AS (
+        |  SELECT slope_ppm, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM slopes GROUP BY slope_ppm),
+        |cum AS (
+        |  SELECT slope_ppm,
+        |    CAST(sum(cnt) OVER (ORDER BY slope_ppm) AS BIGINT) AS cum
+        |  FROM byv),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs FROM byv),
+        |nd AS (SELECT CAST(max(t) AS BIGINT) AS n_days FROM idx)
+        |SELECT slope_ppm AS median_slope_ppm, n_pairs, n_days
+        |FROM cum, tot, nd
+        |WHERE cum * 2 >= n_pairs
+        |ORDER BY slope_ppm LIMIT 1""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
       qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest, qKeySkew,
-      qAuc, qKsTest, qStump, qCusum, qBenford, qCramersV)
+      qAuc, qKsTest, qStump, qCusum, qBenford, qCramersV, qTheilSen)
 }

@@ -1399,6 +1399,57 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Long]("v2_ppm") <= 1000000L)
   }
 
+  test("q_waterfill: allocation is feasible, max-min fair, and budget-tight") {
+    val rows = SparkEntry.queries("q_waterfill")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val caps = rows.map(_.getAs[Long]("cap"))
+    val allocs = rows.map(_.getAs[Long]("alloc"))
+    val b = 9L * caps.sum / 10L
+    // feasibility: never exceed a source's supply
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("cap"), r.toString)
+    }
+    // water level: every unsaturated source gets exactly the level,
+    // every saturated one has cap ≤ level
+    val level = rows.head.getAs[Long]("level")
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("saturated"))
+        assert(r.getAs[Long]("cap") <= level, r.toString)
+      else assert(r.getAs[Long]("alloc") === level, r.toString)
+    }
+    // budget-tight up to floor remainder: 0 ≤ B − Σalloc < #unsaturated
+    val slack = b - allocs.sum
+    val nUnsat = rows.count(!_.getAs[Boolean]("saturated"))
+    assert(slack >= 0 && (nUnsat === 0 || slack < nUnsat), s"slack=$slack")
+    // brute-force the level: Σ min(cap, L) ≤ B < Σ min(cap, L+1)
+    def used(l: Long) = caps.map(math.min(_, l)).sum
+    assert(used(level) <= b && (nUnsat === 0 || used(level + 1) > b))
+  }
+
+  test("q_theil_sen matches a driver-side brute-force recompute") {
+    import org.apache.spark.sql.functions.{col, floor, lit, sum}
+    val r = SparkEntry.queries("q_theil_sen")(spark, sf).collect().head
+    val revs = Tables.orders(spark, sf)
+      .groupBy(col("o_orderdate"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .collect().map(x => (x.get(0).toString, x.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val t = revs.length
+    val slopes = for {
+      i <- 0 until t; j <- (i + 1) until t
+    } yield {
+      val dr = revs(j) - revs(i)
+      val mag = (BigInt(dr).abs * 1000000 / (j - i)).toLong
+      if (dr >= 0) mag else -mag
+    }
+    assert(r.getAs[Long]("n_days") === t.toLong)
+    assert(r.getAs[Long]("n_pairs") === slopes.length.toLong)
+    val sorted = slopes.sorted
+    val med = sorted((sorted.length - 1) / 2) // smallest with 2·cum ≥ n
+    assert(r.getAs[Long]("median_slope_ppm") === med)
+  }
+
   test("q_auc / q_ks_test / q_stump / q_cusum: every window is ranged-partitioned (no one-task funnel)") {
     // all prefix sums route through Distributed.globalCumSum — the
     // score/cents domains are unbounded, so any windowspec without the
