@@ -220,5 +220,81 @@ object Bpe {
     }
   )
 
-  val all: Seq[Q] = Seq(qBpeTrain, qBpeEncode)
+  /** q_bpe_fertility — per-language fertility rollup of the trained
+    * tokenizer: subword-tokens per whitespace word, aggregated by
+    * `lang` — THE multilingual-tokenizer audit (a tokenizer trained on
+    * an English-heavy mix over-segments other scripts; fertility per
+    * language quantifies exactly how much, and a mixture designer
+    * reads it before setting per-language sampling temperatures).
+    * Reuses [[qBpeEncode]]'s map-only replace chain; the rollup adds
+    * one lang-keyed aggregate.
+    *
+    * Cross-engine exactness: token and subword counts are BIGINT
+    * sums; fertility_ppm = Σsubtok·10⁶ div Σtok is one exact integral
+    * division (DECIMAL(38,0) / HUGEINT — Σsubtok·10⁶ wraps int64 past
+    * ~9.2e12 corpus tokens).
+    *
+    * 100 TB shape: training reads the Heaps-sublinear vocabulary (one
+    * corpus token shuffle); the encode is a codegen'd map-only
+    * replace chain; the rollup is one partial-aggregated shuffle on
+    * the ≤ #langs key. Text never moves.
+    */
+  val qBpeFertility = Q(
+    "q_bpe_fertility",
+    (s, d) => {
+      val merges = train(s, d)
+      val encodedTokens = transform(
+        TextOps.wsTokens(lower(col("text"))),
+        t => regexp_replace(t, "(.)", s"$B1$$1$B2"))
+      val applied = merges.foldLeft(concat_ws(SEP, encodedTokens)) {
+        case (acc, (_, a, b, _, _)) => mergeOnce(acc, a, b)
+      }
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_tok"),
+          applied.as("e"))
+        .filter(col("n_tok") > 0)
+        .select(col("lang"), col("n_tok"),
+          (length(col("e")) - length(translate(col("e"), B1, "")))
+            .cast("long").as("n_subtok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tok"),
+          sum(col("n_subtok")).as("n_subtok"))
+        .select(col("lang"), col("n_docs"), col("n_tok"), col("n_subtok"),
+          expr("CAST((CAST(n_subtok AS DECIMAL(38,0)) * 1000000) div n_tok " +
+            "AS BIGINT)").as("fertility_ppm"))
+        .orderBy("lang")
+    },
+    Some {
+      val applied = (1 to K).foldLeft("e") { (acc, k) =>
+        s"replace($acc, coalesce(chr(1) || (SELECT a FROM m$k) || " +
+          s"chr(2) || chr(1) || (SELECT b FROM m$k) || chr(2), chr(4)), " +
+          s"coalesce(chr(1) || (SELECT merged FROM m$k) || chr(2), chr(4)))"
+      }
+      s"""WITH $oracleTrainCtes,
+         |docs AS (
+         |  SELECT lang, CAST(len(t) AS BIGINT) AS n_tok,
+         |    array_to_string(list_transform(t,
+         |      x -> regexp_replace(x, '(.)', chr(1) || '\\1' || chr(2), 'g')),
+         |      chr(3)) AS e
+         |  FROM (SELECT lang, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+         |    FROM documents)
+         |  WHERE len(t) > 0),
+         |enc AS (
+         |  SELECT lang, n_tok,
+         |    CAST(len(me) - len(replace(me, chr(1), '')) AS BIGINT)
+         |      AS n_subtok
+         |  FROM (SELECT lang, n_tok, $applied AS me FROM docs))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(n_subtok) AS BIGINT) AS n_subtok,
+         |  CAST((CAST(sum(n_subtok) AS HUGEINT) * 1000000)
+         |    // CAST(sum(n_tok) AS HUGEINT) AS BIGINT) AS fertility_ppm
+         |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qBpeTrain, qBpeEncode, qBpeFertility)
 }

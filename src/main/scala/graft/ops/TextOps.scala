@@ -1130,9 +1130,72 @@ object TextOps {
     )
   )
 
+  /** q_len_hist — log2-bucketed token-length histogram per source:
+    * the distribution readout that sizes sequence-packing bins and
+    * max-length truncation before training (a source whose mass sits
+    * in bucket 2⁹–2¹⁰ packs differently from one at 2⁴–2⁵; see
+    * [[Corpus]]'s packing ops for the consumer). The bucket is the
+    * EXACT integer log2 — the bit length of the token count,
+    * length(bin(n)) − 1, identical in both engines (`bin` renders a
+    * positive BIGINT without leading zeros in Spark and DuckDB) — so
+    * no floating log2 rounds differently at bucket edges.
+    *
+    * Cross-engine exactness: counts BIGINT; share_ppm = n·10⁶ div
+    * n_src is DECIMAL(38,0) / HUGEINT (wraps int64 past ~9.2e12 docs
+    * per source); bucket boundaries lo = 2^b are exact shifts.
+    *
+    * 100 TB shape: map-only token count + bit-length into a
+    * (source × ≤64 buckets) aggregate; per-source totals broadcast
+    * back. One catalog-sized shuffle, nothing corpus-sized moves.
+    */
+  val qLenHist = Q(
+    "q_len_hist",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val lens = Tables.documents(s, d).select(
+        col("source"),
+        size(wsTokens(col("text"))).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("long"))
+      val byb = lens.groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n"))
+      val tot = byb.groupBy("source").agg(sum(col("n")).as("n_src"))
+      byb.join(broadcast(tot), "source")
+        .select(col("source"), col("bucket"),
+          expr("CAST(1 AS BIGINT) << CAST(bucket AS INT)").as("lo_tokens"),
+          col("n"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div n_src " +
+            "AS BIGINT)").as("share_ppm"))
+        .orderBy("source", "bucket")
+    },
+    Some(
+      """WITH lens AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |bucketed AS (
+        |  SELECT source, CAST(len(bin(n_tok)) - 1 AS BIGINT) AS bucket
+        |  FROM lens WHERE n_tok > 0),
+        |byb AS (
+        |  SELECT source, bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM bucketed GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_src
+        |  FROM byb GROUP BY source)
+        |SELECT byb.source, bucket,
+        |  CAST(1 AS BIGINT) << CAST(bucket AS INT) AS lo_tokens, n,
+        |  CAST((CAST(n AS HUGEINT) * 1000000) // n_src AS BIGINT)
+        |    AS share_ppm
+        |FROM byb JOIN tot ON tot.source = byb.source
+        |ORDER BY byb.source, bucket""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
       qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask,
-      qLabelNoise, qSpanCorruption, qChi2Terms)
+      qLabelNoise, qSpanCorruption, qChi2Terms, qLenHist)
 }

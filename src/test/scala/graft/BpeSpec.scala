@@ -81,4 +81,28 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // both engines, so the bracket count stays consistent for multi-byte
     assert(enc.head.getInt(2) == 3, enc.head.toString)
   }
+
+  test("q_bpe_fertility is exactly the per-lang rollup of q_bpe_encode") {
+    val sf = "/root/testdata/sf0.001"
+    val perDoc = ops.Bpe.qBpeEncode.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong))
+    val langOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = perDoc.groupBy(d => langOf(d._1))
+    val rows = ops.Bpe.qBpeFertility.fn(spark, sf).collect()
+    assert(rows.length === byLang.size)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val ds = byLang(lang)
+      assert(r.getAs[Long]("n_docs") === ds.length.toLong, lang)
+      val (tok, sub) = (ds.map(_._2).sum, ds.map(_._3).sum)
+      assert(r.getAs[Long]("n_tok") === tok, lang)
+      assert(r.getAs[Long]("n_subtok") === sub, lang)
+      assert(BigInt(r.getAs[Long]("fertility_ppm")) ===
+        BigInt(sub) * 1000000 / tok, lang)
+      // subword segmentation can only split words, never join them
+      assert(sub >= tok, lang)
+    }
+  }
 }

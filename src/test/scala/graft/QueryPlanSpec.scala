@@ -1450,6 +1450,29 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("median_slope_ppm") === med)
   }
 
+  test("q_len_hist: buckets are exact bit-lengths, shares rollup per source") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_len_hist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split("\\s+").count(_.nonEmpty).toLong))
+      .filter(_._2 > 0)
+    val byKey = lens.groupBy { case (src, n) =>
+      (src, (63 - java.lang.Long.numberOfLeadingZeros(n)).toLong)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(rows.length === byKey.size)
+    val bySrc = lens.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getAs[Long]("bucket"))
+      assert(byKey(key) === r.getAs[Long]("n"), key.toString)
+      assert(r.getAs[Long]("lo_tokens") === (1L << key._2), key.toString)
+      assert(r.getAs[Long]("share_ppm") ===
+        r.getAs[Long]("n") * 1000000L / bySrc(key._1), key.toString)
+    }
+  }
+
   test("q_auc / q_ks_test / q_stump / q_cusum: every window is ranged-partitioned (no one-task funnel)") {
     // all prefix sums route through Distributed.globalCumSum — the
     // score/cents domains are unbounded, so any windowspec without the
