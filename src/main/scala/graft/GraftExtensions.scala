@@ -115,6 +115,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName,
           "graft_minhash"),
         (exprs: Seq[Expression]) => graft.functions.MinHashAgg(exprs.head)))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_kmv_median"),
+        new ExpressionInfo(classOf[graft.functions.KmvMedianAgg].getName,
+          "graft_kmv_median"),
+        (exprs: Seq[Expression]) => graft.functions.KmvMedianAgg(exprs.head)))
     // the fused scalar kernels, so SQL users have full parity with the
     // Column API (literal-argument builders for the parameterized two)
     ext.injectFunction(

@@ -589,6 +589,11 @@ object GraftFunctions {
     ColumnBridge.column(
       MinHashAgg(ColumnBridge.expression(c)).toAggregateExpression())
 
+  /** The native KMV sampled-median aggregate ([[KmvMedianAgg]]). */
+  def graft_kmv_median(c: Column): Column =
+    ColumnBridge.column(
+      KmvMedianAgg(ColumnBridge.expression(c)).toAggregateExpression())
+
   /** Parse a character-class-like literal (`"a-zA-Z0-9#"`) into the
     * inclusive codepoint ranges [[CountCharsInRanges]] takes — the SQL
     * surface's argument encoding (a bare char is a 1-char range).
@@ -647,6 +652,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_minhash",
       exprs => MinHashAgg(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_kmv_median",
+      exprs => KmvMedianAgg(exprs.head),
       "built-in")
     registry.createOrReplaceTempFunction(
       "minhash_slices",

@@ -639,6 +639,99 @@ object Sketches {
     Some(hllOracle)
   )
 
+  /** q_kmv_median — the native KMV sampled-median aggregate
+    * ([[graft.functions.KmvMedianAgg]]) audited per order priority
+    * against the EXACT lower median: the sketch keeps the 64 distinct
+    * cents values with the smallest md5 digests (hash-min selection —
+    * order-independent, duplicate-insensitive, so partials merge
+    * exactly and the DuckDB oracle replays the identical selection
+    * with `ORDER BY md5(...) LIMIT 64`), and its median-of-sample
+    * estimates the median of distinct values. err_ppm quantifies the
+    * sampling error against the exact distinct-value lower median so
+    * the sketch's accuracy is MEASURED, not asserted (the same
+    * estimate-vs-exact audit shape as [[qHllAgg]]).
+    *
+    * Exact side: per-group lower median over the near-unique cents
+    * domain without a per-group one-task sort — the q_auc pattern:
+    * ONE [[Distributed.globalCumSum]] ranged prefix count over the
+    * TOTAL (priority, cents) order minus each group's broadcast
+    * offset, then the smallest value with 2·cum ≥ n (offsets are one
+    * row per PRIORITY — catalog-bounded).
+    *
+    * 100 TB shape: the sketch side shuffles ≤ 64×24 B per
+    * (partition, priority) under ObjectHashAggregate; the exact audit
+    * column costs one distinct-value shuffle and would be dropped in
+    * a production run, leaving the bounded-summary pass only.
+    */
+  val qKmvMedian = Q(
+    "q_kmv_median",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.graft_kmv_median
+      import s.implicits._
+      val cents = Tables.orders(s, d).select(
+        col("o_orderpriority").as("g"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+      val dv = cents.distinct() // KMV semantics: distinct values
+      val est = dv.groupBy("g").agg(graft_kmv_median(col("v")).as("kmv_med"))
+      // exact distinct-value lower median, q_auc-style ranged rank
+      val byv = dv.groupBy("g", "v").agg(count(lit(1)).as("one"))
+      val cum = Distributed.globalCumSum(
+        byv, Seq(col("g"), col("v")), col("one"), "cumAll")
+      val gt = byv.groupBy("g").agg(sum(col("one")).as("n_g"))
+      val gRows = gt.orderBy("g").collect()
+      val gOff = gRows.map(_.getString(0)).zip(
+        gRows.map(_.getLong(1)).scanLeft(0L)(_ + _).dropRight(1))
+      val offDf = gOff.toSeq.toDF("g", "goff")
+      val exact = cum.join(broadcast(offDf), "g")
+        .join(broadcast(gt), "g")
+        .withColumn("cum", col("cumAll") - col("goff"))
+        .filter(col("cum") * 2 >= col("n_g"))
+        .groupBy("g").agg(min(col("v")).as("exact_med"))
+      est.join(exact, "g")
+        .select(col("g").as("scope"), col("exact_med"), col("kmv_med"),
+          // sign-split so a negative numerator can't floor differently
+          // across engines (the q_trend_test convention)
+          expr("CASE WHEN kmv_med >= exact_med " +
+            "THEN (kmv_med - exact_med) * 1000000 div exact_med " +
+            "ELSE -((exact_med - kmv_med) * 1000000 div exact_med) END")
+            .as("err_ppm"))
+        .orderBy("scope")
+    },
+    Some(
+      """WITH cents AS (
+        |  SELECT DISTINCT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |kept AS (
+        |  SELECT g, v,
+        |    row_number() OVER (PARTITION BY g
+        |      ORDER BY md5(CAST(v AS VARCHAR))) AS rn
+        |  FROM cents),
+        |est AS (
+        |  SELECT g, v AS kmv_med FROM (
+        |    SELECT g, v,
+        |      row_number() OVER (PARTITION BY g ORDER BY v) AS vr,
+        |      count(*) OVER (PARTITION BY g) AS m
+        |    FROM kept WHERE rn <= 64)
+        |  WHERE vr = (m + 1) // 2),
+        |exact AS (
+        |  SELECT g, v AS exact_med FROM (
+        |    SELECT g, v,
+        |      row_number() OVER (PARTITION BY g ORDER BY v) AS vr,
+        |      count(*) OVER (PARTITION BY g) AS m
+        |    FROM cents)
+        |  WHERE vr = (m + 1) // 2)
+        |SELECT est.g AS scope, exact_med, kmv_med,
+        |  CASE WHEN kmv_med >= exact_med
+        |    THEN ((kmv_med - exact_med) * 1000000) // exact_med
+        |    ELSE -(((exact_med - kmv_med) * 1000000) // exact_med)
+        |  END AS err_ppm
+        |FROM est JOIN exact ON exact.g = est.g
+        |ORDER BY scope""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qKmvDistinct, qCountMin, qKmvIntersect,
-    qBloomPrefilter, qQuantileSketch, qHllDistinct, qHllAgg)
+    qBloomPrefilter, qQuantileSketch, qHllDistinct, qHllAgg, qKmvMedian)
 }
