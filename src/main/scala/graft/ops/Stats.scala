@@ -1382,9 +1382,77 @@ object Stats {
     )
   )
 
+  /** q_source_divergence — per-source squared Hellinger distance
+    * between the source's language mix and the corpus-wide reference
+    * mix: H² = 1 − Σ_l √(p_l·q_l) — the "which source is
+    * distributionally atypical" ranking a mixture designer reads
+    * next to [[qCramersV]]'s single global association number (V says
+    * THE columns are confounded; H² says WHICH sources drive it).
+    *
+    * Why Hellinger and not KL/JS: the only transcendental is sqrt,
+    * which IEEE-754 requires to be CORRECTLY ROUNDED — so
+    * floor(√(o·c/(r·N))·10⁶ + ½) is the bit-identical integer on both
+    * engines (the [[Sampling]] temperature-mix argument; ln-based
+    * divergences have no such guarantee). Each per-language term
+    * quantizes independently and the sum of integers is exact;
+    * absent (source, language) cells contribute √0 = 0, so no grid
+    * completion is needed. h2_ppm = 10⁶ − Σ terms (≤ 10⁶ by
+    * Cauchy-Schwarz, up to per-term half-ulp quantization).
+    *
+    * 100 TB shape: one corpus shuffle to the (source, lang) count
+    * frame (the [[qCramersV]] frame); marginals broadcast; everything
+    * after is catalog-sized. Ordered by h2_ppm descending — the
+    * atypical sources first.
+    */
+  val qSourceDivergence = Q(
+    "q_source_divergence",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("source", "lang")
+      val o = docs.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      val r = docs.groupBy("source").agg(count(lit(1)).as("r"))
+      val c = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val terms = o.join(broadcast(r), "source")
+        .join(broadcast(c), "lang")
+        .crossJoin(broadcast(n))
+        .withColumn("t_ppm",
+          floor(sqrt(
+            (col("o").cast("double") * col("c").cast("double")) /
+            (col("r").cast("double") * col("n").cast("double"))) * 1e6
+            + lit(0.5)).cast("long"))
+      terms.groupBy("source")
+        .agg(max(col("r")).as("n_docs"),
+          (lit(1000000L) - sum(col("t_ppm"))).as("h2_ppm"))
+        .orderBy(desc("h2_ppm"), col("source"))
+    },
+    Some(
+      """WITH docs AS (SELECT source, lang FROM documents),
+        |o AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM docs GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(count(*) AS BIGINT) AS r
+        |  FROM docs GROUP BY 1),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM docs GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+        |terms AS (
+        |  SELECT o.source, r.r,
+        |    CAST(floor(sqrt(
+        |      (CAST(o AS DOUBLE) * CAST(c AS DOUBLE)) /
+        |      (CAST(r AS DOUBLE) * CAST(n AS DOUBLE))) * 1e6 + 0.5)
+        |      AS BIGINT) AS t_ppm
+        |  FROM o JOIN r ON r.source = o.source
+        |  JOIN c ON c.lang = o.lang CROSS JOIN n)
+        |SELECT source, max(r) AS n_docs,
+        |  1000000 - CAST(sum(t_ppm) AS BIGINT) AS h2_ppm
+        |FROM terms GROUP BY source
+        |ORDER BY h2_ppm DESC, source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
       qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest, qKeySkew,
-      qAuc, qKsTest, qStump, qCusum, qBenford, qCramersV, qTheilSen)
+      qAuc, qKsTest, qStump, qCusum, qBenford, qCramersV, qTheilSen,
+      qSourceDivergence)
 }

@@ -1193,9 +1193,69 @@ object TextOps {
     )
   )
 
+  /** q_winnow — FULL winnowing fingerprint selection (Schleimer et
+    * al. SIGMOD'03, the MOSS algorithm): md5 over every 16-char gram,
+    * then the minimum of each sliding 8-gram window — the selected
+    * set carries the winnowing guarantee (every ≥ 23-char match
+    * between two documents shares at least one selected fingerprint),
+    * which the single-min [[qFingerprint]] does not. The per-doc
+    * distinct-fingerprint count is the index size a plagiarism /
+    * near-dup index pays per document (density ≈ 2/(w+1) of grams).
+    *
+    * Cross-engine exactness: fingerprints stay md5 HEX STRINGS —
+    * window minima are lexicographic string minima, identical
+    * byte-wise in both engines (ASCII hex); no numeric conversion
+    * anywhere. Window j covers grams [j, j+7]; a document shorter
+    * than one full window keeps the minimum of what exists (both
+    * engines' slice truncates past the end identically).
+    *
+    * 100 TB shape: map-only inside one projection — the gram-hash
+    * array sits behind a 1-element explode barrier (the measured
+    * q_cdc_chunks / q_span_corruption technique) so the O(n) md5
+    * scan runs ONCE, not once per window-slice lambda; O(n·w)
+    * comparisons per doc after. No shuffle below the output sort.
+    */
+  val qWinnow = Q(
+    "q_winnow",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id"), (length(col("text")) - 15).as("ng"),
+          col("text"))
+        .select(col("doc_id"), col("ng"),
+          explode(array(transform(sequence(lit(1), col("ng")),
+            i => md5(col("text").substr(i, lit(16)))))).as("h"))
+      base
+        .withColumn("wins",
+          transform(sequence(lit(1), greatest(col("ng") - 7, lit(1))),
+            j => array_min(slice(col("h"), j, lit(8)))))
+        .select(col("doc_id"), col("ng").cast("long").as("n_grams"),
+          size(array_distinct(col("wins"))).cast("long").as("n_fp"),
+          array_min(col("h")).as("min_fp"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT doc_id, len(text) - 15 AS ng,
+        |    list_transform(range(1, len(text) - 15 + 1),
+        |      i -> md5(substr(text, CAST(i AS INT), 16))) AS h
+        |  FROM documents WHERE len(text) >= 16),
+        |w AS (
+        |  SELECT doc_id, ng,
+        |    list_transform(range(1, greatest(ng - 7, 1) + 1),
+        |      j -> list_min(h[j:j+7])) AS wins,
+        |    h
+        |  FROM g)
+        |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(wins)) AS BIGINT) AS n_fp,
+        |  list_min(h) AS min_fp
+        |FROM w ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
       qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask,
-      qLabelNoise, qSpanCorruption, qChi2Terms, qLenHist)
+      qLabelNoise, qSpanCorruption, qChi2Terms, qLenHist, qWinnow)
 }

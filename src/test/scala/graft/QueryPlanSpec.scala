@@ -1450,6 +1450,73 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("median_slope_ppm") === med)
   }
 
+  test("q_winnow matches a brute-force recompute and keeps the coverage guarantee") {
+    import org.apache.spark.sql.functions.{col, length}
+    val rows = SparkEntry.queries("q_winnow")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_fp"),
+          r.getAs[String]("min_fp"))).toMap
+    val texts = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 16)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.size === texts.length && texts.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    texts.take(50).foreach { case (id, text) =>
+      // substr semantics are CODEPOINT-based in both engines
+      val cps = text.codePoints().toArray
+      val ng = cps.length - 15
+      val h = (0 until ng).map(i =>
+        md5hex(new String(cps, i, 16)))
+      val wins = (0 until math.max(ng - 7, 1)).map(j =>
+        h.slice(j, j + 8).min)
+      val (gotNg, gotFp, gotMin) = rows(id)
+      assert(gotNg === ng.toLong, id)
+      assert(gotFp === wins.distinct.length.toLong, id)
+      assert(gotMin === h.min, id)
+      // winnowing guarantee: every full window contains a selected gram
+      val sel = wins.toSet
+      (0 until math.max(ng - 7, 1)).foreach { j =>
+        assert(h.slice(j, j + 8).exists(sel), s"doc $id window $j uncovered")
+      }
+      // density: at most one new fingerprint per window
+      assert(wins.distinct.length <= wins.length)
+    }
+  }
+
+  test("q_source_divergence matches a brute-force Hellinger recompute") {
+    val rows = SparkEntry.queries("q_source_divergence")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = docs.length.toLong
+    val byLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.length === bySrc.size)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ds = bySrc(src)
+      val rv = ds.length.toLong
+      assert(r.getAs[Long]("n_docs") === rv, src)
+      val tsum = byLang.map { case (lang, cv) =>
+        val o = ds.count(_._2 == lang).toLong
+        math.floor(math.sqrt(
+          (o.toDouble * cv.toDouble) / (rv.toDouble * n.toDouble)) * 1e6
+          + 0.5).toLong
+      }.sum
+      assert(r.getAs[Long]("h2_ppm") === 1000000L - tsum, src)
+      // H² ∈ [0, 1] up to per-term half-ulp quantization
+      assert(r.getAs[Long]("h2_ppm") >= -byLang.size &&
+        r.getAs[Long]("h2_ppm") <= 1000000L, src)
+    }
+    // ranked descending: most atypical source first
+    val ppms = rows.map(_.getAs[Long]("h2_ppm")).toSeq
+    assert(ppms === ppms.sorted.reverse)
+  }
+
   test("q_len_hist: buckets are exact bit-lengths, shares rollup per source") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("q_len_hist")(spark, sf).collect()
