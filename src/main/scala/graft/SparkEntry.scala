@@ -52,7 +52,8 @@ object SparkEntry {
       "q_colbert_maxsim", "q_setsim_join", "q_cdc_chunks", "q_hilbert",
       "q_kcore", "q_stream_merge", "q_lda_power", "q_bootstrap_ci",
       "q_mad_outliers", "q_span_corruption", "q_t_closeness", "q_key_skew",
-      "q_auc", "q_chi2_terms", "q_theil_sen", "q_stream_drift")
+      "q_auc", "q_chi2_terms", "q_theil_sen", "q_stream_drift",
+      "q_winnow", "q_bpe_fertility")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

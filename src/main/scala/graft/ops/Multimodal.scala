@@ -548,8 +548,80 @@ object Multimodal {
     )
   )
 
+  /** q_media_resize — nearest-neighbor downsample over REAL decoded
+    * pixels: each "image" asset's BMP (same closed-form generation as
+    * [[qMediaBmpRoundtrip]]) is decoded to its logical pixel stream
+    * and resampled to a fixed 4×4 thumbnail — out(x,y) ← src(⌊x·w/4⌋,
+    * ⌊y·h/4⌋) — the resize-to-encoder-resolution step every vision
+    * preprocessing pipeline runs. The emitted thumbnail byte sum and
+    * the top-left output pixel's three channels pin the sampling
+    * GEOMETRY: an off-by-one in the coordinate map, a stride/padding
+    * leak, or a bottom-up mix-up all shift which source pixels are
+    * sampled and break the values. The oracle recomputes the sampled
+    * source indices in closed form from the generating parameters —
+    * the Spark side goes through genuine encode → parse → resample.
+    *
+    * 100 TB shape: map-only mapPartitions (the justified opaque-codec
+    * shape — decode + resample inside the task), 5 small columns out,
+    * one output-sort exchange. Thumbnails of a 100 TB image corpus
+    * shuffle 48 B each, never the originals.
+    */
+  val qMediaResize = Q(
+    "q_media_resize",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the "image" assets
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nc) =>
+            val w = (1 + nc % 16).toInt
+            val h = (1 + (nc * 7) % 16).toInt
+            val bmp = MediaCodec.encodeBmp24(w, h,
+              k => ((k.toLong * 37 + id) % 256).toInt)
+            val pix = MediaCodec.decodeBmpPixels(bmp)
+            var sum = 0L
+            var tlB = 0; var tlG = 0; var tlR = 0
+            var y = 0
+            while (y < 4) {
+              var x = 0
+              while (x < 4) {
+                val sx = x * w / 4
+                val sy = y * h / 4
+                val p = (sy * w + sx) * 3
+                val b = pix(p) & 0xff
+                val g = pix(p + 1) & 0xff
+                val r = pix(p + 2) & 0xff
+                sum += b + g + r
+                if (x == 0 && y == 0) { tlB = b; tlG = g; tlR = r }
+                x += 1
+              }
+              y += 1
+            }
+            (id, sum, tlB, tlG, tlR)
+          }
+        }
+        .toDF("doc_id", "thumb_sum", "tl_b", "tl_g", "tl_r")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT doc_id, 1 + n_chars % 16 AS w,
+        |    1 + (n_chars * 7) % 16 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 48), j ->
+        |    ((((((j // 3) // 4) * h // 4) * w + (((j // 3) % 4) * w // 4))
+        |      * 3 + (j % 3)) * 37 + doc_id) % 256)) AS BIGINT) AS thumb_sum,
+        |  CAST(doc_id % 256 AS INT) AS tl_b,
+        |  CAST((37 + doc_id) % 256 AS INT) AS tl_g,
+        |  CAST((74 + doc_id) % 256 AS INT) AS tl_r
+        |FROM a ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qMediaMetadata, qMediaFeatures, qMediaFrames, qMediaFrameDedup,
       qMediaAudioWindows, qMediaWavRoundtrip, qMediaBmpRoundtrip,
-      qMediaChannelStats, qMediaZeroCrossings)
+      qMediaChannelStats, qMediaZeroCrossings, qMediaResize)
 }

@@ -153,4 +153,29 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(b.getInt(40) === 4)
     assert(b.getShort(44) === 1 && b.getShort(46) === 2)
   }
+
+  test("nearest-neighbor 4x4 resample samples the hand-computed source pixels") {
+    // 8×4 image, byte value = logical byte index — so sampled values
+    // are readable off the coordinate map: sx = 2x, sy = y,
+    // p = (y·8 + 2x), channel byte = p·3 + ch
+    val bmp = graft.ops.MediaCodec.encodeBmp24(8, 4, k => k % 256)
+    val pix = graft.ops.MediaCodec.decodeBmpPixels(bmp)
+    assert(pix.length === 8 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val sx = x * 8 / 4
+      val sy = y * 4 / 4
+      val p = (sy * 8 + sx) * 3
+      assert((pix(p) & 0xff) === (p % 256), s"($x,$y)")
+      assert((pix(p + 1) & 0xff) === ((p + 1) % 256), s"($x,$y)")
+      assert((pix(p + 2) & 0xff) === ((p + 2) % 256), s"($x,$y)")
+    }
+    // a 1×1 source maps every output pixel to the single source pixel
+    val tiny = graft.ops.MediaCodec.encodeBmp24(1, 1, k => 10 + k)
+    val tp = graft.ops.MediaCodec.decodeBmpPixels(tiny)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val sx = x * 1 / 4; val sy = y * 1 / 4
+      assert(sx === 0 && sy === 0)
+    }
+    assert((tp(0) & 0xff, tp(1) & 0xff, tp(2) & 0xff) === ((10, 11, 12)))
+  }
 }
