@@ -1661,7 +1661,48 @@ object Dedup {
     )
   )
 
+  /** q_lsh_scurve — the exact S-curve tuning table for the SHIPPED
+    * banding (8 minhash slices → b = 2 bands × r = 4 rows, the scheme
+    * [[qMinhashSignature]] emits and the LSH pair join buckets on):
+    * per Jaccard similarity s = k/10, the pair-collision probability
+    * P(s) = 1 − (1 − s⁴)² — the table an operator reads to know what
+    * similarity the banding actually recalls before trusting
+    * [[qLshRecall]]'s empirical numbers (the curve's exact half-point
+    * (1 − 2^-½)^¼ ≈ 0.736 is WHY measured recall collapses below
+    * s ≈ 0.7 and saturates above s ≈ 0.8; the common large-b
+    * (1/b)^(1/r) heuristic would overshoot to 0.84 at b = 2).
+    *
+    * Cross-engine exactness: at s = k/10 the curve is RATIONAL —
+    * P·10⁸ = 10⁸ − (10⁴ − k⁴)², so every row is pure int64 arithmetic
+    * (max 10¹⁴), no pow(), no floating point at all. Both engines
+    * compute the identical BIGINT.
+    *
+    * 100 TB shape: a 9-row generated frame; nothing reads the corpus.
+    */
+  val qLshScurve = Q(
+    "q_lsh_scurve",
+    (s, d) => {
+      val _ = d // the tuning table is corpus-independent by design
+      s.range(1, 10).toDF("k")
+        .select(col("k").cast("int").as("s_tenths"),
+          (col("k") * col("k") * col("k") * col("k") * lit(100L))
+            .as("p_band_ppm"),
+          expr("(100000000 - (10000 - k*k*k*k) * (10000 - k*k*k*k)) " +
+            "* 1000000 div 100000000").as("p_pair_ppm"))
+        .orderBy("s_tenths")
+    },
+    Some(
+      """SELECT CAST(k AS INT) AS s_tenths,
+        |  CAST(k*k*k*k * 100 AS BIGINT) AS p_band_ppm,
+        |  CAST((100000000 - (10000 - k*k*k*k) * (10000 - k*k*k*k))
+        |    * 1000000 // 100000000 AS BIGINT) AS p_pair_ppm
+        |FROM range(1, 10) t(k)
+        |ORDER BY s_tenths""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
+    qLshScurve,
     qSubstrRegions,
     qSubstrCut,
     qDedupExact,

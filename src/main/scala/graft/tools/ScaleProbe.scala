@@ -36,11 +36,18 @@ object ScaleProbe {
 
   private val Copies = 10
 
-  /** The heaviest tier-2 operators by driver r07 medians. */
+  /** The heaviest tier-2 operators by driver r07 medians, plus the
+    * round-8 analytics batch's corpus-shuffling ops (the calendar-
+    * bounded ones — q_theil_sen, q_cusum — should ratio near 1×: ten
+    * key-shifted copies add rows per DAY, not days).
+    */
   private val Heavy = Seq(
     "q_curation_funnel", "q_setsim_join", "q_simhash", "q_lda_power",
     "q_stream_merge", "q_bootstrap_ci", "q_mad_outliers", "q_cdc_chunks",
-    "q_bpe_encode", "q_ppr_seed", "q_kcore", "q_ann_ivfpq")
+    "q_bpe_encode", "q_ppr_seed", "q_kcore", "q_ann_ivfpq",
+    "q_auc", "q_ks_test", "q_stump", "q_cusum", "q_theil_sen",
+    "q_chi2_terms", "q_winnow", "q_bpe_fertility", "q_stream_drift",
+    "q_kmv_median")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

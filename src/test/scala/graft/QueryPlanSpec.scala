@@ -1450,6 +1450,25 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("median_slope_ppm") === med)
   }
 
+  test("q_lsh_scurve: exact rational S-curve for the shipped b=2, r=4 banding") {
+    val rows = SparkEntry.queries("q_lsh_scurve")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("s_tenths")).toSeq === (1 to 9))
+    rows.foreach { r =>
+      val k = r.getAs[Int]("s_tenths").toLong
+      val k4 = k * k * k * k
+      assert(r.getAs[Long]("p_band_ppm") === k4 * 100L)
+      assert(r.getAs[Long]("p_pair_ppm") ===
+        (100000000L - (10000L - k4) * (10000L - k4)) * 1000000L / 100000000L)
+    }
+    // monotone increasing, and the exact half-point falls in
+    // (0.7, 0.8): (1−s⁴)² = ½ → s = (1−2^-½)^¼ ≈ 0.736 (the large-b
+    // (1/b)^(1/r) ≈ 0.84 heuristic overshoots at b = 2)
+    val ps = rows.map(_.getAs[Long]("p_pair_ppm")).toSeq
+    assert(ps === ps.sorted)
+    assert(ps(6) < 500000L && ps(7) > 500000L,
+      s"half-point not between s=0.7 and s=0.8: $ps")
+  }
+
   test("q_winnow matches a brute-force recompute and keeps the coverage guarantee") {
     import org.apache.spark.sql.functions.{col, length}
     val rows = SparkEntry.queries("q_winnow")(spark, sf).collect()
