@@ -1328,7 +1328,10 @@ object Stats {
         .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
           .as("rev"))
       val w = Window.orderBy("day") // daily frame: calendar-bounded
+      // pin: both join sides and n_days re-derive the frame — without
+      // the pin the orders aggregate scans the corpus three times
       val idx = byday.withColumn("t", row_number().over(w).cast("long"))
+        .localCheckpoint()
       val a = idx.select(col("t").as("t1"), col("rev").as("r1"))
       val b = idx.select(col("t").as("t2"), col("rev").as("r2"))
       val slopes = a.join(b, col("t1") < col("t2"))
@@ -1338,7 +1341,13 @@ object Stats {
           expr("CAST((CAST(abs(dr) AS DECIMAL(38,0)) * 1000000) div dt AS BIGINT)"))
         .withColumn("slope_ppm",
           when(col("dr") >= 0, col("mag")).otherwise(-col("mag")))
+      // pin the slope-count frame: cum (via globalCumSum's two jobs),
+      // tot, and the final join would otherwise each re-run the
+      // pair join + aggregation through lineage (measured 13.7 s →
+      // the pipeline once; the pin holds (slope, cnt) pairs only,
+      // bounded by C(T,2) over the CALENDAR-sized daily frame)
       val byv = slopes.groupBy("slope_ppm").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val cum = Distributed.globalCumSum(
         byv, Seq(col("slope_ppm")), col("cnt"), "cum")
       val tot = byv.agg(sum(col("cnt")).as("n_pairs"))

@@ -1450,6 +1450,32 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("median_slope_ppm") === med)
   }
 
+  test("q_chi2_terms shuffles (term, counts) only — document text never moves") {
+    val payloads = shufflePayloads("q_chi2_terms")
+    assert(payloads.nonEmpty, "expected the term-count shuffle")
+    payloads.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_winnow is map-only: no shuffle carries text or the gram array") {
+    val payloads = shufflePayloads("q_winnow")
+    payloads.foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("h"),
+        s"corpus-sized payload leaked into a shuffle: ${cols.mkString(", ")}")
+    }
+  }
+
+  test("q_len_hist / q_bpe_fertility shuffle catalog-sized aggregates only") {
+    Seq("q_len_hist", "q_bpe_fertility").foreach { q =>
+      shufflePayloads(q).foreach { cols =>
+        assert(!cols.contains("text") && !cols.contains("e"),
+          s"$q: corpus-sized payload in a shuffle: ${cols.mkString(", ")}")
+      }
+    }
+  }
+
   test("q_lsh_scurve: exact rational S-curve for the shipped b=2, r=4 banding") {
     val rows = SparkEntry.queries("q_lsh_scurve")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("s_tenths")).toSeq === (1 to 9))
