@@ -1313,10 +1313,72 @@ object StreamingOps {
     )
   )
 
+  /** q_stream_kmv — the native KMV sampled-median aggregate
+    * ([[graft.functions.KmvMedianAgg]]) running INSIDE a streaming
+    * windowed aggregation: per-day sampled median of event values —
+    * the bounded-state way to track a value distribution's center
+    * per ingest window when exact per-window medians would hold
+    * O(distinct values) state (the same native-aggregate-in-streaming
+    * proof [[qStreamHll]] gives for HLL). Hash-min selection is
+    * batching-independent — micro-batch boundaries merge through the
+    * same semilattice join as shuffle partials — so streaming equals
+    * batch equals the DuckDB oracle's ORDER BY md5 LIMIT 64 replay.
+    *
+    * 100 TB shape: ≤ 64×24 B state per live window under the
+    * streaming ObjectHashAggregate; the oracle-side exact comparison
+    * is test-only.
+    */
+  val qStreamKmv = Q(
+    "q_stream_kmv",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.graft_kmv_median
+      val rawSchema = Tables.eventsRaw(s, d).schema
+      val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val stream = withTsMicros(s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+        .select(window(col("ts"), "1 day").as("window"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy("window")
+        .agg(graft_kmv_median(col("cents")).as("kmv_med"))
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qn)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      s.table(qn)
+        .select(col("window.start").cast("timestamp_ntz").as("day"),
+          col("kmv_med"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |kept AS (
+        |  SELECT day, cents,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY md5(CAST(cents AS VARCHAR))) AS rn
+        |  FROM c)
+        |SELECT day, cents AS kmv_med FROM (
+        |  SELECT day, cents,
+        |    row_number() OVER (PARTITION BY day ORDER BY cents) AS vr,
+        |    count(*) OVER (PARTITION BY day) AS m
+        |  FROM kept WHERE rn <= 64)
+        |WHERE vr = (m + 1) // 2
+        |ORDER BY day""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
       qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv,
       qStreamLate, qStreamMerge, qStreamHll, qStreamSessionTimer,
-      qStreamDrift)
+      qStreamDrift, qStreamKmv)
 }

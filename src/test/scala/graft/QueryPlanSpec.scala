@@ -1450,6 +1450,31 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("median_slope_ppm") === med)
   }
 
+  test("q_auc: flipping the label complements the statistic exactly") {
+    // tie-corrected Mann-Whitney satisfies AUC(pos) + AUC(neg) = 1
+    // EXACTLY in the doubled-integer form: wins + losses + 2·(ties/2)
+    // = P·N pairs. The floor quantizations of x/(2PN) and
+    // (2PN−x)/(2PN) sum to 1e6 or 1e6−1 (exact iff 2PN | x·1e6).
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_auc")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2) == "en"))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val pos = docs.filter(d => d._1 == src && d._3).map(_._2)
+      val neg = docs.filter(d => d._1 == src && !d._3).map(_._2)
+      var numFlipped = BigInt(0) // negatives as the "positive" class
+      for (n <- neg; p <- pos)
+        numFlipped += (if (n > p) 2 else if (n == p) 1 else 0)
+      val flipped =
+        numFlipped * 1000000 / (BigInt(2) * pos.length * neg.length)
+      val sum = BigInt(r.getAs[Long]("auc_ppm")) + flipped
+      assert(sum === BigInt(1000000) || sum === BigInt(999999),
+        s"$src: auc + flipped = $sum")
+    }
+  }
+
   test("q_chi2_terms shuffles (term, counts) only — document text never moves") {
     val payloads = shufflePayloads("q_chi2_terms")
     assert(payloads.nonEmpty, "expected the term-count shuffle")

@@ -438,6 +438,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("q_stream_kmv: streamed sketch equals the batch aggregate per day") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.graft_kmv_median
+    val streamed = SparkEntry.queries("q_stream_kmv")(spark, sf).collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("day") ->
+        r.getAs[Long]("kmv_med")).toMap
+    val batch = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("day")
+      .agg(graft_kmv_median(col("cents")).as("kmv_med"))
+      .collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("day") ->
+        r.getAs[Long]("kmv_med")).toMap
+    // hash-min selection is batching-independent: streaming == batch
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("q_stream_drift: streamed TV distance equals a brute-force recompute") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_stream_drift")(spark, sf).collect()
