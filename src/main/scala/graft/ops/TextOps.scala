@@ -1209,29 +1209,25 @@ object TextOps {
     * than one full window keeps the minimum of what exists (both
     * engines' slice truncates past the end identically).
     *
-    * 100 TB shape: map-only inside one projection — the gram-hash
-    * array sits behind a 1-element explode barrier (the measured
-    * q_cdc_chunks / q_span_corruption technique) so the O(n) md5
-    * scan runs ONCE, not once per window-slice lambda; O(n·w)
-    * comparisons per doc after. No shuffle below the output sort.
+    * 100 TB shape: map-only inside one projection — the fused
+    * [[graft.functions.WinnowStats]] kernel (one md5 per gram, a
+    * monotonic-deque O(n) sliding minimum, selected digests only ever
+    * rendered to hex), codegen'd via the same static-call pattern as
+    * minhash_slices/simhash16. The first version materialized one
+    * 32-char hex string per gram plus an O(n·w) slice/array_min
+    * lambda chain behind an explode barrier — measured 8.8 s → the
+    * kernel form at sf0.1 (see SCALE.md). No shuffle below the
+    * output sort; parity with the array formulation is spec-pinned.
     */
   val qWinnow = Q(
     "q_winnow",
     (s, d) => {
-      val base = Tables.documents(s, d)
+      import graft.functions.GraftFunctions.winnow_stats
+      Tables.documents(s, d)
         .filter(length(col("text")) >= 16)
-        .select(col("doc_id"), (length(col("text")) - 15).as("ng"),
-          col("text"))
-        .select(col("doc_id"), col("ng"),
-          explode(array(transform(sequence(lit(1), col("ng")),
-            i => md5(col("text").substr(i, lit(16)))))).as("h"))
-      base
-        .withColumn("wins",
-          transform(sequence(lit(1), greatest(col("ng") - 7, lit(1))),
-            j => array_min(slice(col("h"), j, lit(8)))))
-        .select(col("doc_id"), col("ng").cast("long").as("n_grams"),
-          size(array_distinct(col("wins"))).cast("long").as("n_fp"),
-          array_min(col("h")).as("min_fp"))
+        .select(col("doc_id"), winnow_stats(col("text")).as("ws"))
+        .select(col("doc_id"), col("ws.n_grams").as("n_grams"),
+          col("ws.n_fp").as("n_fp"), col("ws.min_fp").as("min_fp"))
         .orderBy("doc_id")
     },
     Some(

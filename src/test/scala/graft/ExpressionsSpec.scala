@@ -312,6 +312,51 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Literal.create(gram, StringType), Seq((0x61, 0x7a), (0x4e00, 0x9fff)))
       .eval(null)
     assert(crE === cg.getInt(3), "chars_in_ranges eval vs codegen")
+
+    val wg = Seq(gram).toDF("g")
+      .select(GraftFunctions.winnow_stats(col("g")).as("ws"))
+      .select(col("ws.n_grams"), col("ws.n_fp"), col("ws.min_fp"))
+      .collect()(0)
+    val wsE = graft.functions.WinnowStats(Literal.create(gram, StringType))
+      .eval(null).asInstanceOf[
+        org.apache.spark.sql.catalyst.InternalRow]
+    assert(wsE.getLong(0) === wg.getLong(0), "winnow_stats n_grams")
+    assert(wsE.getLong(1) === wg.getLong(1), "winnow_stats n_fp")
+    assert(wsE.getUTF8String(2).toString === wg.getString(2),
+      "winnow_stats min_fp")
+  }
+
+  test("winnow_stats equals the array formulation it replaced (property)") {
+    // the fused kernel (byte-compared digests, monotonic deque) must
+    // select the EXACT values the md5-hex array_min(slice(...)) form
+    // selects — including repeated text (duplicate digests), multi-byte
+    // codepoints, and the short-document single-window case
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab 中🎉xyz"
+    val texts = (0 until 40).map { i =>
+      val n = 16 + rnd.nextInt(120)
+      val s = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      if (i % 4 == 0) s + s.take(32) else s // force repeated regions
+    } :+ "exactlysixteench" // ng == 1 (single short window)
+    val df = texts.toDF("text")
+    val rows = df
+      .select(col("text"),
+        GraftFunctions.winnow_stats(col("text")).as("ws"))
+      .selectExpr("ws.n_grams", "ws.n_fp", "ws.min_fp",
+        """transform(sequence(1, greatest(char_length(text) - 15 - 7, 1)),
+          |  j -> array_min(slice(
+          |    transform(sequence(1, char_length(text) - 15),
+          |      i -> md5(substr(text, i, 16))), j, 8))) AS wins""".stripMargin,
+        """array_min(transform(sequence(1, char_length(text) - 15),
+          |  i -> md5(substr(text, i, 16)))) AS amin""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) ===
+        r.getSeq[String](3).distinct.length.toLong, r.toString)
+      assert(r.getString(2) === r.getString(4), r.toString)
+    }
   }
 
   test("jaro_winkler matches the DuckDB-pinned semantics") {
