@@ -127,6 +127,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[graft.functions.WinnowStats].getName,
           "winnow_stats"),
         (exprs: Seq[Expression]) => graft.functions.WinnowStats(exprs.head)))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("winnow_fps"),
+        new ExpressionInfo(classOf[graft.functions.WinnowFps].getName,
+          "winnow_fps"),
+        (exprs: Seq[Expression]) => graft.functions.WinnowFps(exprs.head)))
     // the fused scalar kernels, so SQL users have full parity with the
     // Column API (literal-argument builders for the parameterized two)
     ext.injectFunction(

@@ -419,14 +419,23 @@ object WinnowKernel {
     new String(cs)
   }
 
-  /** (n_grams, n_fp, min_fp) over `text`; text must have ≥ K
-    * codepoints (mirrors the query's length filter).
+  /** The distinct SELECTED fingerprints (lowercase hex, sorted for a
+    * deterministic array value) — the per-document index entries a
+    * winnowing-based near-dup/plagiarism index stores. Same selection
+    * pass as [[winnowStats]].
     */
-  def winnowStats(text: UTF8String)
-      : org.apache.spark.sql.catalyst.InternalRow = {
+  def winnowFps(text: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val selected = selectFps(text)
+    val arr = new Array[UTF8String](selected.size)
+    val it = selected.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  private def selectFps(text: UTF8String): java.util.TreeSet[String] = {
     val bytes = text.getBytes
-    // byte offset of each codepoint start (UTF-8 continuation bytes
-    // have the 10xxxxxx prefix), plus the end sentinel
     val offs = new Array[Int](text.numChars() + 1)
     var nCp = 0
     var i = 0
@@ -437,31 +446,38 @@ object WinnowKernel {
     offs(nCp) = bytes.length
     val ng = nCp - K + 1
     val md = mdPool.get()
-
-    val idxQ = new Array[Int](ng)            // deque of candidate indices
-    val digQ = new Array[Array[Byte]](ng)    // their digests
-    var qHead = 0; var qTail = 0             // [qHead, qTail)
-    val selected = new java.util.HashSet[String]()
-    var minAll: Array[Byte] = null
+    val idxQ = new Array[Int](ng)
+    val digQ = new Array[Array[Byte]](ng)
+    var qHead = 0; var qTail = 0
+    val selected = new java.util.TreeSet[String]()
     var g = 0
     while (g < ng) {
       md.reset()
       md.update(bytes, offs(g), offs(g + K) - offs(g))
       val d = md.digest()
-      if (minAll == null || cmp(d, minAll) < 0) minAll = d
-      // monotonic deque: evict larger-or-equal tails (ties keep the
-      // newest — irrelevant for the selected VALUE, which is what the
-      // array_min formulation records)
       while (qTail > qHead && cmp(d, digQ(qTail - 1)) <= 0) qTail -= 1
       idxQ(qTail) = g; digQ(qTail) = d; qTail += 1
-      if (idxQ(qHead) <= g - W) qHead += 1 // fell out of window [g-W+1, g]
+      if (idxQ(qHead) <= g - W) qHead += 1
       if (g >= W - 1) selected.add(hex(digQ(qHead)))
       g += 1
     }
-    if (ng < W) selected.add(hex(digQ(qHead))) // one short window
+    if (ng < W) selected.add(hex(digQ(qHead)))
+    selected
+  }
+
+  /** (n_grams, n_fp, min_fp) over `text`; text must have ≥ K
+    * codepoints (mirrors the query's length filter).
+    */
+  def winnowStats(text: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    // the global-minimum gram is ALWAYS selected (it wins every window
+    // containing it, and every gram lies in at least one window), so
+    // min_fp is the sorted selection's first element — one pass serves
+    // both outputs; the fused-vs-array property spec pins this claim
+    val selected = selectFps(text)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](ng.toLong, selected.size.toLong,
-        UTF8String.fromString(hex(minAll))))
+      Array[Any]((text.numChars() - K + 1).toLong, selected.size.toLong,
+        UTF8String.fromString(selected.first())))
   }
 }
 
@@ -495,6 +511,33 @@ case class WinnowStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev,
       c => s"${ev.value} = graft.functions.WinnowKernel.winnowStats($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `winnow_fps(text)` → ARRAY<STRING>: the distinct selected
+  * winnowing fingerprints (the index entries); see
+  * [[WinnowKernel.winnowFps]].
+  */
+case class WinnowFps(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fps needs STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowKernel.winnowFps(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.WinnowKernel.winnowFps($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -702,6 +745,9 @@ object GraftFunctions {
   def winnow_stats(c: Column): Column =
     ColumnBridge.column(WinnowStats(ColumnBridge.expression(c)))
 
+  def winnow_fps(c: Column): Column =
+    ColumnBridge.column(WinnowFps(ColumnBridge.expression(c)))
+
   /** The native HLL aggregate ([[HllSketchAgg]]) as a Column — wraps
     * the aggregate in its AggregateExpression(Complete) form.
     */
@@ -789,6 +835,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "winnow_stats",
       exprs => WinnowStats(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "winnow_fps",
+      exprs => WinnowFps(exprs.head),
       "built-in")
     registry.createOrReplaceTempFunction(
       "minhash_slices",

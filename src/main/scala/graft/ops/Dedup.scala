@@ -1701,8 +1701,70 @@ object Dedup {
     )
   )
 
+  /** q_winnow_pairs — winnowing's actual payoff: candidate near-dup /
+    * plagiarism pairs from SHARED selected fingerprints (any two
+    * documents sharing a ≥ 23-char run share one by the winnowing
+    * guarantee — [[graft.functions.WinnowKernel]]), with the shared-
+    * fingerprint count as the match strength. The index entries come
+    * from the fused `winnow_fps` kernel; pair formation is the same
+    * bucket-join shape as MinHash LSH, with the same giant-bucket
+    * guard: fingerprints held by > 32 documents (boilerplate) are
+    * dropped on BOTH engines before the join, so no bucket can go
+    * quadratic — the rare-prefix rule PPJoin and the LSH pair join
+    * already follow.
+    *
+    * Cross-engine exactness: fingerprints are md5 hex strings; the
+    * DuckDB oracle replays the selection with the materialized
+    * array_min(slice(...)) formulation the fused kernel is
+    * property-proven equal to.
+    *
+    * 100 TB shape: one map-only kernel pass emits ~2n/w fingerprints
+    * per doc; one shuffle keyed by fingerprint; the bucket-size guard
+    * caps join fan-out at 32²/2 per bucket. Document text never
+    * moves.
+    */
+  val qWinnowPairs = Q(
+    "q_winnow_pairs",
+    (s, d) => {
+      import graft.functions.GraftFunctions.winnow_fps
+      val fps = Tables.documents(s, d)
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id"), explode(winnow_fps(col("text"))).as("fp"))
+      val sizes = fps.groupBy("fp").agg(count(lit(1)).as("bn"))
+      val rare = fps.join(sizes.filter(col("bn") <= 32), "fp")
+        .select("doc_id", "fp")
+      rare.as("a").join(rare.as("b"),
+          col("a.fp") === col("b.fp") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT doc_id, len(text) - 15 AS ng,
+        |    list_transform(range(1, len(text) - 15 + 1),
+        |      i -> md5(substr(text, CAST(i AS INT), 16))) AS h
+        |  FROM documents WHERE len(text) >= 16),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(ng - 7, 1) + 1),
+        |      j -> list_min(h[j:j+7]))) AS fps
+        |  FROM g),
+        |f AS (SELECT doc_id, fp FROM w, UNNEST(fps) AS u(fp)),
+        |sz AS (SELECT fp, count(*) AS bn FROM f GROUP BY fp),
+        |r AS (SELECT f.doc_id, f.fp FROM f JOIN sz USING (fp)
+        |      WHERE sz.bn <= 32)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qLshScurve,
+    qWinnowPairs,
     qSubstrRegions,
     qSubstrCut,
     qDedupExact,

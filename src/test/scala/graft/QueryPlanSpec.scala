@@ -1501,6 +1501,35 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_winnow_pairs: exactly the rare-fingerprint intersections, both directions") {
+    import org.apache.spark.sql.functions.{col, explode, length}
+    import graft.functions.GraftFunctions.winnow_fps
+    val got = SparkEntry.queries("q_winnow_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    // per-doc fingerprint sets via the (parity-proven) kernel
+    val fps = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id"), explode(winnow_fps(col("text"))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byFp = fps.groupBy(_._2)
+    val rare = fps.filter(p => byFp(p._2).length <= 32)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = rare.keys.toSeq.sorted
+    var expected = 0
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val shared = rare(ids(i)).intersect(rare(ids(j))).size
+      if (shared > 0) {
+        expected += 1
+        assert(got((ids(i), ids(j))) === shared.toLong,
+          s"pair (${ids(i)}, ${ids(j)})")
+      } else assert(!got.contains((ids(i), ids(j))),
+        s"phantom pair (${ids(i)}, ${ids(j)})")
+    }
+    assert(got.size === expected)
+    assert(expected > 0, "fixture should contain near-dup pairs")
+  }
+
   test("q_lsh_scurve: exact rational S-curve for the shipped b=2, r=4 banding") {
     val rows = SparkEntry.queries("q_lsh_scurve")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("s_tenths")).toSeq === (1 to 9))
