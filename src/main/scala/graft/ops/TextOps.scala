@@ -172,6 +172,41 @@ object TextOps {
   /** q_lang_id — stopword-frequency language ID with a CJK-character
     * ratio shortcut for zh. Ties broken by the fixed profile order.
     */
+  /** The DuckDB mirror of [[withLangPredicted]] as a CTE chain ending
+    * in `pred(doc_id, lang, score_*, predicted)` — shared by the
+    * q_lang_id oracle and the agreement audit built on it.
+    */
+  private def oraclePredCtes: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+    val scoreDefs = langStops
+      .map { case (lang, stops) =>
+        val set = stops.map(w => s"'$w'").mkString(",")
+        s"""CAST(len(list_filter($toks, t -> t IN ($set))) AS DOUBLE)
+           |      / greatest(len($toks), 1) AS score_$lang""".stripMargin
+      }
+      .mkString(",\n    ")
+    // mirror of the fold: strict > keeps the earlier lang on ties
+    val arg = langStops.map(_._1).tail.foldLeft("'" + langStops.head._1 + "'") {
+      case (acc, lang) =>
+        val better = langStops
+          .map(_._1)
+          .takeWhile(_ != lang)
+          .map(prev => s"score_$lang > score_$prev")
+          .mkString(" AND ")
+        s"CASE WHEN $better THEN '$lang' ELSE $acc END"
+    }
+    s"""sc AS (
+       |  SELECT doc_id, lang,
+       |    $scoreDefs,
+       |    CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+       |      / greatest(length(text), 1) AS cjk
+       |  FROM documents),
+       |pred AS (
+       |  SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+       |    CASE WHEN cjk > 0.3 THEN 'zh' ELSE $arg END AS predicted
+       |  FROM sc)""".stripMargin
+  }
+
   val qLangId = Q(
     "q_lang_id",
     (s, d) =>
@@ -181,36 +216,12 @@ object TextOps {
             langStops.map { case (l, _) => col(s"score_$l") }: _*
         )
         .orderBy("doc_id"),
-    Some {
-      val toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
-      val scoreDefs = langStops
-        .map { case (lang, stops) =>
-          val set = stops.map(w => s"'$w'").mkString(",")
-          s"""CAST(len(list_filter($toks, t -> t IN ($set))) AS DOUBLE)
-             |      / greatest(len($toks), 1) AS score_$lang""".stripMargin
-        }
-        .mkString(",\n    ")
-      // mirror of the fold: strict > keeps the earlier lang on ties
-      val arg = langStops.map(_._1).tail.foldLeft("'" + langStops.head._1 + "'") {
-        case (acc, lang) =>
-          val better = langStops
-            .map(_._1)
-            .takeWhile(_ != lang)
-            .map(prev => s"score_$lang > score_$prev")
-            .mkString(" AND ")
-          s"CASE WHEN $better THEN '$lang' ELSE $acc END"
-      }
-      s"""WITH sc AS (
-         |  SELECT doc_id, lang,
-         |    $scoreDefs,
-         |    CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
-         |      / greatest(length(text), 1) AS cjk
-         |  FROM documents)
-         |SELECT doc_id, lang,
-         |  CASE WHEN cjk > 0.3 THEN 'zh' ELSE $arg END AS predicted,
+    Some(
+      s"""WITH $oraclePredCtes
+         |SELECT doc_id, lang, predicted,
          |  score_en, score_de, score_fr, score_es
-         |FROM sc ORDER BY doc_id""".stripMargin
-    }
+         |FROM pred ORDER BY doc_id""".stripMargin
+    )
   )
 
   /** q_label_noise — label-quality audit: the declared `lang` column
@@ -1249,9 +1260,83 @@ object TextOps {
     )
   )
 
+  /** q_kappa — Cohen's κ agreement between the stopword language-ID
+    * heuristic ([[qLangId]]'s predictor, the weak labeler) and the
+    * gold `lang` column: the chance-corrected agreement score that
+    * tells a curation pipeline whether a cheap classifier is good
+    * enough to gate on (raw accuracy flatters any skewed class mix —
+    * κ subtracts the agreement a label-marginal-preserving random
+    * assignment would get).
+    *
+    * Cross-engine exactness: κ = (p_o − p_e)/(1 − p_e) is computed in
+    * the cross-multiplied integer form (agree·N − Σ_c row_c·col_c) /
+    * (N² − Σ_c row_c·col_c) over the shared class set; the one
+    * division is sign-split ppm (κ can be negative) in DECIMAL(38,0)
+    * / HUGEINT (N² wraps int64 past ~3e9 docs). Both engines derive
+    * the prediction from the SAME scoring definition, so the
+    * confusion matrix is identical by construction.
+    *
+    * 100 TB shape: one map-only prediction pass into two
+    * catalog-sized marginal aggregates (≤ #langs rows each) plus a
+    * 1-row agreement count; the marginal product joins on the
+    * ≤ #langs class key. Text never shuffles.
+    */
+  val qKappa = Q(
+    "q_kappa",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val pred = withLangPredicted(Tables.documents(s, d))
+        .select(col("lang"), col("predicted"))
+      val tot = pred.agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === col("predicted"), 1L).otherwise(0L))
+          .as("agree"))
+      val rows = pred.groupBy(col("predicted").as("cls"))
+        .agg(count(lit(1)).as("rc"))
+      val cols = pred.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("cc"))
+      val pe = rows.join(cols, Seq("cls"), "full_outer")
+        .na.fill(0L, Seq("rc", "cc"))
+        .agg(sum(col("rc").cast(dec) * col("cc").cast(dec)).as("pen2"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("n").as("n_docs"), col("agree").as("n_agree"),
+          expr("CASE WHEN agree * CAST(n AS DECIMAL(38,0)) >= pen2 " +
+            "THEN CAST((agree * CAST(n AS DECIMAL(38,0)) - pen2) * 1000000 " +
+            "div (CAST(n AS DECIMAL(38,0)) * n - pen2) AS BIGINT) " +
+            "ELSE -CAST((pen2 - agree * CAST(n AS DECIMAL(38,0))) * 1000000 " +
+            "div (CAST(n AS DECIMAL(38,0)) * n - pen2) AS BIGINT) END")
+            .as("kappa_ppm"))
+    },
+    Some(
+      s"""WITH $oraclePredCtes,
+         |p AS (SELECT lang, predicted FROM pred),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS agree
+         |  FROM p),
+         |r AS (SELECT predicted AS cls, CAST(count(*) AS BIGINT) AS rc
+         |  FROM p GROUP BY 1),
+         |c AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS cc
+         |  FROM p GROUP BY 1),
+         |pe AS (
+         |  SELECT sum(CAST(coalesce(rc, 0) AS HUGEINT)
+         |    * coalesce(cc, 0)) AS pen2
+         |  FROM r FULL OUTER JOIN c USING (cls))
+         |SELECT n AS n_docs, agree AS n_agree,
+         |  CASE WHEN CAST(agree AS HUGEINT) * n >= pen2
+         |    THEN CAST((CAST(agree AS HUGEINT) * n - pen2) * 1000000
+         |      // (CAST(n AS HUGEINT) * n - pen2) AS BIGINT)
+         |    ELSE -CAST((pen2 - CAST(agree AS HUGEINT) * n) * 1000000
+         |      // (CAST(n AS HUGEINT) * n - pen2) AS BIGINT) END
+         |    AS kappa_ppm
+         |FROM tot, pe""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
       qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask,
-      qLabelNoise, qSpanCorruption, qChi2Terms, qLenHist, qWinnow)
+      qLabelNoise, qSpanCorruption, qChi2Terms, qLenHist, qWinnow, qKappa)
 }

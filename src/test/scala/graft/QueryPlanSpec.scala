@@ -1501,6 +1501,34 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_kappa matches a brute-force Cohen's kappa recompute") {
+    val r = SparkEntry.queries("q_kappa")(spark, sf).collect().head
+    val preds = SparkEntry.queries("q_lang_id")(spark, sf).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("predicted")))
+    val n = preds.length.toLong
+    val agree = preds.count(p => p._1 == p._2).toLong
+    assert(r.getAs[Long]("n_docs") === n)
+    assert(r.getAs[Long]("n_agree") === agree)
+    val rowM = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val colM = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val pen2 = (rowM.keySet ++ colM.keySet).toSeq.map { c =>
+      BigInt(rowM.getOrElse(c, 0L)) * BigInt(colM.getOrElse(c, 0L))
+    }.foldLeft(BigInt(0))(_ + _)
+    val num = BigInt(agree) * n - pen2
+    val den = BigInt(n) * n - pen2
+    val expect =
+      if (num >= 0) num * 1000000 / den else -((-num) * 1000000 / den)
+    assert(BigInt(r.getAs[Long]("kappa_ppm")) === expect)
+    // κ ∈ [−1, 1]. On the synthetic corpus the stopword scores are
+    // all zero, the argmax degenerates to the constant 'en'
+    // classifier, and κ is EXACTLY 0 at every sf — the audit working
+    // as designed: raw accuracy reads 44% (the en share) while κ
+    // correctly reports the labeler has no skill beyond the class
+    // prior. That verdict is precisely what the op exists to catch.
+    assert(r.getAs[Long]("kappa_ppm") >= -1000000L &&
+      r.getAs[Long]("kappa_ppm") <= 1000000L)
+  }
+
   test("q_winnow_pairs: exactly the rare-fingerprint intersections, both directions") {
     import org.apache.spark.sql.functions.{col, explode, length}
     import graft.functions.GraftFunctions.winnow_fps
