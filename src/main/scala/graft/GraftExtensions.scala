@@ -123,6 +123,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => graft.functions.KmvMedianAgg(exprs.head)))
     ext.injectFunction(
       (
+        new FunctionIdentifier("graft_f2"),
+        new ExpressionInfo(classOf[graft.functions.F2SketchAgg].getName,
+          "graft_f2"),
+        (exprs: Seq[Expression]) =>
+          graft.functions.F2SketchAgg(exprs.head, exprs(1))))
+    ext.injectFunction(
+      (
         new FunctionIdentifier("winnow_stats"),
         new ExpressionInfo(classOf[graft.functions.WinnowStats].getName,
           "winnow_stats"),

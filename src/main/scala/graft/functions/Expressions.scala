@@ -769,6 +769,14 @@ object GraftFunctions {
     ColumnBridge.column(
       KmvMedianAgg(ColumnBridge.expression(c)).toAggregateExpression())
 
+  /** The native AMS F2 (self-join-size) sketch aggregate
+    * ([[F2SketchAgg]]): `graft_f2(key, weight)`.
+    */
+  def graft_f2(key: Column, weight: Column): Column =
+    ColumnBridge.column(
+      F2SketchAgg(ColumnBridge.expression(key), ColumnBridge.expression(weight))
+        .toAggregateExpression())
+
   /** Parse a character-class-like literal (`"a-zA-Z0-9#"`) into the
     * inclusive codepoint ranges [[CountCharsInRanges]] takes — the SQL
     * surface's argument encoding (a bare char is a 1-char range).
@@ -831,6 +839,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_kmv_median",
       exprs => KmvMedianAgg(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_f2",
+      exprs => F2SketchAgg(exprs.head, exprs(1)),
       "built-in")
     registry.createOrReplaceTempFunction(
       "winnow_stats",

@@ -597,6 +597,95 @@ object Graph {
     }
   )
 
+  /** q_hits — HITS hubs & authorities (Kleinberg, JACM'99) over the
+    * directed supplier graph: authority(v) = Σ_{u→v} hub(u), hub(u) =
+    * Σ_{u→v} authority(v), each half-step rescaled to max = 10⁶ by
+    * positive floor division (the float-free analog of L∞
+    * normalization — identical `div`/`//` on both engines, the
+    * q_pagerank convention). Four exactly-unrolled iterations; top-20
+    * by authority. Crawl curation uses the authority side to weight
+    * documents by endorsement and the hub side to find index/spam
+    * pages whose value is pointing, not content — the signal PageRank
+    * conflates.
+    *
+    * 100 TB shape: each half-iteration is one edges⋈vector shuffle
+    * partial-aggregated by the receiving endpoint (the vector is
+    * O(nodes), never the edge list), the max is a 1-row broadcast
+    * cross join, and each half-vector is pinned with an eager
+    * localCheckpoint so 8 half-steps never compound into one lineage
+    * (the q_mmr_rerank lesson).
+    */
+  val qHits = Q(
+    "q_hits",
+    (s, d) => {
+      val scale = 1000000L
+      val n     = Tables.supplier(s, d).count()
+      val e     = edges(s, d, n).cache()
+      val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+      var hub   = nodes.select(col("node"), lit(scale).as("h"))
+      var auth: DataFrame = null
+      for (_ <- 1 to 4) {
+        val araw = nodes.join(
+          e.join(hub, e("src") === hub("node"))
+            .groupBy(col("dst")).agg(sum(col("h")).as("raw")),
+          nodes("node") === col("dst"), "left")
+          .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        auth = araw
+          .crossJoin(broadcast(araw.agg(max(col("raw")).as("mx"))))
+          .select(col("node"), expr(s"raw * $scale div mx").as("a"))
+          .localCheckpoint()
+        val hraw = nodes.join(
+          e.join(auth, e("dst") === auth("node"))
+            .groupBy(col("src")).agg(sum(col("a")).as("raw")),
+          nodes("node") === col("src"), "left")
+          .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        hub = hraw
+          .crossJoin(broadcast(hraw.agg(max(col("raw")).as("mx"))))
+          .select(col("node"), expr(s"raw * $scale div mx").as("h"))
+          .localCheckpoint()
+      }
+      auth.join(hub, "node")
+        .select(col("node"), col("a").as("auth"), col("h").as("hub"))
+        .orderBy(col("auth").desc, col("node")).limit(20)
+    },
+    Some {
+      val n = "(SELECT count(*) FROM supplier)"
+      // AS MATERIALIZED: every a{t}r/h{t}r is referenced twice (value
+      // select + max() scalar subquery); DuckDB inlines plain CTEs, so
+      // 8 unrolled half-steps would re-expand the whole prefix
+      // exponentially (measured: the un-materialized form never
+      // finishes at sf0.01) — materialization pins each level once,
+      // the same role localCheckpoint plays on the Spark side.
+      val steps = (1 to 4).map { t =>
+        s"""a${t}r AS MATERIALIZED (
+           |  SELECT n.node, CAST(coalesce(sum(h.h), 0) AS BIGINT) AS raw
+           |  FROM nodes n
+           |  LEFT JOIN e ON e.dst = n.node
+           |  LEFT JOIN h${t - 1} h ON h.node = e.src
+           |  GROUP BY n.node),
+           |a$t AS MATERIALIZED (
+           |  SELECT node, raw * 1000000 // (SELECT max(raw) FROM a${t}r) AS a
+           |  FROM a${t}r),
+           |h${t}r AS MATERIALIZED (
+           |  SELECT n.node, CAST(coalesce(sum(a.a), 0) AS BIGINT) AS raw
+           |  FROM nodes n
+           |  LEFT JOIN e ON e.src = n.node
+           |  LEFT JOIN a$t a ON a.node = e.dst
+           |  GROUP BY n.node),
+           |h$t AS MATERIALIZED (
+           |  SELECT node, raw * 1000000 // (SELECT max(raw) FROM h${t}r) AS h
+           |  FROM h${t}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS MATERIALIZED (SELECT s_suppkey AS node FROM supplier),
+         |e AS MATERIALIZED (${edgesSql(n)}),
+         |h0 AS (SELECT node, 1000000 AS h FROM nodes),
+         |$steps
+         |SELECT a4.node, CAST(a4.a AS BIGINT) AS auth, CAST(h4.h AS BIGINT) AS hub
+         |FROM a4 JOIN h4 ON h4.node = a4.node
+         |ORDER BY auth DESC, a4.node LIMIT 20""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(qPprSeed, qTriangles, qLabelProp, qBfsHops, qModularity,
-    qKcore, qGraphJaccard)
+    qKcore, qGraphJaccard, qHits)
 }

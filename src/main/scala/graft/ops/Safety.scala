@@ -594,6 +594,105 @@ object Safety {
     )
   )
 
+  /** q_secret_scan — credential/secret detection over the corpus, the
+    * screen a code-heavy training set runs before release (leaked API
+    * keys are both a privacy incident and a memorization hazard).
+    * Three detector classes in fixed precedence, every gate an exact
+    * string computation both engines evaluate identically:
+    * `hex_key` (a bare 32+ lowercase-hex token — raw MD5/SHA/API
+    * digests), `prefixed_key` (known issuer prefixes `sk_live_` /
+    * `ghp_` / `AKIA` followed by ≥8 key chars — the detect-secrets
+    * keyword heuristic), and `high_mix` (length ≥ 20, key charset,
+    * and ≥2 each of upper/lower/digit — class counts via
+    * length-difference after regexp_replace, not per-char loops).
+    * Secrets are PLANTED deterministically from doc_id (the
+    * [[qPiiScan]] augmentation convention — organic word-soup text
+    * cannot hit, so the oracle checks the detector, not luck).
+    *
+    * 100 TB shape: map-only per-token regexp/count projection fused
+    * into the scan, then one partial-aggregated groupBy over
+    * (source, class) — ≤ 3 rows per source; text never shuffles.
+    */
+  val qSecretScan = Q(
+    "q_secret_scan",
+    (s, d) => {
+      val planted = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" sk_live_"), md5(col("doc_id").cast("string"))))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" "), md5(concat(lit("h:"), col("doc_id").cast("string")))))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" T0k"),
+                upper(substring(md5(concat(lit("m:"), col("doc_id").cast("string"))), 1, 8)),
+                substring(md5(concat(lit("n:"), col("doc_id").cast("string"))), 1, 12)))
+              .otherwise(lit(""))).as("t"))
+      val toks = planted
+        .select(col("source"), col("doc_id"),
+          explode(TextOps.wsTokens(col("t"))).as("tok"))
+        .filter(length(col("tok")) >= 20 &&
+          col("tok").rlike("^[A-Za-z0-9+/=_-]+$"))
+        .withColumn("n_up",
+          length(col("tok")) - length(regexp_replace(col("tok"), "[A-Z]", "")))
+        .withColumn("n_lo",
+          length(col("tok")) - length(regexp_replace(col("tok"), "[a-z]", "")))
+        .withColumn("n_di",
+          length(col("tok")) - length(regexp_replace(col("tok"), "[0-9]", "")))
+        .withColumn("cls",
+          when(col("tok").rlike("^[0-9a-f]{32,}$"), "hex_key")
+            .when(col("tok").rlike("^(sk_live_|ghp_|AKIA)[A-Za-z0-9_]{8,}$"),
+              "prefixed_key")
+            .when(col("n_up") >= 2 && col("n_lo") >= 2 && col("n_di") >= 2,
+              "high_mix"))
+        .filter(col("cls").isNotNull)
+      toks.groupBy("source", "cls")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(length(col("tok"))).cast("long").as("total_chars"))
+        .orderBy("source", "cls")
+    },
+    Some(
+      """WITH planted AS (
+        |  SELECT source, doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' sk_live_' || md5(CAST(doc_id AS VARCHAR)) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' ' || md5('h:' || CAST(doc_id AS VARCHAR)) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' T0k' || upper(substr(md5('m:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |           || substr(md5('n:' || CAST(doc_id AS VARCHAR)), 1, 12) ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT source, doc_id, u.tok,
+        |    length(u.tok) - length(regexp_replace(u.tok, '[A-Z]', '', 'g')) AS n_up,
+        |    length(u.tok) - length(regexp_replace(u.tok, '[a-z]', '', 'g')) AS n_lo,
+        |    length(u.tok) - length(regexp_replace(u.tok, '[0-9]', '', 'g')) AS n_di
+        |  FROM (SELECT source, doc_id,
+        |          list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS l
+        |        FROM planted),
+        |    UNNEST(l) AS u(tok)
+        |  WHERE length(u.tok) >= 20
+        |    AND regexp_matches(u.tok, '^[A-Za-z0-9+/=_-]+$')),
+        |classified AS (
+        |  SELECT source, doc_id, tok,
+        |    CASE WHEN regexp_matches(tok, '^[0-9a-f]{32,}$') THEN 'hex_key'
+        |         WHEN regexp_matches(tok, '^(sk_live_|ghp_|AKIA)[A-Za-z0-9_]{8,}$')
+        |           THEN 'prefixed_key'
+        |         WHEN n_up >= 2 AND n_lo >= 2 AND n_di >= 2 THEN 'high_mix'
+        |    END AS cls
+        |  FROM toks)
+        |SELECT source, cls, count(*) AS n_tokens,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(length(tok)) AS BIGINT) AS total_chars
+        |FROM classified WHERE cls IS NOT NULL
+        |GROUP BY source, cls ORDER BY source, cls""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity, qLDiversity,
-    qTCloseness, qDpContribution, qDpReleaseSim, qPiiLuhn)
+    qTCloseness, qDpContribution, qDpReleaseSim, qPiiLuhn, qSecretScan)
 }

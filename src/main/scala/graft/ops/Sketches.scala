@@ -732,6 +732,141 @@ object Sketches {
     )
   )
 
+  /** q_ams_f2 — per-source self-join-size (F2 = Σ_t f_t²) estimate
+    * from the native AMS tug-of-war aggregate
+    * ([[graft.functions.F2SketchAgg]]), audited against the exact F2
+    * computed in the SAME single aggregation pass. F2 prices a
+    * shuffle join on the token column and measures corpus skew — the
+    * estimate a 100 TB planner wants from a 256-byte summary instead
+    * of a vocabulary-sized shuffle. The sketch is LINEAR (merge =
+    * vector add), so the DuckDB oracle rebuilds the identical 32
+    * signed counters relationally and replays the same
+    * median-of-4-group-means, exact BIGINT end to end.
+    *
+    * 100 TB shape: one groupBy(source, token) partial-aggregated
+    * count (the vocabulary pass the pipeline already runs), then one
+    * ObjectHashAggregate whose shuffle carries 256 B + 8 B per
+    * (partition, source) — the exact column is the audit and would
+    * be dropped in production.
+    */
+  val qAmsF2 = Q(
+    "q_ams_f2",
+    (s, d) => {
+      import graft.functions.GraftFunctions.graft_f2
+      val tokcnt = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.wsTokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      tokcnt.groupBy("source")
+        .agg(graft_f2(col("token"), col("c")).as("f2_est"),
+          sum(col("c") * col("c")).as("f2_exact"))
+        .select(col("source"), col("f2_exact"), col("f2_est"),
+          expr("CASE WHEN f2_est >= f2_exact " +
+            "THEN (f2_est - f2_exact) * 1000000 div f2_exact " +
+            "ELSE -((f2_exact - f2_est) * 1000000 div f2_exact) END")
+            .as("err_ppm"))
+        .orderBy("source")
+    },
+    Some {
+      val sign = "CASE WHEN (strpos('0123456789abcdef', " +
+        "substr(md5(CAST(v.j AS VARCHAR) || ':' || token), 1, 1)) - 1) % 2 = 0 " +
+        "THEN c ELSE -c END"
+      s"""WITH tokcnt AS (
+         |  SELECT source, u.t AS token, count(*) AS c
+         |  FROM (SELECT source, list_filter(string_split_regex(text, '\\s+'),
+         |          t -> t <> '') AS toks FROM documents),
+         |    UNNEST(toks) AS u(t)
+         |  GROUP BY source, u.t),
+         |counters AS (
+         |  SELECT source, CAST(v.j AS INT) AS j, SUM($sign) AS ctr
+         |  FROM tokcnt, UNNEST(range(0, 32)) AS v(j)
+         |  GROUP BY source, v.j),
+         |gsums AS (
+         |  SELECT source, j // 8 AS g, SUM(ctr * ctr) AS gs
+         |  FROM counters GROUP BY source, j // 8),
+         |med AS (
+         |  SELECT source, gs FROM (
+         |    SELECT source, gs,
+         |      row_number() OVER (PARTITION BY source ORDER BY gs) AS rn
+         |    FROM gsums) WHERE rn = 2),
+         |exact AS (
+         |  SELECT source, SUM(c * c) AS f2_exact FROM tokcnt GROUP BY source)
+         |SELECT source, CAST(f2_exact AS BIGINT) AS f2_exact,
+         |  CAST(gs // 8 AS BIGINT) AS f2_est,
+         |  CAST(CASE WHEN gs // 8 >= f2_exact
+         |    THEN ((gs // 8 - f2_exact) * 1000000) // f2_exact
+         |    ELSE -(((f2_exact - gs // 8) * 1000000) // f2_exact)
+         |  END AS BIGINT) AS err_ppm
+         |FROM med JOIN exact USING (source)
+         |ORDER BY source""".stripMargin
+    }
+  )
+
+  /** q_count_sketch — Count-Sketch point estimates (Charikar, Chen &
+    * Farach-Colton ICALP'02) for the top-20 tokens: d = 5 hash rows ×
+    * w = 256 SIGNED buckets; row j adds `sign_j(t) · c` into bucket
+    * `b_j(t)`, and the estimate is the exact integer MEDIAN of the 5
+    * per-row values `sign_j(t) · counter[j, b_j(t)]`. Unlike
+    * count-min ([[qCountMin]], min over unsigned rows — a one-sided
+    * overestimate), the signed median is UNBIASED: colliding tokens
+    * cancel in expectation, so err can be negative — the report keeps
+    * the sign. Both hash families are the repo's md5-prefix h32 with
+    * distinct salts ('b:'/'s:'), replayed verbatim by the oracle.
+    *
+    * 100 TB shape: the counter table is d×w = 1 280 cells total —
+    * partial-aggregated map-side, broadcast back for estimation; the
+    * bounded 5-element median is a sort_array over a collect_list
+    * capped at d by construction, never a data-sized window.
+    */
+  val qCountSketch = Q(
+    "q_count_sketch",
+    (s, d) => {
+      val tokcnt = Tables.documents(s, d)
+        .select(explode(TextOps.wsTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val buckets = tokcnt
+        .select(col("token"), col("c"), explode(sequence(lit(0), lit(4))).as("j"))
+        .withColumn("b",
+          h32(concat(lit("b:"), col("j").cast("string"), lit(":"), col("token"))) % 256)
+        .withColumn("sgn",
+          when(h32(concat(lit("s:"), col("j").cast("string"), lit(":"),
+            col("token"))) % 2 === 0, 1L).otherwise(-1L))
+      val counters = buckets.groupBy("j", "b")
+        .agg(sum(col("sgn") * col("c")).as("tot"))
+      buckets.join(broadcast(counters), Seq("j", "b"))
+        .withColumn("e", col("sgn") * col("tot"))
+        .groupBy("token", "c")
+        .agg(element_at(sort_array(collect_list(col("e"))), 3).as("cs_est"))
+        .select(col("token"), col("c").as("exact"), col("cs_est"),
+          (col("cs_est") - col("c")).as("err"))
+        .orderBy(col("exact").desc, col("token"))
+        .limit(20)
+    },
+    Some {
+      val hb = h32Sql("'b:' || CAST(v.j AS VARCHAR) || ':' || token")
+      val hs = h32Sql("'s:' || CAST(v.j AS VARCHAR) || ':' || token")
+      s"""WITH tokcnt AS (
+         |  SELECT u.t AS token, count(*) AS c
+         |  FROM (SELECT list_filter(string_split_regex(text, '\\s+'),
+         |          t -> t <> '') AS toks FROM documents),
+         |    UNNEST(toks) AS u(t)
+         |  GROUP BY u.t),
+         |buckets AS (
+         |  SELECT token, c, CAST(v.j AS INT) AS j, $hb % 256 AS b,
+         |    CASE WHEN $hs % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM tokcnt, UNNEST(range(0, 5)) AS v(j)),
+         |counters AS (
+         |  SELECT j, b, CAST(sum(sgn * c) AS BIGINT) AS tot
+         |  FROM buckets GROUP BY j, b)
+         |SELECT token, c AS exact,
+         |  (array_agg(sgn * tot ORDER BY sgn * tot))[3] AS cs_est,
+         |  (array_agg(sgn * tot ORDER BY sgn * tot))[3] - c AS err
+         |FROM buckets JOIN counters USING (j, b)
+         |GROUP BY token, c
+         |ORDER BY exact DESC, token LIMIT 20""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(qKmvDistinct, qCountMin, qKmvIntersect,
-    qBloomPrefilter, qQuantileSketch, qHllDistinct, qHllAgg, qKmvMedian)
+    qBloomPrefilter, qQuantileSketch, qHllDistinct, qHllAgg, qKmvMedian,
+    qAmsF2, qCountSketch)
 }

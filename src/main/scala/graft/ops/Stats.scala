@@ -1458,10 +1458,109 @@ object Stats {
     )
   )
 
+  /** First-8-hex-chars of md5 as a uniform 32-bit value (the repo's
+    * shared hash convention — local copy, same as [[Sketches]]).
+    */
+  private def permH32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def permH32Sql(expr: String): String = {
+    val terms = (0 until 8).map { k =>
+      val mult = 1L << (4 * (7 - k))
+      s"(strpos('0123456789abcdef', substr(md5($expr), ${1 + k}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"($terms)"
+  }
+
+  /** q_perm_test — derandomized two-sample randomization test: is the
+    * en-vs-de difference in mean document length explainable by
+    * chance? K = 64 pseudo-relabelings assign each doc to side A or B
+    * by the parity of h32(k:doc_id) (Fisher-style random relabeling —
+    * the sign-flip variant whose null distribution approximates the
+    * permutation null without needing fixed group sizes); the test
+    * statistic is the CROSS-MULTIPLIED mean gap |sumA·nB − sumB·nA|
+    * (exact BIGINT — never a mean, so no float division diverges
+    * between engines), and p_ppm = 10⁶·(1 + #{k: stat_k ≥ obs})/(K+1)
+    * — the add-one Monte-Carlo estimator (Phipson & Smyth 2010), in
+    * integer ppm. Derandomized like [[qBootstrapCi]]'s replicates:
+    * both engines enumerate the SAME 64 relabelings, so the p-value
+    * is bit-reproducible.
+    *
+    * 100 TB shape: one map-side 64-way expansion of (doc, k) carrying
+    * only (k, parity, n_chars) — the text never moves — partial-
+    * aggregated into 64 rows, then a 1-row broadcast join against the
+    * observed statistic. No window, no sort.
+    */
+  val qPermTest = Q(
+    "q_perm_test",
+    (s, d) => {
+      val xs = Tables.documents(s, d)
+        .filter(col("lang").isin("en", "de"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val obs = xs.agg(
+        sum(when(col("lang") === "en", col("n_chars"))).as("sa"),
+        sum(when(col("lang") === "en", 1L)).as("na"),
+        sum(when(col("lang") === "de", col("n_chars"))).as("sb"),
+        sum(when(col("lang") === "de", 1L)).as("nb"))
+        .select(col("na"), col("nb"),
+          abs(col("sa") * col("nb") - col("sb") * col("na")).as("obs_stat"))
+      val perms = xs
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(1), lit(64))).as("k"))
+        .withColumn("side",
+          permH32(concat(col("k").cast("string"), lit(":"),
+            col("doc_id").cast("string"))) % 2)
+        .groupBy("k")
+        .agg(
+          sum(when(col("side") === 0, col("n_chars"))).as("sa"),
+          sum(when(col("side") === 0, 1L)).as("na"),
+          sum(when(col("side") === 1, col("n_chars"))).as("sb"),
+          sum(when(col("side") === 1, 1L)).as("nb"))
+        .select(col("k"),
+          abs(col("sa") * col("nb") - col("sb") * col("na")).as("stat"))
+      perms.crossJoin(broadcast(obs))
+        .agg(max(col("na")).as("n_en"), max(col("nb")).as("n_de"),
+          max(col("obs_stat")).as("obs_stat"),
+          sum(when(col("stat") >= col("obs_stat"), 1L).otherwise(0L))
+            .as("n_ge"))
+        .select(col("n_en"), col("n_de"), col("obs_stat"), col("n_ge"),
+          expr("(1 + n_ge) * 1000000 div 65").as("p_ppm"))
+    },
+    Some {
+      val h = permH32Sql("CAST(v.k AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+      s"""WITH xs AS (
+         |  SELECT doc_id, lang, n_chars FROM documents
+         |  WHERE lang IN ('en', 'de')),
+         |obs AS (
+         |  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS nb,
+         |    abs(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)
+         |        * sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+         |      - sum(CASE WHEN lang = 'de' THEN n_chars ELSE 0 END)
+         |        * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) AS obs_stat
+         |  FROM xs),
+         |perms AS (
+         |  SELECT CAST(v.k AS INT) AS k,
+         |    abs(sum(CASE WHEN $h % 2 = 0 THEN n_chars ELSE 0 END)
+         |        * sum(CASE WHEN $h % 2 = 1 THEN 1 ELSE 0 END)
+         |      - sum(CASE WHEN $h % 2 = 1 THEN n_chars ELSE 0 END)
+         |        * sum(CASE WHEN $h % 2 = 0 THEN 1 ELSE 0 END)) AS stat
+         |  FROM xs, UNNEST(range(1, 65)) AS v(k)
+         |  GROUP BY v.k)
+         |SELECT CAST(max(na) AS BIGINT) AS n_en, CAST(max(nb) AS BIGINT) AS n_de,
+         |  CAST(max(obs_stat) AS BIGINT) AS obs_stat,
+         |  CAST(sum(CASE WHEN stat >= obs_stat THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ge,
+         |  CAST(((1 + sum(CASE WHEN stat >= obs_stat THEN 1 ELSE 0 END))
+         |    * 1000000) // 65 AS BIGINT) AS p_ppm
+         |FROM perms, obs""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
       qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest, qKeySkew,
       qAuc, qKsTest, qStump, qCusum, qBenford, qCramersV, qTheilSen,
-      qSourceDivergence)
+      qSourceDivergence, qPermTest)
 }

@@ -283,7 +283,70 @@ object Temporal {
     )
   )
 
+  /** q_seasonal — seasonal-naive decomposition of the daily revenue
+    * series: per ISO weekday, the exact LOWER MEDIAN of daily totals
+    * is the seasonal baseline (median, not mean — robust to the very
+    * outlier days the query exists to surface), and the top-10 days
+    * by |residual| are the anomalies AFTER seasonality is removed —
+    * the day-of-week-aware alert a pipeline puts on ingest volume
+    * (a quiet Sunday is normal; a quiet Tuesday is an incident).
+    * All-integer: totals in cents, weekday via Spark `weekday()+1` ≡
+    * DuckDB `isodow()` (both 1 = Monday), lower-median by
+    * rank = (m+1) div 2.
+    *
+    * 100 TB shape: one partial-aggregated groupBy(day) reduces the
+    * corpus to O(#days) rows; the per-weekday median window is over
+    * #days/7 rows — bounded by the CALENDAR, not the data (more
+    * volume means heavier days, not more of them) — and the baseline
+    * joins back via broadcast (7 rows).
+    */
+  val qSeasonal = Q(
+    "q_seasonal",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .groupBy("day").agg(sum(col("cents")).as("total_cents"))
+        .withColumn("wd", (weekday(col("day")) + 1).cast("long"))
+      val wWd = Window.partitionBy("wd").orderBy("total_cents", "day")
+      val med = daily
+        .withColumn("rn", row_number().over(wWd))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("wd")))
+        .filter(col("rn") === expr("(m + 1) div 2"))
+        .select(col("wd"), col("total_cents").as("wd_median_cents"))
+      daily.join(broadcast(med), "wd")
+        .select(col("day"), col("wd"), col("total_cents"),
+          col("wd_median_cents"),
+          (col("total_cents") - col("wd_median_cents")).as("residual_cents"))
+        .orderBy(abs(col("residual_cents")).desc, col("day"))
+        .limit(10)
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM events GROUP BY 1),
+        |wdd AS (
+        |  SELECT day, total_cents, CAST(isodow(day) AS BIGINT) AS wd
+        |  FROM daily),
+        |med AS (
+        |  SELECT wd, total_cents AS wd_median_cents FROM (
+        |    SELECT wd, total_cents,
+        |      row_number() OVER (PARTITION BY wd
+        |        ORDER BY total_cents, day) AS rn,
+        |      count(*) OVER (PARTITION BY wd) AS m
+        |    FROM wdd)
+        |  WHERE rn = (m + 1) // 2)
+        |SELECT day, wd, total_cents, wd_median_cents,
+        |  total_cents - wd_median_cents AS residual_cents
+        |FROM wdd JOIN med USING (wd)
+        |ORDER BY abs(total_cents - wd_median_cents) DESC, day
+        |LIMIT 10""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qAsofJoin, qRangeJoin, qPivot, qAsofJoinCustom, qIntervalJoin,
-      qScd2History)
+      qScd2History, qSeasonal)
 }

@@ -1,0 +1,310 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Round-8 batch: the native AMS F2 aggregate ([[graft.functions.F2SketchAgg]])
+  * and the q_hits / q_count_sketch / q_secret_scan / q_perm_test /
+  * q_seasonal registry queries — every one pinned by an independent
+  * driver-side recompute from the same parquet inputs (the
+  * SafetySketchGraphSpec discipline), plus the aggregate's linearity
+  * and partitioning-invariance properties that license its oracle.
+  */
+class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("round8-batch-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  // ---------------------------------------------------------------- graft_f2
+
+  /** Independent recompute of the 32-counter tug-of-war eval. */
+  private def bruteF2Est(pairs: Seq[(String, Long)]): Long = {
+    val ctr = new Array[Long](32)
+    for ((k, w) <- pairs; j <- 0 until 32) {
+      val nibble = Integer.parseInt(md5hex(s"$j:$k").take(1), 16)
+      ctr(j) += (if ((nibble & 1) == 0) w else -w)
+    }
+    val sums = (0 until 4).map(g => (0 until 8).map(j => {
+      val c = ctr(g * 8 + j); c * c
+    }).sum).sorted
+    sums(1) / 8 // lower median of 4 group sums, then group mean
+  }
+
+  test("graft_f2 matches the brute-force 32-counter recompute") {
+    import spark.implicits._
+    val pairs = (0 until 400).map(i => (s"tok${i % 97}", (i % 5 + 1).toLong))
+    val got = pairs.toDF("k", "w")
+      .agg(GraftFunctions.graft_f2(col("k"), col("w")))
+      .collect().head.getLong(0)
+    assert(got === bruteF2Est(pairs))
+  }
+
+  test("graft_f2 is linear: partitioning and input order never change it") {
+    import spark.implicits._
+    val pairs = scala.util.Random.shuffle(
+      (0 until 1000).map(i => (s"w${i % 211}", (i % 7 + 1).toLong)).toVector)
+    val one = pairs.toDF("k", "w").coalesce(1)
+      .agg(GraftFunctions.graft_f2(col("k"), col("w"))).collect().head.getLong(0)
+    val many = pairs.toDF("k", "w").repartition(32)
+      .agg(GraftFunctions.graft_f2(col("k"), col("w"))).collect().head.getLong(0)
+    assert(one === many)
+  }
+
+  test("graft_f2 weighted update ≡ row-expanded unit updates") {
+    import spark.implicits._
+    val weighted = Seq(("a", 3L), ("b", 2L), ("c", 5L))
+    val expanded = weighted.flatMap { case (k, w) => Seq.fill(w.toInt)((k, 1L)) }
+    val wv = weighted.toDF("k", "w")
+      .agg(GraftFunctions.graft_f2(col("k"), col("w"))).collect().head.getLong(0)
+    val ev = expanded.toDF("k", "w")
+      .agg(GraftFunctions.graft_f2(col("k"), col("w"))).collect().head.getLong(0)
+    assert(wv === ev)
+  }
+
+  test("graft_f2 estimate is sane on skewed data and exact F2 is recovered " +
+    "within the AMS error envelope (deterministic input, pinned)") {
+    import spark.implicits._
+    // Zipf-ish: token i has count 1000/i
+    val pairs = (1 to 200).map(i => (s"z$i", (1000 / i).toLong))
+    val exact = pairs.map { case (_, c) => c * c }.sum
+    val est = pairs.toDF("k", "w")
+      .agg(GraftFunctions.graft_f2(col("k"), col("w"))).collect().head.getLong(0)
+    assert(est > exact / 4 && est < exact * 4,
+      s"estimate $est implausibly far from exact $exact")
+  }
+
+  test("q_ams_f2 runs under ObjectHashAggregate with a partial stage") {
+    val plan = run("q_ams_f2").queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial_graft_f2") || plan.contains("graft_f2"))
+  }
+
+  test("q_ams_f2: every source's err_ppm is within the 4-group AMS envelope") {
+    // |est − exact| can exceed exact only on pathological sign alignment;
+    // with this corpus the median-of-means stays within ±100% — pinned
+    // (deterministic hashes, deterministic data).
+    val rows = run("q_ams_f2").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = math.abs(r.getLong(r.fieldIndex("err_ppm")))
+      assert(err <= 1000000L, s"source ${r.get(0)}: err_ppm $err > 1e6")
+    }
+  }
+
+  // ---------------------------------------------------------------- q_hits
+
+  test("q_hits matches an independent driver-side HITS recompute") {
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey").collect().map(_.getLong(0))
+    val n = sup.length.toLong
+    val nodes = sup.toSet
+    val edges = sup.flatMap(src => (1 to 3).map(e =>
+      (src, h32(s"$src:$e") % n)))
+    val byDst = edges.groupBy(_._2)
+    val bySrc = edges.groupBy(_._1)
+    var hub = nodes.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 4) {
+      val araw = nodes.map(v =>
+        v -> byDst.getOrElse(v, Array.empty[(Long, Long)])
+          .map { case (s0, _) => hub(s0) }.sum).toMap
+      val amax = araw.values.max
+      auth = araw.map { case (v, r) => v -> r * 1000000L / amax }
+      val hraw = nodes.map(u =>
+        u -> bySrc.getOrElse(u, Array.empty[(Long, Long)])
+          .map { case (_, d0) => auth.getOrElse(d0, 0L) }.sum).toMap
+      val hmax = hraw.values.max
+      hub = hraw.map { case (u, r) => u -> r * 1000000L / hmax }
+    }
+    val expect = nodes.toSeq
+      .map(v => (v, auth(v), hub(v)))
+      .sortBy { case (v, a, _) => (-a, v) }
+      .take(20)
+    val got = run("q_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+  }
+
+  test("q_hits pins each half-step: executed plan depth stays bounded") {
+    // 8 half-iterations with localCheckpoint → the FINAL plan joins two
+    // pinned vectors; without the pin it would embed 8 joins of edges.
+    val plan = run("q_hits").queryExecution.executedPlan.toString
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins <= 4, s"expected a shallow final plan, got $joins joins:\n$plan")
+  }
+
+  // ---------------------------------------------------------- q_count_sketch
+
+  test("q_count_sketch matches a brute-force signed-median recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val counters = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for ((t, c) <- counts; j <- 0L until 5L) {
+      val b = h32(s"b:$j:$t") % 256
+      val sgn = if (h32(s"s:$j:$t") % 2 == 0) 1L else -1L
+      counters((j, b)) += sgn * c
+    }
+    val expect = counts.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20)
+      .map { case (t, c) =>
+        val es = (0L until 5L).map { j =>
+          val b = h32(s"b:$j:$t") % 256
+          val sgn = if (h32(s"s:$j:$t") % 2 == 0) 1L else -1L
+          sgn * counters((j, b))
+        }.sorted
+        (t, c, es(2), es(2) - c)
+      }
+    val got = run("q_count_sketch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+  }
+
+  test("q_count_sketch broadcasts the 5x256 counter table") {
+    val plan = run("q_count_sketch").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  // ----------------------------------------------------------- q_secret_scan
+
+  test("q_secret_scan matches an independent recompute of the planted corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def plant(id: Long, text: String): String = {
+      val a = if (id % 5 == 0) s" sk_live_${md5hex(id.toString)}" else ""
+      val b = if (id % 7 == 0) s" ${md5hex(s"h:$id")}" else ""
+      val c = if (id % 11 == 0)
+        s" T0k${md5hex(s"m:$id").take(8).toUpperCase}${md5hex(s"n:$id").take(12)}"
+      else ""
+      text + a + b + c
+    }
+    def classify(tok: String): Option[String] = {
+      if (tok.length < 20 || !tok.matches("^[A-Za-z0-9+/=_-]+$")) None
+      else if (tok.matches("^[0-9a-f]{32,}$")) Some("hex_key")
+      else if (tok.matches("^(sk_live_|ghp_|AKIA)[A-Za-z0-9_]{8,}$"))
+        Some("prefixed_key")
+      else {
+        val up = tok.count(_.isUpper)
+        val lo = tok.count(_.isLower)
+        val di = tok.count(_.isDigit)
+        if (up >= 2 && lo >= 2 && di >= 2) Some("high_mix") else None
+      }
+    }
+    val hits = for {
+      (src, id, text) <- docs.toSeq
+      tok <- plant(id, text).split("\\s+").toSeq if tok.nonEmpty
+      cls <- classify(tok)
+    } yield (src, cls, id, tok.length.toLong)
+    val expect = hits.groupBy { case (s0, c0, _, _) => (s0, c0) }
+      .map { case ((s0, c0), g) =>
+        (s0, c0, g.size.toLong, g.map(_._3).distinct.size.toLong,
+          g.map(_._4).sum)
+      }.toSeq.sortBy { case (s0, c0, _, _, _) => (s0, c0) }
+    val got = run("q_secret_scan").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty, "planted corpus must produce detections")
+    assert(got.map(_._2).toSet.subsetOf(Set("hex_key", "prefixed_key", "high_mix")))
+  }
+
+  test("q_secret_scan never shuffles document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val payloads = run("q_secret_scan").queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e.child.output.map(_.name) }
+      payloads.foreach { cols =>
+        assert(!cols.contains("t") && !cols.contains("text"),
+          s"text leaked into a shuffle: ${cols.mkString(", ")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  // ------------------------------------------------------------- q_perm_test
+
+  test("q_perm_test matches a driver-side enumeration of the 64 relabelings") {
+    val xs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang").isin("en", "de"))
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (ena, de) = xs.partition(_._2 == "en")
+    val obs = math.abs(
+      ena.map(_._3).sum * de.length - de.map(_._3).sum * ena.length)
+    val stats = (1 to 64).map { k =>
+      val (a, b) = xs.partition { case (id, _, _) => h32(s"$k:$id") % 2 == 0 }
+      math.abs(a.map(_._3).sum * b.length - b.map(_._3).sum * a.length)
+    }
+    val nGe = stats.count(_ >= obs).toLong
+    val row = run("q_perm_test").collect().head
+    assert(row.getLong(row.fieldIndex("n_en")) === ena.length.toLong)
+    assert(row.getLong(row.fieldIndex("n_de")) === de.length.toLong)
+    assert(row.getLong(row.fieldIndex("obs_stat")) === obs)
+    assert(row.getLong(row.fieldIndex("n_ge")) === nGe)
+    assert(row.getLong(row.fieldIndex("p_ppm")) === (1 + nGe) * 1000000 / 65)
+  }
+
+  test("q_perm_test: no window, no sort before the final 1-row reduce") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = run("q_perm_test").queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty)
+  }
+
+  // -------------------------------------------------------------- q_seasonal
+
+  test("q_seasonal: residuals are exact against a driver-side recompute") {
+    def toLdt(x: Any): java.time.LocalDateTime = x match {
+      case t: java.sql.Timestamp =>
+        t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      case l: java.time.LocalDateTime => l
+    }
+    val evs = Tables.events(spark, sf)
+      .select(col("ts"), col("value")).collect()
+      .map(r => (toLdt(r.get(r.fieldIndex("ts"))),
+        r.getDouble(r.fieldIndex("value"))))
+    val daily = evs.groupBy(_._1.toLocalDate).map { case (day, g) =>
+      day -> g.map { case (_, v) => math.floor(v * 100 + 0.5).toLong }.sum
+    }
+    val med = daily.groupBy(_._1.getDayOfWeek.getValue).map { case (wd, g) =>
+      val sorted = g.toSeq.sortBy { case (day, tot) => (tot, day.toString) }
+      wd -> sorted((sorted.length - 1) / 2)._2
+    }
+    val expect = daily.toSeq.map { case (day, tot) =>
+      val wd = day.getDayOfWeek.getValue
+      (day.toString, wd.toLong, tot, med(wd), tot - med(wd))
+    }.sortBy { case (day, _, _, _, res) => (-math.abs(res), day) }.take(10)
+    val got = run("q_seasonal").collect().map(r =>
+      (toLdt(r.get(r.fieldIndex("day"))).toLocalDate.toString,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+  }
+}
