@@ -1433,9 +1433,116 @@ object Corpus {
     )
   )
 
+  /** q_coverage_select — greedy maximum-coverage subset selection
+    * (Nemhauser-Wolsey-Fisher '78: the (1−1/e)-approximate greedy for
+    * a monotone submodular objective): pick up to 8 documents that
+    * together cover the most distinct word BIGRAMS — the
+    * diversity-first seed-set primitive (facility location / coreset
+    * flavor) a curation pipeline uses to pick few-shot exemplars or
+    * an eval slice that spans the corpus, where [[qMixtureSample]]
+    * balances sources and MMR re-ranks a retrieval list, this
+    * maximizes raw construct coverage. Each step: anti-join the gram
+    * table against the covered set (broadcast — ≤ 8 docs' grams by
+    * construction), partial-aggregated gain per doc, 1-row bounded
+    * argmax fetch (the BPE/k-center loop convention), ties to the
+    * smallest doc_id. Stops early when every remaining document adds
+    * zero new grams — the DuckDB oracle's unrolled MATERIALIZED CTEs
+    * terminate identically because `LIMIT 1` of an empty gain table
+    * is empty and empties every later step.
+    *
+    * 100 TB shape: K bounded passes, each one shuffle of (doc, gain)
+    * partials; the covered set is K·|doc grams| — driver-bounded
+    * metadata, broadcast back; document text never shuffles (grams
+    * are exploded map-side). Lazy-greedy (Minoux) would cut the K
+    * passes to ~1 + re-checks at identical output — noted, not
+    * needed at K = 8.
+    */
+  val qCoverageSelect = Q(
+    "q_coverage_select",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(array_distinct(
+          // guard: sequence(1, 0) DESCENDS in Spark, so a 1-token doc
+          // would index past the array under ANSI — empty list instead
+          expr("CASE WHEN size(toks) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END")))
+          .as("g"))
+        .cache()
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      var covered = Set.empty[String]
+      var selected = Set.empty[Long]
+      var step = 1
+      var done = false
+      while (step <= 8 && !done) {
+        val coveredDf = covered.toSeq.toDF("g")
+        val gains = toks
+          .filter(if (selected.isEmpty) lit(true)
+            else !col("doc_id").isin(selected.toSeq: _*))
+          .join(broadcast(coveredDf), Seq("g"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .collect() // 1-row bounded argmax (BPE/k-center convention)
+        if (gains.isEmpty) done = true
+        else {
+          val best = gains.head.getLong(0)
+          val gain = gains.head.getLong(1)
+          covered = covered ++ toks.filter(col("doc_id") === best)
+            .select("g").collect().map(_.getString(0))
+          selected += best
+          picked += ((step, best, gain, covered.size.toLong))
+          step += 1
+        }
+      }
+      toks.unpersist()
+      picked.toSeq.toDF("step", "doc_id", "gain", "covered_total")
+        .orderBy("step")
+    },
+    Some {
+      val grams =
+        """SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, len(toks)),
+          |    i -> toks[i] || ' ' || toks[i + 1]))) AS g
+          |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          |          t -> t <> '') AS toks FROM documents)""".stripMargin
+      val steps = (1 to 8).map { k =>
+        val notSel =
+          if (k == 1) ""
+          else "AND t.doc_id NOT IN (" +
+            (1 until k).map(i => s"SELECT doc_id FROM s$i").mkString(" UNION ") + ")"
+        val notCov =
+          if (k == 1) ""
+          else s"LEFT JOIN c${k - 1} cc ON cc.g = t.g"
+        val covWhere = if (k == 1) "" else "WHERE cc.g IS NULL"
+        val prevCov =
+          if (k == 1) s"SELECT DISTINCT g.g FROM g JOIN s1 USING (doc_id)"
+          else s"SELECT g FROM c${k - 1} UNION " +
+            s"SELECT g.g FROM g JOIN s$k USING (doc_id)"
+        s"""s$k AS MATERIALIZED (
+           |  SELECT t.doc_id, count(*) AS gain
+           |  FROM g t $notCov
+           |  $covWhere $notSel
+           |  GROUP BY t.doc_id
+           |  ORDER BY gain DESC, t.doc_id LIMIT 1),
+           |c$k AS MATERIALIZED ($prevCov)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 8).map { k =>
+        s"""SELECT $k AS step, doc_id, CAST(gain AS BIGINT) AS gain,
+           |  CAST((SELECT count(*) FROM c$k) AS BIGINT) AS covered_total
+           |FROM s$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH g AS MATERIALIZED ($grams),
+         |$steps
+         |$out
+         |ORDER BY step""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
     qConcentration, qSourceMinhash, qMinhashAgg, qBigramLm, qKneserNey, qShardBalance, qBoilerplate, qPackEfficiency,
     qTokenBudget, qNovelty, qZipfFit, qDocEntropy, qTopicClusters,
-    qCcnetBuckets)
+    qCcnetBuckets, qCoverageSelect)
 }

@@ -1375,10 +1375,96 @@ object StreamingOps {
     )
   )
 
+  /** q_stream_f2 — the native AMS F2 aggregate
+    * ([[graft.functions.F2SketchAgg]]) running INSIDE a streaming
+    * windowed aggregation: per-day self-join size of the event_type
+    * frequency vector, estimated from 256-byte sketch state. Because
+    * the sketch is LINEAR (merge = vector add), incremental
+    * micro-batch updates commute with the estimate EXACTLY — not just
+    * up to a kept set — so streaming == batch == oracle with no
+    * caveat; the audit joins the batch-side exact F2 per day. This is
+    * the sketch family streaming state stores want: counter vectors
+    * whose per-batch delta is itself a sketch.
+    *
+    * 100 TB shape: state is 256 B per open window regardless of event
+    * volume; the per-batch shuffle carries sketch partials, never
+    * event rows; the exact column is the audit and would be dropped
+    * in production.
+    */
+  val qStreamF2 = Q(
+    "q_stream_f2",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.graft_f2
+      val rawSchema = Tables.eventsRaw(s, d).schema
+      val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val stream = withTsMicros(s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+        .select(window(col("ts"), "1 day").as("window"),
+          col("event_type"), lit(1L).as("w"))
+        .groupBy("window")
+        .agg(graft_f2(col("event_type"), col("w")).as("f2_est"))
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qn)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      val est = s.table(qn)
+        .select(col("window.start").cast("timestamp_ntz").as("day"),
+          col("f2_est"))
+      val exact = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("day").agg(sum(col("c") * col("c")).as("f2_exact"))
+      est.join(exact, "day")
+        .select(col("day"), col("f2_exact"), col("f2_est"),
+          expr("CASE WHEN f2_est >= f2_exact " +
+            "THEN (f2_est - f2_exact) * 1000000 div f2_exact " +
+            "ELSE -((f2_exact - f2_est) * 1000000 div f2_exact) END")
+            .as("err_ppm"))
+        .orderBy("day")
+    },
+    Some {
+      val sign = "CASE WHEN (strpos('0123456789abcdef', " +
+        "substr(md5(CAST(v.j AS VARCHAR) || ':' || event_type), 1, 1)) - 1) " +
+        "% 2 = 0 THEN c ELSE -c END"
+      s"""WITH tc AS (
+         |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |counters AS (
+         |  SELECT day, CAST(v.j AS INT) AS j, SUM($sign) AS ctr
+         |  FROM tc, UNNEST(range(0, 32)) AS v(j)
+         |  GROUP BY day, v.j),
+         |gsums AS (
+         |  SELECT day, j // 8 AS g, SUM(ctr * ctr) AS gs
+         |  FROM counters GROUP BY day, j // 8),
+         |med AS (
+         |  SELECT day, gs FROM (
+         |    SELECT day, gs,
+         |      row_number() OVER (PARTITION BY day ORDER BY gs) AS rn
+         |    FROM gsums) WHERE rn = 2),
+         |exact AS (
+         |  SELECT day, SUM(c * c) AS f2_exact FROM tc GROUP BY day)
+         |SELECT day, CAST(f2_exact AS BIGINT) AS f2_exact,
+         |  CAST(gs // 8 AS BIGINT) AS f2_est,
+         |  CAST(CASE WHEN gs // 8 >= f2_exact
+         |    THEN ((gs // 8 - f2_exact) * 1000000) // f2_exact
+         |    ELSE -(((f2_exact - gs // 8) * 1000000) // f2_exact)
+         |  END AS BIGINT) AS err_ppm
+         |FROM med JOIN exact USING (day)
+         |ORDER BY day""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
       qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv,
       qStreamLate, qStreamMerge, qStreamHll, qStreamSessionTimer,
-      qStreamDrift, qStreamKmv)
+      qStreamDrift, qStreamKmv, qStreamF2)
 }

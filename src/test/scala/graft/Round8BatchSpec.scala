@@ -307,4 +307,62 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(got === expect)
   }
+
+  // -------------------------------------------------------------- q_stream_f2
+
+  test("q_stream_f2: streaming sketch state == one-shot batch aggregation " +
+    "(linearity under incremental micro-batch merge)") {
+    val streamed = run("q_stream_f2").collect()
+      .map(r => r.get(0).toString -> r.getLong(r.fieldIndex("f2_est"))).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("day")
+      .agg(GraftFunctions.graft_f2(col("event_type"), col("c")).as("f2_est"))
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  // -------------------------------------------------------- q_coverage_select
+
+  test("q_coverage_select matches a driver-side greedy recompute and keeps " +
+    "the submodular invariants (non-increasing gains, exact accounting)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val grams: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      id -> t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }.toMap
+    var covered = Set.empty[String]
+    var selected = Set.empty[Long]
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var k = 1
+    var stop = false
+    while (k <= 8 && !stop) {
+      val cands = grams.view
+        .filterKeys(id => !selected.contains(id))
+        .mapValues(g => (g -- covered).size)
+        .filter(_._2 > 0).toSeq
+      if (cands.isEmpty) stop = true
+      else {
+        val (best, gain) = cands.minBy { case (id, g) => (-g, id) }
+        covered = covered ++ grams(best)
+        selected += best
+        expect += ((k, best, gain.toLong, covered.size.toLong))
+        k += 1
+      }
+    }
+    val got = run("q_coverage_select").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect.toSeq)
+    // greedy max-coverage marginal gains never increase
+    val gains = got.map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b })
+    // covered_total is the exact running sum of gains
+    assert(got.map(_._3).scanLeft(0L)(_ + _).tail === got.map(_._4))
+  }
 }
