@@ -53,7 +53,8 @@ object SparkEntry {
       "q_kcore", "q_stream_merge", "q_lda_power", "q_bootstrap_ci",
       "q_mad_outliers", "q_span_corruption", "q_t_closeness", "q_key_skew",
       "q_auc", "q_chi2_terms", "q_theil_sen", "q_stream_drift",
-      "q_winnow", "q_bpe_fertility")
+      "q_winnow", "q_bpe_fertility",
+      "q_hits", "q_coverage_select", "q_secret_scan", "q_ams_f2")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

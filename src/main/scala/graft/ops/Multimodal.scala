@@ -620,8 +620,87 @@ object Multimodal {
     )
   )
 
+  /** q_media_histeq — histogram equalization over REAL decoded BMP
+    * bytes (the contrast-normalization pass an image-training
+    * pipeline applies before feature extraction): each "image" asset
+    * is encoded ([[MediaCodec.encodeBmp24]]), decoded back, and its
+    * 256-bin byte histogram remapped by the classic integer CDF rule
+    * `nv(v) = (cdf(v) − cdf_min) · 255 / (n − cdf_min)` (floor on
+    * non-negatives — identical `div`/`//`). Reported per asset:
+    * distinct byte values before/after (equalization can only merge
+    * bins, never split — the spec pins distinct_after ≤
+    * distinct_before) and the full remapped checksum, which any
+    * stride-padding or row-order decode bug flips. The DuckDB oracle
+    * recomputes from the generating closed form (pixel byte k ≡
+    * (k·37 + doc_id) mod 256 — the [[qMediaChannelStats]] asset).
+    *
+    * 100 TB shape: map-only mapPartitions over opaque bytes (the
+    * justified decoder shape), 5 small columns out, one output sort;
+    * the oracle's per-asset window is ≤ 256 rows by construction.
+    */
+  val qMediaHisteq = Q(
+    "q_media_histeq",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the "image" assets
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nc) =>
+            val w = (1 + nc % 16).toInt
+            val h = (1 + (nc * 7) % 16).toInt
+            val bmp = MediaCodec.encodeBmp24(w, h,
+              k => ((k.toLong * 37 + id) % 256).toInt)
+            val pix = MediaCodec.decodeBmpPixels(bmp)
+            val n = pix.length.toLong
+            val hist = new Array[Long](256)
+            pix.foreach(b => hist(b & 0xff) += 1)
+            val cdf = hist.scanLeft(0L)(_ + _).tail
+            val cdfMin = cdf(hist.indexWhere(_ > 0))
+            val nv = (0 until 256).map(v =>
+              if (hist(v) == 0) -1L
+              else (cdf(v) - cdfMin) * 255L / (n - cdfMin))
+            val distinctBefore = hist.count(_ > 0).toLong
+            val distinctAfter = nv.filter(_ >= 0).distinct.length.toLong
+            val checksum = (0 until 256).map(v => hist(v) * math.max(nv(v), 0L)).sum
+            (id, n, distinctBefore, distinctAfter, checksum)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "distinct_before", "distinct_after",
+          "checksum_after")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT doc_id, 1 + n_chars % 16 AS w, 1 + (n_chars * 7) % 16 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |b AS (
+        |  SELECT doc_id, u.v
+        |  FROM (SELECT doc_id, list_transform(range(0, 3 * w * h),
+        |          p -> (p * 37 + doc_id) % 256) AS l FROM a),
+        |    UNNEST(l) AS u(v)),
+        |hist AS (
+        |  SELECT doc_id, v, count(*) AS c FROM b GROUP BY doc_id, v),
+        |cdf AS (
+        |  SELECT doc_id, v, c,
+        |    sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM hist),
+        |eq AS (
+        |  SELECT doc_id, v, c, n,
+        |    (cum - cmin) * 255 // (n - cmin) AS nv
+        |  FROM (SELECT *, min(cum) OVER (PARTITION BY doc_id) AS cmin
+        |        FROM cdf))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_bytes,
+        |  count(*) AS distinct_before,
+        |  count(DISTINCT nv) AS distinct_after,
+        |  CAST(sum(c * nv) AS BIGINT) AS checksum_after
+        |FROM eq GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qMediaMetadata, qMediaFeatures, qMediaFrames, qMediaFrameDedup,
       qMediaAudioWindows, qMediaWavRoundtrip, qMediaBmpRoundtrip,
-      qMediaChannelStats, qMediaZeroCrossings, qMediaResize)
+      qMediaChannelStats, qMediaZeroCrossings, qMediaResize, qMediaHisteq)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -870,8 +871,93 @@ object Ranking {
     )
   )
 
+  /** q_rbo — Rank-Biased Overlap (Webber, Moffat & Zobel, TOIS 2010)
+    * between two top-10 document rankings: by raw length (n_chars)
+    * vs by whitespace token count — the ranking-stability audit an
+    * eval harness runs when it swaps a scoring function ([[qNdcg]]
+    * needs graded labels; RBO compares two RANKERS label-free, with
+    * top-weighted emphasis Kendall/Spearman lack). Truncated at
+    * depth 10 with persistence p = 9/10, computed in EXACT integer
+    * arithmetic: each shared item contributes
+    * W(m) = Σ_{d≥max(r1,r2)} D·9^{d−1}/(d·10^d) with
+    * D = 2520·10¹⁰ (lcm(1..10)·10¹⁰ makes every term an exact
+    * BIGINT — divisibility asserted at query build), and
+    * rbo_ppm = N // (D/10⁶). No floats anywhere, so both engines
+    * agree to the last digit.
+    *
+    * 100 TB shape: two TakeOrderedAndProject top-10s (never a full
+    * sort), a 10×10-bounded join, a 1-row result.
+    */
+  val qRbo = Q(
+    "q_rbo",
+    (s, d) => {
+      val D = BigInt(2520) * BigInt(10).pow(10)
+      val coef = (1 to 10).map(dd =>
+        D * BigInt(9).pow(dd - 1) / (BigInt(10).pow(dd) * dd))
+      require((1 to 10).forall(dd =>
+        D * BigInt(9).pow(dd - 1) % (BigInt(10).pow(dd) * dd) == 0),
+        "RBO coefficient table must be exact")
+      val w = (1 to 10).map(m => coef.drop(m - 1).sum.toLong)
+      val wCase = (1 to 10).map(m => s"WHEN $m THEN ${w(m - 1)}")
+        .mkString("CASE greatest(r1, r2) ", " ", " END")
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(TextOps.wsTokens(col("text"))).cast("long").as("n_toks"))
+        .cache()
+      // each top-10 is a TakeOrderedAndProject + a 10-row bounded
+      // fetch (never a global window/sort); ranks assigned driver-side
+      def top10(key: Column): DataFrame =
+        docs.orderBy(key.desc, col("doc_id")).limit(10)
+          .select(col("doc_id")).collect().map(_.getLong(0))
+          .zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+          .toSeq.toDF("doc_id", "r")
+      val r1 = top10(col("n_chars")).withColumnRenamed("r", "r1")
+      val r2 = top10(col("n_toks")).withColumnRenamed("r", "r2")
+      r1.join(r2, "doc_id")
+        .select(expr(wCase).as("wgt"), greatest(col("r1"), col("r2")).as("m"))
+        .agg(
+          sum(when(col("m") <= 1, 1L).otherwise(0L)).as("a1"),
+          sum(when(col("m") <= 5, 1L).otherwise(0L)).as("a5"),
+          count(lit(1)).as("a10"),
+          sum(col("wgt")).as("n"))
+        .select(col("a1"), col("a5"), col("a10"),
+          expr(s"n div ${(D / 1000000).toLong}").as("rbo_ppm"))
+    },
+    Some {
+      val D = BigInt(2520) * BigInt(10).pow(10)
+      val coef = (1 to 10).map(dd =>
+        D * BigInt(9).pow(dd - 1) / (BigInt(10).pow(dd) * dd))
+      val w = (1 to 10).map(m => coef.drop(m - 1).sum.toLong)
+      val wCase = (1 to 10).map(m => s"WHEN $m THEN ${w(m - 1)}")
+        .mkString("CASE greatest(r1, r2) ", " ", " END")
+      s"""WITH docs AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      t -> t <> '')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |l1 AS (
+         |  SELECT doc_id, row_number() OVER
+         |    (ORDER BY n_chars DESC, doc_id) AS r1
+         |  FROM docs ORDER BY n_chars DESC, doc_id LIMIT 10),
+         |l2 AS (
+         |  SELECT doc_id, row_number() OVER
+         |    (ORDER BY n_toks DESC, doc_id) AS r2
+         |  FROM docs ORDER BY n_toks DESC, doc_id LIMIT 10),
+         |j AS (
+         |  SELECT greatest(r1, r2) AS m, $wCase AS wgt
+         |  FROM l1 JOIN l2 USING (doc_id))
+         |SELECT
+         |  CAST(sum(CASE WHEN m <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         |  CAST(sum(CASE WHEN m <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS a5,
+         |  count(*) AS a10,
+         |  CAST(sum(wgt) // ${(D / 1000000).toLong} AS BIGINT) AS rbo_ppm
+         |FROM j""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore, qInvertedIndex,
       qPmiCooccur, qRrfFusion, qPrfExpansion, qCalibration,
-      qRankCorrelation, qNdcg)
+      qRankCorrelation, qNdcg, qRbo)
 }

@@ -365,4 +365,83 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // covered_total is the exact running sum of gains
     assert(got.map(_._3).scanLeft(0L)(_ + _).tail === got.map(_._4))
   }
+
+  // ------------------------------------------------------------------- q_rbo
+
+  test("q_rbo matches an exact-rational driver-side recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).split("\\s+").count(_.nonEmpty).toLong))
+    val l1 = docs.sortBy { case (id, nc, _) => (-nc, id) }.take(10).map(_._1)
+    val l2 = docs.sortBy { case (id, _, nt) => (-nt, id) }.take(10).map(_._1)
+    val d10 = BigInt(2520) * BigInt(10).pow(10)
+    val coef = (1 to 10).map(dd =>
+      d10 * BigInt(9).pow(dd - 1) / (BigInt(10).pow(dd) * dd))
+    val pos1 = l1.zipWithIndex.toMap
+    val pos2 = l2.zipWithIndex.toMap
+    val shared = l1.toSet.intersect(l2.toSet)
+    val n = shared.toSeq.map { id =>
+      val m = math.max(pos1(id), pos2(id)) + 1
+      coef.drop(m - 1).sum
+    }.sum
+    val expectPpm = (n / (d10 / 1000000)).toLong
+    val aD = (d: Int) => shared.count(id =>
+      math.max(pos1(id), pos2(id)) + 1 <= d).toLong
+    val row = run("q_rbo").collect().head
+    assert(row.getLong(row.fieldIndex("a1")) === aD(1))
+    assert(row.getLong(row.fieldIndex("a5")) === aD(5))
+    assert(row.getLong(row.fieldIndex("a10")) === aD(10))
+    assert(row.getLong(row.fieldIndex("rbo_ppm")) === expectPpm)
+    val ppm = row.getLong(row.fieldIndex("rbo_ppm"))
+    assert(ppm >= 0 && ppm <= 1000000)
+  }
+
+  test("q_rbo weight table: identical rankings score exactly the truncated " +
+    "mass 1 − p^10 (651321 ppm) — the depth-10 ceiling of this RBO") {
+    // identical lists: the item at rank m has max(r1,r2)=m, so the total
+    // is Σ_m W(m) = Σ_d d·coef(d) = D·(1 − (9/10)^10) — the truncated
+    // RBO's entire mass (the residual beyond depth 10 is deliberately
+    // not extrapolated; Webber et al.'s RBO_EXT would add it).
+    val d10 = BigInt(2520) * BigInt(10).pow(10)
+    val coef = (1 to 10).map(dd =>
+      d10 * BigInt(9).pow(dd - 1) / (BigInt(10).pow(dd) * dd))
+    val total = (1 to 10).map(m => coef.drop(m - 1).sum).sum
+    assert(total === d10 * (BigInt(10).pow(10) - BigInt(9).pow(10))
+      / BigInt(10).pow(10))
+    assert((total / (d10 / 1000000)).toLong === 651321L)
+  }
+
+  // ---------------------------------------------------------- q_media_histeq
+
+  test("q_media_histeq matches a closed-form recompute (no MediaCodec)") {
+    val assets = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = assets.map { case (id, nc) =>
+      val w = (1 + nc % 16).toInt
+      val h = (1 + (nc * 7) % 16).toInt
+      val bytes = (0 until 3 * w * h).map(p => ((p * 37 + id) % 256).toInt)
+      val n = bytes.length.toLong
+      val hist = new Array[Long](256)
+      bytes.foreach(hist(_) += 1)
+      val cdf = hist.scanLeft(0L)(_ + _).tail
+      val cdfMin = cdf(hist.indexWhere(_ > 0))
+      val nv = (0 until 256).map(v =>
+        if (hist(v) == 0) -1L else (cdf(v) - cdfMin) * 255L / (n - cdfMin))
+      val db = hist.count(_ > 0).toLong
+      val da = nv.filter(_ >= 0).distinct.length.toLong
+      val cs = (0 until 256).map(v => hist(v) * math.max(nv(v), 0L)).sum
+      (id, n, db, da, cs)
+    }.sortBy(_._1).toSeq
+    val got = run("q_media_histeq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expect)
+    // equalization merges bins, never splits
+    got.foreach { case (id, _, db, da, _) =>
+      assert(da <= db, s"asset $id: distinct_after $da > before $db")
+    }
+  }
 }
