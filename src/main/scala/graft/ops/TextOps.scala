@@ -1334,9 +1334,122 @@ object TextOps {
     )
   )
 
+  /** q_filter_ablation — per-rule kill attribution for the Gopher
+    * hard-rule suite ([[qGopherRules]], whose per-doc flag frame this
+    * composes directly — the q_curation_funnel reuse pattern): for
+    * each rule, how many documents it fails (`fails`) and how many it
+    * ALONE removes (`unique_fails` — every other rule passes). The
+    * ablation a curation team runs before tightening a threshold:
+    * a rule with large `fails` but zero `unique_fails` is redundant
+    * (its kills are already covered), while `unique_fails` is the
+    * exact marginal corpus cost of keeping it. The 'ANY' row gives
+    * the union kill count and the docs killed by EXACTLY ONE rule
+    * (= Σ unique_fails — the accounting identity the spec pins).
+    *
+    * 100 TB shape: the flag projection is map-only (qGopherRules'
+    * plan); everything else is ONE 1-row aggregate of boolean sums
+    * unpivoted to 6 rows — no second corpus pass, no shuffle of text.
+    */
+  val qFilterAblation = Q(
+    "q_filter_ablation",
+    (s, d) => {
+      val flags = qGopherRules.fn(s, d)
+      val rules = Seq("wc_ok", "mwl_ok", "sym_ok", "alpha_ok", "stop_ok")
+      def fails(r: String): Column =
+        sum(when(!col(r), 1L).otherwise(0L))
+      def unique(r: String): Column =
+        sum(when(!col(r) &&
+          rules.filterNot(_ == r).map(col).reduce(_ && _), 1L).otherwise(0L))
+      val nFailed: Column = expr(
+        rules.map(r => s"(CASE WHEN $r THEN 0 ELSE 1 END)").mkString(" + "))
+      val aggRow = flags.agg(
+        fails("wc_ok").as("f_wc"), unique("wc_ok").as("u_wc"),
+        fails("mwl_ok").as("f_mwl"), unique("mwl_ok").as("u_mwl"),
+        fails("sym_ok").as("f_sym"), unique("sym_ok").as("u_sym"),
+        fails("alpha_ok").as("f_alpha"), unique("alpha_ok").as("u_alpha"),
+        fails("stop_ok").as("f_stop"), unique("stop_ok").as("u_stop"),
+        sum(when(nFailed >= 1, 1L).otherwise(0L)).as("f_any"),
+        sum(when(nFailed === 1, 1L).otherwise(0L)).as("u_any"))
+      aggRow.select(expr(
+        """stack(6,
+          |  'alpha', f_alpha, u_alpha,
+          |  'any', f_any, u_any,
+          |  'mwl', f_mwl, u_mwl,
+          |  'stop', f_stop, u_stop,
+          |  'sym', f_sym, u_sym,
+          |  'wc', f_wc, u_wc) AS (rule, fails, unique_fails)""".stripMargin))
+        .orderBy("rule")
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+        |      AS wc,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+        |    length(regexp_replace(text, '[^#]', '', 'g'))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS symbols,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        t -> regexp_matches(t, '[a-zA-Z]'))) AS alpha_words,
+        |    len(list_intersect(
+        |        list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+        |        ['the', 'a', 'and', 'of', 'to', 'in'])) AS stop_hits
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id,
+        |    wc >= 50 AS wc_ok,
+        |    CAST(alpha_chars AS DOUBLE) / greatest(wc, 1) >= 4.0
+        |      AND CAST(alpha_chars AS DOUBLE) / greatest(wc, 1) <= 5.0
+        |      AS mwl_ok,
+        |    CAST(symbols AS DOUBLE) / greatest(wc, 1) <= 0.1 AS sym_ok,
+        |    CAST(alpha_words AS DOUBLE) / greatest(wc, 1) >= 0.8 AS alpha_ok,
+        |    stop_hits >= 2 AS stop_ok
+        |  FROM m),
+        |n AS (
+        |  SELECT *,
+        |    (CASE WHEN wc_ok THEN 0 ELSE 1 END)
+        |    + (CASE WHEN mwl_ok THEN 0 ELSE 1 END)
+        |    + (CASE WHEN sym_ok THEN 0 ELSE 1 END)
+        |    + (CASE WHEN alpha_ok THEN 0 ELSE 1 END)
+        |    + (CASE WHEN stop_ok THEN 0 ELSE 1 END) AS nf
+        |  FROM f),
+        |agg AS MATERIALIZED (
+        |  SELECT
+        |    sum(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS f_wc,
+        |    sum(CASE WHEN NOT wc_ok AND mwl_ok AND sym_ok AND alpha_ok
+        |      AND stop_ok THEN 1 ELSE 0 END) AS u_wc,
+        |    sum(CASE WHEN NOT mwl_ok THEN 1 ELSE 0 END) AS f_mwl,
+        |    sum(CASE WHEN NOT mwl_ok AND wc_ok AND sym_ok AND alpha_ok
+        |      AND stop_ok THEN 1 ELSE 0 END) AS u_mwl,
+        |    sum(CASE WHEN NOT sym_ok THEN 1 ELSE 0 END) AS f_sym,
+        |    sum(CASE WHEN NOT sym_ok AND wc_ok AND mwl_ok AND alpha_ok
+        |      AND stop_ok THEN 1 ELSE 0 END) AS u_sym,
+        |    sum(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END) AS f_alpha,
+        |    sum(CASE WHEN NOT alpha_ok AND wc_ok AND mwl_ok AND sym_ok
+        |      AND stop_ok THEN 1 ELSE 0 END) AS u_alpha,
+        |    sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS f_stop,
+        |    sum(CASE WHEN NOT stop_ok AND wc_ok AND mwl_ok AND sym_ok
+        |      AND alpha_ok THEN 1 ELSE 0 END) AS u_stop,
+        |    sum(CASE WHEN nf >= 1 THEN 1 ELSE 0 END) AS f_any,
+        |    sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END) AS u_any
+        |  FROM n)
+        |SELECT rule, CAST(fails AS BIGINT) AS fails,
+        |  CAST(unique_fails AS BIGINT) AS unique_fails
+        |FROM (
+        |  SELECT 'alpha' AS rule, f_alpha AS fails, u_alpha AS unique_fails FROM agg
+        |  UNION ALL SELECT 'any', f_any, u_any FROM agg
+        |  UNION ALL SELECT 'mwl', f_mwl, u_mwl FROM agg
+        |  UNION ALL SELECT 'stop', f_stop, u_stop FROM agg
+        |  UNION ALL SELECT 'sym', f_sym, u_sym FROM agg
+        |  UNION ALL SELECT 'wc', f_wc, u_wc FROM agg)
+        |ORDER BY rule""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
       qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask,
-      qLabelNoise, qSpanCorruption, qChi2Terms, qLenHist, qWinnow, qKappa)
+      qLabelNoise, qSpanCorruption, qChi2Terms, qLenHist, qWinnow, qKappa,
+      qFilterAblation)
 }

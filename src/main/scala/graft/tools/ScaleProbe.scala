@@ -47,7 +47,10 @@ object ScaleProbe {
     "q_bpe_encode", "q_ppr_seed", "q_kcore", "q_ann_ivfpq",
     "q_auc", "q_ks_test", "q_stump", "q_cusum", "q_theil_sen",
     "q_chi2_terms", "q_winnow", "q_bpe_fertility", "q_stream_drift",
-    "q_kmv_median")
+    "q_kmv_median",
+    // round-8 third wave: the iterative/heavy additions
+    "q_hits", "q_coverage_select", "q_secret_scan", "q_ams_f2",
+    "q_count_sketch", "q_perm_test")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -444,4 +444,32 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(da <= db, s"asset $id: distinct_after $da > before $db")
     }
   }
+
+  // -------------------------------------------------------- q_filter_ablation
+
+  test("q_filter_ablation: exact attribution against the per-doc flag frame") {
+    val flags = run("q_gopher_rules")
+      .select("wc_ok", "mwl_ok", "sym_ok", "alpha_ok", "stop_ok").collect()
+      .map(r => (0 until 5).map(r.getBoolean))
+    val names = Seq("wc", "mwl", "sym", "alpha", "stop")
+    val expect = (names.zipWithIndex.map { case (n, i) =>
+      val fails = flags.count(f => !f(i)).toLong
+      val uniq = flags.count(f =>
+        !f(i) && f.zipWithIndex.forall { case (ok, j) => j == i || ok }).toLong
+      (n, fails, uniq)
+    } :+ (("any",
+      flags.count(f => f.exists(!_)).toLong,
+      flags.count(f => f.count(!_) == 1).toLong)))
+      .sortBy(_._1)
+    val got = run("q_filter_ablation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    // accounting identity: docs killed by exactly one rule = Σ unique_fails
+    val m: Map[String, (Long, Long)] =
+      got.map { case (k, f, u) => k -> ((f, u)) }.toMap
+    val singles: Long = names.map(n => m(n)._2).sum
+    assert(m("any")._2 === singles)
+    // 'any' never exceeds the sum of individual kills (inclusion bound)
+    assert(m("any")._1 <= names.map(n => m(n)._1).sum)
+  }
 }
