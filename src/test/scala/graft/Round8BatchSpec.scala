@@ -472,4 +472,48 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 'any' never exceeds the sum of individual kills (inclusion bound)
     assert(m("any")._1 <= names.map(n => m(n)._1).sum)
   }
+
+  // --------------------------------------------------------- q_join_size_est
+
+  test("q_join_size_est matches a brute-force AMS inner-product recompute") {
+    def keyCounts(table: String, key: String): Map[Long, Long] =
+      spark.read.parquet(s"$sf/$table.parquet")
+        .groupBy(col(key).as("k")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pk = keyCounts("part", "p_partkey")
+    val lk = keyCounts("lineitem", "l_partkey")
+    val exact = pk.keysIterator
+      .map(k => pk(k) * lk.getOrElse(k, 0L)).sum
+    def estimates(m: Int): (Long, Long) = {
+      def ctrs(cnt: Map[Long, Long]): Array[Long] = {
+        val a = new Array[Long](m)
+        for ((k, c) <- cnt; j <- 0 until m) {
+          val sgn = if (h32(s"$m:$j:$k") % 2 == 0) 1L else -1L
+          a(j) += sgn * c
+        }
+        a
+      }
+      val c1 = ctrs(pk); val c2 = ctrs(lk)
+      val prods = (0 until m).map(j => c1(j) * c2(j))
+      val per = m / 4
+      val gs = (0 until 4).map(g =>
+        (0 until per).map(j => prods(g * per + j)).sum).sorted
+      def sdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+      (sdiv(prods.sum, m), sdiv(gs(1), per))
+    }
+    val rows = run("q_join_size_est").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getLong(r.fieldIndex("est_mean")),
+        r.getLong(r.fieldIndex("est_med"))))).toMap
+    for (m <- Seq(32, 256)) {
+      val (em, ed) = estimates(m)
+      assert(rows(m.toLong)._1 === exact)
+      assert(rows(m.toLong)._2 === em, s"est_mean at m=$m")
+      assert(rows(m.toLong)._3 === ed, s"est_med at m=$m")
+    }
+    // the wide sketch's unbiased estimator lands inside the AMS
+    // envelope on this deterministic corpus (pinned, not flaky)
+    val err256 = math.abs(rows(256L)._2 - exact) * 1000000 / exact
+    assert(err256 <= 500000L, s"m=256 est_mean off by $err256 ppm")
+  }
 }
