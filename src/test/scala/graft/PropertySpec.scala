@@ -191,4 +191,47 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got === want, s"case=$caseNo minSup=$minSup")
     }
   }
+
+  test("graft_f2 equals the brute 32-counter recompute on random weighted " +
+    "multisets under random partitionings (linearity property)") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def brute(pairs: Seq[(String, Long)]): Long = {
+      val ctr = new Array[Long](32)
+      for ((k, w) <- pairs; j <- 0 until 32) {
+        val nib = Integer.parseInt(md5hex(s"$j:$k").take(1), 16)
+        ctr(j) += (if ((nib & 1) == 0) w else -w)
+      }
+      val sums = (0 until 4)
+        .map(g => (0 until 8).map(j => { val c = ctr(g * 8 + j); c * c }).sum)
+        .sorted
+      sums(1) / 8
+    }
+    val rnd = new scala.util.Random(8101)
+    for (caseNo <- 1 to 5) {
+      val vocab = (0 until 1 + rnd.nextInt(60)).map { i =>
+        // keys stress hashing: empty string, unicode, colons (the
+        // separator char), long tokens
+        rnd.nextInt(5) match {
+          case 0 => ""
+          case 1 => s"k:$i:x"
+          case 2 => "ü" * (1 + rnd.nextInt(4)) + i
+          case _ => s"tok$i" * (1 + rnd.nextInt(3))
+        }
+      }.distinct
+      val pairs = vocab.map(k => k -> (1L + rnd.nextInt(1000)))
+      val parts = 1 + rnd.nextInt(31)
+      val got = pairs.toDF("k", "w").repartition(parts)
+        .agg(graft.functions.GraftFunctions.graft_f2(col("k"), col("w")))
+        .collect().head.getLong(0)
+      assert(got === brute(pairs), s"case=$caseNo parts=$parts")
+    }
+    // empty input: the F2 of the empty multiset is 0, not null
+    val empty = Seq.empty[(String, Long)].toDF("k", "w")
+      .agg(graft.functions.GraftFunctions.graft_f2(col("k"), col("w")))
+      .collect().head
+    assert(!empty.isNullAt(0) && empty.getLong(0) === 0L)
+  }
 }
