@@ -1762,6 +1762,66 @@ object Dedup {
     )
   )
 
+  /** q_sorted_blocking — sorted-neighborhood entity-resolution
+    * blocking (Hernández & Stolfo, SIGMOD'95): sort every record by a
+    * fuzzy key (name, tie-broken by id), slide a window of w = 4, and
+    * score only window-mates — the blocking strategy that catches
+    * matches EQUALITY blocking ([[qRecordLinkage]]/[[qJaroLinkage]]'s
+    * (brand, type) blocks) misses when the blocking attribute itself
+    * carries the typo. Pairs scored with the native
+    * [[graft.functions.JaroWinkler]] (ppm-quantized before the ≥ 0.9
+    * threshold, the qJaroLinkage convention), kept with their window
+    * distance.
+    *
+    * Scale shape: the global sort is [[Distributed.globalRank0]]'s
+    * ranged two-pass rank (never a single-partition window), and the
+    * "within w of each other" pairing is NOT a range join — rank
+    * distance δ ∈ {1,2,3} makes it a UNION of δ-shifted EQUI-joins on
+    * the rank (one co-partitioned shuffle), each record pairing with
+    * exactly w−1 successors regardless of corpus size. O(n·w) pairs,
+    * names move once, the O(len²) scorer runs inside codegen.
+    */
+  val qSortedBlocking = Q(
+    "q_sorted_blocking",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val (ranked, _, rc) =
+        Distributed.globalRank0(p, Seq(col("name"), col("id")), "snm")
+      val r = ranked.withColumnRenamed(rc, "rk")
+      val right = r.select(col("rk").as("rk_b"), col("id").as("id_b"),
+        col("name").as("name_b"))
+      r.select(col("rk"), col("id").as("id_a"), col("name").as("name_a"),
+          explode(sequence(lit(1), lit(3))).as("delta"))
+        .withColumn("rk_b", col("rk") + col("delta"))
+        .join(right, "rk_b")
+        .withColumn("jw_ppm",
+          floor(graft.functions.GraftFunctions
+            .jaro_winkler(col("name_a"), col("name_b")) * 1000000 + 0.5)
+            .cast("long"))
+        .filter(col("jw_ppm") >= 900000L)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          col("delta").cast("long").as("delta"), col("jw_ppm"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH p AS (SELECT p_partkey AS id, p_name AS name FROM part),
+        |r AS (
+        |  SELECT id, name,
+        |    row_number() OVER (ORDER BY name, id) - 1 AS rk
+        |  FROM p),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a,
+        |    b.name AS name_b, CAST(b.rk - a.rk AS BIGINT) AS delta,
+        |    CAST(floor(jaro_winkler_similarity(a.name, b.name)
+        |      * 1000000 + 0.5) AS BIGINT) AS jw_ppm
+        |  FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3)
+        |SELECT id_a, id_b, name_a, name_b, delta, jw_ppm
+        |FROM pairs WHERE jw_ppm >= 900000
+        |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qLshScurve,
     qWinnowPairs,
@@ -1785,6 +1845,7 @@ object Dedup {
     qDedupIncremental,
     qEditVerify,
     qClusterStats,
-    qDedupSurvivorship
+    qDedupSurvivorship,
+    qSortedBlocking
   )
 }

@@ -516,4 +516,43 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val err256 = math.abs(rows(256L)._2 - exact) * 1000000 / exact
     assert(err256 <= 500000L, s"m=256 est_mean off by $err256 ppm")
   }
+
+  // ------------------------------------------------------- q_sorted_blocking
+
+  test("q_sorted_blocking: every pair is a true window mate of the global " +
+    "sort, the pair set matches a driver-side sliding window, and the plan " +
+    "has no single-partition exchange") {
+    import spark.implicits._
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, name) => (name, id) }
+    val expectPairs = (for {
+      i <- parts.indices
+      dlt <- 1 to 3 if i + dlt < parts.length
+    } yield (parts(i)._1, parts(i + dlt)._1, parts(i)._2, parts(i + dlt)._2,
+      dlt.toLong)).toSeq
+    // score the expected pairs through the same (fuzz-pinned) native
+    // expression, then compare COMPLETE outputs
+    val expect = expectPairs.toDF("id_a", "id_b", "name_a", "name_b", "delta")
+      .withColumn("jw_ppm",
+        floor(graft.functions.GraftFunctions
+          .jaro_winkler(col("name_a"), col("name_b")) * 1000000 + 0.5)
+          .cast("long"))
+      .filter(col("jw_ppm") >= 900000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val got = run("q_sorted_blocking").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(r.fieldIndex("delta")), r.getLong(r.fieldIndex("jw_ppm"))))
+      .toSeq
+    assert(got === expect)
+    assert(got.forall { case (_, _, dlt, _) => dlt >= 1 && dlt <= 3 })
+    // the two-pass rank replaces the global window: nothing in the
+    // executed plan may funnel the corpus through one partition
+    val plan = run("q_sorted_blocking").queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in SNM plan:\n$plan")
+  }
 }
