@@ -262,4 +262,117 @@ object MediaCodec {
     }
     out
   }
+
+  // ───────────────────── Y4M (YUV4MPEG2) video ─────────────────────
+
+  /** Decoded facts about a Y4M stream, derived ONLY from the bytes. */
+  final case class Y4mInfo(
+      width: Int,
+      height: Int,
+      fps_num: Int,
+      fps_den: Int,
+      n_frames: Int)
+
+  /** Encode an uncompressed YUV4MPEG2 (mjpegtools) stream, C444
+    * (full-resolution planes — no even-dimension constraint): the
+    * ASCII stream header `YUV4MPEG2 W.. H.. F..:.. Ip A1:1 C444\n`,
+    * then per frame the `FRAME\n` marker followed by the Y, U, V
+    * planes (w·h bytes each, row-major). `yuvAt(frame, plane, pixel)`
+    * supplies bytes (plane 0 = Y, 1 = U, 2 = V).
+    */
+  def encodeY4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      frames: Int, yuvAt: (Int, Int, Int) => Int): Array[Byte] = {
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C444\n"
+        .getBytes("ASCII")
+    val planeSz = width * height
+    val out = ByteBuffer.allocate(
+      header.length + frames * (6 + 3 * planeSz))
+    out.put(header)
+    var f = 0
+    while (f < frames) {
+      out.put("FRAME\n".getBytes("ASCII"))
+      var pl = 0
+      while (pl < 3) {
+        var p = 0
+        while (p < planeSz) {
+          out.put((yuvAt(f, pl, p) & 0xff).toByte); p += 1
+        }
+        pl += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** Parse a Y4M stream header + frame markers: validate the magic,
+    * read the W/H/F parameters (tolerating unknown ones — Ip, A, X…),
+    * require C444 (or absent colorspace, whose mjpegtools default is
+    * 4:2:0 — rejected here since plane math would differ), then walk
+    * `FRAME` markers (tolerating per-frame parameters after the
+    * marker) counting frames and validating plane sizes.
+    */
+  def decodeY4m(bytes: Array[Byte]): Y4mInfo = {
+    val nlHeader = bytes.indexOf('\n'.toByte)
+    require(nlHeader > 0, "no Y4M stream header line")
+    val header = new String(bytes, 0, nlHeader, "ASCII")
+    val toks = header.split(' ')
+    require(toks.head == "YUV4MPEG2", s"bad Y4M magic: ${toks.head}")
+    var w = -1; var h = -1; var fn = -1; var fd = -1; var cs = "C444"
+    toks.tail.foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.drop(1).toInt
+        case 'H' => h = t.drop(1).toInt
+        case 'F' =>
+          val Array(a, b) = t.drop(1).split(':'); fn = a.toInt; fd = b.toInt
+        case 'C' => cs = t
+        case _   => () // Ip / A / X… — tolerated, not interpreted
+      }
+    }
+    require(w > 0 && h > 0 && fn > 0 && fd > 0,
+      s"incomplete Y4M header: $header")
+    require(cs == "C444", s"only C444 supported, got $cs")
+    val planeSz = w * h
+    var off = nlHeader + 1
+    var frames = 0
+    while (off < bytes.length) {
+      require(off + 5 <= bytes.length &&
+        new String(bytes, off, 5, "ASCII") == "FRAME",
+        s"expected FRAME marker at offset $off")
+      var nl = off + 5
+      while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
+      require(nl < bytes.length, "unterminated FRAME header")
+      off = nl + 1 + 3 * planeSz
+      require(off <= bytes.length, "frame planes overrun the stream")
+      frames += 1
+    }
+    Y4mInfo(w, h, fn, fd, frames)
+  }
+
+  /** Per-frame exact luma statistics from the DECODED Y planes:
+    * (sum, min, max) per frame, in stream order.
+    */
+  def decodeY4mLumaStats(bytes: Array[Byte]): Array[(Long, Int, Int)] = {
+    val info = decodeY4m(bytes)
+    val planeSz = info.width * info.height
+    val out = Array.newBuilder[(Long, Int, Int)]
+    var off = bytes.indexOf('\n'.toByte) + 1
+    var f = 0
+    while (f < info.n_frames) {
+      var nl = off + 5
+      while (bytes(nl) != '\n'.toByte) nl += 1
+      val y0 = nl + 1
+      var sum = 0L; var mn = 255; var mx = 0
+      var p = 0
+      while (p < planeSz) {
+        val v = bytes(y0 + p) & 0xff
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        p += 1
+      }
+      out += ((sum, mn, mx))
+      off = y0 + 3 * planeSz
+      f += 1
+    }
+    out.result()
+  }
 }

@@ -699,8 +699,72 @@ object Multimodal {
     )
   )
 
+  /** q_media_y4m — the video leg of the triad over a REAL container
+    * format: each "video" asset is encoded as an uncompressed
+    * YUV4MPEG2 stream ([[MediaCodec.encodeY4m]], C444, rational NTSC
+    * frame rate 30000:1001 — the fps parse a naive integer reader
+    * gets wrong), decoded back by walking the stream header and
+    * per-frame FRAME markers, and reduced to exact per-frame luma
+    * statistics from the decoded Y planes. Every output value derives
+    * from re-parsed bytes; the DuckDB oracle recomputes from the
+    * generating closed form (luma(p) ≡ (p·31 + frame·7 + doc_id)
+    * mod 256), so a header-walk, plane-offset, or frame-boundary bug
+    * flips the sums. Upgrades [[qMediaFrames]]'s synthetic
+    * text-window "frames" to genuine container parsing, completing
+    * the WAV/BMP/Y4M real-codec triad.
+    *
+    * 100 TB shape: map-only mapPartitions over opaque bytes (the
+    * justified decoder shape), bounded small rows out, one output
+    * sort.
+    */
+  val qMediaY4m = Q(
+    "q_media_y4m",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 2) // the "video" assets
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .flatMap { case (id, nc) =>
+          val w = (2 + nc % 8).toInt
+          val h = (2 + (nc * 3) % 8).toInt
+          val nf = (2 + id % 4).toInt
+          val y4m = MediaCodec.encodeY4m(w, h, 30000, 1001, nf,
+            (f, pl, p) => ((p.toLong * 31 + f * 7 + pl * 101 + id) % 256).toInt)
+          val info = MediaCodec.decodeY4m(y4m)
+          val stats = MediaCodec.decodeY4mLumaStats(y4m)
+          stats.zipWithIndex.map { case ((sum, mn, mx), f) =>
+            (id, f, info.width.toLong, info.height.toLong, sum, mn, mx)
+          }
+        }
+        .toDF("doc_id", "frame_no", "width", "height",
+          "y_sum", "y_min", "y_max")
+        .orderBy("doc_id", "frame_no")
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT doc_id, 2 + n_chars % 8 AS w, 2 + (n_chars * 3) % 8 AS h,
+        |    2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, w, h, CAST(u.f AS INT) AS frame_no
+        |  FROM a, UNNEST(range(0, nf)) AS u(f)),
+        |pl AS (
+        |  SELECT doc_id, frame_no, w, h,
+        |    list_transform(range(0, w * h),
+        |      p -> (p * 31 + frame_no * 7 + doc_id) % 256) AS l
+        |  FROM fr)
+        |SELECT doc_id, frame_no, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(list_sum(l) AS BIGINT) AS y_sum,
+        |  CAST(list_min(l) AS INT) AS y_min,
+        |  CAST(list_max(l) AS INT) AS y_max
+        |FROM pl ORDER BY doc_id, frame_no""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qMediaMetadata, qMediaFeatures, qMediaFrames, qMediaFrameDedup,
       qMediaAudioWindows, qMediaWavRoundtrip, qMediaBmpRoundtrip,
-      qMediaChannelStats, qMediaZeroCrossings, qMediaResize, qMediaHisteq)
+      qMediaChannelStats, qMediaZeroCrossings, qMediaResize, qMediaHisteq,
+      qMediaY4m)
 }

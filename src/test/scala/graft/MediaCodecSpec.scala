@@ -178,4 +178,52 @@ class MediaCodecSpec extends AnyFunSuite {
     }
     assert((tp(0) & 0xff, tp(1) & 0xff, tp(2) & 0xff) === ((10, 11, 12)))
   }
+  // ───────────────────── Y4M (YUV4MPEG2) ─────────────────────
+
+  test("Y4M roundtrip: header fields, frame count, and decoded luma " +
+    "stats match the generator") {
+    val y4m = MediaCodec.encodeY4m(3, 2, 30000, 1001, 4,
+      (f, pl, p) => (p * 10 + f + pl * 50) % 256)
+    val info = MediaCodec.decodeY4m(y4m)
+    assert(info === MediaCodec.Y4mInfo(3, 2, 30000, 1001, 4))
+    val stats = MediaCodec.decodeY4mLumaStats(y4m)
+    assert(stats.length === 4)
+    for (f <- 0 until 4) {
+      val ys = (0 until 6).map(p => (p * 10 + f) % 256)
+      assert(stats(f) === ((ys.map(_.toLong).sum, ys.min, ys.max)), s"frame $f")
+    }
+  }
+
+  test("Y4M decoder tolerates unknown header and per-frame parameters " +
+    "(hand-assembled fixture)") {
+    // stream header with an X extension param; frames carry their own
+    // parameters after the FRAME marker — both legal in the mjpegtools
+    // format and both must be skipped, not parsed
+    val planes = Array.tabulate(3 * 2 * 2)(i => (i * 3 % 256).toByte)
+    val bytes =
+      "YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444 XCOLORRANGE=FULL\n".getBytes("ASCII") ++
+        "FRAME Xgood\n".getBytes("ASCII") ++ planes ++
+        "FRAME\n".getBytes("ASCII") ++ planes
+    val info = MediaCodec.decodeY4m(bytes)
+    assert(info === MediaCodec.Y4mInfo(2, 2, 25, 1, 2))
+    val stats = MediaCodec.decodeY4mLumaStats(bytes)
+    val ys = (0 until 4).map(p => p * 3 % 256)
+    assert(stats.toSeq === Seq.fill(2)((ys.map(_.toLong).sum, ys.min, ys.max)))
+  }
+
+  test("Y4M decoder rejects bad magic, subsampled color, and truncation") {
+    val good = MediaCodec.encodeY4m(2, 2, 25, 1, 1, (_, _, _) => 7)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m("JUNK4MPEG W2 H2 F25:1 C444\n".getBytes("ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(
+        "YUV4MPEG2 W2 H2 F25:1 C420jpeg\nFRAME\n".getBytes("ASCII") ++
+          Array.fill(6)(0.toByte))
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeY4m(good.dropRight(1)) // last plane byte missing
+    }
+  }
+
 }
