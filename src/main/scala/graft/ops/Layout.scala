@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Output-side data layout for curated corpora (builder-brief extension):
@@ -921,8 +922,62 @@ object Layout {
     orphans
   }
 
+  /** q_deletion_vectors — MERGE-ON-READ positional deletes (the
+    * Iceberg v2 / Delta deletion-vector mechanism), the third delete
+    * strategy next to [[qTargetedDelete]]'s copy-on-write partition
+    * rewrite and [[qMergeUpsert]]'s key-matched rewrite: a delete
+    * writes ONLY a tiny (group, position) sidecar; the data files are
+    * never touched (byte-identical after two delete batches —
+    * LayoutSpec pins file sizes), and the read path subtracts the
+    * vector with a broadcast anti-join on (grp, _pos). Two batches
+    * land here — a key predicate, then a value predicate resolved to
+    * positions by a scan — and the second APPENDS to the sidecar
+    * while the table stays untouched: the O(deleted) write cost that
+    * makes GDPR-style point deletes affordable on a 100 TB table
+    * where copy-on-write would rewrite terabytes per batch.
+    *
+    * `_pos` is materialized at WRITE time (row_number within each of
+    * 256 groups — in a real lakehouse the position is the file
+    * ordinal the scanner gets for free, e.g. Iceberg's `_pos`
+    * metadata column; materializing keeps it engine-stable for the
+    * oracle). The write-side window is bounded by the 256-way group
+    * split; the READ path — the hot side at scale — is window-free:
+    * scan + broadcast anti-join.
+    */
+  val qDeletionVectors = Q(
+    "q_deletion_vectors",
+    (s, d) => {
+      val root  = graft.Scratch.dir("deletion_vectors")
+      val data  = root.resolve("data").toString
+      val dvDir = root.resolve("dv").toString
+      val w = Window.partitionBy("grp").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("grp", pmod(col("doc_id"), lit(256)).cast("int"))
+        .withColumn("_pos", (row_number().over(w) - 1).cast("long"))
+        .write.partitionBy("grp").mode("overwrite").parquet(data)
+      val table = s.read.parquet(data)
+      // batch 1: key-predicate deletes → positions
+      table.filter(pmod(col("doc_id"), lit(97)) === 3)
+        .select("grp", "_pos")
+        .write.mode("overwrite").parquet(dvDir)
+      // batch 2: value-predicate deletes, APPENDED — data untouched
+      table.filter(col("lang") === "de")
+        .select("grp", "_pos")
+        .write.mode("append").parquet(dvDir)
+      val dv = s.read.parquet(dvDir).distinct()
+      table.join(broadcast(dv), Seq("grp", "_pos"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE NOT (doc_id % 97 = 3) AND lang <> 'de'
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
     qFormatRoundtrip, qTargetedDelete, qCompact, qMergeUpsert,
     qSchemaEvolution, qSaltedJoin, qHilbert, qLayoutLocality,
-    qDatasetDiff, qTimeTravel, qManifestSkip)
+    qDatasetDiff, qTimeTravel, qManifestSkip, qDeletionVectors)
 }

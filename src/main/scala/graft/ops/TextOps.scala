@@ -1446,10 +1446,105 @@ object TextOps {
     )
   )
 
+  /** q_mcnemar — McNemar's paired test (Psychometrika 1947) between
+    * every pair of Gopher rules on the SAME documents: are two
+    * filters' disagreements symmetric, or does one systematically
+    * fail documents the other passes? Unlike the independent-sample
+    * tests ([[graft.ops.Stats]]'s q_perm_test / q_ks_test), McNemar
+    * conditions on the PAIRING — only the discordant counts matter:
+    * b = #(A passes, B fails), c = #(A fails, B passes),
+    * χ²_ppm = (b−c)²·10⁶/(b+c) on 1 df (≥ 3.84·10⁶ ⇒ the two rules
+    * are not interchangeable at 95%). The filter-governance
+    * companion to [[qFilterAblation]]: ablation says how much each
+    * rule uniquely kills, McNemar says whether two rules even
+    * measure the same thing. All-integer, zero-discordance pairs
+    * reported with χ² = 0 (not NULL — stated).
+    *
+    * 100 TB shape: the flag frame is map-only; pairing costs one
+    * doc-keyed self-join of the 5-rows-per-doc flag long-form (≤ 10
+    * pair rows per doc) partial-aggregated into 10 output rows.
+    */
+  val qMcnemar = Q(
+    "q_mcnemar",
+    (s, d) => {
+      val rules = Seq("wc_ok", "mwl_ok", "sym_ok", "alpha_ok", "stop_ok")
+      val flags = qGopherRules.fn(s, d)
+        .select(col("doc_id") +: rules.map(col): _*)
+      val long = flags.select(col("doc_id"),
+        explode(array(rules.map(r =>
+          struct(lit(r).as("rule"), col(r).as("ok"))): _*)).as("f"))
+        .select(col("doc_id"), col("f.rule").as("rule"), col("f.ok").as("ok"))
+      val a = long.select(col("doc_id"), col("rule").as("rule_a"),
+        col("ok").as("ok_a"))
+      val b = long.select(col("doc_id"), col("rule").as("rule_b"),
+        col("ok").as("ok_b"))
+      a.join(b, "doc_id")
+        .filter(col("rule_a") < col("rule_b"))
+        .groupBy("rule_a", "rule_b")
+        .agg(
+          sum(when(col("ok_a") && !col("ok_b"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("ok_a") && col("ok_b"), 1L).otherwise(0L)).as("n_c"))
+        .select(col("rule_a"), col("rule_b"), col("n_b"), col("n_c"),
+          expr("CASE WHEN n_b + n_c = 0 THEN 0 " +
+            "ELSE (n_b - n_c) * (n_b - n_c) * 1000000 div (n_b + n_c) END")
+            .as("chi2_ppm"))
+        .orderBy("rule_a", "rule_b")
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+        |      AS wc,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+        |    length(regexp_replace(text, '[^#]', '', 'g'))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS symbols,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        t -> regexp_matches(t, '[a-zA-Z]'))) AS alpha_words,
+        |    len(list_intersect(
+        |        list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+        |        ['the', 'a', 'and', 'of', 'to', 'in'])) AS stop_hits
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id,
+        |    wc >= 50 AS wc_ok,
+        |    CAST(alpha_chars AS DOUBLE) / greatest(wc, 1) >= 4.0
+        |      AND CAST(alpha_chars AS DOUBLE) / greatest(wc, 1) <= 5.0
+        |      AS mwl_ok,
+        |    CAST(symbols AS DOUBLE) / greatest(wc, 1) <= 0.1 AS sym_ok,
+        |    CAST(alpha_words AS DOUBLE) / greatest(wc, 1) >= 0.8 AS alpha_ok,
+        |    stop_hits >= 2 AS stop_ok
+        |  FROM m),
+        |long AS (
+        |  SELECT doc_id, 'wc_ok' AS rule, wc_ok AS ok FROM f
+        |  UNION ALL SELECT doc_id, 'mwl_ok', mwl_ok FROM f
+        |  UNION ALL SELECT doc_id, 'sym_ok', sym_ok FROM f
+        |  UNION ALL SELECT doc_id, 'alpha_ok', alpha_ok FROM f
+        |  UNION ALL SELECT doc_id, 'stop_ok', stop_ok FROM f)
+        |SELECT a.rule AS rule_a, b.rule AS rule_b,
+        |  CAST(sum(CASE WHEN a.ok AND NOT b.ok THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN NOT a.ok AND b.ok THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c,
+        |  CAST(CASE WHEN sum(CASE WHEN a.ok <> b.ok THEN 1 ELSE 0 END) = 0
+        |    THEN 0
+        |    ELSE (sum(CASE WHEN a.ok AND NOT b.ok THEN 1 ELSE 0 END)
+        |        - sum(CASE WHEN NOT a.ok AND b.ok THEN 1 ELSE 0 END))
+        |      * (sum(CASE WHEN a.ok AND NOT b.ok THEN 1 ELSE 0 END)
+        |        - sum(CASE WHEN NOT a.ok AND b.ok THEN 1 ELSE 0 END))
+        |      * 1000000
+        |      // sum(CASE WHEN a.ok <> b.ok THEN 1 ELSE 0 END)
+        |  END AS BIGINT) AS chi2_ppm
+        |FROM long a JOIN long b ON b.doc_id = a.doc_id AND a.rule < b.rule
+        |GROUP BY a.rule, b.rule
+        |ORDER BY rule_a, rule_b""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
       qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask,
       qLabelNoise, qSpanCorruption, qChi2Terms, qLenHist, qWinnow, qKappa,
-      qFilterAblation)
+      qFilterAblation, qMcnemar)
 }

@@ -555,4 +555,44 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SinglePartition"),
       s"single-partition exchange in SNM plan:\n$plan")
   }
+
+  // ------------------------------------------------------ q_deletion_vectors
+
+  test("q_deletion_vectors: delete batches never touch the data files " +
+    "(merge-on-read), and the vector subtracts exactly the right rows") {
+    import org.apache.spark.sql.expressions.Window
+    val root  = java.nio.file.Files.createTempDirectory("dvspec")
+    val data  = root.resolve("data").toString
+    val dvDir = root.resolve("dv").toString
+    val w = Window.partitionBy("grp").orderBy("doc_id")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("grp", pmod(col("doc_id"), lit(256)).cast("int"))
+      .withColumn("_pos", (row_number().over(w) - 1).cast("long"))
+      .write.partitionBy("grp").mode("overwrite").parquet(data)
+    def snapshot(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(data)).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          out(p.toString) = java.nio.file.Files.size(p)
+      }
+      out.toMap
+    }
+    val before = snapshot()
+    val table = spark.read.parquet(data)
+    table.filter(pmod(col("doc_id"), lit(97)) === 3).select("grp", "_pos")
+      .write.mode("overwrite").parquet(dvDir)
+    table.filter(col("lang") === "de").select("grp", "_pos")
+      .write.mode("append").parquet(dvDir)
+    assert(snapshot() === before,
+      "deletion-vector batches modified data files (that's copy-on-write)")
+    val dv = spark.read.parquet(dvDir).distinct()
+    val survivors = table.join(broadcast(dv), Seq("grp", "_pos"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val expect = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(!(pmod(col("doc_id"), lit(97)) === 3) && col("lang") =!= "de")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq === expect.toSeq)
+    // the sidecar is O(deleted), not O(table)
+    assert(dv.count() < spark.read.parquet(s"$sf/documents.parquet").count())
+  }
 }
