@@ -1557,10 +1557,61 @@ object Stats {
     }
   )
 
+  /** q_anova — one-way ANOVA F statistic across the language groups
+    * on document length, completing the test ladder (two-sample:
+    * [[qPermTest]]/[[qKsTest]]; paired: TextOps.qMcnemar; k-sample:
+    * here). Sum-of-squares decomposition in integer arithmetic with
+    * ONE stated quantization: the per-group term S_g²/n_g and the
+    * grand term S²/n are floor divisions (identical `div`/`//` on
+    * positives — each floors away < 1 unit on ~10¹⁰-unit quantities,
+    * a deliberate determinism-over-last-unit trade, the repo's ppm
+    * convention). F_ppm = SSB·(n−k)·10⁶ / (SSW·(k−1)) runs in
+    * DECIMAL(38,0)/HUGEINT (the numerator passes int64 past ~3·10¹⁸
+    * — the q_auc precedent); on 4-and-large df, F_ppm ≥ ~2.4·10⁶
+    * rejects equal means at 95%.
+    *
+    * 100 TB shape: ONE partial-aggregated groupBy(lang) pass to
+    * k rows, then a k-row reduce — no window, no second scan.
+    */
+  val qAnova = Q(
+    "q_anova",
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("lang").as("g"), col("n_chars").as("x"))
+        .groupBy("g").agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
+          sum(col("x") * col("x")).as("qg"))
+      g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+          sum(expr("(sg * sg) div ng")).as("a"))
+        .select(col("k"), col("n"),
+          expr("a - (s * s) div n").as("ssb"), expr("q - a").as("ssw"))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"),
+          expr("CAST((CAST(ssb AS DECIMAL(38,0)) * (n - k) * 1000000) div " +
+            "(CAST(ssw AS DECIMAL(38,0)) * (k - 1)) AS BIGINT)").as("f_ppm"))
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT lang AS g, count(*) AS ng, sum(n_chars) AS sg,
+        |    sum(n_chars * n_chars) AS qg
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT count(*) AS k, CAST(sum(ng) AS HUGEINT) AS n,
+        |    CAST(sum(sg) AS HUGEINT) AS s, CAST(sum(qg) AS HUGEINT) AS q,
+        |    CAST(sum((sg * sg) // ng) AS HUGEINT) AS a
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(a - (s * s) // n AS BIGINT) AS ssb,
+        |  CAST(q - a AS BIGINT) AS ssw,
+        |  CAST((a - (s * s) // n) * (n - k) * 1000000
+        |    // ((q - a) * (k - 1)) AS BIGINT) AS f_ppm
+        |FROM t""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
       qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest, qKeySkew,
       qAuc, qKsTest, qStump, qCusum, qBenford, qCramersV, qTheilSen,
-      qSourceDivergence, qPermTest)
+      qSourceDivergence, qPermTest, qAnova)
 }

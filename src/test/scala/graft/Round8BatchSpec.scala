@@ -595,4 +595,41 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the sidecar is O(deleted), not O(table)
     assert(dv.count() < spark.read.parquet(s"$sf/documents.parquet").count())
   }
+
+  // ----------------------------------------------------------------- q_anova
+
+  test("q_anova matches a driver-side recompute and the float F within " +
+    "quantization error") {
+    val xs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size.toLong
+    val n = xs.length.toLong
+    val s0 = xs.map(_._2).sum
+    val q = xs.map(x => x._2 * x._2).sum
+    val a = groups.values.map { g =>
+      val sg = g.sum; (sg * sg) / g.length
+    }.sum
+    val ssb = a - (s0 * s0) / n
+    val ssw = q - a
+    val fPpm = (BigInt(ssb) * (n - k) * 1000000 / (BigInt(ssw) * (k - 1))).toLong
+    val row = run("q_anova").collect().head
+    assert(row.getLong(row.fieldIndex("k")) === k)
+    assert(row.getLong(row.fieldIndex("n")) === n)
+    assert(row.getLong(row.fieldIndex("ssb")) === ssb)
+    assert(row.getLong(row.fieldIndex("ssw")) === ssw)
+    assert(row.getLong(row.fieldIndex("f_ppm")) === fPpm)
+    // the floor quantization costs < 1 unit on each ~1e10 term: the
+    // float-exact F agrees to well under 1 ppm relative error
+    val means = groups.view.mapValues(g => g.sum.toDouble / g.length).toMap
+    val grand = s0.toDouble / n
+    val ssbF = groups.map { case (g, v) =>
+      v.length * math.pow(means(g) - grand, 2)
+    }.sum
+    val sswF = xs.map { case (g, x) => math.pow(x - means(g), 2) }.sum
+    val fF = (ssbF / (k - 1)) / (sswF / (n - k)) * 1e6
+    assert(math.abs(fF - fPpm) / fF < 1e-4,
+      s"quantized $fPpm vs float ${fF.toLong}")
+  }
 }
