@@ -54,7 +54,8 @@ object SparkEntry {
       "q_mad_outliers", "q_span_corruption", "q_t_closeness", "q_key_skew",
       "q_auc", "q_chi2_terms", "q_theil_sen", "q_stream_drift",
       "q_winnow", "q_bpe_fertility",
-      "q_hits", "q_coverage_select", "q_secret_scan", "q_ams_f2")
+      "q_hits", "q_coverage_select", "q_secret_scan", "q_ams_f2",
+      "q_sorted_blocking", "q_deletion_vectors", "q_media_y4m")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

@@ -693,6 +693,73 @@ object Safety {
     )
   )
 
+  /** q_secret_redact — the APPLY half of [[qSecretScan]] (the
+    * [[qPiiRedact]] pattern): every detected credential token is
+    * replaced by a typed placeholder in fixed precedence order
+    * (hex → prefixed → NOTHING for high_mix: mixed-class tokens are
+    * flagged for review, not destroyed — redacting every
+    * high-entropy-looking token would mangle code identifiers, a
+    * stated precision/recall trade), and changed documents emit a
+    * digest of the redacted text plus removal accounting. Token-level
+    * regexes use word boundaries so a digest embedded in a longer
+    * token is not clipped mid-string.
+    *
+    * 100 TB shape: map-only regexp_replace projection fused into the
+    * scan; only (doc_id, counts, 32-char digest) ever shuffle — the
+    * corpus text never moves.
+    */
+  val qSecretRedact = Q(
+    "q_secret_redact",
+    (s, d) => {
+      val planted = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" sk_live_"), md5(col("doc_id").cast("string"))))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" "), md5(concat(lit("h:"), col("doc_id").cast("string")))))
+              .otherwise(lit(""))).as("t"))
+      // boundaries are CAPTURED and re-emitted (\1…\3), not lookahead:
+      // DuckDB's RE2 has no lookahead, and the engines must run the
+      // byte-identical pattern
+      val hexPat  = "(^|\\s)([0-9a-f]{32,})(\\s|$)"
+      val prefPat = "(^|\\s)((sk_live_|ghp_|AKIA)[A-Za-z0-9_]{8,})(\\s|$)"
+      planted
+        .withColumn("r",
+          regexp_replace(regexp_replace(col("t"),
+            hexPat, "$1<HEX_KEY>$3"),
+            prefPat, "$1<API_KEY>$4"))
+        .filter(col("r") =!= col("t"))
+        .select(col("doc_id"),
+          (length(col("t")) - length(col("r"))).cast("int").as("chars_removed"),
+          md5(col("r")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' sk_live_' || md5(CAST(doc_id AS VARCHAR)) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' ' || md5('h:' || CAST(doc_id AS VARCHAR)) ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '(^|\s)([0-9a-f]{32,})(\s|$)', '\1<HEX_KEY>\3', 'g'),
+        |      '(^|\s)((sk_live_|ghp_|AKIA)[A-Za-z0-9_]{8,})(\s|$)',
+        |      '\1<API_KEY>\4', 'g') AS r
+        |  FROM planted)
+        |SELECT doc_id,
+        |  CAST(length(t) - length(r) AS INT) AS chars_removed,
+        |  md5(r) AS fingerprint
+        |FROM red WHERE r <> t ORDER BY doc_id""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity, qLDiversity,
-    qTCloseness, qDpContribution, qDpReleaseSim, qPiiLuhn, qSecretScan)
+    qTCloseness, qDpContribution, qDpReleaseSim, qPiiLuhn, qSecretScan,
+    qSecretRedact)
 }

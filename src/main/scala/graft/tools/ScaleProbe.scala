@@ -50,7 +50,8 @@ object ScaleProbe {
     "q_kmv_median",
     // round-8 third wave: the iterative/heavy additions
     "q_hits", "q_coverage_select", "q_secret_scan", "q_ams_f2",
-    "q_count_sketch", "q_perm_test")
+    "q_count_sketch", "q_perm_test",
+    "q_sorted_blocking", "q_deletion_vectors", "q_media_y4m", "q_mcnemar")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
