@@ -1541,10 +1541,78 @@ object TextOps {
     )
   )
 
+  /** q_texttile — TextTiling-style lexical boundary detection
+    * (Hearst, CL 1997): candidate gaps every 5 tokens get the exact
+    * Jaccard (ppm) between the DISTINCT-token sets of the 10-token
+    * windows on either side; a gap whose similarity drops below 0.20
+    * is a topic boundary. This is the CONTENT-AWARE chunker a RAG
+    * pipeline wants where [[Corpus.qChunkWindows]] cuts at fixed
+    * strides and q_cdc_chunks cuts at byte-hash boundaries — lexical
+    * shift, not position or bytes, decides the cut, so an inserted
+    * paragraph moves boundaries with the topics.
+    *
+    * 100 TB shape: ENTIRELY in-row — the gap sequence, both window
+    * slices, and the intersection sizes are higher-order array
+    * functions inside the scan projection (no position explode, no
+    * shuffle of text; the only exchange is the output sort of
+    * (doc_id, gap_pos, sim_ppm) boundary rows).
+    */
+  val qTexttile = Q(
+    "q_texttile",
+    (s, d) => {
+      val toks = wsTokens(col("text"))
+      val tiles = expr(
+        """filter(
+          |  transform(
+          |    CASE WHEN size(toks) < 20 THEN array()
+          |         ELSE sequence(10, size(toks) - 10, 5) END,
+          |    p -> named_struct(
+          |      'gap_pos', CAST(p AS BIGINT),
+          |      'sim_ppm',
+          |        CAST(size(array_intersect(
+          |            array_distinct(slice(toks, p - 9, 10)),
+          |            array_distinct(slice(toks, p + 1, 10)))) AS BIGINT)
+          |          * 1000000 div
+          |        (CAST(size(array_distinct(slice(toks, p - 9, 10))) AS BIGINT)
+          |          + size(array_distinct(slice(toks, p + 1, 10)))
+          |          - size(array_intersect(
+          |              array_distinct(slice(toks, p - 9, 10)),
+          |              array_distinct(slice(toks, p + 1, 10))))))),
+          |  w -> w.sim_ppm < 200000)""".stripMargin)
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(tiles).as("b"))
+        .select(col("doc_id"), col("b.gap_pos").as("gap_pos"),
+          col("b.sim_ppm").as("sim_ppm"))
+        .orderBy("doc_id", "gap_pos")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |gaps AS (
+        |  SELECT doc_id, CAST(u.p AS BIGINT) AS gap_pos,
+        |    list_distinct(toks[u.p - 9 : u.p]) AS pre,
+        |    list_distinct(toks[u.p + 1 : u.p + 10]) AS post
+        |  FROM t, UNNEST(range(10, greatest(len(toks) - 10 + 1, 10), 5))
+        |    AS u(p)),
+        |sims AS (
+        |  SELECT doc_id, gap_pos,
+        |    CAST(len(list_intersect(pre, post)) AS BIGINT) * 1000000
+        |      // (len(pre) + len(post) - len(list_intersect(pre, post)))
+        |      AS sim_ppm
+        |  FROM gaps)
+        |SELECT doc_id, gap_pos, CAST(sim_ppm AS BIGINT) AS sim_ppm
+        |FROM sims WHERE sim_ppm < 200000
+        |ORDER BY doc_id, gap_pos""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTokenCount, qQualityScore, qLangId, qFingerprint, qTextNormalize,
       qRedact, qDecontaminate, qRepetition, qVocabCoverage, qDialogFlatten,
       qFimSplit, qDpoPairs, qParetoFront, qGopherRules, qAugmentMask,
       qLabelNoise, qSpanCorruption, qChi2Terms, qLenHist, qWinnow, qKappa,
-      qFilterAblation, qMcnemar)
+      qFilterAblation, qMcnemar, qTexttile)
 }

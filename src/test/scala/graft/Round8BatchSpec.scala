@@ -632,4 +632,37 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(fF - fPpm) / fF < 1e-4,
       s"quantized $fPpm vs float ${fF.toLong}")
   }
+
+  // -------------------------------------------------------------- q_texttile
+
+  test("q_texttile matches a driver-side window-Jaccard recompute and is " +
+    "map-only below the output sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = (for {
+      (id, text) <- docs.toSeq
+      toks = text.split("\\s+").filter(_.nonEmpty)
+      if toks.length >= 20
+      p <- 10 to (toks.length - 10) by 5
+      pre = toks.slice(p - 10, p).toSet
+      post = toks.slice(p, p + 10).toSet
+      inter = (pre & post).size.toLong
+      sim = inter * 1000000L / (pre.size + post.size - inter)
+      if sim < 200000L
+    } yield (id, p.toLong, sim)).sortBy(t => (t._1, t._2))
+    val got = run("q_texttile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.forall(_._3 < 200000L))
+    // in-row claim: the only exchange is the final output sort
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = run("q_texttile").queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.length <= 1,
+        s"expected only the output-sort exchange, got ${exchanges.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
