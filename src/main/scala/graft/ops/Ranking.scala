@@ -956,8 +956,101 @@ object Ranking {
     }
   )
 
+  /** q_rerank_funnel — the production two-stage retrieval shape:
+    * cheap lexical RECALL (BM25 top-50, [[qBm25]]'s scorer) followed
+    * by expensive semantic RERANK (embedding cosine against a
+    * pseudo-relevance query vector = the SUM of the top-5 recall
+    * docs' quantized embeddings — the [[qPrfExpansion]] idea moved to
+    * vector space). Emits the final top-10 with each doc's recall
+    * rank and its movement, the rank-churn diagnostic that tells an
+    * IR team whether the reranker is doing anything ([[qRbo]]
+    * quantifies the same churn corpus-wide). Cosine ordering uses
+    * dot/√‖v‖² with exact-integer dot and norm (the Similarity
+    * quantization convention) and ONE floor-quantized double step
+    * (IEEE sqrt + division in fixed order — the Hellinger precedent).
+    *
+    * 100 TB shape: stage 1 is the BM25 DAG + a TakeOrdered top-50;
+    * stage 2 touches ONLY the 50 recalled embeddings (seed vector =
+    * 5-row broadcast, candidates joined by id) — the whole point of a
+    * funnel: the expensive scorer never sees the corpus. Rank
+    * assignment is two bounded ≤ 50-row fetches (the q_rbo pattern).
+    */
+  val qRerankFunnel = Q(
+    "q_rerank_funnel",
+    (s, d) => {
+      import s.implicits._
+      val recall = bm25Scores(s, d)
+        .orderBy(desc("bm25"), col("doc_id")).limit(50)
+        .select("doc_id").collect().map(_.getLong(0)) // bounded top-50
+      val rankDf = recall.zipWithIndex
+        .map { case (id, i) => (id, i + 1) }.toSeq.toDF("doc_id", "bm25_rank")
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+          .as("qv"))
+      val flat = rankDf.join(emb, "doc_id")
+        .select(col("doc_id"), col("bm25_rank"),
+          posexplode(col("qv")).as(Seq("pos", "q")))
+      val seed = flat.filter(col("bm25_rank") <= 5)
+        .groupBy("pos").agg(sum(col("q")).as("sq"))
+      val scored = flat.join(broadcast(seed), "pos")
+        .groupBy("doc_id", "bm25_rank")
+        .agg(sum(col("q") * col("sq")).as("dot"),
+          sum(col("q") * col("q")).as("vv"))
+        .withColumn("score", expr("CAST(floor(CAST(dot AS DOUBLE) / " +
+          "sqrt(CAST(vv AS DOUBLE)) + 0.5) AS BIGINT)"))
+        .orderBy(desc("score"), col("doc_id")).limit(10)
+        .collect() // bounded top-10
+      scored.zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getLong(r.fieldIndex("doc_id")),
+          r.getInt(r.fieldIndex("bm25_rank")),
+          (r.getInt(r.fieldIndex("bm25_rank")) - (i + 1)).toLong,
+          r.getLong(r.fieldIndex("score")))
+      }.toSeq.toDF("rank", "doc_id", "bm25_rank", "moved", "score")
+        .orderBy("rank")
+    },
+    Some(
+      s"""WITH $bm25SqlCtes,
+         |top50 AS (
+         |  SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS INT) AS bm25_rank
+         |  FROM bscores ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |qv AS (
+         |  SELECT t.doc_id, t.bm25_rank,
+         |    list_transform(e.embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+         |      AS qv
+         |  FROM top50 t JOIN embeddings e ON e.vec_id = t.doc_id),
+         |flat AS (
+         |  SELECT doc_id, bm25_rank, CAST(u.p.pos AS INT) AS pos, u.p.q AS q
+         |  FROM qv, UNNEST(list_transform(qv.qv,
+         |    (x, i) -> struct_pack(pos := i - 1, q := x))) AS u(p)),
+         |seed AS (
+         |  SELECT pos, CAST(sum(q) AS BIGINT) AS sq
+         |  FROM flat WHERE bm25_rank <= 5 GROUP BY pos),
+         |rescored AS (
+         |  SELECT doc_id, bm25_rank,
+         |    CAST(sum(q * sq) AS BIGINT) AS dot,
+         |    CAST(sum(q * q) AS BIGINT) AS vv
+         |  FROM flat JOIN seed USING (pos)
+         |  GROUP BY doc_id, bm25_rank),
+         |fin AS (
+         |  SELECT doc_id, bm25_rank,
+         |    CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(vv AS DOUBLE)) + 0.5)
+         |      AS BIGINT) AS score
+         |  FROM rescored)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |    AS rank,
+         |  doc_id, bm25_rank,
+         |  CAST(bm25_rank - row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS moved,
+         |  score
+         |FROM fin ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore, qInvertedIndex,
       qPmiCooccur, qRrfFusion, qPrfExpansion, qCalibration,
-      qRankCorrelation, qNdcg, qRbo)
+      qRankCorrelation, qNdcg, qRbo, qRerankFunnel)
 }

@@ -665,4 +665,26 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"expected only the output-sort exchange, got ${exchanges.length}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  // --------------------------------------------------------- q_rerank_funnel
+
+  test("q_rerank_funnel: funnel invariants — final docs come from the " +
+    "recall set, ranks and movement are consistent, scores descend") {
+    val rows = run("q_rerank_funnel").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (1 to rows.length))
+    rows.foreach { case (rank, id, bm25Rank, moved, _) =>
+      assert(bm25Rank >= 1 && bm25Rank <= 50,
+        s"doc $id reranked from outside the recall set ($bm25Rank)")
+      assert(moved === (bm25Rank - rank).toLong)
+    }
+    val scores = rows.map(_._5)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the reranker scored candidates against the top-5 seed: a doc in
+    // the seed set should score near the top of the cosine ordering
+    // (its own vector is inside the query sum) — at least one survives
+    assert(rows.exists(_._3 <= 5),
+      "no seed document survived its own pseudo-relevance rerank")
+  }
 }
