@@ -81,6 +81,49 @@ object Analytics {
     )
   )
 
+  /** q_range_frame — a VALUE-based window frame (RANGE BETWEEN 3600
+    * PRECEDING AND CURRENT ROW over epoch seconds): each event's
+    * trailing-one-hour spend and event count per user — the rate-limit
+    * / velocity-check shape (fraud scoring, burst detection) that ROWS
+    * frames get WRONG when events cluster (a ROWS-10 frame spans
+    * minutes or days depending on density; the RANGE frame is defined
+    * by TIME). Exercises the one frame type no other registry window
+    * uses. RANGE semantics also make ties a non-issue: all peer rows
+    * with the same ordering value share one frame, so the result is
+    * deterministic without a unique tiebreak column.
+    *
+    * 100 TB shape: one shuffle by user_id, per-user ordered frames —
+    * the partition key is the data-scale key (millions of users), so
+    * no under-partitioned window; cents are exact BIGINT.
+    */
+  val qRangeFrame = Q(
+    "q_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("secs")
+        .rangeBetween(-3600, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("secs"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .select(col("user_id"), col("event_id"),
+          sum(col("cents")).over(w).as("hr_sum_cents"),
+          count(lit(1)).over(w).as("hr_n"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(
+      """SELECT user_id, event_id,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS hr_sum_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS hr_n
+        |FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS secs,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY secs
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
+    )
+  )
+
   /** q_rollup — hierarchical grouping with subtotals + GROUPING flags. */
   val qRollup = Q(
     "q_rollup",
@@ -365,6 +408,7 @@ object Analytics {
   val all: Seq[Q] = Seq(
     qWindowRank,
     qWindowRunning,
+    qRangeFrame,
     qRollup,
     qCube,
     qIntersect,

@@ -759,7 +759,102 @@ object Safety {
     )
   )
 
+  /** q_license_scan — license-compliance triage for a code/text
+    * corpus (the governance gate an LLM data pipeline runs before a
+    * source enters training): detect an SPDX tag
+    * (`SPDX-License-Identifier: <id>` — the machine-readable header)
+    * or GPL license prose, map to a family, and assign the ingest
+    * decision — copyleft → exclude, permissive → keep with
+    * attribution, no license → keep per corpus policy. Licenses are
+    * PLANTED deterministically (the [[qPiiScan]] convention): 1-in-7
+    * docs get an SPDX header cycling MIT / Apache-2.0 / GPL-3.0-only,
+    * a further 1-in-11 get GPL prose with no tag — exercising both
+    * detector arms and the tag-beats-prose precedence.
+    *
+    * 100 TB shape: map-only regexp projection fused into the scan,
+    * one partial-aggregated rollup over (source, license) — text
+    * never shuffles.
+    */
+  val qLicenseScan = Q(
+    "q_license_scan",
+    (s, d) => {
+      val spdxId = when(col("doc_id") % 3 === 0, "MIT")
+        .when(col("doc_id") % 3 === 1, "Apache-2.0")
+        .otherwise("GPL-3.0-only")
+      val planted = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          concat(
+            when(col("doc_id") % 7 === 0,
+              concat(lit("// SPDX-License-Identifier: "), spdxId, lit(" ")))
+              .otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 === 0,
+              lit(" This program is free software: you can redistribute " +
+                "it under the terms of the GNU General Public License."))
+              .otherwise(lit(""))).as("t"))
+      val tagged = planted
+        .withColumn("spdx",
+          regexp_extract(col("t"), "SPDX-License-Identifier: ([A-Za-z0-9.+-]+)", 1))
+        .withColumn("license",
+          when(col("spdx") =!= "", col("spdx"))
+            .when(col("t").contains("GNU General Public License"),
+              "GPL-prose")
+            .otherwise("none"))
+        .withColumn("family",
+          when(col("license").isin("MIT", "Apache-2.0"), "permissive")
+            .when(col("license").startsWith("GPL"), "copyleft")
+            .otherwise("none"))
+        .withColumn("decision",
+          when(col("family") === "copyleft", "exclude")
+            .when(col("family") === "permissive", "keep_attrib")
+            .otherwise("keep"))
+      tagged.groupBy("source", "license", "family", "decision")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("source", "license")
+    },
+    Some(
+      """WITH planted AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN '// SPDX-License-Identifier: ' ||
+        |        CASE WHEN doc_id % 3 = 0 THEN 'MIT'
+        |             WHEN doc_id % 3 = 1 THEN 'Apache-2.0'
+        |             ELSE 'GPL-3.0-only' END || ' '
+        |      ELSE '' END
+        |    || text
+        |    || CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 = 0
+        |         THEN ' This program is free software: you can redistribute'
+        |           || ' it under the terms of the GNU General Public License.'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |tagged AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN regexp_extract(t,
+        |        'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) <> ''
+        |      THEN regexp_extract(t,
+        |        'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+        |      WHEN contains(t, 'GNU General Public License') THEN 'GPL-prose'
+        |      ELSE 'none' END AS license
+        |  FROM planted),
+        |fam AS (
+        |  SELECT source, n_chars, license,
+        |    CASE WHEN license IN ('MIT', 'Apache-2.0') THEN 'permissive'
+        |         WHEN license LIKE 'GPL%' THEN 'copyleft'
+        |         ELSE 'none' END AS family
+        |  FROM tagged)
+        |SELECT source, license, family,
+        |  CASE WHEN family = 'copyleft' THEN 'exclude'
+        |       WHEN family = 'permissive' THEN 'keep_attrib'
+        |       ELSE 'keep' END AS decision,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM fam GROUP BY source, license, family
+        |ORDER BY source, license""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qPiiScan, qPiiRedact, qKAnonymity, qLDiversity,
     qTCloseness, qDpContribution, qDpReleaseSim, qPiiLuhn, qSecretScan,
-    qSecretRedact)
+    qSecretRedact, qLicenseScan)
 }

@@ -687,4 +687,67 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_._3 <= 5),
       "no seed document survived its own pseudo-relevance rerank")
   }
+
+  // ------------------------------------------------------------ q_range_frame
+
+  test("q_range_frame matches a brute trailing-hour recompute (value-based " +
+    "frame, tie peers share one frame)") {
+    def toLdt2(x: Any): Long = x match {
+      case t: java.sql.Timestamp => t.toInstant.getEpochSecond
+      case l: java.time.LocalDateTime => l.toEpochSecond(java.time.ZoneOffset.UTC)
+    }
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), toLdt2(r.get(2)),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val byUser = evs.groupBy(_._1)
+    val expect = evs.toSeq.map { case (u, id, secs, _) =>
+      val frame = byUser(u).filter(e => e._3 >= secs - 3600 && e._3 <= secs)
+      (u, id, frame.map(_._4).sum, frame.length.toLong)
+    }.sortBy(t => (t._1, t._2))
+    val got = run("q_range_frame").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+  }
+
+  // ----------------------------------------------------------- q_license_scan
+
+  test("q_license_scan: classification matches the planted corpus, and the " +
+    "decision policy is total (every doc lands in exactly one row set)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def cls(id: Long): (String, String, String) = {
+      val lic =
+        if (id % 7 == 0)
+          (id % 3) match {
+            case 0 => "MIT"; case 1 => "Apache-2.0"; case _ => "GPL-3.0-only"
+          }
+        else if (id % 11 == 0) "GPL-prose"
+        else "none"
+      val fam =
+        if (lic == "MIT" || lic == "Apache-2.0") "permissive"
+        else if (lic.startsWith("GPL")) "copyleft"
+        else "none"
+      val dec = fam match {
+        case "copyleft" => "exclude"
+        case "permissive" => "keep_attrib"
+        case _ => "keep"
+      }
+      (lic, fam, dec)
+    }
+    val expect = docs.toSeq.map { case (src, id, nc) =>
+      val (l, f, dd) = cls(id); (src, l, f, dd, id, nc)
+    }.groupBy { case (src, l, f, dd, _, _) => (src, l, f, dd) }
+      .map { case ((src, l, f, dd), g) =>
+        (src, l, f, dd, g.size.toLong, g.map(_._6).sum)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val got = run("q_license_scan").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
+    assert(got.map(_._5).sum === docs.length.toLong)
+  }
 }
