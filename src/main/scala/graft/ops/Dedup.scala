@@ -1740,25 +1740,94 @@ object Dedup {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("id_a", "id_b")
     },
+    Some(s"$winnowPairsSql\nORDER BY id_a, id_b")
+  )
+
+  /** The winnowing candidate-pair query as a composable SQL fragment
+    * (no ORDER BY) — shared by [[qWinnowPairs]] and the
+    * method-agreement audit [[qDedupMethodOverlap]].
+    */
+  private[ops] lazy val winnowPairsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, len(text) - 15 AS ng,
+      |    list_transform(range(1, len(text) - 15 + 1),
+      |      i -> md5(substr(text, CAST(i AS INT), 16))) AS h
+      |  FROM documents WHERE len(text) >= 16),
+      |w AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(ng - 7, 1) + 1),
+      |      j -> list_min(h[j:j+7]))) AS fps
+      |  FROM g),
+      |f AS (SELECT doc_id, fp FROM w, UNNEST(fps) AS u(fp)),
+      |sz AS (SELECT fp, count(*) AS bn FROM f GROUP BY fp),
+      |r AS (SELECT f.doc_id, f.fp FROM f JOIN sz USING (fp)
+      |      WHERE sz.bn <= 32)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q_dedup_method_overlap — method-agreement audit between the two
+    * corpus-wide candidate-pair generators: MinHash-LSH banding
+    * ([[qMinhashLshPairs]], token-shingle Jaccard proxy) and
+    * winnowing fingerprints ([[qWinnowPairs]], character-level
+    * near-duplication). Reports each set's size, the intersection,
+    * union, and pair-set agreement in ppm — the governance number a
+    * dedup pipeline owner checks before swapping methods: low
+    * agreement means the two detect DIFFERENT duplication phenomena
+    * (token-level rewording vs verbatim character runs), not that one
+    * is broken. Composes both generators' frames and both oracle
+    * fragments verbatim, so the audit can never drift from the
+    * audited queries.
+    *
+    * 100 TB shape: the sum of the two generators' costs (each already
+    * bucketed/guarded) plus one pair-keyed join of the candidate
+    * sets — candidate-scale, never corpus-scale — and three 1-row
+    * aggregates broadcast-cross-joined.
+    */
+  val qDedupMethodOverlap = Q(
+    "q_dedup_method_overlap",
+    (s, d) => {
+      val l = qMinhashLshPairs.fn(s, d).select("id_a", "id_b")
+      val w = qWinnowPairs.fn(s, d).select("id_a", "id_b")
+      val nl = l.agg(count(lit(1)).as("n_lsh"))
+      val nw = w.agg(count(lit(1)).as("n_win"))
+      val nb = l.join(w, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_both"))
+      nl.crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
+        .select(col("n_lsh"), col("n_win"), col("n_both"),
+          (col("n_lsh") + col("n_win") - col("n_both")).as("n_union"),
+          expr("CASE WHEN n_lsh + n_win - n_both = 0 THEN 0 " +
+            "ELSE n_both * 1000000 div (n_lsh + n_win - n_both) END")
+            .as("agree_ppm"),
+          // asymmetric containments: at the shipped thresholds the
+          // high-precision LSH set sits INSIDE the permissive winnow
+          // set (measured 100% at sf0.1) — the number that tells you
+          // banding is a strictly stricter detector here, not a
+          // different-phenomenon one
+          expr("CASE WHEN n_lsh = 0 THEN 0 " +
+            "ELSE n_both * 1000000 div n_lsh END").as("lsh_in_win_ppm"),
+          expr("CASE WHEN n_win = 0 THEN 0 " +
+            "ELSE n_both * 1000000 div n_win END").as("win_in_lsh_ppm"))
+    },
     Some(
-      """WITH g AS (
-        |  SELECT doc_id, len(text) - 15 AS ng,
-        |    list_transform(range(1, len(text) - 15 + 1),
-        |      i -> md5(substr(text, CAST(i AS INT), 16))) AS h
-        |  FROM documents WHERE len(text) >= 16),
-        |w AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(ng - 7, 1) + 1),
-        |      j -> list_min(h[j:j+7]))) AS fps
-        |  FROM g),
-        |f AS (SELECT doc_id, fp FROM w, UNNEST(fps) AS u(fp)),
-        |sz AS (SELECT fp, count(*) AS bn FROM f GROUP BY fp),
-        |r AS (SELECT f.doc_id, f.fp FROM f JOIN sz USING (fp)
-        |      WHERE sz.bn <= 32)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(count(*) AS BIGINT) AS n_shared
-        |FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+      s"""WITH RECURSIVE lshp AS ($lshPairsSql),
+         |winp AS ($winnowPairsSql),
+         |c AS (
+         |  SELECT
+         |    (SELECT count(*) FROM lshp) AS n_lsh,
+         |    (SELECT count(*) FROM winp) AS n_win,
+         |    (SELECT count(*) FROM lshp JOIN winp USING (id_a, id_b))
+         |      AS n_both)
+         |SELECT n_lsh, n_win, n_both,
+         |  n_lsh + n_win - n_both AS n_union,
+         |  CAST(CASE WHEN n_lsh + n_win - n_both = 0 THEN 0
+         |    ELSE n_both * 1000000 // (n_lsh + n_win - n_both) END
+         |    AS BIGINT) AS agree_ppm,
+         |  CAST(CASE WHEN n_lsh = 0 THEN 0
+         |    ELSE n_both * 1000000 // n_lsh END AS BIGINT) AS lsh_in_win_ppm,
+         |  CAST(CASE WHEN n_win = 0 THEN 0
+         |    ELSE n_both * 1000000 // n_win END AS BIGINT) AS win_in_lsh_ppm
+         |FROM c""".stripMargin
     )
   )
 
@@ -1846,6 +1915,7 @@ object Dedup {
     qEditVerify,
     qClusterStats,
     qDedupSurvivorship,
-    qSortedBlocking
+    qSortedBlocking,
+    qDedupMethodOverlap
   )
 }

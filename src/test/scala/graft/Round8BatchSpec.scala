@@ -750,4 +750,25 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
     assert(got.map(_._5).sum === docs.length.toLong)
   }
+
+  // ---------------------------------------------------- q_dedup_method_overlap
+
+  test("q_dedup_method_overlap: counts agree with the two generators' own " +
+    "outputs and the set identities hold") {
+    val lsh = run("q_minhash_lsh_pairs").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = run("q_winnow_pairs").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = run("q_dedup_method_overlap").collect().head
+    def f(n: String) = row.getLong(row.fieldIndex(n))
+    assert(f("n_lsh") === lsh.size.toLong)
+    assert(f("n_win") === win.size.toLong)
+    assert(f("n_both") === (lsh & win).size.toLong)
+    assert(f("n_union") === (lsh | win).size.toLong)
+    assert(f("n_both") <= math.min(f("n_lsh"), f("n_win")))
+    if (f("n_lsh") > 0)
+      assert(f("lsh_in_win_ppm") === f("n_both") * 1000000 / f("n_lsh"))
+    if (f("n_win") > 0)
+      assert(f("win_in_lsh_ppm") === f("n_both") * 1000000 / f("n_win"))
+  }
 }
