@@ -1608,10 +1608,53 @@ object Stats {
     )
   )
 
+  /** q_equidepth_hist — a 32-bucket EQUI-DEPTH histogram of order
+    * totals (per-bucket lo/hi bounds, row count, distinct values):
+    * the cost-model statistic a planner keeps per column — equi-depth
+    * (equal row mass) beats equi-width on skewed data because every
+    * bucket carries the same selectivity weight, and the per-bucket
+    * NDV feeds equality-selectivity estimates the same way
+    * [[graft.ops.Sketches.qJoinSizeEst]]'s sketches feed join sizes.
+    * Bucket assignment is exact SQL ntile semantics over the total
+    * order (cents, o_orderkey) — by [[Distributed.globalNtile]]'s
+    * ranged two-pass rank, never a single-partition window.
+    *
+    * 100 TB shape: range repartition + partitioned rank (P offset
+    * scalars on the driver), then one partial-aggregated groupBy over
+    * 32 buckets. The distinct count per bucket shuffles (bucket,
+    * value) pairs — value-domain-sized, not corpus-sized.
+    */
+  val qEquidepthHist = Q(
+    "q_equidepth_hist",
+    (s, d) => {
+      val cents = Tables.orders(s, d).select(
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"),
+        col("o_orderkey").as("k"))
+      val bucketed = Distributed.globalNtile(
+        cents, 32, Seq(col("v"), col("k")), "bucket")
+      bucketed.groupBy("bucket")
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+          count(lit(1)).as("n"),
+          countDistinct(col("v")).as("ndv"))
+        .orderBy("bucket")
+    },
+    Some(
+      """WITH cents AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderkey AS k
+        |  FROM orders),
+        |b AS (
+        |  SELECT v, ntile(32) OVER (ORDER BY v, k) AS bucket FROM cents)
+        |SELECT CAST(bucket AS INT) AS bucket, min(v) AS lo, max(v) AS hi,
+        |  count(*) AS n, count(DISTINCT v) AS ndv
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qListagg, qQuantiles, qVariance, qWindowNavigation, qWindowDistribution,
       qApproxQuantiles, qWindowFirstlast, qWinsorize, qCorrelation, qLinreg,
       qWeightedMedian, qMadOutliers, qBootstrapCi, qTrendTest, qKeySkew,
       qAuc, qKsTest, qStump, qCusum, qBenford, qCramersV, qTheilSen,
-      qSourceDivergence, qPermTest, qAnova)
+      qSourceDivergence, qPermTest, qAnova, qEquidepthHist)
 }

@@ -771,4 +771,30 @@ class Round8BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (f("n_win") > 0)
       assert(f("win_in_lsh_ppm") === f("n_both") * 1000000 / f("n_win"))
   }
+
+  // ---------------------------------------------------------- q_equidepth_hist
+
+  test("q_equidepth_hist: exact ntile semantics — bucket masses differ by " +
+    "at most 1, bounds tile the sorted domain, accounting is exact") {
+    val rows = run("q_equidepth_hist").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (1 to 32))
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_._4).sum === total)
+    // SQL ntile: first (total mod 32) buckets get one extra row
+    val small = total / 32; val big = total % 32
+    rows.foreach { case (b, _, _, n, ndv) =>
+      val want = if (b <= big) small + 1 else small
+      assert(n === want, s"bucket $b mass $n != $want")
+      assert(ndv >= 1 && ndv <= n)
+    }
+    // bounds are monotone and non-overlapping up to shared boundary
+    // values (a value straddling a bucket cut appears in both)
+    rows.sliding(2).foreach { case Array((_, _, hi1, _, _), (_, lo2, _, _, _)) =>
+      assert(lo2 >= hi1 - 0, s"bucket bounds regressed: $hi1 then $lo2")
+      assert(lo2 >= hi1 || lo2 == hi1)
+    }
+    rows.foreach { case (_, lo, hi, _, _) => assert(lo <= hi) }
+  }
 }
