@@ -72,17 +72,29 @@ case class F2SketchAgg(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](R)
 
+  // Per-operator-instance hashing state, built once instead of per
+  // row: q_stream_f2 feeds RAW events (weight = 1), i.e. O(corpus)
+  // signs() calls, so a fresh MessageDigest + 32 freshly-encoded
+  // "j:" prefix strings per row is measurable allocation churn.
+  // @transient lazy: rebuilt after task-side deserialization, never
+  // serialized. A single digest per instance is safe — aggregate
+  // instances are per-task, and update/merge are single-threaded
+  // within a task.
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(R)(j => s"$j:".getBytes(StandardCharsets.UTF_8))
+
   /** sign_j(key) = +1 if the first hex nibble of md5(j:key) is even,
     * else −1 (the oracle's `% 2` on the nibble value).
     */
   private def signs(key: UTF8String): Array[Int] = {
     val out = new Array[Int](R)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val keyBytes = key.toString.getBytes(StandardCharsets.UTF_8)
+    val keyBytes = key.getBytes // UTF8String is already UTF-8 bytes
     var j = 0
     while (j < R) {
       md.reset()
-      md.update(s"$j:".getBytes(StandardCharsets.UTF_8))
+      md.update(prefixes(j))
       md.update(keyBytes)
       val nibble = (md.digest()(0) >> 4) & 0xf
       out(j) = if ((nibble & 1) == 0) 1 else -1

@@ -644,6 +644,10 @@ object Graph {
           .select(col("node"), expr(s"raw * $scale div mx").as("h"))
           .localCheckpoint()
       }
+      // auth/hub are eagerly localCheckpoint-pinned, so their lineage
+      // no longer references e — safe to drop the cached edge blocks
+      // here rather than leak them across repeated registry runs
+      e.unpersist()
       auth.join(hub, "node")
         .select(col("node"), col("a").as("auth"), col("h").as("hub"))
         .orderBy(col("auth").desc, col("node")).limit(20)

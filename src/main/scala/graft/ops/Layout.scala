@@ -942,8 +942,28 @@ object Layout {
     * metadata column; materializing keeps it engine-stable for the
     * oracle). The write-side window is bounded by the 256-way group
     * split; the READ path — the hot side at scale — is window-free:
-    * scan + broadcast anti-join.
+    * scan + anti-join, with the join STRATEGY size-gated by
+    * [[applyDeletionVectors]].
     */
+  /** Subtract a (grp, _pos) deletion vector from `table`, picking the
+    * join strategy by the DV's size. Point deletes (the GDPR story)
+    * produce a tiny DV → broadcast anti-join, zero shuffle of the
+    * table. But a PREDICATE delete scales with the corpus — at 100 TB
+    * a `lang = 'de'` sweep is ~10⁹–10¹⁰ positions, and forcing that
+    * through a driver broadcast is an OOM, not a plan choice. So the
+    * hint is gated on `dvRows` (counted cheaply from the sidecar's
+    * parquet footers before the distinct): small DV → broadcast;
+    * large DV → plain shuffled anti-join on (grp, _pos). `grp` is the
+    * partition key of BOTH sides (the table's directory partitioning
+    * and the DV's leading column), so the fallback co-partitions on
+    * the natural key instead of moving the corpus to the driver.
+    */
+  def applyDeletionVectors(table: DataFrame, dv: DataFrame,
+      dvRows: Long, maxBroadcastRows: Long = 10000000L): DataFrame = {
+    val hinted = if (dvRows <= maxBroadcastRows) broadcast(dv) else dv
+    table.join(hinted, Seq("grp", "_pos"), "left_anti")
+  }
+
   val qDeletionVectors = Q(
     "q_deletion_vectors",
     (s, d) => {
@@ -964,8 +984,10 @@ object Layout {
       table.filter(col("lang") === "de")
         .select("grp", "_pos")
         .write.mode("append").parquet(dvDir)
-      val dv = s.read.parquet(dvDir).distinct()
-      table.join(broadcast(dv), Seq("grp", "_pos"), "left_anti")
+      // footer-backed count-star: O(#dv-files) metadata, no data scan
+      val dvRaw  = s.read.parquet(dvDir)
+      val dvRows = dvRaw.count()
+      applyDeletionVectors(table, dvRaw.distinct(), dvRows)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     },

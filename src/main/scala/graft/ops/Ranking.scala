@@ -914,13 +914,19 @@ object Ranking {
           .toSeq.toDF("doc_id", "r")
       val r1 = top10(col("n_chars")).withColumnRenamed("r", "r1")
       val r2 = top10(col("n_toks")).withColumnRenamed("r", "r2")
+      // both top-10 collects are done; drop the cached blocks so
+      // repeated registry runs in one session don't accumulate them
+      docs.unpersist()
+      // coalesce: if the two top-10s are DISJOINT the join is empty
+      // and the sums would be NULL — the semantically correct RBO of
+      // zero overlap is 0, not NULL
       r1.join(r2, "doc_id")
         .select(expr(wCase).as("wgt"), greatest(col("r1"), col("r2")).as("m"))
         .agg(
-          sum(when(col("m") <= 1, 1L).otherwise(0L)).as("a1"),
-          sum(when(col("m") <= 5, 1L).otherwise(0L)).as("a5"),
+          coalesce(sum(when(col("m") <= 1, 1L).otherwise(0L)), lit(0L)).as("a1"),
+          coalesce(sum(when(col("m") <= 5, 1L).otherwise(0L)), lit(0L)).as("a5"),
           count(lit(1)).as("a10"),
-          sum(col("wgt")).as("n"))
+          coalesce(sum(col("wgt")), lit(0L)).as("n"))
         .select(col("a1"), col("a5"), col("a10"),
           expr(s"n div ${(D / 1000000).toLong}").as("rbo_ppm"))
     },
@@ -948,10 +954,13 @@ object Ranking {
          |  SELECT greatest(r1, r2) AS m, $wCase AS wgt
          |  FROM l1 JOIN l2 USING (doc_id))
          |SELECT
-         |  CAST(sum(CASE WHEN m <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
-         |  CAST(sum(CASE WHEN m <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS a5,
+         |  CAST(COALESCE(sum(CASE WHEN m <= 1 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS a1,
+         |  CAST(COALESCE(sum(CASE WHEN m <= 5 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS a5,
          |  count(*) AS a10,
-         |  CAST(sum(wgt) // ${(D / 1000000).toLong} AS BIGINT) AS rbo_ppm
+         |  CAST(COALESCE(sum(wgt), 0) // ${(D / 1000000).toLong}
+         |    AS BIGINT) AS rbo_ppm
          |FROM j""".stripMargin
     }
   )

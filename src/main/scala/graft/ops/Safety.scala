@@ -704,6 +704,13 @@ object Safety {
     * regexes use word boundaries so a digest embedded in a longer
     * token is not clipped mid-string.
     *
+    * Each pattern is applied TWICE: the boundary groups `(^|\s)…(\s|$)`
+    * are consumed by a match, so two secrets separated by a single
+    * whitespace leave the second untouched in a non-overlapping scan —
+    * the second (idempotent) pass catches those alternate tokens. The
+    * 1-in-11 planting below puts two hex digests one space apart so
+    * the oracle row exercises exactly this case.
+    *
     * 100 TB shape: map-only regexp_replace projection fused into the
     * scan; only (doc_id, counts, 32-char digest) ever shuffle — the
     * corpus text never moves.
@@ -719,16 +726,21 @@ object Safety {
               .otherwise(lit("")),
             when(col("doc_id") % 7 === 0,
               concat(lit(" "), md5(concat(lit("h:"), col("doc_id").cast("string")))))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" "), md5(concat(lit("a:"), col("doc_id").cast("string"))),
+                lit(" "), md5(concat(lit("b:"), col("doc_id").cast("string")))))
               .otherwise(lit(""))).as("t"))
       // boundaries are CAPTURED and re-emitted (\1…\3), not lookahead:
       // DuckDB's RE2 has no lookahead, and the engines must run the
       // byte-identical pattern
       val hexPat  = "(^|\\s)([0-9a-f]{32,})(\\s|$)"
       val prefPat = "(^|\\s)((sk_live_|ghp_|AKIA)[A-Za-z0-9_]{8,})(\\s|$)"
+      def twice(c: Column, pat: String, rep: String): Column =
+        regexp_replace(regexp_replace(c, pat, rep), pat, rep)
       planted
         .withColumn("r",
-          regexp_replace(regexp_replace(col("t"),
-            hexPat, "$1<HEX_KEY>$3"),
+          twice(twice(col("t"), hexPat, "$1<HEX_KEY>$3"),
             prefPat, "$1<API_KEY>$4"))
         .filter(col("r") =!= col("t"))
         .select(col("doc_id"),
@@ -743,12 +755,19 @@ object Safety {
         |         THEN ' sk_live_' || md5(CAST(doc_id AS VARCHAR)) ELSE '' END
         |    || CASE WHEN doc_id % 7 = 0
         |         THEN ' ' || md5('h:' || CAST(doc_id AS VARCHAR)) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' ' || md5('a:' || CAST(doc_id AS VARCHAR))
+        |           || ' ' || md5('b:' || CAST(doc_id AS VARCHAR)) ELSE '' END
         |    AS t
         |  FROM documents),
         |red AS (
         |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(t,
         |      '(^|\s)([0-9a-f]{32,})(\s|$)', '\1<HEX_KEY>\3', 'g'),
+        |      '(^|\s)([0-9a-f]{32,})(\s|$)', '\1<HEX_KEY>\3', 'g'),
+        |      '(^|\s)((sk_live_|ghp_|AKIA)[A-Za-z0-9_]{8,})(\s|$)',
+        |      '\1<API_KEY>\4', 'g'),
         |      '(^|\s)((sk_live_|ghp_|AKIA)[A-Za-z0-9_]{8,})(\s|$)',
         |      '\1<API_KEY>\4', 'g') AS r
         |  FROM planted)

@@ -1567,7 +1567,11 @@ object Stats {
     * a deliberate determinism-over-last-unit trade, the repo's ppm
     * convention). F_ppm = SSB·(n−k)·10⁶ / (SSW·(k−1)) runs in
     * DECIMAL(38,0)/HUGEINT (the numerator passes int64 past ~3·10¹⁸
-    * — the q_auc precedent); on 4-and-large df, F_ppm ≥ ~2.4·10⁶
+    * — the q_auc precedent), and the squared terms themselves — S_g²,
+    * S², Σx² — are cast to DECIMAL(38,0)/HUGEINT BEFORE squaring:
+    * group char-sums past ~3e9 would overflow a BIGINT square on
+    * both engines, so the 128-bit headroom covers the whole pipeline,
+    * not just the final f_ppm step; on 4-and-large df, F_ppm ≥ ~2.4·10⁶
     * rejects equal means at 95%.
     *
     * 100 TB shape: ONE partial-aggregated groupBy(lang) pass to
@@ -1579,25 +1583,26 @@ object Stats {
       val g = Tables.documents(s, d)
         .select(col("lang").as("g"), col("n_chars").as("x"))
         .groupBy("g").agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"),
-          sum(col("x") * col("x")).as("qg"))
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("qg"))
       g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
-          sum(col("sg")).as("s"), sum(col("qg")).as("q"),
-          sum(expr("(sg * sg) div ng")).as("a"))
+          sum(col("sg").cast("decimal(38,0)")).as("s"), sum(col("qg")).as("q"),
+          sum(expr("(CAST(sg AS DECIMAL(38,0)) * sg) div ng")).as("a"))
         .select(col("k"), col("n"),
           expr("a - (s * s) div n").as("ssb"), expr("q - a").as("ssw"))
-        .select(col("k"), col("n"), col("ssb"), col("ssw"),
-          expr("CAST((CAST(ssb AS DECIMAL(38,0)) * (n - k) * 1000000) div " +
-            "(CAST(ssw AS DECIMAL(38,0)) * (k - 1)) AS BIGINT)").as("f_ppm"))
+        .select(col("k"), col("n"),
+          col("ssb").cast("long").as("ssb"), col("ssw").cast("long").as("ssw"),
+          expr("CAST((ssb * (n - k) * 1000000) div " +
+            "(ssw * (k - 1)) AS BIGINT)").as("f_ppm"))
     },
     Some(
       """WITH g AS (
         |  SELECT lang AS g, count(*) AS ng, sum(n_chars) AS sg,
-        |    sum(n_chars * n_chars) AS qg
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS qg
         |  FROM documents GROUP BY lang),
         |t AS (
         |  SELECT count(*) AS k, CAST(sum(ng) AS HUGEINT) AS n,
         |    CAST(sum(sg) AS HUGEINT) AS s, CAST(sum(qg) AS HUGEINT) AS q,
-        |    CAST(sum((sg * sg) // ng) AS HUGEINT) AS a
+        |    CAST(sum((CAST(sg AS HUGEINT) * sg) // ng) AS HUGEINT) AS a
         |  FROM g)
         |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
         |  CAST(a - (s * s) // n AS BIGINT) AS ssb,

@@ -485,4 +485,59 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.resolve("grp=0").toFile.exists())
     assert(files.resolve("grp=1").toFile.exists())
   }
+
+  test("deletion-vector read path size-gates the broadcast: tiny DV " +
+    "broadcasts, corpus-fraction DV falls back to a shuffled anti-join") {
+    import org.apache.spark.sql.expressions.Window
+    val root = Files.createTempDirectory("dv_gate")
+    val data = root.resolve("data").toString
+    val w    = Window.partitionBy("grp").orderBy("doc_id")
+    val docs = Tables.documents(spark, sf)
+      .withColumn("grp", pmod(col("doc_id"), lit(16)).cast("int"))
+      .withColumn("_pos", (row_number().over(w) - 1).cast("long"))
+    docs.write.partitionBy("grp").mode("overwrite").parquet(data)
+    val table = spark.read.parquet(data)
+    val total = table.count()
+
+    // at sf0.001 the planner's size estimate would auto-broadcast ANY
+    // side; disable auto-broadcast to emulate the at-scale estimate
+    // (a corpus-fraction DV is way past the threshold) — the explicit
+    // broadcast() hint in arm 1 still applies regardless
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+
+    // arm 1: point-delete-sized DV (GDPR story) → broadcast anti-join
+    val tinyDv = table.filter(col("doc_id") % 97 === 3).select("grp", "_pos")
+    val tinyN  = tinyDv.count()
+    val tiny   = Layout.applyDeletionVectors(table, tinyDv, tinyN)
+    val pTiny  = tiny.queryExecution.executedPlan.toString
+    assert(pTiny.contains("BroadcastHashJoin"),
+      s"tiny DV must broadcast:\n${pTiny.take(2000)}")
+    assert(tiny.count() === total - tinyN)
+
+    // arm 2: predicate-delete-sized DV forced through the fallback by
+    // a threshold below its row count → plain shuffled anti-join on
+    // (grp, _pos); never a driver broadcast of a corpus-fraction side
+    val bigDv = table.filter(col("lang") === "de").select("grp", "_pos")
+    val bigN  = bigDv.count()
+    assert(bigN > 0)
+    val big  = Layout.applyDeletionVectors(table, bigDv, bigN,
+      maxBroadcastRows = bigN - 1)
+    val pBig = big.queryExecution.executedPlan.toString
+    assert(!pBig.contains("BroadcastHashJoin"),
+      s"corpus-fraction DV must NOT broadcast:\n${pBig.take(2000)}")
+    assert(pBig.contains("SortMergeJoin") || pBig.contains("ShuffledHashJoin"),
+      s"fallback must be a shuffled anti-join:\n${pBig.take(2000)}")
+    assert(big.count() === total - bigN)
+
+    // both arms compute the same subtraction semantics
+    val viaB = Layout.applyDeletionVectors(table, bigDv, bigN)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaS = big.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaB === viaS)
+
+    } finally spark.conf.set(
+      "spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }

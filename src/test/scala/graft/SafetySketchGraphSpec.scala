@@ -360,4 +360,26 @@ class SafetySketchGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getAs[Boolean]("keep")))
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
+
+  test("q_secret_redact double-pass catches secrets sharing one separator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    // two 32-hex secrets one space apart: the boundary groups
+    // (^|\s)…(\s|$) consume the shared space, so a single
+    // non-overlapping pass redacts only the first — the gap the
+    // second (idempotent) pass exists to close
+    val a = "a" * 32
+    val b = "b" * 32
+    val hexPat = "(^|\\s)([0-9a-f]{32,})(\\s|$)"
+    val df = Seq(s"key $a $b end").toDF("t")
+    def pass(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, hexPat, "$1<HEX_KEY>$3")
+    val once  = df.select(pass(col("t")).as("r")).head.getString(0)
+    val twice = df.select(pass(pass(col("t"))).as("r")).head.getString(0)
+    assert(once.contains(b), "single pass misses the alternate token")
+    assert(twice === "key <HEX_KEY> <HEX_KEY> end")
+    // idempotence: a third pass changes nothing
+    val thrice = df.select(pass(pass(pass(col("t")))).as("r")).head.getString(0)
+    assert(thrice === twice)
+  }
 }
