@@ -762,9 +762,344 @@ object Multimodal {
     )
   )
 
+  /** Banded near-duplicate pair generation over per-asset bit-string
+    * signatures — the LSH discipline shared by the perceptual dedup
+    * queries ([[qMediaDhashDedup]], [[qMediaAudioFingerprint]]):
+    * split each signature into `nBands` bands of `bandLen` chars,
+    * bucket by (band, key), DROP buckets over `maxBucket` members
+    * (the giant-bucket guard — a saturated bucket is a degenerate
+    * signature, and its quadratic pair blow-up would dominate a
+    * 100 TB run for zero precision), self-join survivors within
+    * buckets, dedup pairs that collide in several bands, and verify
+    * each candidate with the codegen'd
+    * [[graft.functions.HammingDistance]] at `maxHam`.
+    *
+    * Input columns: (doc_id, v, sig, dig) — variant id, bit-string
+    * signature, exact content digest. Output: (id_a, v_a, id_b, v_b,
+    * ham, exact_dup) — exact_dup marks pairs the byte-exact digest
+    * would ALSO have caught; perceptual pairs with exact_dup = false
+    * are the recall the banded signature adds.
+    *
+    * 100 TB shape: every join shuffles on (band, key), so the guard,
+    * the self-join, and the bucket rollup co-partition; candidates
+    * are bucket-bounded (never all pairs); the verify is
+    * per-candidate codegen.
+    */
+  private def bandedNearDupPairs(sigs: org.apache.spark.sql.DataFrame,
+      nBands: Int, bandLen: Int, maxBucket: Int, maxHam: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = sigs.select(col("doc_id"), col("v"), col("sig"),
+        col("dig"), explode(array((0 until nBands).map(lit): _*)).as("b"))
+      .withColumn("bkey", expr(s"substring(sig, b * $bandLen + 1, $bandLen)"))
+    val ok = bands.groupBy("b", "bkey").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    val guarded = bands.join(ok, Seq("b", "bkey"))
+    val left = guarded.select(col("b"), col("bkey"),
+      col("doc_id").as("id_a"), col("v").as("v_a"),
+      col("sig").as("sig_a"), col("dig").as("dig_a"))
+    val right = guarded.select(col("b"), col("bkey"),
+      col("doc_id").as("id_b"), col("v").as("v_b"),
+      col("sig").as("sig_b"), col("dig").as("dig_b"))
+    left.join(right, Seq("b", "bkey"))
+      .filter(col("id_a") < col("id_b") ||
+        (col("id_a") === col("id_b") && col("v_a") < col("v_b")))
+      .select("id_a", "v_a", "id_b", "v_b", "sig_a", "sig_b",
+        "dig_a", "dig_b")
+      .distinct() // a pair can collide in several bands
+      .select(col("id_a"), col("v_a"), col("id_b"), col("v_b"),
+        graft.functions.GraftFunctions
+          .hamming_distance(col("sig_a"), col("sig_b")).as("ham"),
+        (col("dig_a") === col("dig_b")).as("exact_dup"))
+      .filter(col("ham") <= maxHam)
+      .orderBy("id_a", "v_a", "id_b", "v_b")
+  }
+
+  /** q_media_dhash_dedup — PERCEPTUAL image near-dup over genuinely
+    * decoded pixels (the LAION-style dedup pass an image-training
+    * pipeline runs: a re-encoded or resized copy has different bytes
+    * but the same picture, so [[qMediaFrameDedup]]'s exact digest
+    * misses it). Each "image" asset's BMP is encoded
+    * ([[MediaCodec.encodeBmp24]]) and decoded back; every 1-in-5
+    * image doc ALSO ships a planted near-duplicate — its decoded
+    * pixels nearest-neighbor-upscaled 2× and RE-ENCODED as a new,
+    * byte-distinct BMP. Both variants get a 64-bit dHash (sample a
+    * 9×8 luma grid — luma(x,y) from src(⌊x·W/9⌋, ⌊y·H/8⌋) — then one
+    * gradient-sign bit per horizontal neighbor pair); NN-upscaling by
+    * an integer factor preserves the sample grid exactly
+    * (⌊⌊2a⌋/2⌋ = ⌊a⌋), so the planted copies land at Hamming 0 while
+    * their pixel digests differ — the spec-pinned "dHash catches what
+    * the exact digest misses" property. Candidates come from 4×16-bit
+    * signature bands (the LSH discipline — NEVER all pairs), buckets
+    * over 64 members are dropped (the giant-bucket guard), and
+    * survivors are verified with the native codegen'd
+    * [[graft.functions.HammingDistance]] at threshold ≤ 4.
+    *
+    * 100 TB shape: the decode/hash pass is map-only mapPartitions
+    * (the justified opaque-codec shape) emitting one 100-byte row per
+    * asset — pixels never shuffle; banding explodes 4 rows per asset
+    * and every join (guard + self-join) shuffles on (band, key), so
+    * the three stages co-partition; the verify is per-candidate
+    * codegen'd. The oracle recomputes pixels from the generating
+    * closed form; Spark routes real encode → parse → resample →
+    * re-encode → parse bytes.
+    */
+  val qMediaDhashDedup = Q(
+    "q_media_dhash_dedup",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the "image" assets
+        .select(col("doc_id"), col("n_chars").cast("long")).as[(Long, Long)]
+        .mapPartitions { it =>
+          val mdd = java.security.MessageDigest.getInstance("MD5")
+          // digest of the DECODED pixel stream (dims excluded: the
+          // exact-dup notion is "same logical bytes", and the planted
+          // upscale changes those too — its digest differs regardless)
+          def digest(pix: Array[Byte]): String = {
+            val str = pix.map(b => (b & 0xff).toString).mkString(",")
+            mdd.reset()
+            mdd.digest(str.getBytes("UTF-8"))
+              .map(b => f"${b & 0xff}%02x").mkString
+          }
+          def dhash(pix: Array[Byte], wd: Int, ht: Int): String = {
+            val lum = Array.ofDim[Int](8, 9)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                val p = ((y * ht / 8) * wd + (x * wd / 9)) * 3
+                lum(y)(x) = (pix(p) & 0xff) + (pix(p + 1) & 0xff) +
+                  (pix(p + 2) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            val sb = new java.lang.StringBuilder(64)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                sb.append(if (lum(yy)(xx + 1) > lum(yy)(xx)) '1' else '0')
+                xx += 1
+              }
+              yy += 1
+            }
+            sb.toString
+          }
+          it.flatMap { case (id, nc) =>
+            val w = (9 + nc % 8).toInt
+            val h = (8 + (nc * 7) % 9).toInt
+            val bmp = MediaCodec.encodeBmp24(w, h,
+              k => ((k.toLong * 37 + id) % 256).toInt)
+            val base = MediaCodec.decodeBmpPixels(bmp)
+            val orig = (id, 0, dhash(base, w, h), digest(base))
+            if (id % 5 == 0) {
+              // the planted near-dup: NN-upscale the DECODED pixels
+              // 2×, re-encode as a genuinely different BMP, re-decode
+              val wu = 2 * w
+              val hu = 2 * h
+              val up = MediaCodec.encodeBmp24(wu, hu, k => {
+                val px = (k / 3) % wu
+                val py = (k / 3) / wu
+                base(((py / 2) * w + px / 2) * 3 + k % 3) & 0xff
+              })
+              val pix2 = MediaCodec.decodeBmpPixels(up)
+              Iterator(orig, (id, 1, dhash(pix2, wu, hu), digest(pix2)))
+            } else Iterator(orig)
+          }
+        }
+        .toDF("doc_id", "v", "sig", "dig")
+      bandedNearDupPairs(sigs, nBands = 4, bandLen = 16,
+        maxBucket = 64, maxHam = 4)
+    },
+    Some {
+      def lum(c: Int) =
+        s"""((((((g // 9) * (s*h) // 8) // s) * w
+           |         + (((g % 9) * (s*w) // 9) // s)) * 3 + $c) * 37
+           |         + doc_id) % 256""".stripMargin
+      s"""WITH imgs AS (
+         |  SELECT doc_id, 9 + n_chars % 8 AS w, 8 + (n_chars * 7) % 9 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |assets AS (
+         |  SELECT doc_id, v, w, h, 1 + v AS s
+         |  FROM imgs, (SELECT unnest([0, 1]) AS v) vv
+         |  WHERE v = 0 OR doc_id % 5 = 0),
+         |lum AS (
+         |  SELECT doc_id, v,
+         |    list_transform(range(0, 72), g ->
+         |      (${lum(0)}) + (${lum(1)}) + (${lum(2)})) AS lumas,
+         |    md5(array_to_string(list_transform(range(0, (s*w)*(s*h)*3),
+         |      k -> (((((((k // 3) // (s*w)) // s) * w
+         |        + (((k // 3) % (s*w)) // s)) * 3
+         |        + (k % 3)) * 37 + doc_id) % 256)), ',')) AS pix_md5
+         |  FROM assets),
+         |sigs AS (
+         |  SELECT doc_id, v,
+         |    array_to_string(list_transform(range(0, 64), i ->
+         |      CASE WHEN lumas[CAST((i // 8) * 9 + (i % 8) + 2 AS INT)]
+         |             > lumas[CAST((i // 8) * 9 + (i % 8) + 1 AS INT)]
+         |           THEN '1' ELSE '0' END), '') AS sig, pix_md5
+         |  FROM lum),
+         |bands AS (
+         |  SELECT doc_id, v, b, substr(sig, CAST(b*16 + 1 AS INT), 16) AS bkey
+         |  FROM sigs, (SELECT unnest(range(0,4)) AS b) bb),
+         |ok AS (SELECT b, bkey FROM bands GROUP BY b, bkey
+         |  HAVING count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, l.v AS v_a,
+         |    r.doc_id AS id_b, r.v AS v_b
+         |  FROM bands l
+         |  JOIN ok g ON g.b = l.b AND g.bkey = l.bkey
+         |  JOIN bands r ON l.b = r.b AND l.bkey = r.bkey
+         |    AND (l.doc_id < r.doc_id
+         |      OR (l.doc_id = r.doc_id AND l.v < r.v))),
+         |ver AS (
+         |  SELECT c.id_a, CAST(c.v_a AS INT) AS v_a, c.id_b,
+         |    CAST(c.v_b AS INT) AS v_b,
+         |    CAST(len(list_filter(range(1, 65), i ->
+         |      substr(sa.sig, CAST(i AS INT), 1)
+         |        <> substr(sb.sig, CAST(i AS INT), 1))) AS INT) AS ham,
+         |    (sa.pix_md5 = sb.pix_md5) AS exact_dup
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.id_a AND sa.v = c.v_a
+         |  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.v = c.v_b)
+         |SELECT * FROM ver WHERE ham <= 4
+         |ORDER BY id_a, v_a, id_b, v_b""".stripMargin
+    }
+  )
+
+  /** q_media_audio_fingerprint — PERCEPTUAL audio near-dup over
+    * genuinely decoded PCM frames (the audio sibling of
+    * [[qMediaDhashDedup]]): each "audio" asset's WAV is encoded and
+    * decoded back ([[MediaCodec]]); its 64-bit fingerprint is the
+    * gradient sign of a 65-window |amplitude|-energy envelope — the
+    * shape a loudness-invariant audio fingerprint (Shazam-family)
+    * reduces to once the spectral transform is stripped to something
+    * both engines can compute exactly. Every 1-in-5 audio doc ALSO
+    * ships a planted near-duplicate: the SAME decoded samples at 2×
+    * volume, re-encoded as a byte-distinct WAV. |2s| = 2|s| scales
+    * every window energy by exactly 2, so strict energy comparisons —
+    * and hence the fingerprint — are invariant, while every content
+    * byte differs: the volume-normalized re-encode the exact digest
+    * misses. Samples are generated in [−8192, 8191] so the 2× variant
+    * stays inside int16 (no clipping, which WOULD perceptually alter
+    * the signal). Candidate generation and verify are the shared
+    * [[bandedNearDupPairs]] machinery (4×16-bit bands, 64-member
+    * bucket guard, Hamming ≤ 4).
+    *
+    * 100 TB shape: encode/decode/fingerprint is map-only
+    * mapPartitions (the justified opaque-codec shape) emitting one
+    * ~100-byte row per asset — PCM frames never shuffle; the pair
+    * stage is the shared banded frame (co-partitioned on (band,
+    * key), bucket-bounded, per-candidate codegen verify).
+    */
+  val qMediaAudioFingerprint = Q(
+    "q_media_audio_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 1) // the "audio" assets
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val mdd = java.security.MessageDigest.getInstance("MD5")
+          def digest(smp: Array[Short]): String = {
+            val str = smp.map(_.toInt.toString).mkString(",")
+            mdd.reset()
+            mdd.digest(str.getBytes("UTF-8"))
+              .map(b => f"${b & 0xff}%02x").mkString
+          }
+          def fingerprint(smp: Array[Short]): String = {
+            val n = smp.length
+            val env = Array.tabulate(65) { w =>
+              var e = 0L
+              var i = w * n / 65
+              val end = (w + 1) * n / 65
+              while (i < end) { e += math.abs(smp(i).toInt); i += 1 }
+              e
+            }
+            val sb = new java.lang.StringBuilder(64)
+            var w = 0
+            while (w < 64) {
+              sb.append(if (env(w + 1) > env(w)) '1' else '0')
+              w += 1
+            }
+            sb.toString
+          }
+          def roundtrip(samples: Array[Short]): Array[Short] =
+            MediaCodec.decodeWavSamples(
+              MediaCodec.encodeWavPcm16Mono(samples,
+                sampleRate = 16000))
+          it.flatMap { id =>
+            val n = (160 + id % 320).toInt
+            val base = roundtrip(Array.tabulate(n)(i =>
+              (((id * 31 + i.toLong * 17) % 16384) - 8192).toShort))
+            val orig = (id, 0, fingerprint(base), digest(base))
+            if (id % 5 == 0) {
+              // the planted near-dup: decoded samples at 2x volume,
+              // re-encoded as a genuinely different WAV, re-decoded
+              val loud = roundtrip(base.map(v => (v * 2).toShort))
+              Iterator(orig, (id, 1, fingerprint(loud), digest(loud)))
+            } else Iterator(orig)
+          }
+        }
+        .toDF("doc_id", "v", "sig", "dig")
+      bandedNearDupPairs(sigs, nBands = 4, bandLen = 16,
+        maxBucket = 64, maxHam = 4)
+    },
+    Some {
+      val base = "(((doc_id * 31 + i * 17) % 16384) - 8192)"
+      s"""WITH a AS (
+         |  SELECT doc_id, 160 + doc_id % 320 AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |assets AS (
+         |  SELECT doc_id, v, n, 1 + v AS amp
+         |  FROM a, (SELECT unnest([0, 1]) AS v) vv
+         |  WHERE v = 0 OR doc_id % 5 = 0),
+         |env AS (
+         |  SELECT doc_id, v,
+         |    list_transform(range(0, 65), w ->
+         |      list_sum(list_transform(range(w * n // 65, (w+1) * n // 65),
+         |        i -> amp * abs($base)))) AS env,
+         |    md5(array_to_string(list_transform(range(0, n),
+         |      i -> amp * $base), ',')) AS dig
+         |  FROM assets),
+         |sigs AS (
+         |  SELECT doc_id, v,
+         |    array_to_string(list_transform(range(0, 64), w ->
+         |      CASE WHEN env[CAST(w + 2 AS INT)] > env[CAST(w + 1 AS INT)]
+         |           THEN '1' ELSE '0' END), '') AS sig, dig
+         |  FROM env),
+         |bands AS (
+         |  SELECT doc_id, v, b, substr(sig, CAST(b*16 + 1 AS INT), 16) AS bkey
+         |  FROM sigs, (SELECT unnest(range(0,4)) AS b) bb),
+         |ok AS (SELECT b, bkey FROM bands GROUP BY b, bkey
+         |  HAVING count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, l.v AS v_a,
+         |    r.doc_id AS id_b, r.v AS v_b
+         |  FROM bands l
+         |  JOIN ok g ON g.b = l.b AND g.bkey = l.bkey
+         |  JOIN bands r ON l.b = r.b AND l.bkey = r.bkey
+         |    AND (l.doc_id < r.doc_id
+         |      OR (l.doc_id = r.doc_id AND l.v < r.v))),
+         |ver AS (
+         |  SELECT c.id_a, CAST(c.v_a AS INT) AS v_a, c.id_b,
+         |    CAST(c.v_b AS INT) AS v_b,
+         |    CAST(len(list_filter(range(1, 65), i ->
+         |      substr(sa.sig, CAST(i AS INT), 1)
+         |        <> substr(sb.sig, CAST(i AS INT), 1))) AS INT) AS ham,
+         |    (sa.dig = sb.dig) AS exact_dup
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.id_a AND sa.v = c.v_a
+         |  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.v = c.v_b)
+         |SELECT * FROM ver WHERE ham <= 4
+         |ORDER BY id_a, v_a, id_b, v_b""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qMediaMetadata, qMediaFeatures, qMediaFrames, qMediaFrameDedup,
       qMediaAudioWindows, qMediaWavRoundtrip, qMediaBmpRoundtrip,
       qMediaChannelStats, qMediaZeroCrossings, qMediaResize, qMediaHisteq,
-      qMediaY4m)
+      qMediaY4m, qMediaDhashDedup, qMediaAudioFingerprint)
 }

@@ -472,71 +472,88 @@ object Similarity {
     )
   )
 
-  /** q_ivf_search_probe2 — multi-probe IVF: each query probes its TWO
-    * nearest centroids' inverted lists (nprobe=2), the standard
-    * recall/latency knob — a query near a Voronoi boundary recovers
-    * neighbors assigned to the adjacent cell, reading 2/k of the corpus
-    * instead of 1/k. Probed lists are disjoint (corpus assignment is
-    * unique), so candidates need no dedup.
+  /** Multi-probe IVF search at a given `nprobe`: each query probes its
+    * `nprobe` nearest centroids' inverted lists — the standard
+    * recall/latency knob (a query near a Voronoi boundary recovers
+    * neighbors assigned to adjacent cells, reading nprobe/k of the
+    * corpus instead of 1/k). Probed lists are disjoint (corpus
+    * assignment is unique), so candidates need no dedup. Parametrized
+    * so [[qIvfSearchProbe2]]/[[qIvfSearchProbe4]] and the
+    * [[qAnnRecall]] nprobe ladder all measure the SAME shipped path.
     */
+  private def ivfSearchProbeN(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    val (v, nv) = quantized(s, d)
+    val ranked = rankedCentroids(v, nv, trainKmeans(s, d)).localCheckpoint()
+    val qa = ranked.filter(col("vec_id") < 8 && col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val ca = ranked.filter(col("vec_id") >= 8 && col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val cand = qa.join(ca, Seq("cid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+    val dots = cand
+      .join(v.as("vq"), col("qid") === col("vq.vec_id"))
+      .join(v.as("vc"),
+        col("nid") === col("vc.vec_id") && col("vq.pos") === col("vc.pos"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("vq.q") * col("vc.q")).as("dot"))
+    val scored = dots
+      .join(nv.as("nq"), col("qid") === col("nq.vec_id"))
+      .join(nv.as("nn"), col("nid") === col("nn.vec_id"))
+      .select(col("qid"), col("nid").as("neighbor_id"),
+        cosine(col("dot"), col("nq.nv"), col("nn.nv")).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("nrank", row_number().over(w))
+      .filter(col("nrank") <= 3)
+      .select("qid", "nrank", "neighbor_id", "cos_sim")
+      .orderBy("qid", "nrank")
+  }
+
+  private def ivfSearchProbeNSql(nprobe: Int): String =
+    s"""$kmeansCtes,
+       |qrank AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+       |  FROM scored2 WHERE vec_id < 8),
+       |qa AS (SELECT vec_id AS qid, cid FROM qrank WHERE rn <= $nprobe),
+       |ca AS (SELECT vec_id AS nid, cid FROM assign2 WHERE vec_id >= 8),
+       |cand AS (SELECT q.qid, c.nid FROM qa q JOIN ca c ON q.cid = c.cid),
+       |pdots AS (
+       |  SELECT cd.qid, cd.nid, CAST(sum(vq.q * vc.q) AS BIGINT) AS dot
+       |  FROM cand cd
+       |  JOIN v vq ON vq.vec_id = cd.qid
+       |  JOIN v vc ON vc.vec_id = cd.nid AND vc.pos = vq.pos
+       |  GROUP BY 1, 2),
+       |pscored AS (
+       |  SELECT d.qid, d.nid AS neighbor_id,
+       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nv AS DOUBLE) * CAST(nn.nv AS DOUBLE)) AS cos_sim
+       |  FROM pdots d
+       |  JOIN nv nq ON nq.vec_id = d.qid
+       |  JOIN nv nn ON nn.vec_id = d.nid),
+       |pranked AS (
+       |  SELECT qid, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
+       |  FROM pscored)
+       |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, cos_sim
+       |FROM pranked WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
+
+  /** q_ivf_search_probe2 — the nprobe=2 rung of [[ivfSearchProbeN]]. */
   val qIvfSearchProbe2 = Q(
     "q_ivf_search_probe2",
-    (s, d) => {
-      val (v, nv) = quantized(s, d)
-      val ranked = rankedCentroids(v, nv, trainKmeans(s, d)).localCheckpoint()
-      val qa = ranked.filter(col("vec_id") < 8 && col("rn") <= 2)
-        .select(col("vec_id").as("qid"), col("cid"))
-      val ca = ranked.filter(col("vec_id") >= 8 && col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-      val cand = qa.join(ca, Seq("cid"))
-        .select(col("qid"), col("vec_id").as("nid"))
-      val dots = cand
-        .join(v.as("vq"), col("qid") === col("vq.vec_id"))
-        .join(v.as("vc"),
-          col("nid") === col("vc.vec_id") && col("vq.pos") === col("vc.pos"))
-        .groupBy("qid", "nid")
-        .agg(sum(col("vq.q") * col("vc.q")).as("dot"))
-      val scored = dots
-        .join(nv.as("nq"), col("qid") === col("nq.vec_id"))
-        .join(nv.as("nn"), col("nid") === col("nn.vec_id"))
-        .select(col("qid"), col("nid").as("neighbor_id"),
-          cosine(col("dot"), col("nq.nv"), col("nn.nv")).as("cos_sim"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-      scored
-        .withColumn("nrank", row_number().over(w))
-        .filter(col("nrank") <= 3)
-        .select("qid", "nrank", "neighbor_id", "cos_sim")
-        .orderBy("qid", "nrank")
-    },
-    Some(
-      s"""$kmeansCtes,
-         |qrank AS (
-         |  SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-         |  FROM scored2 WHERE vec_id < 8),
-         |qa AS (SELECT vec_id AS qid, cid FROM qrank WHERE rn <= 2),
-         |ca AS (SELECT vec_id AS nid, cid FROM assign2 WHERE vec_id >= 8),
-         |cand AS (SELECT q.qid, c.nid FROM qa q JOIN ca c ON q.cid = c.cid),
-         |pdots AS (
-         |  SELECT cd.qid, cd.nid, CAST(sum(vq.q * vc.q) AS BIGINT) AS dot
-         |  FROM cand cd
-         |  JOIN v vq ON vq.vec_id = cd.qid
-         |  JOIN v vc ON vc.vec_id = cd.nid AND vc.pos = vq.pos
-         |  GROUP BY 1, 2),
-         |pscored AS (
-         |  SELECT d.qid, d.nid AS neighbor_id,
-         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nv AS DOUBLE) * CAST(nn.nv AS DOUBLE)) AS cos_sim
-         |  FROM pdots d
-         |  JOIN nv nq ON nq.vec_id = d.qid
-         |  JOIN nv nn ON nn.vec_id = d.nid),
-         |pranked AS (
-         |  SELECT qid, neighbor_id, cos_sim,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id ASC) AS nrank
-         |  FROM pscored)
-         |SELECT qid, CAST(nrank AS INT) AS nrank, neighbor_id, cos_sim
-         |FROM pranked WHERE nrank <= 3 ORDER BY qid, nrank""".stripMargin
-    )
+    (s, d) => ivfSearchProbeN(s, d, 2),
+    Some(ivfSearchProbeNSql(2))
+  )
+
+  /** q_ivf_search_probe4 — the nprobe=4 rung of [[ivfSearchProbeN]]:
+    * reads 4/16 of the corpus per query, the last step of the
+    * recall-vs-fraction-read ladder [[qAnnRecall]] measures.
+    */
+  val qIvfSearchProbe4 = Q(
+    "q_ivf_search_probe4",
+    (s, d) => ivfSearchProbeN(s, d, 4),
+    Some(ivfSearchProbeNSql(4))
   )
 
   /** q_dedup_embedding — embedding-cosine near-duplicate pairs (the
@@ -1018,7 +1035,9 @@ object Similarity {
 
   /** q_ann_recall — the evaluation harness for the approximate search
     * paths: recall@3 of each ANN method (sign-LSH, multi-probe LSH,
-    * SQ8, PQ, IVF-PQ, and binary-Hamming) against the exact
+    * SQ8, PQ, IVF-PQ, binary-Hamming, and the IVF nprobe ladder at
+    * 1/2/4 — the operational recall-vs-fraction-read tuning knob:
+    * nprobe/16 of the corpus is read per query) against the exact
     * brute-force top-3, as (method, n_hits, recall_at_3) rows.
     * Composed directly from the SAME query definitions the registry
     * serves (Spark side calls the Q functions; the oracle nests the Q
@@ -1055,6 +1074,9 @@ object Similarity {
         .unionByName(row("sq8", qAnnSq8.fn(s, d)))
         .unionByName(row("ivfpq", qAnnIvfPq.fn(s, d)))
         .unionByName(row("ham", qAnnHamming.fn(s, d)))
+        .unionByName(row("ivf_p1", qIvfSearch.fn(s, d)))
+        .unionByName(row("ivf_p2", ivfSearchProbeN(s, d, 2)))
+        .unionByName(row("ivf_p4", ivfSearchProbeN(s, d, 4)))
         .orderBy("method")
     },
     Some {
@@ -1077,7 +1099,13 @@ object Similarity {
          |UNION ALL
          |${row("ivfpq", qAnnIvfPq.oracle.get)}
          |UNION ALL
-         |${row("ham", qAnnHamming.oracle.get)})
+         |${row("ham", qAnnHamming.oracle.get)}
+         |UNION ALL
+         |${row("ivf_p1", qIvfSearch.oracle.get)}
+         |UNION ALL
+         |${row("ivf_p2", ivfSearchProbeNSql(2))}
+         |UNION ALL
+         |${row("ivf_p4", ivfSearchProbeNSql(4))})
          |ORDER BY method""".stripMargin
     }
   )
@@ -2283,7 +2311,8 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
-      qIvfSearchProbe2, qDedupEmbedding, qSemDedup, qAnnSq8, qAnnPq,
+      qIvfSearchProbe2, qIvfSearchProbe4, qDedupEmbedding, qSemDedup,
+      qAnnSq8, qAnnPq,
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
       qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift,
       qEmbeddingCoherence, qKcenterCoreset, qAnnHamming,

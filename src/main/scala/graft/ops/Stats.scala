@@ -1350,14 +1350,17 @@ object Stats {
         .localCheckpoint()
       val cum = Distributed.globalCumSum(
         byv, Seq(col("slope_ppm")), col("cnt"), "cum")
-      val tot = byv.agg(sum(col("cnt")).as("n_pairs"))
-      val nDays = idx.agg(max(col("t")).as("n_days"))
-      cum.crossJoin(broadcast(tot))
-        .filter(col("cum") * 2 >= col("n_pairs"))
+      // n_days and n_pairs both derive from T in closed form
+      // (n_pairs = C(T,2) — every t1<t2 pair exists by construction),
+      // so ONE count over the pinned calendar-sized frame replaces the
+      // two scalar agg jobs + broadcast cross joins this op used to
+      // schedule (its cost is pinned-frame job floors, not data)
+      val tDays  = idx.count()
+      val nPairs = tDays * (tDays - 1) / 2
+      cum.filter(col("cum") * 2 >= lit(nPairs))
         .orderBy("slope_ppm").limit(1)
-        .crossJoin(broadcast(nDays))
         .select(col("slope_ppm").as("median_slope_ppm"),
-          col("n_pairs"), col("n_days"))
+          lit(nPairs).as("n_pairs"), lit(tDays).as("n_days"))
     },
     Some(
       """WITH byday AS (

@@ -51,7 +51,12 @@ object ScaleProbe {
     // round-8 third wave: the iterative/heavy additions
     "q_hits", "q_coverage_select", "q_secret_scan", "q_ams_f2",
     "q_count_sketch", "q_perm_test",
-    "q_sorted_blocking", "q_deletion_vectors", "q_media_y4m", "q_mcnemar")
+    "q_sorted_blocking", "q_deletion_vectors", "q_media_y4m", "q_mcnemar",
+    // round-8 post-gate additions + round-9 batch. q_dedup_method_overlap
+    // joins the FULL winnow pair set (~2000× the LSH set at shipped
+    // thresholds), so its ratio is the one genuinely worth measuring.
+    "q_range_frame", "q_license_scan", "q_dedup_method_overlap",
+    "q_equidepth_hist", "q_media_dhash_dedup", "q_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

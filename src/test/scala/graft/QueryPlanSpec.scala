@@ -1010,7 +1010,8 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = SparkEntry.queries("q_ann_recall")(spark, sf).collect()
     val methods = rows.map(_.getAs[String]("method")).sorted
     assert(methods.toSeq ===
-      Seq("ham", "ivfpq", "lsh", "lsh_mp", "pq", "sq8"))
+      Seq("ham", "ivf_p1", "ivf_p2", "ivf_p4", "ivfpq", "lsh", "lsh_mp",
+        "pq", "sq8"))
     rows.foreach { r =>
       val rec = r.getAs[Double]("recall_at_3")
       assert(rec >= 0.0 && rec <= 1.0, r.toString)

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MediaCodec
+
+/** Round-9 batch: perceptual image near-dup (q_media_dhash_dedup) and
+  * the IVF nprobe ladder — each pinned by independent driver-side
+  * recomputes and plan-shape assertions.
+  */
+class Round9BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("round9-batch-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("WARN")
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ------------------------------------------------- q_media_dhash_dedup
+
+  /** The query's own dHash, recomputed standalone over real codec
+    * bytes: encode → decode → 9×8 luma grid → gradient-sign bits.
+    */
+  private def dhashOf(pix: Array[Byte], wd: Int, ht: Int): String = {
+    val lum = Array.tabulate(8, 9) { (y, x) =>
+      val p = ((y * ht / 8) * wd + (x * wd / 9)) * 3
+      (pix(p) & 0xff) + (pix(p + 1) & 0xff) + (pix(p + 2) & 0xff)
+    }
+    (for (y <- 0 until 8; x <- 0 until 8)
+      yield if (lum(y)(x + 1) > lum(y)(x)) '1' else '0').mkString
+  }
+
+  test("dHash catches a 2x NN-upscaled re-encode the exact digest misses") {
+    // the property the operator exists for, proven on real bytes for
+    // every planted geometry (w ∈ 9..16, h ∈ 8..16): upscaling by an
+    // integer factor preserves the 9×8 sample grid (⌊⌊2a⌋/2⌋ = ⌊a⌋),
+    // so the dHash is bit-identical while the byte streams differ
+    for (w <- Seq(9, 12, 16); h <- Seq(8, 11, 16); id <- Seq(0L, 45L)) {
+      val bmp  = MediaCodec.encodeBmp24(w, h,
+        k => ((k.toLong * 37 + id) % 256).toInt)
+      val base = MediaCodec.decodeBmpPixels(bmp)
+      val up = MediaCodec.encodeBmp24(2 * w, 2 * h, k => {
+        val px = (k / 3) % (2 * w)
+        val py = (k / 3) / (2 * w)
+        base(((py / 2) * w + px / 2) * 3 + k % 3) & 0xff
+      })
+      val pix2 = MediaCodec.decodeBmpPixels(up)
+      assert(!java.util.Arrays.equals(base, pix2),
+        s"upscale must change the bytes (w=$w h=$h)")
+      assert(dhashOf(base, w, h) === dhashOf(pix2, 2 * w, 2 * h),
+        s"dHash must survive the 2x NN upscale (w=$w h=$h id=$id)")
+    }
+  }
+
+  test("q_media_dhash_dedup finds every planted resized duplicate " +
+    "at Hamming 0 with differing exact digests") {
+    val rows = run("q_media_dhash_dedup").collect()
+    assert(rows.nonEmpty)
+    // planted pairs: same doc, variant 0 vs 1
+    val planted = rows.filter(r =>
+      r.getAs[Long]("id_a") == r.getAs[Long]("id_b"))
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+      .count()
+    assert(planted.length.toLong === expected,
+      s"all ${expected} planted near-dups must surface")
+    planted.foreach { r =>
+      assert(r.getAs[Int]("ham") === 0, "planted dup must be Hamming 0")
+      assert(!r.getAs[Boolean]("exact_dup"),
+        "the exact digest must MISS the planted resized re-encode " +
+          "(that's the gap dHash closes)")
+    }
+    // verification threshold respected everywhere
+    rows.foreach(r => assert(r.getAs[Int]("ham") <= 4))
+  }
+
+  test("q_media_dhash_dedup candidates come from band buckets, " +
+    "never an all-pairs join") {
+    val p = run("q_media_dhash_dedup")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  // --------------------------------------------- q_media_audio_fingerprint
+
+  test("audio fingerprint survives a 2x volume re-encode the exact " +
+    "digest misses") {
+    // |2s| = 2|s| scales every envelope window by exactly 2, so the
+    // gradient-sign fingerprint is invariant while every byte differs
+    val rows = run("q_media_audio_fingerprint").collect()
+    val planted = rows.filter(r =>
+      r.getAs[Long]("id_a") == r.getAs[Long]("id_b"))
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0)
+      .count()
+    assert(planted.length.toLong === expected)
+    planted.foreach { r =>
+      assert(r.getAs[Int]("ham") === 0)
+      assert(!r.getAs[Boolean]("exact_dup"))
+    }
+    val p = run("q_media_audio_fingerprint")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  // ------------------------------------------------- IVF nprobe ladder
+
+  test("IVF nprobe ladder: candidate sets are nested, so per-query " +
+    "best-rank only improves as nprobe grows") {
+    // nprobe=4 probes a superset of nprobe=2's lists, which supersets
+    // nprobe=1's — so each query's top-3 exact-cosine score at p4 is
+    // >= p2 >= p1 (monotone recall, the property the ladder measures)
+    def best(name: String): Map[Long, Double] =
+      run(name).filter(col("nrank") === 1).collect()
+        .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("cos_sim")).toMap
+    val p1 = best("q_ivf_search")
+    val p2 = best("q_ivf_search_probe2")
+    val p4 = best("q_ivf_search_probe4")
+    assert(p2.keySet.subsetOf(p4.keySet) && p1.keySet.subsetOf(p2.keySet))
+    p2.foreach { case (q, s2) =>
+      assert(p4(q) >= s2 - 1e-12, s"probe4 regressed query $q") }
+    p1.foreach { case (q, s1) =>
+      assert(p2(q) >= s1 - 1e-12, s"probe2 regressed query $q") }
+  }
+
+  test("q_ann_recall reports the full 9-method ladder") {
+    val rows = run("q_ann_recall").collect()
+    val methods = rows.map(_.getAs[String]("method")).toSet
+    assert(methods === Set("lsh", "lsh_mp", "pq", "sq8", "ivfpq", "ham",
+      "ivf_p1", "ivf_p2", "ivf_p4"))
+    val recall = rows.map(r =>
+      r.getAs[String]("method") -> r.getAs[Double]("recall_at_3")).toMap
+    // nested candidate sets → monotone recall along the nprobe ladder
+    assert(recall("ivf_p1") <= recall("ivf_p2") + 1e-12)
+    assert(recall("ivf_p2") <= recall("ivf_p4") + 1e-12)
+  }
+}

@@ -273,4 +273,20 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("bench sentinel gate keeps quiet passes and discards bursts") {
+    // all quiet → all kept
+    assert(Bench.cleanPassIdx(Seq(0.10, 0.12, 0.11, 0.13, 0.10), 5)
+      === Seq(0, 1, 2, 3, 4))
+    // two contention bursts (> 2× min) → dropped, quiet passes kept
+    assert(Bench.cleanPassIdx(Seq(0.10, 0.55, 0.11, 0.80, 0.12, 0.10, 0.11), 5)
+      === Seq(0, 2, 4, 5, 6))
+    // busy box throughout (< 3 survive the 2× gate): fall back to the
+    // 5 quietest rather than returning almost nothing
+    val busy = Seq(0.10, 0.95, 0.90, 0.85, 0.80, 0.75, 0.70, 0.65)
+    val kept = Bench.cleanPassIdx(busy, 5)
+    assert(kept.length === 5)
+    assert(kept.contains(0)) // the global min is always kept
+    assert(kept === kept.sorted) // pass order preserved
+  }
 }
