@@ -1540,9 +1540,103 @@ object Corpus {
     }
   )
 
+  /** q_importance_weights — DSIR-style data selection (Xie et al.,
+    * NeurIPS 2023 "Data Selection for Language Models via Importance
+    * Resampling", linearized): score every document by how much its
+    * hashed-unigram profile looks like a TARGET domain (here the `en`
+    * slice) relative to the whole corpus, then keep the top scorers —
+    * the cheap importance-weighting pass that picks domain-relevant
+    * documents out of a general crawl before expensive curation.
+    * Tokens hash into D=1024 buckets (the [[graft.ops.Ranking]]
+    * q_classifier_score hashing-trick convention); each bucket's
+    * weight is the Laplace-smoothed frequency ratio
+    * (ct+1)·Nc·10⁶ div ((cc+1)·Nt) in exact ppm (cross-multiplied in
+    * DECIMAL(38,0)/HUGEINT — ct·Nc·10⁶ wraps int64 on large corpora);
+    * a document's importance is the floor-mean of its tokens' bucket
+    * weights. No logarithms anywhere, so both engines agree to the
+    * last digit (the product-of-ratios form DSIR actually uses needs
+    * log-space; the linear mean is the engine-exact surrogate and
+    * preserves the ranking semantics the selection step consumes).
+    *
+    * 100 TB shape: two corpus token passes (bucket counting, doc
+    * scoring), both partial-aggregated on the scan layout; the weight
+    * table is O(D) rows and broadcasts at any corpus size; document
+    * text never shuffles; the output is a top-20
+    * TakeOrderedAndProject.
+    */
+  val qImportanceWeights = Q(
+    "q_importance_weights",
+    (s, d) => {
+      val D = 1024
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.wsTokens(col("text"))).as("token"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("token")), 1, 8), 16, 10)
+            .cast("long") % D).cast("int").as("bucket"))
+      val corp = toks.groupBy("bucket").agg(count(lit(1)).as("cc"))
+      val targ = toks.filter(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("ct"))
+      // dense D-row table with +1 smoothing: unseen buckets get a
+      // finite weight instead of a 0/0 hole
+      val table = s.range(D).select(col("id").cast("int").as("bucket"))
+        .join(corp, Seq("bucket"), "left")
+        .join(targ, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (coalesce(col("cc"), lit(0L)) + 1L).as("cc1"),
+          (coalesce(col("ct"), lit(0L)) + 1L).as("ct1"))
+      val tots = table.agg(sum(col("cc1")).as("nc"), sum(col("ct1")).as("nt"))
+      val wtab = table.crossJoin(broadcast(tots))
+        .select(col("bucket"),
+          expr("CAST((CAST(ct1 AS DECIMAL(38,0)) * nc * 1000000) div " +
+            "(CAST(cc1 AS DECIMAL(38,0)) * nt) AS BIGINT)").as("w_ppm"))
+      toks.join(broadcast(wtab), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).cast("int").as("n_tok"),
+          sum(col("w_ppm")).as("wsum"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("wsum div n_tok").as("imp_ppm"))
+        .orderBy(col("imp_ppm").desc, col("doc_id")).limit(20)
+    },
+    Some {
+      // hex→int64 positional arithmetic (DuckDB has no conv())
+      def hexToLong(h: String) = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr($h, ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, CAST(
+         |    ${hexToLong("substr(md5(token), 1, 8)")} % 1024 AS INT) AS bucket
+         |  FROM (SELECT doc_id, lang, unnest(list_filter(
+         |    string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+         |    FROM documents)),
+         |corp AS (SELECT bucket, count(*) AS cc FROM toks GROUP BY bucket),
+         |targ AS (SELECT bucket, count(*) AS ct FROM toks
+         |  WHERE lang = 'en' GROUP BY bucket),
+         |tab AS (
+         |  SELECT CAST(i AS INT) AS bucket,
+         |    COALESCE(cc, 0) + 1 AS cc1, COALESCE(ct, 0) + 1 AS ct1
+         |  FROM range(1024) t(i)
+         |  LEFT JOIN corp ON corp.bucket = i
+         |  LEFT JOIN targ ON targ.bucket = i),
+         |tots AS (SELECT CAST(sum(cc1) AS HUGEINT) AS nc,
+         |  CAST(sum(ct1) AS HUGEINT) AS nt FROM tab),
+         |wt AS (
+         |  SELECT bucket,
+         |    CAST((CAST(ct1 AS HUGEINT) * nc * 1000000)
+         |      // (CAST(cc1 AS HUGEINT) * nt) AS BIGINT) AS w_ppm
+         |  FROM tab, tots)
+         |SELECT doc_id, lang, CAST(count(*) AS INT) AS n_tok,
+         |  CAST(sum(w_ppm) // count(*) AS BIGINT) AS imp_ppm
+         |FROM toks JOIN wt USING (bucket)
+         |GROUP BY doc_id, lang
+         |ORDER BY imp_ppm DESC, doc_id LIMIT 20""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(qSpanDedup, qLmQuality, qPackSequences,
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
     qConcentration, qSourceMinhash, qMinhashAgg, qBigramLm, qKneserNey, qShardBalance, qBoilerplate, qPackEfficiency,
     qTokenBudget, qNovelty, qZipfFit, qDocEntropy, qTopicClusters,
-    qCcnetBuckets, qCoverageSelect)
+    qCcnetBuckets, qCoverageSelect, qImportanceWeights)
 }

@@ -56,7 +56,8 @@ object ScaleProbe {
     // joins the FULL winnow pair set (~2000× the LSH set at shipped
     // thresholds), so its ratio is the one genuinely worth measuring.
     "q_range_frame", "q_license_scan", "q_dedup_method_overlap",
-    "q_equidepth_hist", "q_media_dhash_dedup", "q_ann_recall")
+    "q_equidepth_hist", "q_media_dhash_dedup", "q_ann_recall",
+    "q_media_audio_fingerprint", "q_importance_weights")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -139,6 +139,49 @@ class Round9BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p2(q) >= s1 - 1e-12, s"probe2 regressed query $q") }
   }
 
+  // ------------------------------------------------- q_importance_weights
+
+  test("q_importance_weights: target-domain docs dominate the selection " +
+    "and an independent recompute agrees on the top doc") {
+    val rows = run("q_importance_weights").collect()
+    assert(rows.length === 20)
+    // the target slice should win the selection it defines (weights
+    // are target-frequency ratios, so en docs score above average)
+    val langs = rows.map(_.getAs[String]("lang"))
+    assert(langs.count(_ == "en") >= 10,
+      s"en must dominate the top-20: ${langs.mkString(",")}")
+    // descending, ties by doc_id — a total order
+    val imps = rows.map(_.getAs[Long]("imp_ppm"))
+    assert(imps.zip(imps.tail).forall { case (a, b) => a >= b })
+    // independent driver-side recompute of the top doc's importance
+    // from the same parquet bytes (hash → smoothed ratio → floor-mean)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(tok: String): Int =
+      (java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 1024L).toInt
+    val cc = new Array[Long](1024)
+    val ct = new Array[Long](1024)
+    for ((_, lang, text) <- docs; t <- text.split("\\s+") if t.nonEmpty) {
+      val b = bucket(t)
+      cc(b) += 1
+      if (lang == "en") ct(b) += 1
+    }
+    val nc = cc.map(_ + 1).sum
+    val nt = ct.map(_ + 1).sum
+    def wppm(b: Int): Long =
+      ((BigInt(ct(b) + 1) * nc * 1000000) / (BigInt(cc(b) + 1) * nt)).toLong
+    val top = rows.head
+    val topText = docs.find(_._1 == top.getAs[Long]("doc_id")).get._3
+    val toks = topText.split("\\s+").filter(_.nonEmpty)
+    val expected = toks.map(t => wppm(bucket(t))).sum / toks.length
+    assert(top.getAs[Long]("imp_ppm") === expected)
+    assert(top.getAs[Int]("n_tok") === toks.length)
+  }
+
   test("q_ann_recall reports the full 9-method ladder") {
     val rows = run("q_ann_recall").collect()
     val methods = rows.map(_.getAs[String]("method")).toSet
