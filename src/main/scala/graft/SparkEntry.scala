@@ -55,7 +55,10 @@ object SparkEntry {
       "q_auc", "q_chi2_terms", "q_theil_sen", "q_stream_drift",
       "q_winnow", "q_bpe_fertility",
       "q_hits", "q_coverage_select", "q_secret_scan", "q_ams_f2",
-      "q_sorted_blocking", "q_deletion_vectors", "q_media_y4m")
+      "q_sorted_blocking", "q_deletion_vectors", "q_media_y4m",
+      // round 9: the perceptual dedup pair + the importance selector
+      "q_media_dhash_dedup", "q_media_audio_fingerprint",
+      "q_importance_weights")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }
