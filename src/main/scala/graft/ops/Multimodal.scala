@@ -785,7 +785,7 @@ object Multimodal {
     * are bucket-bounded (never all pairs); the verify is
     * per-candidate codegen.
     */
-  private def bandedNearDupPairs(sigs: org.apache.spark.sql.DataFrame,
+  private[graft] def bandedNearDupPairs(sigs: org.apache.spark.sql.DataFrame,
       nBands: Int, bandLen: Int, maxBucket: Int, maxHam: Int)
       : org.apache.spark.sql.DataFrame = {
     val bands = sigs.select(col("doc_id"), col("v"), col("sig"),
@@ -814,7 +814,11 @@ object Multimodal {
       .orderBy("id_a", "v_a", "id_b", "v_b")
   }
 
-  /** q_media_dhash_dedup — PERCEPTUAL image near-dup over genuinely
+  /** The dHash signature frame — (doc_id, v, sig, dig) per image
+    * asset — shared by [[qMediaDhashDedup]] (Hamming near-dup pairs)
+    * and [[qMediaDhashSurvivors]] (exact-signature canonicalization).
+    *
+    * q_media_dhash_dedup is PERCEPTUAL image near-dup over genuinely
     * decoded pixels (the LAION-style dedup pass an image-training
     * pipeline runs: a re-encoded or resized copy has different bytes
     * but the same picture, so [[qMediaFrameDedup]]'s exact digest
@@ -843,11 +847,10 @@ object Multimodal {
     * closed form; Spark routes real encode → parse → resample →
     * re-encode → parse bytes.
     */
-  val qMediaDhashDedup = Q(
-    "q_media_dhash_dedup",
-    (s, d) => {
+  private def dhashSigs(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      val sigs = Tables.documents(s, d)
+      Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(3)) === 0) // the "image" assets
         .select(col("doc_id"), col("n_chars").cast("long")).as[(Long, Long)]
         .mapPartitions { it =>
@@ -909,15 +912,17 @@ object Multimodal {
           }
         }
         .toDF("doc_id", "v", "sig", "dig")
-      bandedNearDupPairs(sigs, nBands = 4, bandLen = 16,
-        maxBucket = 64, maxHam = 4)
-    },
-    Some {
+  }
+
+  /** The shared oracle CTE chain producing `sigs(doc_id, v, sig,
+    * pix_md5)` — the closed-form mirror of [[dhashSigs]].
+    */
+  private def dhashSigsSql: String = {
       def lum(c: Int) =
         s"""((((((g // 9) * (s*h) // 8) // s) * w
            |         + (((g % 9) * (s*w) // 9) // s)) * 3 + $c) * 37
            |         + doc_id) % 256""".stripMargin
-      s"""WITH imgs AS (
+      s"""imgs AS (
          |  SELECT doc_id, 9 + n_chars % 8 AS w, 8 + (n_chars * 7) % 9 AS h
          |  FROM documents WHERE doc_id % 3 = 0),
          |assets AS (
@@ -939,7 +944,15 @@ object Multimodal {
          |      CASE WHEN lumas[CAST((i // 8) * 9 + (i % 8) + 2 AS INT)]
          |             > lumas[CAST((i // 8) * 9 + (i % 8) + 1 AS INT)]
          |           THEN '1' ELSE '0' END), '') AS sig, pix_md5
-         |  FROM lum),
+         |  FROM lum)""".stripMargin
+  }
+
+  val qMediaDhashDedup = Q(
+    "q_media_dhash_dedup",
+    (s, d) => bandedNearDupPairs(dhashSigs(s, d), nBands = 4,
+      bandLen = 16, maxBucket = 64, maxHam = 4),
+    Some(
+      s"""WITH $dhashSigsSql,
          |bands AS (
          |  SELECT doc_id, v, b, substr(sig, CAST(b*16 + 1 AS INT), 16) AS bkey
          |  FROM sigs, (SELECT unnest(range(0,4)) AS b) bb),
@@ -965,7 +978,45 @@ object Multimodal {
          |  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.v = c.v_b)
          |SELECT * FROM ver WHERE ham <= 4
          |ORDER BY id_a, v_a, id_b, v_b""".stripMargin
-    }
+    )
+  )
+
+  /** q_media_dhash_survivors — the APPLY half of [[qMediaDhashDedup]]:
+    * exact-perceptual dedup by dHash signature EQUALITY. Signature
+    * equality is transitive (unlike Hamming ≤ t), so grouping by sig
+    * and keeping the lexicographically first (doc_id, v) per group is
+    * a sound canonicalization — and it is the arm that handles the
+    * massively-duplicated asset (10⁶ copies of one meme) which the
+    * pair path's giant-bucket guard deliberately refuses to
+    * quadratically enumerate: a saturated bucket here is just one
+    * big GROUP, linear in its size. Emits per asset its keep decision
+    * and perceptual-cluster size; the planted 2× upscales land in
+    * their source's cluster and are dropped.
+    *
+    * 100 TB shape: one sig-keyed shuffle (the window partitions by
+    * sig — 8-byte keys, never pixels), rank + count in the same
+    * partition pass, one output sort.
+    */
+  val qMediaDhashSurvivors = Q(
+    "q_media_dhash_survivors",
+    (s, d) => {
+      val w = Window.partitionBy("sig").orderBy("doc_id", "v")
+      dhashSigs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_same_sig",
+          count(lit(1)).over(Window.partitionBy("sig")))
+        .select(col("doc_id"), col("v"), (col("rn") === 1).as("keep"),
+          col("n_same_sig"))
+        .orderBy("doc_id", "v")
+    },
+    Some(
+      s"""WITH $dhashSigsSql
+         |SELECT doc_id, CAST(v AS INT) AS v,
+         |  (row_number() OVER (PARTITION BY sig ORDER BY doc_id, v) = 1)
+         |    AS keep,
+         |  CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS n_same_sig
+         |FROM sigs ORDER BY doc_id, v""".stripMargin
+    )
   )
 
   /** q_media_audio_fingerprint — PERCEPTUAL audio near-dup over
@@ -1101,5 +1152,6 @@ object Multimodal {
     Seq(qMediaMetadata, qMediaFeatures, qMediaFrames, qMediaFrameDedup,
       qMediaAudioWindows, qMediaWavRoundtrip, qMediaBmpRoundtrip,
       qMediaChannelStats, qMediaZeroCrossings, qMediaResize, qMediaHisteq,
-      qMediaY4m, qMediaDhashDedup, qMediaAudioFingerprint)
+      qMediaY4m, qMediaDhashDedup, qMediaAudioFingerprint,
+      qMediaDhashSurvivors)
 }

@@ -234,4 +234,69 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert(!empty.isNullAt(0) && empty.getLong(0) === 0L)
   }
+
+  test("bandedNearDupPairs: no false positives, Hamming-0 recall is " +
+    "total, banding recall semantics hold under random signatures") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ham(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val rnd = new scala.util.Random(9)
+    for (caseNo <- 1 to 4) {
+      val n = 40 + rnd.nextInt(40)
+      val base = Vector.fill(n)(
+        Vector.fill(64)(if (rnd.nextBoolean()) '1' else '0').mkString)
+      // plant exact clones and small perturbations
+      val rows = base.zipWithIndex.flatMap { case (sig, i) =>
+        val clones =
+          if (i % 7 == 0) Seq((i.toLong, 1, sig, md5hex(s"clone$i")))
+          else Seq.empty
+        val nearby = if (i % 11 == 0) {
+          val flip = rnd.nextInt(64)
+          val s2 = sig.updated(flip, if (sig(flip) == '1') '0' else '1')
+          Seq((i.toLong, 2, s2, md5hex(s"near$i")))
+        } else Seq.empty
+        Seq((i.toLong, 0, sig, md5hex(s"base$i"))) ++ clones ++ nearby
+      }
+      val df = rows.toDF("doc_id", "v", "sig", "dig")
+      val got = graft.ops.Multimodal
+        .bandedNearDupPairs(df, 4, 16, 64, 4).collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getInt(3)),
+          r.getInt(4))).toSet
+      val bySig = rows.map(r => (r._1, r._2) -> r._3).toMap
+      // 1. no false positives: every emitted pair truly has ham <= 4
+      got.foreach { case (a, b, h) =>
+        assert(ham(bySig(a), bySig(b)) === h && h <= 4, s"case=$caseNo")
+      }
+      // 2. Hamming-0 recall is total (equal sigs share every band, and
+      //    random 64-bit buckets never hit the 64-member guard here)
+      val allPairs = for {
+        a <- rows; b <- rows
+        if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      } yield ((a._1, a._2), (b._1, b._2), ham(a._3, b._3))
+      allPairs.filter(_._3 == 0).foreach { p =>
+        assert(got.contains(p), s"missed exact-sig pair $p case=$caseNo")
+      }
+      // 3. output is a subset of the brute-force ham<=4 set, and every
+      //    brute pair SHARING a full band is found (the LSH contract:
+      //    recall is per-band, not per-distance — a ham<=4 pair whose
+      //    flips hit 4 distinct bands is legitimately missed)
+      val brute = allPairs.filter(_._3 <= 4).toSet
+      assert(got.subsetOf(brute))
+      brute.foreach { case p @ (a, b, _) =>
+        val sharesBand = (0 until 4).exists(k =>
+          bySig(a).substring(k * 16, k * 16 + 16) ==
+            bySig(b).substring(k * 16, k * 16 + 16))
+        if (sharesBand) assert(got.contains(p), s"banded pair missed $p")
+      }
+    }
+    // 4. the giant-bucket guard: a degenerate corpus where EVERY
+    //    signature is identical must emit nothing, not n^2 pairs
+    val degenerate = (0 until 100).map(i =>
+      (i.toLong, 0, "1" * 64, md5hex(s"d$i"))).toDF("doc_id", "v", "sig", "dig")
+    assert(graft.ops.Multimodal
+      .bandedNearDupPairs(degenerate, 4, 16, 64, 4).count() === 0L)
+  }
 }

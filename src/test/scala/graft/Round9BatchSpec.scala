@@ -96,6 +96,33 @@ class Round9BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q_media_dhash_survivors: canonical-first per signature; every " +
+    "planted upscale is dropped into its source's cluster") {
+    val rows = run("q_media_dhash_survivors").collect()
+    val byKey = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("v"))
+      -> r).toMap
+    // every planted variant (v=1) shares its source's signature, so it
+    // must be non-canonical with a cluster of at least {v0, v1}
+    val variants = rows.filter(_.getAs[Int]("v") === 1)
+    assert(variants.nonEmpty)
+    variants.foreach { r =>
+      assert(!r.getAs[Boolean]("keep"), s"upscale must be dropped: $r")
+      assert(r.getAs[Long]("n_same_sig") >= 2L)
+      // and its v=0 source sits in the same cluster with the same size
+      val src = byKey((r.getAs[Long]("doc_id"), 0))
+      assert(src.getAs[Long]("n_same_sig") === r.getAs[Long]("n_same_sig"))
+    }
+    // exactly one keeper per cluster: keepers == distinct signatures
+    val keepers = rows.count(_.getAs[Boolean]("keep"))
+    val clusters = rows.map(_.getAs[Long]("n_same_sig")).sum // Σ n over rows
+    // Σ_assets n_same_sig(asset) = Σ_clusters size² — consistency only;
+    // the sharp check: total assets = Σ over keepers of their cluster
+    val keeperClusterSum = rows.filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Long]("n_same_sig")).sum
+    assert(keeperClusterSum === rows.length.toLong,
+      s"keepers=$keepers clusterSqSum=$clusters")
+  }
+
   // --------------------------------------------- q_media_audio_fingerprint
 
   test("audio fingerprint survives a 2x volume re-encode the exact " +
