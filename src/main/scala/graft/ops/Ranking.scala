@@ -1058,8 +1058,78 @@ object Ranking {
     )
   )
 
+  /** q_pass_at_k — the unbiased pass@k estimator (Chen et al. 2021,
+    * "Evaluating LLMs Trained on Code", eq. 1): given n samples per
+    * task of which c pass, pass@k = 1 − C(n−c, k)/C(n, k), computed
+    * as the EXACT rational 1 − Π_{i<k}(n−c−i)/Π_{i<k}(n−i) — the
+    * combinatorial form every eval harness implements, here in
+    * integer ppm with the products unrolled and run in
+    * DECIMAL(38,0)/HUGEINT (n ≈ 100 samples/task makes Π(n−i) over
+    * k=10 terms ≈ 10²⁰, past int64). When n − c < k some k-subset
+    * must contain a pass, so pass@k = 10⁶ exactly (C(n−c,k) = 0).
+    * Sample outcomes are planted deterministically (md5 nibble < 6 ≈
+    * 37.5% pass rate) on a 50-task split of the documents table;
+    * reported at k = 1, 5, 10 for tasks with n ≥ 10.
+    *
+    * 100 TB shape: ONE partial-aggregated groupBy(task) — outcome
+    * bits reduce map-side to (n, c) per task; the pass@k arithmetic
+    * is a per-row projection over 50 rows.
+    */
+  val qPassAtK = Q(
+    "q_pass_at_k",
+    (s, d) => {
+      def prod(base: String, k: Int): String =
+        (0 until k).map(i => s"CAST($base - $i AS DECIMAL(38,0))")
+          .mkString(" * ")
+      def passK(k: Int): String =
+        s"""CAST(CASE WHEN n - c < $k THEN 1000000
+           |  ELSE 1000000 - (CAST(1000000 AS DECIMAL(38,0))
+           |    * ${prod("(n - c)", k)}) div (${prod("n", k)})
+           |  END AS BIGINT)""".stripMargin
+      Tables.documents(s, d)
+        .select(pmod(col("doc_id"), lit(50)).as("task_id"),
+          (conv(substring(md5(concat(lit("s:"),
+            col("doc_id").cast("string"))), 1, 1), 16, 10)
+            .cast("long") < 6).as("pass"))
+        .groupBy("task_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("c"))
+        .filter(col("n") >= 10)
+        .select(col("task_id"), col("n"), col("c"),
+          expr(passK(1)).as("pass1_ppm"),
+          expr(passK(5)).as("pass5_ppm"),
+          expr(passK(10)).as("pass10_ppm"))
+        .orderBy("task_id")
+    },
+    Some {
+      def prod(base: String, k: Int): String =
+        (0 until k).map(i => s"CAST($base - $i AS HUGEINT)")
+          .mkString(" * ")
+      def passK(k: Int): String =
+        s"""CAST(CASE WHEN n - c < $k THEN 1000000
+           |  ELSE 1000000 - (CAST(1000000 AS HUGEINT)
+           |    * ${prod("(n - c)", k)}) // (${prod("n", k)})
+           |  END AS BIGINT)""".stripMargin
+      s"""WITH samples AS (
+         |  SELECT doc_id % 50 AS task_id,
+         |    strpos('0123456789abcdef',
+         |      substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 6
+         |      AS pass
+         |  FROM documents),
+         |agg AS (
+         |  SELECT task_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM samples GROUP BY task_id)
+         |SELECT task_id, n, c,
+         |  ${passK(1)} AS pass1_ppm,
+         |  ${passK(5)} AS pass5_ppm,
+         |  ${passK(10)} AS pass10_ppm
+         |FROM agg WHERE n >= 10 ORDER BY task_id""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qTfidf, qBm25, qSourceTerms, qClassifierScore, qInvertedIndex,
       qPmiCooccur, qRrfFusion, qPrfExpansion, qCalibration,
-      qRankCorrelation, qNdcg, qRbo, qRerankFunnel)
+      qRankCorrelation, qNdcg, qRbo, qRerankFunnel, qPassAtK)
 }

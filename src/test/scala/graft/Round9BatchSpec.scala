@@ -146,6 +146,33 @@ class Round9BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  // ------------------------------------------------------- q_pass_at_k
+
+  test("q_pass_at_k matches the definitional binomial estimator exactly") {
+    def binom(n: Long, k: Long): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (0L until k).map(i => BigInt(n - i)).product /
+        (1L to k).map(BigInt(_)).product
+    // the query computes 1 − Π(n−c−i)/Π(n−i); the paper's form is
+    // 1 − C(n−c,k)/C(n,k) — equal because the k! cancels; pin ppm
+    // floor semantics against an independent BigInt recompute
+    def expected(n: Long, c: Long, k: Long): Long =
+      if (n - c < k) 1000000L
+      else (1000000L - (BigInt(1000000) * binom(n - c, k) / binom(n, k)))
+        .toLong
+    val rows = run("q_pass_at_k").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n"), r.getAs[Long]("c"))
+      assert(r.getAs[Long]("pass1_ppm") === expected(n, c, 1), r.toString)
+      assert(r.getAs[Long]("pass5_ppm") === expected(n, c, 5), r.toString)
+      assert(r.getAs[Long]("pass10_ppm") === expected(n, c, 10), r.toString)
+      // monotone in k: more attempts can only raise the pass chance
+      assert(r.getAs[Long]("pass1_ppm") <= r.getAs[Long]("pass5_ppm"))
+      assert(r.getAs[Long]("pass5_ppm") <= r.getAs[Long]("pass10_ppm"))
+    }
+  }
+
   // ------------------------------------------------- IVF nprobe ladder
 
   test("IVF nprobe ladder: candidate sets are nested, so per-query " +
