@@ -1540,6 +1540,103 @@ object Corpus {
     }
   )
 
+  /** q_heaps_law — vocabulary-growth curve (Heaps' law V ≈ K·T^β,
+    * β ≈ 0.4–0.6 for natural text): distinct-vocabulary size and
+    * total token count at doubling document-prefix checkpoints in
+    * ingestion (doc_id) order, plus the inter-checkpoint growth
+    * exponent β = Δln V / Δln T — the corpus-scaling diagnostic that
+    * says whether vocabulary (and hence tokenizer coverage, dedup
+    * shingle tables, inverted-index size) saturates or keeps growing
+    * as the corpus scales to 100 TB. A β collapsing toward 0 flags a
+    * template/duplicate flood; β near 1 flags synthetic or id-heavy
+    * text. Counts are exact: V(cp) needs no per-checkpoint rescan —
+    * each token's FIRST document is a vocabulary-sized aggregate and
+    * V(cp) counts first_doc < cp; the logs in β are the [[qZipfFit]]
+    * 1e-6 quantization (equal scaling cancels in the ratio; the
+    * final division is one double op, identical in both engines).
+    *
+    * 100 TB shape: one vocabulary-sized shuffle (token → min doc_id,
+    * partial-aggregated map-side), one doc-sized token-count
+    * aggregate, then an 8-row checkpoint frame joined by broadcast
+    * range predicates. Document text never shuffles.
+    */
+  val qHeapsLaw = Q(
+    "q_heaps_law",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(TextOps.wsTokens(col("text")))
+          .cast("long").as("n_tok"))
+      val firstDoc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.wsTokens(col("text")))
+          .as("token"))
+        .groupBy("token").agg(min(col("doc_id")).as("first_doc"))
+      val nDocs = docs.count() // fixture-bounded scalar (doc count)
+      val cps = Iterator.iterate(16L)(_ * 2).takeWhile(_ < nDocs)
+        .toSeq :+ nDocs
+      import s.implicits._
+      val cpDf = cps.toDF("cp")
+      val vocab = firstDoc.join(broadcast(cpDf),
+          col("first_doc") < col("cp"))
+        .groupBy("cp").agg(count(lit(1)).as("v"))
+      val toks = docs.join(broadcast(cpDf), col("doc_id") < col("cp"))
+        .groupBy("cp").agg(sum(col("n_tok")).as("t"))
+      def lnq(c: Column): Column =
+        floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+      val curve = vocab.join(toks, "cp")
+        .select(col("cp"), col("v"), col("t"),
+          lnq(col("v")).as("lv"), lnq(col("t")).as("lt"))
+      val w = Window.orderBy("cp") // 8-row frame: single partition fine
+      curve
+        .withColumn("plv", lag(col("lv"), 1).over(w))
+        .withColumn("plt", lag(col("lt"), 1).over(w))
+        .select(col("cp"), col("v"), col("t"),
+          when(col("plt").isNotNull && col("lt") =!= col("plt"),
+            (col("lv") - col("plv")).cast("double") /
+              (col("lt") - col("plt")).cast("double")).as("beta"))
+        .orderBy("cp")
+    },
+    Some(
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+        |    AS n_tok
+        |  FROM documents),
+        |fd AS (
+        |  SELECT token, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |    FROM documents)
+        |  GROUP BY token),
+        |nd AS (SELECT count(*) AS n FROM docs),
+        |cps AS (
+        |  SELECT CAST(p AS BIGINT) AS cp
+        |  FROM (SELECT unnest(list_transform(range(4, 63),
+        |    e -> 1 << e)) AS p), nd
+        |  WHERE p < n
+        |  UNION ALL SELECT CAST(n AS BIGINT) FROM nd),
+        |curve AS (
+        |  SELECT cp,
+        |    (SELECT count(*) FROM fd WHERE first_doc < cp) AS v,
+        |    (SELECT sum(n_tok) FROM docs WHERE doc_id < cp) AS t
+        |  FROM cps),
+        |q AS (
+        |  SELECT cp, CAST(v AS BIGINT) AS v, CAST(t AS BIGINT) AS t,
+        |    CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lv,
+        |    CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lt
+        |  FROM curve),
+        |lagged AS (
+        |  SELECT cp, v, t, lv, lt,
+        |    lag(lv) OVER (ORDER BY cp) AS plv,
+        |    lag(lt) OVER (ORDER BY cp) AS plt
+        |  FROM q)
+        |SELECT cp, v, t,
+        |  CASE WHEN plt IS NOT NULL AND lt <> plt
+        |    THEN CAST(lv - plv AS DOUBLE) / CAST(lt - plt AS DOUBLE)
+        |  END AS beta
+        |FROM lagged ORDER BY cp""".stripMargin
+    )
+  )
+
   /** q_importance_weights — DSIR-style data selection (Xie et al.,
     * NeurIPS 2023 "Data Selection for Language Models via Importance
     * Resampling", linearized): score every document by how much its
@@ -1638,5 +1735,5 @@ object Corpus {
     qChunkWindows, qMixtureSample, qEntropy, qDomainShift, qSourceOverlap,
     qConcentration, qSourceMinhash, qMinhashAgg, qBigramLm, qKneserNey, qShardBalance, qBoilerplate, qPackEfficiency,
     qTokenBudget, qNovelty, qZipfFit, qDocEntropy, qTopicClusters,
-    qCcnetBuckets, qCoverageSelect, qImportanceWeights)
+    qCcnetBuckets, qCoverageSelect, qImportanceWeights, qHeapsLaw)
 }

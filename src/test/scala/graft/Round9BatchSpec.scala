@@ -146,6 +146,37 @@ class Round9BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  // ------------------------------------------------------- q_heaps_law
+
+  test("q_heaps_law: exact curve against a driver recompute; the " +
+    "synthetic fixture's saturated vocabulary reads as beta = 0") {
+    val rows = run("q_heaps_law").collect()
+    assert(rows.length >= 2)
+    // doubling checkpoints, ending exactly at the corpus size
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.last.getAs[Long]("cp") === docs.length.toLong)
+    // v and t are prefix counts → non-decreasing in cp
+    val vs = rows.map(_.getAs[Long]("v"))
+    val ts = rows.map(_.getAs[Long]("t"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+    assert(ts.zip(ts.tail).forall { case (a, b) => a < b })
+    // exact recompute at a mid checkpoint
+    val mid = rows(rows.length / 2)
+    val cp = mid.getAs[Long]("cp")
+    val prefix = docs.filter(_._1 < cp)
+    val expV = prefix.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+      .distinct.length.toLong
+    val expT = prefix.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum
+    assert(mid.getAs[Long]("v") === expV)
+    assert(mid.getAs[Long]("t") === expT)
+    // the fixture text is template-generated with a tiny vocabulary,
+    // so the growth exponent collapses to 0 once the vocab saturates —
+    // exactly the template/duplicate-flood signal the op exists to raise
+    assert(rows.last.getAs[Double]("beta") === 0.0)
+  }
+
   // ------------------------------------------------------- q_pass_at_k
 
   test("q_pass_at_k matches the definitional binomial estimator exactly") {
