@@ -1148,10 +1148,74 @@ object Multimodal {
     }
   )
 
+  /** q_cluster_safe_split — leakage-safe train/val/test assignment:
+    * the split key is the PERCEPTUAL cluster (the dHash signature),
+    * not the individual asset, so a resized/re-encoded duplicate can
+    * never land in train while its twin sits in test — the
+    * split-leakage rule every eval pipeline needs once dedup is
+    * approximate (a random per-asset split leaks near-dups across the
+    * boundary and inflates eval scores). Buckets are md5(sig) % 10 →
+    * 8/1/1 train/val/test; the output reports per-split asset and
+    * cluster counts plus `n_leaky_clusters` — clusters observed in
+    * more than one split — which is 0 BY CONSTRUCTION here and exists
+    * as the measured audit column a production pipeline alarms on
+    * (it goes nonzero the moment someone splits on a key finer than
+    * the cluster).
+    *
+    * 100 TB shape: splitting is a map-only projection off the
+    * signature frame (deterministic hash, no shuffle); the rollup
+    * shuffles (split, sig) pairs — cluster-domain-sized; the leak
+    * audit reuses the same pairs grouped by sig. Assets never move.
+    */
+  val qClusterSafeSplit = Q(
+    "q_cluster_safe_split",
+    (s, d) => {
+      val assigned = dhashSigs(s, d)
+        .withColumn("bucket",
+          (conv(substring(md5(col("sig")), 1, 8), 16, 10)
+            .cast("long") % 10).cast("int"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+      val leaky = assigned.groupBy("sig")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L))
+          .as("n_leaky_clusters"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_assets"),
+          countDistinct(col("sig")).as("n_clusters"))
+        .crossJoin(broadcast(leaky))
+        .orderBy("split")
+    },
+    Some {
+      def hexToLong(h: String) = (0 until 8).map { k =>
+        val mult = 1L << (4 * (7 - k))
+        s"(strpos('0123456789abcdef', substr($h, ${1 + k}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH $dhashSigsSql,
+         |assigned AS (
+         |  SELECT doc_id, v, sig,
+         |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, v, sig,
+         |    ${hexToLong("substr(md5(sig), 1, 8)")} % 10 AS b
+         |    FROM sigs)),
+         |leaky AS (
+         |  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_leaky_clusters
+         |  FROM (SELECT sig, count(DISTINCT split) AS ns
+         |        FROM assigned GROUP BY sig))
+         |SELECT split, count(*) AS n_assets,
+         |  CAST(count(DISTINCT sig) AS BIGINT) AS n_clusters,
+         |  (SELECT n_leaky_clusters FROM leaky) AS n_leaky_clusters
+         |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qMediaMetadata, qMediaFeatures, qMediaFrames, qMediaFrameDedup,
       qMediaAudioWindows, qMediaWavRoundtrip, qMediaBmpRoundtrip,
       qMediaChannelStats, qMediaZeroCrossings, qMediaResize, qMediaHisteq,
       qMediaY4m, qMediaDhashDedup, qMediaAudioFingerprint,
-      qMediaDhashSurvivors)
+      qMediaDhashSurvivors, qClusterSafeSplit)
 }

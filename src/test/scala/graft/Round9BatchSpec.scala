@@ -146,6 +146,26 @@ class Round9BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  // ------------------------------------------------- q_cluster_safe_split
+
+  test("q_cluster_safe_split: splits partition the assets with zero " +
+    "leaky clusters; planted near-dups co-travel by construction") {
+    val rows = run("q_cluster_safe_split").collect()
+    assert(rows.map(_.getAs[String]("split")).sorted.toSeq ===
+      Seq("test", "train", "val"))
+    rows.foreach(r => assert(r.getAs[Long]("n_leaky_clusters") === 0L))
+    // split totals partition the signature frame: Σ assets = all assets
+    val nImages = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).count()
+    val nPlanted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_assets")).sum ===
+      nImages + nPlanted)
+    // the leak audit is the load-bearing claim: a planted upscale has
+    // its source's signature, so cluster-keyed hashing cannot separate
+    // them — asserted already by n_leaky_clusters = 0 over ALL sigs
+  }
+
   // ------------------------------------------------------- q_heaps_law
 
   test("q_heaps_law: exact curve against a driver recompute; the " +
