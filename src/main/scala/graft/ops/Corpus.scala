@@ -1582,9 +1582,20 @@ object Corpus {
         .groupBy("cp").agg(sum(col("n_tok")).as("t"))
       def lnq(c: Column): Column =
         floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
-      val curve = vocab.join(toks, "cp")
+      // LEFT join from the checkpoint frame: a degenerate prefix with
+      // zero tokens (possible on an all-empty-document corpus) must
+      // still emit its row with v = t = 0, matching the oracle's
+      // correlated-subquery semantics, instead of silently dropping
+      // from an inner join; the quantized logs are guarded (> 0) on
+      // BOTH engines because ln(0) diverges (Spark null vs DuckDB
+      // -inf, whose BIGINT cast errors)
+      val curve = cpDf.join(vocab, Seq("cp"), "left")
+        .join(toks, Seq("cp"), "left")
+        .select(col("cp"), coalesce(col("v"), lit(0L)).as("v"),
+          coalesce(col("t"), lit(0L)).as("t"))
         .select(col("cp"), col("v"), col("t"),
-          lnq(col("v")).as("lv"), lnq(col("t")).as("lt"))
+          when(col("v") > 0, lnq(col("v"))).as("lv"),
+          when(col("t") > 0, lnq(col("t"))).as("lt"))
       val w = Window.orderBy("cp") // 8-row frame: single partition fine
       curve
         .withColumn("plv", lag(col("lv"), 1).over(w))
@@ -1617,12 +1628,14 @@ object Corpus {
         |curve AS (
         |  SELECT cp,
         |    (SELECT count(*) FROM fd WHERE first_doc < cp) AS v,
-        |    (SELECT sum(n_tok) FROM docs WHERE doc_id < cp) AS t
+        |    COALESCE((SELECT sum(n_tok) FROM docs WHERE doc_id < cp), 0) AS t
         |  FROM cps),
         |q AS (
         |  SELECT cp, CAST(v AS BIGINT) AS v, CAST(t AS BIGINT) AS t,
-        |    CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lv,
-        |    CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lt
+        |    CASE WHEN v > 0 THEN CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6
+        |      + 0.5) AS BIGINT) END AS lv,
+        |    CASE WHEN t > 0 THEN CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6
+        |      + 0.5) AS BIGINT) END AS lt
         |  FROM curve),
         |lagged AS (
         |  SELECT cp, v, t, lv, lt,
@@ -1671,9 +1684,16 @@ object Corpus {
         .select(col("doc_id"), col("lang"),
           (conv(substring(md5(col("token")), 1, 8), 16, 10)
             .cast("long") % D).cast("int").as("bucket"))
-      val corp = toks.groupBy("bucket").agg(count(lit(1)).as("cc"))
-      val targ = toks.filter(col("lang") === "en")
-        .groupBy("bucket").agg(count(lit(1)).as("ct"))
+      // ONE (bucket, lang) rollup — O(D × #langs) rows — pinned with
+      // localCheckpoint, then corp and targ derive from the pinned
+      // frame: without the pin, corp and targ would each re-run the
+      // tokenization through lineage and the "two corpus token
+      // passes" claim would silently be three
+      val byLang = toks.groupBy("bucket", "lang")
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val corp = byLang.groupBy("bucket").agg(sum(col("c")).as("cc"))
+      val targ = byLang.filter(col("lang") === "en")
+        .select(col("bucket"), col("c").as("ct"))
       // dense D-row table with +1 smoothing: unseen buckets get a
       // finite weight instead of a 0/0 hole
       val table = s.range(D).select(col("id").cast("int").as("bucket"))

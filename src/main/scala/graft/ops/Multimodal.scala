@@ -846,8 +846,34 @@ object Multimodal {
     * codegen'd. The oracle recomputes pixels from the generating
     * closed form; Spark routes real encode → parse → resample →
     * re-encode → parse bytes.
+    *
+    * COMPUTED ONCE per (session, dataset): the frame is memoized
+    * through [[Similarity.memo]] and eagerly localCheckpoint'ed, so
+    * the three consumers ([[qMediaDhashDedup]],
+    * [[qMediaDhashSurvivors]], [[qClusterSafeSplit]]) — and repeated
+    * bench passes — share ONE codec pass and read pinned ~100-byte
+    * signature rows afterwards. At 100 TB the decode/hash pass is the
+    * dominant cost of the perceptual stack; production computes the
+    * signature table once and serves every downstream query from it,
+    * and this memo is that table. [[dhashSigBuilds]] counts builds so
+    * the one-pass claim is spec-pinned, not asserted.
     */
   private def dhashSigs(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Similarity.memo(s, d, "dhash-sigs") {
+      dhashSigBuilds.incrementAndGet()
+      dhashSigsBuild(s, d).localCheckpoint()
+    }
+
+  /** Driver-side build counter for [[dhashSigs]] — incremented once
+    * per memoized build (not per task), so a spec can pin "N
+    * signature-consuming queries in one session run the codec pass
+    * exactly once".
+    */
+  private[graft] val dhashSigBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def dhashSigsBuild(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
       import s.implicits._
       Tables.documents(s, d)
@@ -993,22 +1019,41 @@ object Multimodal {
     * and perceptual-cluster size; the planted 2× upscales land in
     * their source's cluster and are dropped.
     *
-    * 100 TB shape: one sig-keyed shuffle (the window partitions by
-    * sig — 8-byte keys, never pixels), rank + count in the same
-    * partition pass, one output sort.
+    * 100 TB shape: NO window over the raw signature — the advertised
+    * input here is exactly the massively-duplicated asset (10⁸ copies
+    * of one meme), and a sig-partitioned window puts that entire
+    * whale cluster on ONE reducer (windows cannot partial-aggregate).
+    * The semantics need only min-per-sig and count-per-sig, so the
+    * rollup is `groupBy(sig).agg(min(struct(doc_id, v)), count)` —
+    * partial-aggregated map-side, a 10⁹-copy signature costs one
+    * combiner entry per task — joined back on sig with
+    * keep = (doc_id, v) == min. The join-back shuffles 8-byte keys
+    * (never pixels) and the whale key is probe-side-only skew, which
+    * AQE's skew-join split handles (one build row per key) — the
+    * failure mode a window structurally cannot escape. The adjacent
+    * [[qClusterSafeSplit]] already rolls up its sig domain the
+    * aggregate way; this matches it.
     */
+  /** The whale-immune survivors rollup (see [[qMediaDhashSurvivors]]'s
+    * 100 TB note): min/count per sig via partial-aggregated groupBy,
+    * joined back — NEVER a sig-partitioned window. Factored out so the
+    * skew property (one signature holding most of the corpus) is
+    * testable on a synthetic frame.
+    */
+  private[graft] def sigSurvivors(sigs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rollup = sigs.groupBy("sig")
+      .agg(min(struct(col("doc_id"), col("v"))).as("mn"),
+        count(lit(1)).as("n_same_sig"))
+    sigs.join(rollup, "sig")
+      .select(col("doc_id"), col("v"),
+        (struct(col("doc_id"), col("v")) === col("mn")).as("keep"),
+        col("n_same_sig"))
+  }
+
   val qMediaDhashSurvivors = Q(
     "q_media_dhash_survivors",
-    (s, d) => {
-      val w = Window.partitionBy("sig").orderBy("doc_id", "v")
-      dhashSigs(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n_same_sig",
-          count(lit(1)).over(Window.partitionBy("sig")))
-        .select(col("doc_id"), col("v"), (col("rn") === 1).as("keep"),
-          col("n_same_sig"))
-        .orderBy("doc_id", "v")
-    },
+    (s, d) => sigSurvivors(dhashSigs(s, d)).orderBy("doc_id", "v"),
     Some(
       s"""WITH $dhashSigsSql
          |SELECT doc_id, CAST(v AS INT) AS v,

@@ -1591,11 +1591,17 @@ object Stats {
           sum(col("sg").cast("decimal(38,0)")).as("s"), sum(col("qg")).as("q"),
           sum(expr("(CAST(sg AS DECIMAL(38,0)) * sg) div ng")).as("a"))
         .select(col("k"), col("n"),
-          expr("a - (s * s) div n").as("ssb"), expr("q - a").as("ssw"))
+          expr("a - (s * s) div n").as("ssb_d"), expr("q - a").as("ssw_d"))
+        // ssb_d/ssw_d stay DECIMAL(38,0) through f_ppm — only the
+        // REPORTED ssb/ssw diagnostics narrow to BIGINT (the oracle's
+        // output type); naming the decimal inputs ssb_d/ssw_d keeps
+        // the f_ppm expression unambiguously 128-bit (no same-select
+        // name collision with the narrowed output columns)
         .select(col("k"), col("n"),
-          col("ssb").cast("long").as("ssb"), col("ssw").cast("long").as("ssw"),
-          expr("CAST((ssb * (n - k) * 1000000) div " +
-            "(ssw * (k - 1)) AS BIGINT)").as("f_ppm"))
+          col("ssb_d").cast("long").as("ssb"),
+          col("ssw_d").cast("long").as("ssw"),
+          expr("CAST((ssb_d * (n - k) * 1000000) div " +
+            "(ssw_d * (k - 1)) AS BIGINT)").as("f_ppm"))
     },
     Some(
       """WITH g AS (
