@@ -41,7 +41,18 @@ import org.apache.spark.sql.SparkSession
   *    by exactly such contention (quiet-pass tier-1 8.98 s vs
   *    committed 13.97 s); medians over clean passes make the artifact
   *    reproducible instead of box-luck. Sentinel times and the
-  *    discarded-pass count are recorded in the JSON.
+  *    discarded-pass count are recorded in the JSON,
+  *  - ONE UNTIMED WARM PASS at the bench scale before timing
+  *    (round-10): memoized training artifacts (k-means / PQ codebooks,
+  *    perceptual-signature tables) are keyed by (session, dataset
+  *    dir), so the small-fixture warmup never trained them and pass 0
+  *    measured training + first-touch setup, not the operator — the
+  *    r9 spreads' 3–5× pass-0 outliers (q_ann_pq 3.74 s vs 1.11 s
+  *    steady). Every timed pass now measures steady state; the warm
+  *    pass's wall time is recorded as `warm_pass_sec`,
+  *  - taskstats rows (opt-in) are buffered per pass and emitted only
+  *    for sentinel-clean passes, keeping the diagnostic consistent
+  *    with the gated medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -133,11 +144,17 @@ object Bench {
         maxPasses: Int): Passes = {
       val passes = scala.collection.mutable.ArrayBuffer
         .empty[(Double, Array[Double])] // (sentinel signal, per-query s)
+      // per-pass taskstats, buffered so only cleanPassIdx-selected
+      // passes land in the artifact — reporting gc/max-task rows from
+      // DISCARDED (contended) passes would contradict the gated medians
+      val passStats = scala.collection.mutable.ArrayBuffer
+        .empty[Array[(Double, Double, Long)]]
       val errs = Array.fill[Option[String]](qs.length)(None)
       var continue = qs.nonEmpty
       while (continue) {
         val pre   = sentinel()
         val times = new Array[Double](qs.length)
+        val stats = new Array[(Double, Double, Long)](qs.length)
         for ((q, i) <- qs.zipWithIndex) {
           taskStats.foreach(_.reset())
           val t0 = System.nanoTime()
@@ -146,12 +163,12 @@ object Bench {
           times(i) = (System.nanoTime() - t0) / 1e9
           taskStats.foreach { l =>
             val (gc, mx, n) = l.snapshot()
-            statRows(q.name) = statRows.getOrElse(q.name, Vector.empty) :+
-              ((gc / 1e3, mx / 1e3, n))
+            stats(i) = (gc / 1e3, mx / 1e3, n)
           }
         }
         val post = sentinel()
         passes += ((math.max(pre, post), times))
+        passStats += stats
         System.gc()
         val minS  = passes.map(_._1).min
         val clean = passes.count(_._1 <= 2 * minS)
@@ -160,6 +177,10 @@ object Bench {
       if (qs.isEmpty) return Passes(Seq.empty, Seq.empty, 0)
       val keptIdx = cleanPassIdx(passes.map(_._1).toSeq, targetClean)
       val kept    = keptIdx.map(passes)
+      if (taskStats.isDefined)
+        for (pi <- keptIdx; (q, i) <- qs.zipWithIndex)
+          statRows(q.name) = statRows.getOrElse(q.name, Vector.empty) :+
+            passStats(pi)(i)
       val rs = qs.zipWithIndex.map { case (q, i) =>
         R(q.name, kept.map(_._2(i)).toVector, errs(i))
       }
@@ -170,6 +191,21 @@ object Bench {
     def spreads(rs: Seq[R]): String = rs.filter(_.err.isEmpty)
       .map(r => "\"" + r.name + "\":[" + r.runs.map(fmt).mkString(",") + "]")
       .mkString("{", ",", "}")
+
+    // ONE untimed warm pass at the BENCH scale (warm_pass_sec in the
+    // JSON): the fixture warmup above warms codegen but not the
+    // memoized training artifacts (k-means/PQ codebooks, signature
+    // tables), which are keyed by (session, dataset dir) — so pass 0
+    // of q_ann_pq/q_ann_ivfpq/q_media_dhash_* used to measure memo
+    // TRAINING plus first-touch state-store setup, not the operator,
+    // overstating committed spreads 3-5x. After this pass every timed
+    // pass measures steady state.
+    val warmT0 = System.nanoTime()
+    (bench ++ tier2).foreach { q =>
+      try run(q, sfDir)
+      catch { case _: Throwable => () } // failures surface in timed passes
+    }
+    val warmPassSec = (System.nanoTime() - warmT0) / 1e9
 
     // warm the sentinel's own codegen/JIT so pass-1 brackets are
     // comparable to later ones
@@ -202,6 +238,7 @@ object Bench {
         s""""runs_tier2":${spreads(results2)},""" +
         s""""sentinels":${darr(p1.sentinels)},"sentinels_tier2":${darr(p2.sentinels)},""" +
         s""""discarded_passes":${p1.discarded},"discarded_passes_tier2":${p2.discarded},""" +
+        s""""warm_pass_sec":${fmt(warmPassSec)},""" +
         s""""failed":$failed$statsJson,"sf":"$sfDir"}"""
     println(json)
     // the driver's BENCH_r{N}.json tail truncates at 2000 chars; the

@@ -58,7 +58,12 @@ object SparkEntry {
       "q_sorted_blocking", "q_deletion_vectors", "q_media_y4m",
       // round 9: the perceptual dedup pair + the importance selector
       "q_media_dhash_dedup", "q_media_audio_fingerprint",
-      "q_importance_weights")
+      "q_importance_weights",
+      // round 10: the round-9 second-session ops (q_heaps_law's
+      // token→first-doc shuffle is the only vocabulary-sized stage
+      // added that round) + the de-skewed survivors rollup
+      "q_heaps_law", "q_pass_at_k", "q_media_dhash_survivors",
+      "q_cluster_safe_split")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }
