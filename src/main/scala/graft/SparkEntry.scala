@@ -15,7 +15,8 @@ object SparkEntry {
       ops.Advanced.all ++ ops.Reshape.all ++ ops.Sampling.all ++
       ops.Extras.all ++ ops.EventAnalytics.all ++ ops.Layout.all ++
       ops.Ranking.all ++ ops.Profiling.all ++ ops.Corpus.all ++
-      ops.CuratePipeline.all ++ ops.Bpe.all ++ ops.Safety.all ++
+      ops.CuratePipeline.all ++ ops.Bpe.all ++ ops.Unigram.all ++
+      ops.Safety.all ++
       ops.Sketches.all ++ ops.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -63,7 +64,9 @@ object SparkEntry {
       // token→first-doc shuffle is the only vocabulary-sized stage
       // added that round) + the de-skewed survivors rollup
       "q_heaps_law", "q_pass_at_k", "q_media_dhash_survivors",
-      "q_cluster_safe_split")
+      "q_cluster_safe_split",
+      // round 10: unigram-LM tokenizer (train feeds encode's memo)
+      "q_unigram_train", "q_unigram_encode")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

@@ -57,7 +57,11 @@ object ScaleProbe {
     // thresholds), so its ratio is the one genuinely worth measuring.
     "q_range_frame", "q_license_scan", "q_dedup_method_overlap",
     "q_equidepth_hist", "q_media_dhash_dedup", "q_ann_recall",
-    "q_media_audio_fingerprint", "q_importance_weights")
+    "q_media_audio_fingerprint", "q_importance_weights",
+    // round-10 additions: heaps_law's token→first-doc shuffle is the
+    // only vocabulary-sized stage of the round-9 second session;
+    // unigram encode is one corpus tokenize + broadcast join
+    "q_heaps_law", "q_unigram_encode", "q_media_dhash_survivors")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
