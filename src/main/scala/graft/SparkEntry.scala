@@ -65,8 +65,9 @@ object SparkEntry {
       // added that round) + the de-skewed survivors rollup
       "q_heaps_law", "q_pass_at_k", "q_media_dhash_survivors",
       "q_cluster_safe_split",
-      // round 10: unigram-LM tokenizer (train feeds encode's memo)
-      "q_unigram_train", "q_unigram_encode")
+      // round 10: unigram-LM tokenizer (train feeds encode's memo) +
+      // the spectral audio rung
+      "q_unigram_train", "q_unigram_encode", "q_media_audio_spectral")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

@@ -1193,6 +1193,183 @@ object Multimodal {
     }
   )
 
+  /** q_media_audio_spectral — SPECTRAL audio near-dup: a 64-bit
+    * fingerprint from the signs of the high-band integer
+    * WALSH-HADAMARD coefficients of the 128-window |amplitude|-energy
+    * vector. The WHT is the spectral transform both engines can run
+    * EXACTLY (pure adds/subtracts over BIGINT energies — no FFT
+    * floating point), and sign-of-coefficient fingerprints are the
+    * integer skeleton of spectral audio hashes (Haitsma-Kalker-style
+    * band-energy signs). This is the robustness rung above
+    * [[qMediaAudioFingerprint]]'s envelope gradient: every 1-in-5
+    * audio doc plants a NOISE-PERTURBED duplicate the envelope
+    * signature provably misses and this one provably catches —
+    *  - the noise is a sign-aligned per-window amplitude ramp
+    *    (d_i = ±300·(63 − (i/8 mod 64)), aligned with sign(s_i)), so
+    *    each window energy shifts by exactly 8·δ_w with the ramp
+    *    REPEATED IDENTICALLY in both 64-window halves. A perturbation
+    *    that is symmetric across halves lives entirely in the LOW 64
+    *    Walsh functions (walsh_k(w) = walsh_k(w xor 64) for k < 64),
+    *    so the fingerprint's high-band coefficients H[64..127] are
+    *    EXACTLY unchanged — spectral Hamming 0 by algebra, not by
+    *    margin;
+    *  - within each half the ramp's slope (−2400/window) exceeds the
+    *    largest possible adjacent-energy difference of the base
+    *    signal (samples in [−256, 255] ⇒ |ΔE| ≤ 2048), so the
+    *    perturbed envelope is forcibly descending and the envelope
+    *    gradient bits scramble (≈ half of 127 bits flip) — the miss.
+    * Samples stay far inside int16 (max |s| = 256 + 18900), so the
+    * WAV roundtrip is lossless and the oracle's closed form mirrors
+    * the decoded bytes exactly. Candidates and verify are the shared
+    * [[bandedNearDupPairs]] frame.
+    *
+    * 100 TB shape: encode/decode/WHT is map-only mapPartitions (the
+    * justified opaque-codec shape; the 128-point WHT is O(n log n)
+    * integer butterflies per asset) emitting one ~100-byte signature
+    * row — PCM never shuffles; the pair stage is the shared banded
+    * frame (co-partitioned (band, key) joins, bucket-bounded,
+    * codegen'd Hamming verify).
+    */
+  val qMediaAudioSpectral = Q(
+    "q_media_audio_spectral",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 1) // the "audio" assets
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val mdd = java.security.MessageDigest.getInstance("MD5")
+          def digest(smp: Array[Short]): String = {
+            val str = smp.map(_.toInt.toString).mkString(",")
+            mdd.reset()
+            mdd.digest(str.getBytes("UTF-8"))
+              .map(b => f"${b & 0xff}%02x").mkString
+          }
+          def roundtrip(samples: Array[Short]): Array[Short] =
+            MediaCodec.decodeWavSamples(
+              MediaCodec.encodeWavPcm16Mono(samples, sampleRate = 16000))
+          it.flatMap { id =>
+            val base = roundtrip(Array.tabulate(1024)(i =>
+              (((id * 31 + i.toLong * 17 + (i.toLong * (i + id)) % 1021)
+                % 512) - 256).toShort))
+            val orig = (id, 0, Multimodal.spectralSig(base), digest(base))
+            if (id % 5 == 0) {
+              // the planted near-dup: the sign-aligned half-symmetric
+              // amplitude ramp, re-encoded as a byte-distinct WAV
+              val noisy = roundtrip(Array.tabulate(1024) { i =>
+                val b = base(i).toInt
+                val delta = 300 * (63 - ((i / 8) % 64))
+                (b + (if (b >= 0) delta else -delta)).toShort
+              })
+              Iterator(orig,
+                (id, 1, Multimodal.spectralSig(noisy), digest(noisy)))
+            } else Iterator(orig)
+          }
+        }
+        .toDF("doc_id", "v", "sig", "dig")
+      bandedNearDupPairs(sigs, nBands = 4, bandLen = 16,
+        maxBucket = 64, maxHam = 4)
+    },
+    Some {
+      val baseExpr =
+        "((doc_id*31 + i*17 + (i*(i + doc_id)) % 1021) % 512) - 256"
+      s"""WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+         |assets AS (
+         |  SELECT doc_id, v FROM a, (SELECT unnest([0, 1]) AS v) vv
+         |  WHERE v = 0 OR doc_id % 5 = 0),
+         |smp AS (
+         |  SELECT doc_id, v,
+         |    list_transform(range(0, 1024), i -> $baseExpr
+         |      + v * (CASE WHEN $baseExpr >= 0 THEN 1 ELSE -1 END)
+         |        * (300 * (63 - ((i // 8) % 64)))) AS s
+         |  FROM assets),
+         |env AS (
+         |  SELECT doc_id, v,
+         |    list_transform(range(0, 128), w ->
+         |      list_sum(list_transform(range(w*8, w*8 + 8),
+         |        i -> abs(s[CAST(i + 1 AS INT)])))) AS e,
+         |    md5(array_to_string(s, ',')) AS dig
+         |  FROM smp),
+         |wht AS (
+         |  SELECT doc_id, v, dig,
+         |    list_transform(range(64, 128), k ->
+         |      list_sum(list_transform(range(0, 128), w ->
+         |        CASE WHEN bit_count(k & w) % 2 = 0
+         |             THEN e[CAST(w + 1 AS INT)]
+         |             ELSE -e[CAST(w + 1 AS INT)] END))) AS h
+         |  FROM env),
+         |sigs AS (
+         |  SELECT doc_id, v,
+         |    array_to_string(list_transform(range(0, 64), j ->
+         |      CASE WHEN h[CAST(j + 1 AS INT)] > 0 THEN '1' ELSE '0' END),
+         |      '') AS sig, dig
+         |  FROM wht),
+         |bands AS (
+         |  SELECT doc_id, v, b, substr(sig, CAST(b*16 + 1 AS INT), 16) AS bkey
+         |  FROM sigs, (SELECT unnest(range(0,4)) AS b) bb),
+         |ok AS (SELECT b, bkey FROM bands GROUP BY b, bkey
+         |  HAVING count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, l.v AS v_a,
+         |    r.doc_id AS id_b, r.v AS v_b
+         |  FROM bands l
+         |  JOIN ok g ON g.b = l.b AND g.bkey = l.bkey
+         |  JOIN bands r ON l.b = r.b AND l.bkey = r.bkey
+         |    AND (l.doc_id < r.doc_id
+         |      OR (l.doc_id = r.doc_id AND l.v < r.v))),
+         |ver AS (
+         |  SELECT c.id_a, CAST(c.v_a AS INT) AS v_a, c.id_b,
+         |    CAST(c.v_b AS INT) AS v_b,
+         |    CAST(len(list_filter(range(1, 65), i ->
+         |      substr(sa.sig, CAST(i AS INT), 1)
+         |        <> substr(sb.sig, CAST(i AS INT), 1))) AS INT) AS ham,
+         |    (sa.dig = sb.dig) AS exact_dup
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.id_a AND sa.v = c.v_a
+         |  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.v = c.v_b)
+         |SELECT * FROM ver WHERE ham <= 4
+         |ORDER BY id_a, v_a, id_b, v_b""".stripMargin
+    }
+  )
+
+  /** The 64-bit high-band Walsh-Hadamard sign fingerprint of one
+    * decoded PCM buffer: 128 window |amplitude| energies, in-place
+    * integer WHT butterflies (natural/Hadamard order: H[k] =
+    * Σ_w (−1)^popcount(k AND w)·E[w]), one sign bit per coefficient
+    * k ∈ [64, 128). Exposed for the spec's brute-force parity check.
+    */
+  private[graft] def spectralSig(smp: Array[Short]): String = {
+    val h = new Array[Long](128)
+    var w = 0
+    while (w < 128) {
+      var e = 0L
+      var i = w * 8
+      while (i < w * 8 + 8) { e += math.abs(smp(i).toInt); i += 1 }
+      h(w) = e
+      w += 1
+    }
+    var len = 1
+    while (len < 128) {
+      var i = 0
+      while (i < 128) {
+        var j = i
+        while (j < i + len) {
+          val a = h(j)
+          val b = h(j + len)
+          h(j) = a + b
+          h(j + len) = a - b
+          j += 1
+        }
+        i += 2 * len
+      }
+      len *= 2
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var k = 64
+    while (k < 128) { sb.append(if (h(k) > 0) '1' else '0'); k += 1 }
+    sb.toString
+  }
+
   /** q_cluster_safe_split — leakage-safe train/val/test assignment:
     * the split key is the PERCEPTUAL cluster (the dHash signature),
     * not the individual asset, so a resized/re-encoded duplicate can
@@ -1262,5 +1439,5 @@ object Multimodal {
       qMediaAudioWindows, qMediaWavRoundtrip, qMediaBmpRoundtrip,
       qMediaChannelStats, qMediaZeroCrossings, qMediaResize, qMediaHisteq,
       qMediaY4m, qMediaDhashDedup, qMediaAudioFingerprint,
-      qMediaDhashSurvivors, qClusterSafeSplit)
+      qMediaDhashSurvivors, qClusterSafeSplit, qMediaAudioSpectral)
 }

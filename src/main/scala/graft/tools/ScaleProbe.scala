@@ -61,7 +61,8 @@ object ScaleProbe {
     // round-10 additions: heaps_law's token→first-doc shuffle is the
     // only vocabulary-sized stage of the round-9 second session;
     // unigram encode is one corpus tokenize + broadcast join
-    "q_heaps_law", "q_unigram_encode", "q_media_dhash_survivors")
+    "q_heaps_law", "q_unigram_encode", "q_media_dhash_survivors",
+    "q_media_audio_spectral")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

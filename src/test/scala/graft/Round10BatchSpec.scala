@@ -99,4 +99,85 @@ class Round10BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(built === 1L,
       s"expected exactly one memoized signature build this session, got $built")
   }
+
+  // ------------------------------------------- q_media_audio_spectral
+
+  private def baseSamples(id: Long): Array[Short] =
+    Array.tabulate(1024)(i =>
+      (((id * 31 + i.toLong * 17 + (i.toLong * (i + id)) % 1021)
+        % 512) - 256).toShort)
+
+  private def noisySamples(base: Array[Short]): Array[Short] =
+    Array.tabulate(1024) { i =>
+      val b = base(i).toInt
+      val delta = 300 * (63 - ((i / 8) % 64))
+      (b + (if (b >= 0) delta else -delta)).toShort
+    }
+
+  /** Brute-force Hadamard-order WHT sign bits — the closed form the
+    * butterfly must equal.
+    */
+  private def bruteSig(smp: Array[Short]): String = {
+    val e = Array.tabulate(128)(w =>
+      (w * 8 until w * 8 + 8).map(i => math.abs(smp(i).toInt).toLong).sum)
+    (64 until 128).map { k =>
+      val h = (0 until 128).map(w =>
+        if (java.lang.Integer.bitCount(k & w) % 2 == 0) e(w) else -e(w)).sum
+      if (h > 0) '1' else '0'
+    }.mkString
+  }
+
+  /** The envelope-gradient fingerprint shape of
+    * q_media_audio_fingerprint, applied to these assets — the rung the
+    * spectral plant must escape.
+    */
+  private def envelopeSig(smp: Array[Short]): String = {
+    val n = smp.length
+    val env = Array.tabulate(65) { w =>
+      (w * n / 65 until (w + 1) * n / 65)
+        .map(i => math.abs(smp(i).toInt).toLong).sum
+    }
+    (0 until 64).map(w => if (env(w + 1) > env(w)) '1' else '0').mkString
+  }
+
+  private def hamming(a: String, b: String): Int =
+    a.zip(b).count { case (x, y) => x != y }
+
+  test("the WHT butterfly equals the brute-force closed form") {
+    for (id <- Seq(1L, 10L, 49L, 250L)) {
+      val s = baseSamples(id)
+      assert(Multimodal.spectralSig(s) === bruteSig(s), s"id=$id")
+    }
+  }
+
+  test("the half-symmetric noise ramp is EXACTLY invisible to the " +
+    "spectral fingerprint and scrambles the envelope fingerprint") {
+    val plantedIds = (0L until 500L).filter(i => i % 3 == 1 && i % 5 == 0)
+    assert(plantedIds.nonEmpty)
+    for (id <- plantedIds) {
+      val base  = baseSamples(id)
+      val noisy = noisySamples(base)
+      assert(!java.util.Arrays.equals(base, noisy))
+      // exact algebraic invariance: Hamming 0, not just <= threshold
+      assert(hamming(Multimodal.spectralSig(base),
+        Multimodal.spectralSig(noisy)) === 0, s"spectral must catch id=$id")
+      // the envelope rung misses it by a wide margin
+      assert(hamming(envelopeSig(base), envelopeSig(noisy)) > 4,
+        s"envelope must miss id=$id")
+    }
+  }
+
+  test("q_media_audio_spectral surfaces every planted noisy duplicate " +
+    "as a non-exact pair") {
+    val rows = run("q_media_audio_spectral").collect()
+    val planted = rows.filter(r =>
+      r.getAs[Long]("id_a") == r.getAs[Long]("id_b"))
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0)
+      .count()
+    assert(planted.length.toLong === expected)
+    assert(planted.forall(r => r.getAs[Int]("ham") == 0))
+    assert(planted.forall(r => !r.getAs[Boolean]("exact_dup")),
+      "planted pairs are byte-distinct — the recall the digest misses")
+  }
 }
