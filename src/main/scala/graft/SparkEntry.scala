@@ -67,7 +67,8 @@ object SparkEntry {
       "q_cluster_safe_split",
       // round 10: unigram-LM tokenizer (train feeds encode's memo) +
       // the spectral audio rung
-      "q_unigram_train", "q_unigram_encode", "q_media_audio_spectral")
+      "q_unigram_train", "q_unigram_encode", "q_media_audio_spectral",
+      "q_tokenizer_compare")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

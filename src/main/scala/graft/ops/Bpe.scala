@@ -83,9 +83,15 @@ object Bpe {
     * argmax is a 1-row collect (the model is k rows — training output
     * is small by nature; the aggregations producing it are
     * distributed). localCheckpoint pins each state so step j never
-    * re-runs steps 1..j-1's jobs through lineage.
+    * re-runs steps 1..j-1's jobs through lineage. Memoized per
+    * (session, dataset) like the ANN artifacts: the four consumers
+    * (train/encode/fertility/compare) share ONE merge-loop run.
     */
-  private def train(s: SparkSession, d: String)
+  private[graft] def train(s: SparkSession, d: String)
+      : Seq[(Int, String, String, String, Long)] =
+    Similarity.memo(s, d, "bpe-merges") { trainUncached(s, d) }
+
+  private def trainUncached(s: SparkSession, d: String)
       : Seq[(Int, String, String, String, Long)] = {
     var v = vocab0(s, d).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
@@ -108,6 +114,27 @@ object Bpe {
     merges.result()
   }
 
+  /** The trained tokenizer applied to `lower(text)` as one codegen'd
+    * map-only replace chain (bracket-encode every token, join with the
+    * separator, fold the k merge literals); [[subtokOf]] counts the
+    * surviving pieces. Shared by encode/fertility/compare.
+    */
+  private[graft] def encodeExpr(
+      merges: Seq[(Int, String, String, String, Long)]): Column = {
+    val encodedTokens = transform(
+      TextOps.wsTokens(lower(col("text"))),
+      t => regexp_replace(t, "(.)", s"$B1$$1$B2"))
+    merges.foldLeft(concat_ws(SEP, encodedTokens)) {
+      case (acc, (_, a, b, _, _)) => mergeOnce(acc, a, b)
+    }
+  }
+
+  /** Subword count of an [[encodeExpr]] result: surviving open
+    * brackets.
+    */
+  private[graft] def subtokOf(e: Column): Column =
+    length(e) - length(translate(e, B1, ""))
+
   /** The shared DuckDB training CTE chain: v0 (encoded vocab), then k
     * unrolled (m_k argmax, v_k apply) steps — MATERIALIZED, so each
     * state computes once; replace parameterizes off a LEFT JOIN against
@@ -115,7 +142,7 @@ object Bpe {
     * sentinel pattern making an EMPTY m_k (pairs ran dry before K
     * merges) a no-op instead of a NULL-poisoned vocabulary.
     */
-  private def oracleTrainCtes: String = {
+  private[graft] def oracleTrainCtes: String = {
     val v0 =
       """v0 AS MATERIALIZED (
         |  SELECT regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS w,
@@ -142,6 +169,17 @@ object Bpe {
     }
     (v0 +: steps).mkString(",\n")
   }
+
+  /** The k-step replace fold over a column named `col` — the oracle
+    * mirror of [[encodeExpr]], parameterized off the m_k CTEs (with the
+    * chr(4) empty-step sentinel). Shared by encode/fertility/compare.
+    */
+  private[graft] def oracleAppliedExpr(col: String): String =
+    (1 to K).foldLeft(col) { (acc, k) =>
+      s"replace($acc, coalesce(chr(1) || (SELECT a FROM m$k) || " +
+        s"chr(2) || chr(1) || (SELECT b FROM m$k) || chr(2), chr(4)), " +
+        s"coalesce(chr(1) || (SELECT merged FROM m$k) || chr(2), chr(4)))"
+    }
 
   /** q_bpe_train — the trained merge table: (step, left, right, merged,
     * weighted count), the ordered model artifact a BPE tokenizer ships.
@@ -174,21 +212,14 @@ object Bpe {
   val qBpeEncode = Q(
     "q_bpe_encode",
     (s, d) => {
-      val merges = train(s, d)
-      val encodedTokens = transform(
-        TextOps.wsTokens(lower(col("text"))),
-        t => regexp_replace(t, "(.)", s"$B1$$1$B2"))
-      val applied = merges.foldLeft(concat_ws(SEP, encodedTokens)) {
-        case (acc, (_, a, b, _, _)) => mergeOnce(acc, a, b)
-      }
+      val applied = encodeExpr(train(s, d))
       Tables.documents(s, d)
         .select(col("doc_id"),
           size(TextOps.wsTokens(lower(col("text")))).as("n_tok"),
           applied.as("e"))
         .filter(col("n_tok") > 0)
         .select(col("doc_id"), col("n_tok").cast("int").as("n_tok"),
-          (length(col("e")) - length(translate(col("e"), B1, "")))
-            .cast("int").as("n_subtok"))
+          subtokOf(col("e")).cast("int").as("n_subtok"))
         .withColumn("fertility",
           col("n_subtok").cast("double") / col("n_tok"))
         .orderBy("doc_id")
@@ -196,11 +227,7 @@ object Bpe {
     Some {
       // single-line on purpose: a margined string here would let the
       // outer stripMargin (and the next fold step's) eat the `||`s
-      val applied = (1 to K).foldLeft("e") { (acc, k) =>
-        s"replace($acc, coalesce(chr(1) || (SELECT a FROM m$k) || " +
-          s"chr(2) || chr(1) || (SELECT b FROM m$k) || chr(2), chr(4)), " +
-          s"coalesce(chr(1) || (SELECT merged FROM m$k) || chr(2), chr(4)))"
-      }
+      val applied = oracleAppliedExpr("e")
       s"""WITH $oracleTrainCtes,
          |docs AS (
          |  SELECT doc_id, CAST(len(t) AS INT) AS n_tok,
@@ -242,21 +269,14 @@ object Bpe {
   val qBpeFertility = Q(
     "q_bpe_fertility",
     (s, d) => {
-      val merges = train(s, d)
-      val encodedTokens = transform(
-        TextOps.wsTokens(lower(col("text"))),
-        t => regexp_replace(t, "(.)", s"$B1$$1$B2"))
-      val applied = merges.foldLeft(concat_ws(SEP, encodedTokens)) {
-        case (acc, (_, a, b, _, _)) => mergeOnce(acc, a, b)
-      }
+      val applied = encodeExpr(train(s, d))
       Tables.documents(s, d)
         .select(col("lang"),
           size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_tok"),
           applied.as("e"))
         .filter(col("n_tok") > 0)
         .select(col("lang"), col("n_tok"),
-          (length(col("e")) - length(translate(col("e"), B1, "")))
-            .cast("long").as("n_subtok"))
+          subtokOf(col("e")).cast("long").as("n_subtok"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tok"),
@@ -267,11 +287,7 @@ object Bpe {
         .orderBy("lang")
     },
     Some {
-      val applied = (1 to K).foldLeft("e") { (acc, k) =>
-        s"replace($acc, coalesce(chr(1) || (SELECT a FROM m$k) || " +
-          s"chr(2) || chr(1) || (SELECT b FROM m$k) || chr(2), chr(4)), " +
-          s"coalesce(chr(1) || (SELECT merged FROM m$k) || chr(2), chr(4)))"
-      }
+      val applied = oracleAppliedExpr("e")
       s"""WITH $oracleTrainCtes,
          |docs AS (
          |  SELECT lang, CAST(len(t) AS BIGINT) AS n_tok,

@@ -239,12 +239,12 @@ object Unigram {
     * The cost map rides each DP row (vocab-sized), so the lambda needs
     * no correlated subquery.
     */
-  private def segRoundSql(r: Int, ctab: String): String =
-    s"""dp$r AS (
+  private def segRoundSql(r: Int, ctab: String, p: String = ""): String =
+    s"""${p}dp$r AS (
        |  SELECT word, freq, 0 AS i, [CAST(0 AS BIGINT)] AS dp,
        |    [CAST(0 AS BIGINT)] AS bp,
        |    (SELECT map(list(piece), list(cost)) FROM $ctab) AS m
-       |  FROM words
+       |  FROM ${p}words
        |  UNION ALL
        |  SELECT word, freq, i + 1,
        |    list_append(dp, struct_extract(best, 'c')),
@@ -256,27 +256,27 @@ object Unigram {
        |                map_extract(m, substr(word, CAST(j + 1 AS INT),
        |                  CAST(i + 1 - j AS INT)))[1], $INF),
        |              'j': j})) AS best
-       |    FROM dp$r WHERE i < len(word)) t),
-       |walk$r AS (
+       |    FROM ${p}dp$r WHERE i < len(word)) t),
+       |${p}walk$r AS (
        |  SELECT word, freq, bp, CAST(len(word) AS BIGINT) AS pos,
        |    CAST([] AS VARCHAR[]) AS pieces
-       |  FROM dp$r WHERE i = len(word)
+       |  FROM ${p}dp$r WHERE i = len(word)
        |  UNION ALL
        |  SELECT word, freq, bp, bp[CAST(pos + 1 AS INT)],
        |    list_append(pieces, substr(word,
        |      CAST(bp[CAST(pos + 1 AS INT)] + 1 AS INT),
        |      CAST(pos - bp[CAST(pos + 1 AS INT)] AS INT)))
-       |  FROM walk$r WHERE pos > 0),
-       |seg$r AS MATERIALIZED (
+       |  FROM ${p}walk$r WHERE pos > 0),
+       |${p}seg$r AS MATERIALIZED (
        |  SELECT word, freq, list_reverse(pieces) AS pieces
-       |  FROM walk$r WHERE pos = 0),
-       |n$r AS MATERIALIZED (
+       |  FROM ${p}walk$r WHERE pos = 0),
+       |${p}n$r AS MATERIALIZED (
        |  SELECT piece,
        |    CASE WHEN len(piece) = 1 THEN greatest(cnt, 1) ELSE cnt END AS cnt
        |  FROM (
        |    SELECT v.piece, CAST(coalesce(sum(u.freq), 0) AS BIGINT) AS cnt
        |    FROM (SELECT piece FROM $ctab) v
-       |    LEFT JOIN (SELECT unnest(pieces) AS piece, freq FROM seg$r) u
+       |    LEFT JOIN (SELECT unnest(pieces) AS piece, freq FROM ${p}seg$r) u
        |      USING (piece)
        |    GROUP BY v.piece)
        |  WHERE len(piece) = 1 OR cnt > 0)""".stripMargin
@@ -291,37 +291,37 @@ object Unigram {
   /** Shared train chain: words → substring seed → c0 → two EM rounds →
     * prune → re-count (n3 is the shipped model's counts).
     */
-  private def oracleTrainCtes: String = Seq(
-    """words AS MATERIALIZED (
-      |  SELECT word, count(*) AS freq FROM (
-      |    SELECT unnest(list_filter(string_split_regex(lower(text),
-      |      '\s+'), t -> t <> '')) AS word
-      |    FROM documents) GROUP BY 1)""".stripMargin,
-    s"""subs AS MATERIALIZED (
+  private def oracleTrainCtes(p: String = ""): String = Seq(
+    s"""${p}words AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text),
+       |      '\\s+'), t -> t <> '')) AS word
+       |    FROM documents) GROUP BY 1)""".stripMargin,
+    s"""${p}subs AS MATERIALIZED (
        |  SELECT substr(word, CAST(st AS INT), CAST(ln AS INT)) AS piece,
        |    CAST(sum(freq) AS BIGINT) AS cnt
-       |  FROM words, UNNEST(range(1, len(word) + 1)) AS s(st),
+       |  FROM ${p}words, UNNEST(range(1, len(word) + 1)) AS s(st),
        |    UNNEST(range(1, ${L + 1})) AS l(ln)
        |  WHERE st + ln <= len(word) + 1
        |  GROUP BY 1)""".stripMargin,
-    s"""v0 AS MATERIALIZED (
-       |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+    s"""${p}v0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM ${p}subs WHERE len(piece) = 1
        |  UNION ALL
        |  SELECT piece, cnt FROM (
-       |    SELECT piece, cnt FROM subs WHERE len(piece) > 1
+       |    SELECT piece, cnt FROM ${p}subs WHERE len(piece) > 1
        |    ORDER BY cnt DESC, piece ASC LIMIT $S))""".stripMargin,
-    costSql("c0", "v0"),
-    segRoundSql(1, "c0"),
-    costSql("c1", "n1"),
-    segRoundSql(2, "c1"),
-    s"""vp AS MATERIALIZED (
-       |  SELECT piece, cnt FROM n2 WHERE len(piece) = 1
+    costSql(s"${p}c0", s"${p}v0"),
+    segRoundSql(1, s"${p}c0", p),
+    costSql(s"${p}c1", s"${p}n1"),
+    segRoundSql(2, s"${p}c1", p),
+    s"""${p}vp AS MATERIALIZED (
+       |  SELECT piece, cnt FROM ${p}n2 WHERE len(piece) = 1
        |  UNION ALL
        |  SELECT piece, cnt FROM (
-       |    SELECT piece, cnt FROM n2 WHERE len(piece) > 1
+       |    SELECT piece, cnt FROM ${p}n2 WHERE len(piece) > 1
        |    ORDER BY cnt DESC, piece ASC LIMIT $K))""".stripMargin,
-    costSql("cp", "vp"),
-    segRoundSql(3, "cp"),
+    costSql(s"${p}cp", s"${p}vp"),
+    segRoundSql(3, s"${p}cp", p),
   ).mkString(",\n")
 
   /** q_unigram_train — the shipped model: (piece, count, cost_ppm),
@@ -341,13 +341,24 @@ object Unigram {
     },
     Some(
       s"""WITH RECURSIVE
-         |$oracleTrainCtes
+         |${oracleTrainCtes()}
          |SELECT piece, cnt,
          |  CAST(-floor(ln(CAST(cnt AS DOUBLE) /
          |    (SELECT sum(cnt) FROM n3)) * 1e6 + 0.5) AS BIGINT) AS cost_ppm
          |FROM n3 ORDER BY piece""".stripMargin
     )
   )
+
+  /** Per-distinct-word subword counts under the shipped model — the
+    * Heaps-sublinear frame encode and compare broadcast back to
+    * documents.
+    */
+  private def wordPieceCounts(s: SparkSession, d: String): DataFrame = {
+    val cf = train(s, d).costs
+    wordsDf(s, d)
+      .select(col("word"),
+        size(viterbiPieces(col("word"), cf)).cast("long").as("np"))
+  }
 
   /** q_unigram_encode — apply the shipped model: Viterbi-segment the
     * DISTINCT words once under the final costs, broadcast the per-word
@@ -362,10 +373,7 @@ object Unigram {
   val qUnigramEncode = Q(
     "q_unigram_encode",
     (s, d) => {
-      val cf = train(s, d).costs
-      val wp = wordsDf(s, d)
-        .select(col("word"),
-          size(viterbiPieces(col("word"), cf)).cast("long").as("np"))
+      val wp = wordPieceCounts(s, d)
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TextOps.wsTokens(lower(col("text")))).as("word"))
@@ -380,7 +388,7 @@ object Unigram {
     },
     Some(
       s"""WITH RECURSIVE
-         |$oracleTrainCtes,
+         |${oracleTrainCtes()},
          |${costSql("cf", "n3")},
          |${segRoundSql(4, "cf")},
          |wp AS (SELECT word, CAST(len(pieces) AS BIGINT) AS np FROM seg4),
@@ -397,5 +405,85 @@ object Unigram {
     )
   )
 
-  val all: Seq[Q] = Seq(qUnigramTrain, qUnigramEncode)
+  /** q_tokenizer_compare — the BPE-vs-unigram fertility audit, per
+    * language: both families trained on the SAME corpus (their
+    * memoized models — one merge loop, one EM loop per session), both
+    * applied to every document, subword totals and exact fertility_ppm
+    * side by side. This is the table a pretraining team reads to pick
+    * a tokenizer family and to spot per-language over-segmentation
+    * before setting sampling temperatures — the cross-family
+    * completion of [[Bpe.qBpeFertility]]'s single-family audit.
+    *
+    * 100 TB shape: the BPE side is the codegen'd map-only replace
+    * chain; the unigram side segments only the Heaps-sublinear
+    * distinct words and broadcast-joins counts back; both roll up to
+    * ≤ #langs rows with partial aggregation. Document text never
+    * shuffles.
+    */
+  val qTokenizerCompare = Q(
+    "q_tokenizer_compare",
+    (s, d) => {
+      val applied = Bpe.encodeExpr(Bpe.train(s, d))
+      val bpe = Tables.documents(s, d)
+        .select(col("lang"),
+          size(TextOps.wsTokens(lower(col("text")))).cast("long")
+            .as("n_tok"),
+          applied.as("e"))
+        .filter(col("n_tok") > 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+          sum(Bpe.subtokOf(col("e")).cast("long")).as("bpe_subtok"))
+      val uni = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(TextOps.wsTokens(lower(col("text")))).as("word"))
+        .join(broadcast(wordPieceCounts(s, d)), "word")
+        .groupBy("lang").agg(sum(col("np")).as("uni_subtok"))
+      bpe.join(uni, "lang")
+        .select(col("lang"), col("n_docs"), col("n_tok"),
+          col("bpe_subtok"), col("uni_subtok"),
+          expr("CAST((CAST(bpe_subtok AS DECIMAL(38,0)) * 1000000) " +
+            "div n_tok AS BIGINT)").as("bpe_fertility_ppm"),
+          expr("CAST((CAST(uni_subtok AS DECIMAL(38,0)) * 1000000) " +
+            "div n_tok AS BIGINT)").as("uni_fertility_ppm"))
+        .orderBy("lang")
+    },
+    Some {
+      val applied = Bpe.oracleAppliedExpr("e")
+      s"""WITH RECURSIVE
+         |${Bpe.oracleTrainCtes},
+         |${oracleTrainCtes("u")},
+         |${costSql("ucf", "un3")},
+         |${segRoundSql(4, "ucf", "u")},
+         |bdocs AS (
+         |  SELECT lang, CAST(len(t) AS BIGINT) AS n_tok,
+         |    array_to_string(list_transform(t,
+         |      x -> regexp_replace(x, '(.)', chr(1) || '\\1' || chr(2), 'g')),
+         |      chr(3)) AS e
+         |  FROM (SELECT lang, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+         |    FROM documents)
+         |  WHERE len(t) > 0),
+         |brol AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |    CAST(sum(len(me) - len(replace(me, chr(1), ''))) AS BIGINT)
+         |      AS bpe_subtok
+         |  FROM (SELECT lang, n_tok, $applied AS me FROM bdocs)
+         |  GROUP BY lang),
+         |uwp AS (SELECT word, CAST(len(pieces) AS BIGINT) AS np FROM useg4),
+         |urol AS (
+         |  SELECT lang, CAST(sum(np) AS BIGINT) AS uni_subtok
+         |  FROM (SELECT lang, unnest(list_filter(string_split_regex(
+         |    lower(text), '\\s+'), t -> t <> '')) AS word FROM documents) t
+         |  JOIN uwp USING (word) GROUP BY lang)
+         |SELECT b.lang, b.n_docs, b.n_tok, b.bpe_subtok, u.uni_subtok,
+         |  CAST((CAST(b.bpe_subtok AS HUGEINT) * 1000000) // b.n_tok
+         |    AS BIGINT) AS bpe_fertility_ppm,
+         |  CAST((CAST(u.uni_subtok AS HUGEINT) * 1000000) // b.n_tok
+         |    AS BIGINT) AS uni_fertility_ppm
+         |FROM brol b JOIN urol u USING (lang) ORDER BY lang""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qUnigramTrain, qUnigramEncode, qTokenizerCompare)
 }

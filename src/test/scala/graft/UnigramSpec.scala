@@ -105,4 +105,26 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Long]("n_subtok") >= r.getAs[Int]("n_tok").toLong),
       "every word segments into at least one piece")
   }
+
+  test("q_tokenizer_compare reports both families consistently: " +
+    "fertility >= 1 token/word and totals reconcile with q_bpe_fertility") {
+    val rows = SparkEntry.queries("q_tokenizer_compare")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("bpe_subtok") >= r.getAs[Long]("n_tok"))
+      assert(r.getAs[Long]("uni_subtok") >= r.getAs[Long]("n_tok"))
+      assert(r.getAs[Long]("bpe_fertility_ppm") >= 1000000L)
+      assert(r.getAs[Long]("uni_fertility_ppm") >= 1000000L)
+    }
+    // the BPE half must be exactly q_bpe_fertility's rollup
+    val bpeFert = SparkEntry.queries("q_bpe_fertility")(spark, sf)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_subtok")))).toMap
+    for (r <- rows) {
+      val (nt, ns) = bpeFert(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_tok") === nt)
+      assert(r.getAs[Long]("bpe_subtok") === ns)
+    }
+  }
 }
