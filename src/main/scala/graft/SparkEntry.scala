@@ -16,7 +16,7 @@ object SparkEntry {
       ops.Extras.all ++ ops.EventAnalytics.all ++ ops.Layout.all ++
       ops.Ranking.all ++ ops.Profiling.all ++ ops.Corpus.all ++
       ops.CuratePipeline.all ++ ops.Bpe.all ++ ops.Unigram.all ++
-      ops.Classifier.all ++ ops.Safety.all ++
+      ops.Wordpiece.all ++ ops.Classifier.all ++ ops.Safety.all ++
       ops.Sketches.all ++ ops.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -68,7 +68,12 @@ object SparkEntry {
       // round 10: unigram-LM tokenizer (train feeds encode's memo) +
       // the spectral audio rung
       "q_unigram_train", "q_unigram_encode", "q_media_audio_spectral",
-      "q_tokenizer_compare")
+      "q_tokenizer_compare",
+      // round 10 second wave: WordPiece completes the tokenizer triad;
+      // the NB classifier pair is the trained-filter workflow
+      // (q_nb_auc's globalCumSum is its only corpus-sized shuffle)
+      "q_wordpiece_train", "q_wordpiece_encode",
+      "q_nb_train", "q_nb_score", "q_nb_auc")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

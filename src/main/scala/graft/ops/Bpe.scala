@@ -43,14 +43,14 @@ object Bpe {
   /** Number of merge steps to train. */
   private val K = 8
 
-  private val B1  = "\u0001" // symbol open bracket
-  private val B2  = "\u0002" // symbol close bracket
-  private val SEP = "\u0003" // inter-token separator (encode only)
+  private[graft] val B1  = "\u0001" // symbol open bracket
+  private[graft] val B2  = "\u0002" // symbol close bracket
+  private[graft] val SEP = "\u0003" // inter-token separator (encode only)
 
   private def enc(sym: String): String = s"$B1$sym$B2"
 
   /** Literal (regex-quoted) replace of one merge pair in `w`. */
-  private def mergeOnce(w: Column, a: String, b: String): Column =
+  private[graft] def mergeOnce(w: Column, a: String, b: String): Column =
     regexp_replace(w,
       lit(java.util.regex.Pattern.quote(enc(a) + enc(b))),
       lit(java.util.regex.Matcher.quoteReplacement(enc(a + b))))
@@ -58,7 +58,7 @@ object Bpe {
   /** Encoded vocabulary: one row per distinct lowercased token, with
     * corpus frequency; `w` wraps each character in brackets.
     */
-  private def vocab0(s: SparkSession, d: String): DataFrame =
+  private[graft] def vocab0(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(TextOps.wsTokens(lower(col("text")))).as("word"))
       .groupBy("word")
@@ -67,7 +67,7 @@ object Bpe {
         col("freq"))
 
   /** Weighted adjacent-pair counts of the current vocabulary state. */
-  private def pairCounts(v: DataFrame): DataFrame =
+  private[graft] def pairCounts(v: DataFrame): DataFrame =
     v.select(
       split(expr("substr(w, 2, length(w) - 2)"), s"$B2$B1").as("s"),
       col("freq"))

@@ -196,5 +196,78 @@ object Classifier {
     )
   )
 
-  val all: Seq[Q] = Seq(qNbTrain, qNbScore)
+  /** q_nb_auc — in-sample ROC-AUC of the trained classifier: rank
+    * every document by its NB margin and ask how well that ranking
+    * separates the curated source from the rest — the eval a pipeline
+    * runs on a freshly-trained quality filter before trusting its
+    * threshold (train → score → AUC is the complete workflow;
+    * q_auc audits a raw heuristic the same way).
+    *
+    * Exactness: scores are the BIGINT ppm margins; AUC uses the
+    * tie-corrected Mann-Whitney statistic over the per-score (p, q)
+    * count frame (the q_auc construction, Hanley & McNeil 1982):
+    * AUC·2PN = Σ_v p_v·(2·negBelow(v) + q_v), pair products carried in
+    * DECIMAL(38,0)/HUGEINT, one exact integral division to auc_ppm.
+    *
+    * 100 TB shape: scoring is the broadcast-join token pass; the
+    * running negative count uses [[Distributed.globalCumSum]]'s ranged
+    * two-pass prefix sum over the score order — score cardinality is
+    * corpus-sized, so a single-partition `sum() OVER (ORDER BY v)`
+    * window would serialize on one reducer.
+    */
+  val qNbAuc = Q(
+    "q_nb_auc",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.wsTokens(lower(col("text")))).as("token"))
+        .join(broadcast(nbModel(s, d).select("token", "llr_ppm")), "token")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("llr_ppm")).as("v"))
+        .select(col("v"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("isp"))
+      val byv = scored.groupBy("v").agg(
+        sum(col("isp")).as("p"),
+        (count(lit(1)) - sum(col("isp"))).as("q"))
+      val cum = Distributed.globalCumSum(byv, Seq(col("v")), col("q"), "cq")
+      val tot = byv.agg(sum(col("p")).as("pn"), sum(col("q")).as("qn"))
+      cum
+        .agg(sum(col("p").cast(dec) *
+          (lit(2) * (col("cq") - col("q")).cast(dec) + col("q").cast(dec)))
+          .as("num2"))
+        .crossJoin(broadcast(tot))
+        .select(col("pn").as("pos_n"), col("qn").as("neg_n"),
+          expr("CAST((num2 * 1000000) div " +
+            "(2 * CAST(pn AS DECIMAL(38,0)) * CAST(qn AS DECIMAL(38,0))) " +
+            "AS BIGINT)").as("auc_ppm"))
+    },
+    Some(
+      s"""WITH $oracleModelCtes,
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    CASE WHEN t.source = 'src0' THEN 1 ELSE 0 END AS isp,
+         |    CAST(sum(m.llr_ppm) AS BIGINT) AS v
+         |  FROM toks t JOIN model m USING (token)
+         |  GROUP BY t.doc_id, t.source),
+         |byv AS (
+         |  SELECT v, CAST(sum(isp) AS BIGINT) AS p,
+         |    CAST(count(*) - sum(isp) AS BIGINT) AS q
+         |  FROM scored GROUP BY v),
+         |cum AS (
+         |  SELECT p, q,
+         |    CAST(sum(q) OVER (ORDER BY v) AS BIGINT) AS cq
+         |  FROM byv),
+         |atot AS (
+         |  SELECT CAST(sum(p) AS BIGINT) AS pn, CAST(sum(q) AS BIGINT) AS qn
+         |  FROM byv)
+         |SELECT pn AS pos_n, qn AS neg_n,
+         |  CAST((sum(CAST(p AS HUGEINT) * (2 * (cq - q) + q)) * 1000000) //
+         |    (2 * CAST(pn AS HUGEINT) * qn) AS BIGINT) AS auc_ppm
+         |FROM cum, atot GROUP BY pn, qn""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qNbTrain, qNbScore, qNbAuc)
 }

@@ -405,9 +405,10 @@ object Unigram {
     )
   )
 
-  /** q_tokenizer_compare — the BPE-vs-unigram fertility audit, per
-    * language: both families trained on the SAME corpus (their
-    * memoized models — one merge loop, one EM loop per session), both
+  /** q_tokenizer_compare — the three-family tokenizer audit, per
+    * language: BPE, unigram-LM, and WordPiece ([[Wordpiece]]) all
+    * trained on the SAME corpus (their memoized models — one merge
+    * loop, one EM loop, one likelihood-merge loop per session), all
     * applied to every document, subword totals and exact fertility_ppm
     * side by side. This is the table a pretraining team reads to pick
     * a tokenizer family and to spot per-language over-segmentation
@@ -415,10 +416,10 @@ object Unigram {
     * completion of [[Bpe.qBpeFertility]]'s single-family audit.
     *
     * 100 TB shape: the BPE side is the codegen'd map-only replace
-    * chain; the unigram side segments only the Heaps-sublinear
-    * distinct words and broadcast-joins counts back; both roll up to
-    * ≤ #langs rows with partial aggregation. Document text never
-    * shuffles.
+    * chain; the unigram and WordPiece sides segment only the
+    * Heaps-sublinear distinct words and broadcast-join counts back;
+    * all roll up to ≤ #langs rows with partial aggregation. Document
+    * text never shuffles.
     */
   val qTokenizerCompare = Q(
     "q_tokenizer_compare",
@@ -438,13 +439,20 @@ object Unigram {
           explode(TextOps.wsTokens(lower(col("text")))).as("word"))
         .join(broadcast(wordPieceCounts(s, d)), "word")
         .groupBy("lang").agg(sum(col("np")).as("uni_subtok"))
-      bpe.join(uni, "lang")
+      val wpc = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(TextOps.wsTokens(lower(col("text")))).as("word"))
+        .join(broadcast(Wordpiece.wordPieceCounts(s, d)), "word")
+        .groupBy("lang").agg(sum(col("np")).as("wp_subtok"))
+      bpe.join(uni, "lang").join(wpc, "lang")
         .select(col("lang"), col("n_docs"), col("n_tok"),
-          col("bpe_subtok"), col("uni_subtok"),
+          col("bpe_subtok"), col("uni_subtok"), col("wp_subtok"),
           expr("CAST((CAST(bpe_subtok AS DECIMAL(38,0)) * 1000000) " +
             "div n_tok AS BIGINT)").as("bpe_fertility_ppm"),
           expr("CAST((CAST(uni_subtok AS DECIMAL(38,0)) * 1000000) " +
-            "div n_tok AS BIGINT)").as("uni_fertility_ppm"))
+            "div n_tok AS BIGINT)").as("uni_fertility_ppm"),
+          expr("CAST((CAST(wp_subtok AS DECIMAL(38,0)) * 1000000) " +
+            "div n_tok AS BIGINT)").as("wp_fertility_ppm"))
         .orderBy("lang")
     },
     Some {
@@ -454,6 +462,8 @@ object Unigram {
          |${oracleTrainCtes("u")},
          |${costSql("ucf", "un3")},
          |${segRoundSql(4, "ucf", "u")},
+         |${Wordpiece.oracleTrainCtes("w")},
+         |${Wordpiece.oracleEncodeCtes("w")},
          |bdocs AS (
          |  SELECT lang, CAST(len(t) AS BIGINT) AS n_tok,
          |    array_to_string(list_transform(t,
@@ -475,13 +485,22 @@ object Unigram {
          |  SELECT lang, CAST(sum(np) AS BIGINT) AS uni_subtok
          |  FROM (SELECT lang, unnest(list_filter(string_split_regex(
          |    lower(text), '\\s+'), t -> t <> '')) AS word FROM documents) t
-         |  JOIN uwp USING (word) GROUP BY lang)
+         |  JOIN uwp USING (word) GROUP BY lang),
+         |wrol AS (
+         |  SELECT lang, CAST(sum(np) AS BIGINT) AS wp_subtok
+         |  FROM (SELECT lang, unnest(list_filter(string_split_regex(
+         |    lower(text), '\\s+'), t -> t <> '')) AS word FROM documents) t
+         |  JOIN wwp USING (word) GROUP BY lang)
          |SELECT b.lang, b.n_docs, b.n_tok, b.bpe_subtok, u.uni_subtok,
+         |  w.wp_subtok,
          |  CAST((CAST(b.bpe_subtok AS HUGEINT) * 1000000) // b.n_tok
          |    AS BIGINT) AS bpe_fertility_ppm,
          |  CAST((CAST(u.uni_subtok AS HUGEINT) * 1000000) // b.n_tok
-         |    AS BIGINT) AS uni_fertility_ppm
-         |FROM brol b JOIN urol u USING (lang) ORDER BY lang""".stripMargin
+         |    AS BIGINT) AS uni_fertility_ppm,
+         |  CAST((CAST(w.wp_subtok AS HUGEINT) * 1000000) // b.n_tok
+         |    AS BIGINT) AS wp_fertility_ppm
+         |FROM brol b JOIN urol u USING (lang) JOIN wrol w USING (lang)
+         |ORDER BY lang""".stripMargin
     }
   )
 

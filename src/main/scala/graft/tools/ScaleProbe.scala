@@ -62,7 +62,11 @@ object ScaleProbe {
     // only vocabulary-sized stage of the round-9 second session;
     // unigram encode is one corpus tokenize + broadcast join
     "q_heaps_law", "q_unigram_encode", "q_media_dhash_survivors",
-    "q_media_audio_spectral")
+    "q_media_audio_spectral",
+    // round-10 second wave: wordpiece encode is distinct-word MaxMatch
+    // + broadcast join; nb_score is one token pass + broadcast model;
+    // nb_auc adds the ranged prefix-sum over the score order
+    "q_wordpiece_encode", "q_nb_score", "q_nb_auc")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -76,6 +76,15 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("src2")._3 === spamLlr)
   }
 
+  test("q_nb_auc is exactly 1.0 on the perfectly separable corpus") {
+    // positives score +llr(good)·{2,1}, negatives +llr(spam)·{2,1}
+    // with llr(good) > 0 > llr(spam): perfect ranking, AUC = 1
+    val r = SparkEntry.queries("q_nb_auc")(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 2L && r(0).getLong(1) === 2L)
+    assert(r(0).getLong(2) === 1000000L)
+  }
+
   test("train and score share ONE model build per (session, dataset)") {
     val before = Classifier.nbModelBuilds.get()
     SparkEntry.queries("q_nb_train")(spark, dir).collect()
