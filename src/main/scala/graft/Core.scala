@@ -118,6 +118,11 @@ object Scratch {
     java.nio.file.Files.createDirectories(p)
     p
   }
+
+  /** The path [[dir]] would return, WITHOUT clearing it — for specs
+    * inspecting what a query just wrote.
+    */
+  def peek(name: String): java.nio.file.Path = root.resolve(name)
 }
 
 /** Cross-engine deterministic numeric helpers.

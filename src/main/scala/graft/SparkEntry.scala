@@ -73,7 +73,10 @@ object SparkEntry {
       // the NB classifier pair is the trained-filter workflow
       // (q_nb_auc's globalCumSum is its only corpus-sized shuffle)
       "q_wordpiece_train", "q_wordpiece_encode",
-      "q_nb_train", "q_nb_score", "q_nb_auc")
+      "q_nb_train", "q_nb_score", "q_nb_auc",
+      // the write-time CHECK-constraint gate (two writes + dup audit)
+      // and its continuous-ingest twin
+      "q_constrained_write", "q_stream_constrained")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

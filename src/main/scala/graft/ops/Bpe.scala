@@ -43,6 +43,9 @@ object Bpe {
   /** Number of merge steps to train. */
   private val K = 8
 
+  /** K, for consumers assembling cross-family oracle SQL. */
+  private[graft] def kSteps: Int = K
+
   private[graft] val B1  = "\u0001" // symbol open bracket
   private[graft] val B2  = "\u0002" // symbol close bracket
   private[graft] val SEP = "\u0003" // inter-token separator (encode only)

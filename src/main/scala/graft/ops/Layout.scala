@@ -998,8 +998,136 @@ object Layout {
     )
   )
 
+  /** q_constrained_write — a write-time data-quality gate (the Delta
+    * Lake CHECK-constraint / quarantine pattern, also DuckDB table
+    * CHECK constraints — the reference's host enforces these at
+    * INSERT): every ingested row is validated against four declared
+    * constraints; valid rows land in the curated table, violators are
+    * QUARANTINED with the list of rules they broke, and the query
+    * returns the audit a pipeline alerts on — one row per rule plus
+    * written/quarantined totals.
+    *
+    * Constraints: c_len_match (n_chars = length(text)), c_nonempty
+    * (length(text) > 0), c_lang_known (lang within the declared
+    * enumeration), c_unique_id (doc_id unique within the batch —
+    * BOTH copies flag, uniqueness being symmetric). The shipped
+    * fixtures satisfy all four, so the ingest PLANTS deterministic
+    * violations of each (the q_secret_redact planted-case precedent):
+    * a length-corrupted clone, an empty-text clone, an unknown-lang
+    * clone, and an id-colliding clone, keyed off doc_id moduli so
+    * both engines construct the identical batch.
+    *
+    * 100 TB shape: the three row-local checks are map-only codegen
+    * predicates; uniqueness is ONE partial-aggregated doc_id-keyed
+    * count joined back co-partitioned; both writes stream through the
+    * same flagged frame (localCheckpoint-pinned so the two writes and
+    * the audit share one evaluation); the audit rollup has ≤6 keys.
+    */
+  /** The deterministic corrupted ingest batch (base docs + one planted
+    * violator clone per rule, keyed off doc_id moduli) — shared with
+    * the streaming scrubber `q_stream_constrained`, which gates the
+    * SAME batch arriving as files.
+    */
+  private[graft] def plantedIngest(s: SparkSession, d: String)
+      : DataFrame = {
+    val base = Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    base
+      .unionAll(base.filter(col("doc_id") % 97 === 3)
+        .select(col("doc_id") + 10000000L, col("text"), col("lang"),
+          col("source"), col("n_chars") + 1L))
+      .unionAll(base.filter(col("doc_id") % 97 === 5)
+        .select(col("doc_id") + 20000000L, lit(""), col("lang"),
+          col("source"), lit(0L)))
+      .unionAll(base.filter(col("doc_id") % 97 === 7)
+        .select(col("doc_id") + 30000000L, col("text"), lit("xx"),
+          col("source"), col("n_chars")))
+      .unionAll(base.filter(col("doc_id") % 97 === 11))
+  }
+
+  /** The three ROW-LOCAL constraint tags (stateless — usable unchanged
+    * in a streaming scrubber); uniqueness needs cross-row state and
+    * stays batch-side.
+    */
+  private[graft] def rowViolations: Column = filter(array(
+    when(col("n_chars") =!= length(col("text")), "c_len_match"),
+    when(length(col("text")) === 0, "c_nonempty"),
+    when(!col("lang").isin("en", "de", "es", "fr", "zh"),
+      "c_lang_known")), _.isNotNull)
+
+  /** The planted-ingest oracle CTE (mirrors [[plantedIngest]]). */
+  private[graft] val ingestSql: String =
+    """ingest AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text, lang, source, n_chars + 1
+      |  FROM documents WHERE doc_id % 97 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, '', lang, source, 0
+      |  FROM documents WHERE doc_id % 97 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 30000000, text, 'xx', source, n_chars
+      |  FROM documents WHERE doc_id % 97 = 7
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 97 = 11)""".stripMargin
+
+  val qConstrainedWrite = Q(
+    "q_constrained_write",
+    (s, d) => {
+      val ingest = plantedIngest(s, d)
+      val dup = ingest.groupBy("doc_id").agg(count(lit(1)).as("dn"))
+      val flagged = ingest.join(dup, "doc_id")
+        .withColumn("violations", concat(rowViolations,
+          filter(array(when(col("dn") > 1, "c_unique_id")), _.isNotNull)))
+        .drop("dn")
+        .localCheckpoint()
+      val root = graft.Scratch.dir("constrained_write")
+      flagged.filter(size(col("violations")) === 0).drop("violations")
+        .write.mode("overwrite").parquet(root.resolve("valid").toString)
+      flagged.filter(size(col("violations")) > 0)
+        .write.mode("overwrite")
+        .parquet(root.resolve("quarantine").toString)
+      flagged
+        .select(explode(col("violations")).as("rule"))
+        .groupBy("rule").agg(count(lit(1)).as("n_rows"))
+        .unionAll(flagged
+          .agg(sum(when(size(col("violations")) === 0, 1L).otherwise(0L))
+            .as("n_rows"))
+          .select(lit("rows_written").as("rule"), col("n_rows")))
+        .unionAll(flagged
+          .agg(sum(when(size(col("violations")) > 0, 1L).otherwise(0L))
+            .as("n_rows"))
+          .select(lit("rows_quarantined").as("rule"), col("n_rows")))
+        .orderBy("rule")
+    },
+    Some(
+      s"""WITH $ingestSql,
+        |dup AS (SELECT doc_id, count(*) AS dn FROM ingest GROUP BY 1),
+        |flagged AS (
+        |  SELECT i.doc_id, list_filter([
+        |      CASE WHEN i.n_chars <> length(i.text) THEN 'c_len_match' END,
+        |      CASE WHEN length(i.text) = 0 THEN 'c_nonempty' END,
+        |      CASE WHEN i.lang NOT IN ('en','de','es','fr','zh')
+        |        THEN 'c_lang_known' END,
+        |      CASE WHEN d.dn > 1 THEN 'c_unique_id' END],
+        |    x -> x IS NOT NULL) AS v
+        |  FROM ingest i JOIN dup d USING (doc_id))
+        |SELECT rule, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT unnest(v) AS rule FROM flagged) GROUP BY 1
+        |UNION ALL
+        |SELECT 'rows_written', CAST(count(*) AS BIGINT) FROM flagged
+        |WHERE len(v) = 0
+        |UNION ALL
+        |SELECT 'rows_quarantined', CAST(count(*) AS BIGINT) FROM flagged
+        |WHERE len(v) > 0
+        |ORDER BY rule""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qCuratedWrite, qBucketedJoin, qZorder,
     qFormatRoundtrip, qTargetedDelete, qCompact, qMergeUpsert,
     qSchemaEvolution, qSaltedJoin, qHilbert, qLayoutLocality,
-    qDatasetDiff, qTimeTravel, qManifestSkip, qDeletionVectors)
+    qDatasetDiff, qTimeTravel, qManifestSkip, qDeletionVectors,
+    qConstrainedWrite)
 }

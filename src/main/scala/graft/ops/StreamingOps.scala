@@ -1461,10 +1461,70 @@ object StreamingOps {
     }
   )
 
+  /** q_stream_constrained — the write-time CHECK-constraint gate
+    * ([[Layout.qConstrainedWrite]]) run as a continuous-ingest
+    * scrubber: the SAME corrupted batch arrives as files, a streaming
+    * query tags each row with the ROW-LOCAL constraints it violates
+    * (stateless map — [[Layout.rowViolations]] unchanged; append mode,
+    * no watermark), the flagged stream lands in the sink, and the
+    * query returns the per-rule audit. The uniqueness rule needs
+    * cross-row state and deliberately stays with the batch
+    * reconciler — streaming key dedup is q_stream_dedup's job; the
+    * oracle here audits exactly the three stateless rules.
+    *
+    * 100 TB shape: pure stateless row transforms on the stream — no
+    * state store, no shuffle until the final ≤5-key audit rollup over
+    * the sink.
+    */
+  val qStreamConstrained = Q(
+    "q_stream_constrained",
+    (s, d) => {
+      val inDir = graft.Scratch.dir("stream_constrained_in").toString
+      Layout.plantedIngest(s, d).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream
+        .schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+        .withColumn("violations", Layout.rowViolations)
+      val flagged = runToParquetSink(s, "stream_constrained_sink")(stream)
+      flagged
+        .select(explode(col("violations")).as("rule"))
+        .groupBy("rule").agg(count(lit(1)).as("n_rows"))
+        .unionAll(flagged
+          .agg(sum(when(size(col("violations")) === 0, 1L).otherwise(0L))
+            .as("n_rows"))
+          .select(lit("rows_written").as("rule"), col("n_rows")))
+        .unionAll(flagged
+          .agg(sum(when(size(col("violations")) > 0, 1L).otherwise(0L))
+            .as("n_rows"))
+          .select(lit("rows_quarantined").as("rule"), col("n_rows")))
+        .orderBy("rule")
+    },
+    Some(
+      s"""WITH ${Layout.ingestSql},
+        |flagged AS (
+        |  SELECT list_filter([
+        |      CASE WHEN n_chars <> length(text) THEN 'c_len_match' END,
+        |      CASE WHEN length(text) = 0 THEN 'c_nonempty' END,
+        |      CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+        |        THEN 'c_lang_known' END],
+        |    x -> x IS NOT NULL) AS v
+        |  FROM ingest)
+        |SELECT rule, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT unnest(v) AS rule FROM flagged) GROUP BY 1
+        |UNION ALL
+        |SELECT 'rows_written', CAST(count(*) AS BIGINT) FROM flagged
+        |WHERE len(v) = 0
+        |UNION ALL
+        |SELECT 'rows_quarantined', CAST(count(*) AS BIGINT) FROM flagged
+        |WHERE len(v) > 0
+        |ORDER BY rule""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
       qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv,
       qStreamLate, qStreamMerge, qStreamHll, qStreamSessionTimer,
-      qStreamDrift, qStreamKmv, qStreamF2)
+      qStreamDrift, qStreamKmv, qStreamF2, qStreamConstrained)
 }

@@ -291,7 +291,7 @@ object Unigram {
   /** Shared train chain: words → substring seed → c0 → two EM rounds →
     * prune → re-count (n3 is the shipped model's counts).
     */
-  private def oracleTrainCtes(p: String = ""): String = Seq(
+  private[graft] def oracleTrainCtes(p: String = ""): String = Seq(
     s"""${p}words AS MATERIALIZED (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(list_filter(string_split_regex(lower(text),

@@ -289,5 +289,76 @@ object Wordpiece {
     )
   )
 
-  val all: Seq[Q] = Seq(qWordpieceTrain, qWordpieceEncode)
+  /** q_tokenizer_vocab_overlap — pairwise multi-char-piece overlap of
+    * the three trained families (BPE merge products, unigram-LM
+    * surviving multis, WordPiece merge products): set sizes,
+    * intersection, and exact Jaccard_ppm per pair. The companion of
+    * q_tokenizer_compare: compare tells you how each family SEGMENTS;
+    * this tells you how much the learned vocabularies themselves
+    * agree — the diagnostic read before sharing embeddings or
+    * migrating a corpus between tokenizers.
+    *
+    * 100 TB shape: all three models are memoized (one training run
+    * each per session, shared with their train/encode queries); the
+    * overlap arithmetic runs driver-side on the model-sized sets
+    * (tens of rows here, ≤ vocabulary budget in production) — zero
+    * additional corpus work. Jaccard_ppm is one exact integral
+    * division.
+    */
+  val qTokenizerVocabOverlap = Q(
+    "q_tokenizer_vocab_overlap",
+    (s, d) => {
+      val bpe = Bpe.train(s, d).map(_._4).toSet
+      val uni = Unigram.train(s, d).vocab.map(_._1)
+        .filter(_.length > 1).toSet
+      val wp = train(s, d).map(_._4).toSet
+      val fams = Seq("bpe" -> bpe, "unigram" -> uni, "wordpiece" -> wp)
+      import s.implicits._
+      (for {
+        i <- fams.indices; j <- fams.indices if i < j
+        (fa, va) = fams(i); (fb, vb) = fams(j)
+      } yield {
+        val common = (va & vb).size.toLong
+        val union  = (va | vb).size.toLong
+        (fa, fb, va.size.toLong, vb.size.toLong, common,
+          if (union == 0) 0L else common * 1000000L / union)
+      }).toDF("fam_a", "fam_b", "n_a", "n_b", "n_common", "jaccard_ppm")
+        .orderBy("fam_a", "fam_b")
+    },
+    Some {
+      val bUnion = (1 to Bpe.kSteps).map(k => s"SELECT merged FROM m$k")
+        .mkString(" UNION ALL ")
+      val wUnion = (1 to K).map(k => s"SELECT merged FROM wm$k")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE
+         |${Bpe.oracleTrainCtes},
+         |${Unigram.oracleTrainCtes("u")},
+         |${oracleTrainCtes("w")},
+         |bv AS (SELECT DISTINCT merged AS piece FROM ($bUnion)),
+         |uv AS (SELECT piece FROM un3 WHERE len(piece) > 1),
+         |wv AS (SELECT DISTINCT merged AS piece FROM ($wUnion)),
+         |pairs AS (
+         |  SELECT 'bpe' AS fam_a, 'unigram' AS fam_b,
+         |    (SELECT count(*) FROM bv) AS n_a,
+         |    (SELECT count(*) FROM uv) AS n_b,
+         |    (SELECT count(*) FROM bv JOIN uv USING (piece)) AS n_common
+         |  UNION ALL
+         |  SELECT 'bpe', 'wordpiece',
+         |    (SELECT count(*) FROM bv), (SELECT count(*) FROM wv),
+         |    (SELECT count(*) FROM bv JOIN wv USING (piece))
+         |  UNION ALL
+         |  SELECT 'unigram', 'wordpiece',
+         |    (SELECT count(*) FROM uv), (SELECT count(*) FROM wv),
+         |    (SELECT count(*) FROM uv JOIN wv USING (piece)))
+         |SELECT fam_a, fam_b, CAST(n_a AS BIGINT) AS n_a,
+         |  CAST(n_b AS BIGINT) AS n_b, CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(CASE WHEN n_a + n_b - n_common = 0 THEN 0
+         |    ELSE (CAST(n_common AS HUGEINT) * 1000000) //
+         |      (n_a + n_b - n_common) END AS BIGINT) AS jaccard_ppm
+         |FROM pairs ORDER BY fam_a, fam_b""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] =
+    Seq(qWordpieceTrain, qWordpieceEncode, qTokenizerVocabOverlap)
 }

@@ -180,4 +180,71 @@ class Round10BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted.forall(r => !r.getAs[Boolean]("exact_dup")),
       "planted pairs are byte-distinct — the recall the digest misses")
   }
+
+  // ------------------------------------------------ q_constrained_write
+
+  test("q_constrained_write quarantines exactly the planted violators " +
+    "and the written tables partition the ingest") {
+    val audit = run("q_constrained_write").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val root = graft.Scratch.peek("constrained_write")
+    val valid = spark.read.parquet(root.resolve("valid").toString)
+    val quar  = spark.read.parquet(root.resolve("quarantine").toString)
+    // written tables agree with the audit rows
+    assert(valid.count() === audit("rows_written"))
+    assert(quar.count() === audit("rows_quarantined"))
+    // every valid row re-passes all four constraints
+    assert(valid.filter(col("n_chars") =!= length(col("text")) ||
+      length(col("text")) === 0 ||
+      !col("lang").isin("en", "de", "es", "fr", "zh")).count() === 0L)
+    assert(valid.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    // every quarantined row carries at least one violation tag
+    assert(quar.filter(size(col("violations")) === 0).count() === 0L)
+    // the planted counts: one clone per matching base doc per rule,
+    // and BOTH copies of an id collision flag
+    val n = (m: Long) => Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === m).count()
+    assert(audit("c_len_match") === n(3))
+    assert(audit("c_nonempty") === n(5))
+    assert(audit("c_lang_known") === n(7))
+    assert(audit("c_unique_id") === 2 * n(11))
+  }
+
+  test("q_stream_constrained agrees with the batch gate on every " +
+    "stateless rule; the delta is exactly the stateful uniqueness rule") {
+    val batch = run("q_constrained_write").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = run("q_stream_constrained").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (rule <- Seq("c_len_match", "c_nonempty", "c_lang_known"))
+      assert(stream(rule) === batch(rule), rule)
+    assert(!stream.contains("c_unique_id"))
+    // rows the batch gate quarantines for uniqueness ALONE pass the
+    // stateless scrubber: both collision copies are otherwise clean
+    assert(stream("rows_written") - batch("rows_written") ===
+      batch("c_unique_id"))
+    assert(stream("rows_quarantined") + batch("c_unique_id") ===
+      batch("rows_quarantined"))
+  }
+
+  // ------------------------------------------- q_tokenizer_vocab_overlap
+
+  test("q_tokenizer_vocab_overlap is consistent with the three models") {
+    val rows = run("q_tokenizer_vocab_overlap").collect()
+    assert(rows.length === 3)
+    val bpe = graft.ops.Bpe.train(spark, sf).map(_._4).toSet
+    val wp  = graft.ops.Wordpiece.train(spark, sf).map(_._4).toSet
+    rows.foreach { r =>
+      val (na, nb, nc, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nc <= math.min(na, nb))
+      assert(j >= 0L && j <= 1000000L)
+      assert(j === (if (na + nb - nc == 0) 0L
+        else nc * 1000000L / (na + nb - nc)))
+    }
+    val byPair = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(byPair(("bpe", "wordpiece")) === (bpe & wp).size.toLong)
+  }
 }
