@@ -76,7 +76,9 @@ object SparkEntry {
       "q_nb_train", "q_nb_score", "q_nb_auc",
       // the write-time CHECK-constraint gate (two writes + dup audit)
       // and its continuous-ingest twin
-      "q_constrained_write", "q_stream_constrained")
+      "q_constrained_write", "q_stream_constrained",
+      // the MRL prefix-truncation recall ladder (4 exact-KNN rungs)
+      "q_ann_matryoshka")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

@@ -1110,6 +1110,106 @@ object Similarity {
     }
   )
 
+  /** Exact top-3 cosine KNN over the FIRST m dimensions only — the
+    * Matryoshka prefix-truncation rung ([[qAnnMatryoshka]]).
+    */
+  private def knnTop3AtDim(s: SparkSession, d: String, m: Int)
+      : DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), slice(qvec(col("embedding")), 1, m).as("qv"))
+      .withColumn("nq", dotq(col("qv"), col("qv")))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("qv").as("quv"),
+        col("nq").as("qn"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    e.filter(col("vec_id") >= 8)
+      .join(broadcast(queries))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        cosine(dotq(col("quv"), col("qv")), col("qn"), col("nq"))
+          .as("cos_sim"))
+      .withColumn("nrank", row_number().over(w))
+      .filter(col("nrank") <= 3)
+      .select("qid", "neighbor_id")
+  }
+
+  /** One oracle Matryoshka rung: top-3 per query over qv[1:m]. */
+  private def knnTop3AtDimSql(m: Int): String = {
+    def mdot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, $m + 1), " +
+        s"i -> $a[i] * $b[i])) AS BIGINT)"
+    s"""SELECT qid, neighbor_id FROM (
+       |  SELECT qid, neighbor_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id ASC)
+       |    AS nrank
+       |  FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+       |      CAST(${mdot("q.qv", "c.qv")} AS DOUBLE) /
+       |        sqrt(CAST(${mdot("q.qv", "q.qv")} AS DOUBLE) *
+       |             CAST(${mdot("c.qv", "c.qv")} AS DOUBLE)) AS cos_sim
+       |    FROM me q JOIN me c ON q.vec_id < 8 AND c.vec_id >= 8))
+       |WHERE nrank <= 3""".stripMargin
+  }
+
+  /** Prefix dims evaluated (full dim last — the sanity rung). */
+  private val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** q_ann_matryoshka — the Matryoshka (MRL, Kusupati et al. 2022)
+    * truncation ladder: exact top-3 recall when similarity uses only
+    * the FIRST m of 64 dimensions, for m = 8/16/32/64. This is the
+    * THIRD axis of the ANN tradeoff surface the recall harness
+    * measures — prefix bytes-per-vector by truncation, beside
+    * fraction-read (the IVF nprobe ladder) and quantized
+    * bytes-per-vector (SQ8/PQ): an MRL-trained embedding serves
+    * m-prefix search at m/64 of the scan bytes, and this table is the
+    * recall evidence for choosing m.
+    *
+    * Exactness: each rung is the exact KNN construction over the
+    * quantized prefix — integer dots and norms, one double
+    * division/sqrt over exact inputs, ties on neighbor_id — so rung
+    * m = 64 reproduces the full KNN identically (recall 1.0 by
+    * construction, pinned in the spec).
+    *
+    * 100 TB shape: per rung, the query set broadcasts and the corpus
+    * scans once with per-task top-3 pruning before the single rank
+    * exchange (the q_cosine_knn shape); a production deployment would
+    * store the m-prefix as its own column/table and scan m/64 of the
+    * bytes — the ladder measures exactly what that buys.
+    *
+    * On the synthetic fixtures the truncated recall COLLAPSES
+    * (0.125/0/0.04 at 8/16/32 at sf0.01) — the embeddings are not
+    * MRL-trained, so prefixes carry no concentrated signal, and the
+    * ladder is the test that tells you so before you deploy prefix
+    * search; truncated-rung recall need not even be monotone in m for
+    * such embeddings. Only the m = full rung has a guaranteed value
+    * (1.0).
+    */
+  val qAnnMatryoshka = Q(
+    "q_ann_matryoshka",
+    (s, d) => {
+      val full = knnTop3AtDim(s, d, 64).localCheckpoint()
+      val denom = 24.0 // 8 queries × 3
+      MatryoshkaDims.map { m =>
+        knnTop3AtDim(s, d, m).join(full, Seq("qid", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(m).as("m"), col("n_hits"),
+            (col("n_hits") / lit(denom)).as("recall_at_3"))
+      }.reduce(_.unionByName(_)).orderBy("m")
+    },
+    Some {
+      val rungs = MatryoshkaDims.map { m =>
+        s"""SELECT $m AS m, CAST(count(*) AS BIGINT) AS n_hits,
+           |  count(*) / 24.0e0 AS recall_at_3
+           |FROM (${knnTop3AtDimSql(m)}) a
+           |JOIN (${knnTop3AtDimSql(64)}) f USING (qid, neighbor_id)"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH me AS MATERIALIZED (
+         |  SELECT vec_id, $qvecSql AS qv FROM embeddings)
+         |SELECT * FROM ($rungs) ORDER BY m""".stripMargin
+    }
+  )
+
   /** q_hard_negatives — contrastive-training hard-negative mining: for
     * each query vector, the top-3 most-similar corpus vectors whose
     * `label` DIFFERS from the query's (high-similarity wrong-class
@@ -2316,5 +2416,5 @@ object Similarity {
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
       qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift,
       qEmbeddingCoherence, qKcenterCoreset, qAnnHamming,
-      qEmbeddingWhiten, qLdaPower)
+      qEmbeddingWhiten, qLdaPower, qAnnMatryoshka)
 }

@@ -228,6 +228,20 @@ class Round10BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       batch("rows_quarantined"))
   }
 
+  // ------------------------------------------------- q_ann_matryoshka
+
+  test("q_ann_matryoshka: the full-dim rung is exact recall 1.0 and " +
+    "every truncated rung is bounded by it") {
+    val rows = run("q_ann_matryoshka").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet === Set(8, 16, 32, 64))
+    assert(rows(64) === ((24L, 1.0)))
+    for ((m, (hits, rec)) <- rows) {
+      assert(hits >= 0L && hits <= 24L, s"m=$m")
+      assert(math.abs(rec - hits / 24.0) < 1e-12, s"m=$m")
+    }
+  }
+
   // ------------------------------------------- q_tokenizer_vocab_overlap
 
   test("q_tokenizer_vocab_overlap is consistent with the three models") {
