@@ -82,6 +82,19 @@ object Classifier {
         .localCheckpoint()
     }
 
+  /** Per-document NB margin (doc_id, source, score_ppm): the one
+    * corpus scoring pass — explode tokens, broadcast-join the model,
+    * partial-aggregate per doc — shared by [[qNbScore]] and
+    * [[qNbAuc]] so the two stay the same population by construction.
+    */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.wsTokens(lower(col("text")))).as("token"))
+      .join(broadcast(nbModel(s, d).select("token", "llr_ppm")), "token")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("llr_ppm")).as("score_ppm"))
+
   /** The shared oracle model CTEs (toks → counts → tot → model). */
   private def oracleModelCtes: String =
     """toks AS MATERIALIZED (
@@ -150,12 +163,7 @@ object Classifier {
         .select((lnPpm(col("dp").cast("double") / (col("dp") + col("dn"))) -
           lnPpm(col("dn").cast("double") / (col("dp") + col("dn"))))
           .as("prior_ppm"))
-      docs
-        .select(col("doc_id"), col("source"),
-          explode(TextOps.wsTokens(lower(col("text")))).as("token"))
-        .join(broadcast(nbModel(s, d).select("token", "llr_ppm")), "token")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("llr_ppm")).as("score_ppm"))
+      scoredDocs(s, d)
         .crossJoin(broadcast(priors))
         .select(col("source"),
           (col("score_ppm") + col("prior_ppm")).as("total_ppm"))
@@ -220,17 +228,15 @@ object Classifier {
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
       val dec = DecimalType(38, 0)
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(TextOps.wsTokens(lower(col("text")))).as("token"))
-        .join(broadcast(nbModel(s, d).select("token", "llr_ppm")), "token")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("llr_ppm")).as("v"))
-        .select(col("v"),
+      val byv = scoredDocs(s, d)
+        .select(col("score_ppm").as("v"),
           when(col("source") === "src0", 1L).otherwise(0L).as("isp"))
-      val byv = scored.groupBy("v").agg(
-        sum(col("isp")).as("p"),
-        (count(lit(1)) - sum(col("isp"))).as("q"))
+        .groupBy("v").agg(
+          sum(col("isp")).as("p"),
+          (count(lit(1)) - sum(col("isp"))).as("q"))
+        // pinned: byv feeds both the prefix sum and the totals — its
+        // lineage is the whole corpus scoring pass
+        .localCheckpoint()
       val cum = Distributed.globalCumSum(byv, Seq(col("v")), col("q"), "cq")
       val tot = byv.agg(sum(col("p")).as("pn"), sum(col("q")).as("qn"))
       cum

@@ -1055,6 +1055,25 @@ object Layout {
     when(!col("lang").isin("en", "de", "es", "fr", "zh"),
       "c_lang_known")), _.isNotNull)
 
+  /** The per-rule audit over a flagged frame (violations: array of
+    * rule tags): one row per rule plus rows_written/rows_quarantined
+    * totals — shared by the batch gate and the streaming scrubber so
+    * the two audits cannot drift.
+    */
+  private[graft] def auditRollup(flagged: DataFrame): DataFrame =
+    flagged
+      .select(explode(col("violations")).as("rule"))
+      .groupBy("rule").agg(count(lit(1)).as("n_rows"))
+      .unionAll(flagged
+        .agg(sum(when(size(col("violations")) === 0, 1L).otherwise(0L))
+          .as("n_rows"))
+        .select(lit("rows_written").as("rule"), col("n_rows")))
+      .unionAll(flagged
+        .agg(sum(when(size(col("violations")) > 0, 1L).otherwise(0L))
+          .as("n_rows"))
+        .select(lit("rows_quarantined").as("rule"), col("n_rows")))
+      .orderBy("rule")
+
   /** The planted-ingest oracle CTE (mirrors [[plantedIngest]]). */
   private[graft] val ingestSql: String =
     """ingest AS (
@@ -1075,7 +1094,9 @@ object Layout {
   val qConstrainedWrite = Q(
     "q_constrained_write",
     (s, d) => {
-      val ingest = plantedIngest(s, d)
+      // pinned: the union re-reads documents per branch through
+      // lineage, and ingest feeds both the dup rollup and the join
+      val ingest = plantedIngest(s, d).localCheckpoint()
       val dup = ingest.groupBy("doc_id").agg(count(lit(1)).as("dn"))
       val flagged = ingest.join(dup, "doc_id")
         .withColumn("violations", concat(rowViolations,
@@ -1088,18 +1109,7 @@ object Layout {
       flagged.filter(size(col("violations")) > 0)
         .write.mode("overwrite")
         .parquet(root.resolve("quarantine").toString)
-      flagged
-        .select(explode(col("violations")).as("rule"))
-        .groupBy("rule").agg(count(lit(1)).as("n_rows"))
-        .unionAll(flagged
-          .agg(sum(when(size(col("violations")) === 0, 1L).otherwise(0L))
-            .as("n_rows"))
-          .select(lit("rows_written").as("rule"), col("n_rows")))
-        .unionAll(flagged
-          .agg(sum(when(size(col("violations")) > 0, 1L).otherwise(0L))
-            .as("n_rows"))
-          .select(lit("rows_quarantined").as("rule"), col("n_rows")))
-        .orderBy("rule")
+      auditRollup(flagged)
     },
     Some(
       s"""WITH $ingestSql,

@@ -1190,7 +1190,9 @@ object Similarity {
       val full = knnTop3AtDim(s, d, 64).localCheckpoint()
       val denom = 24.0 // 8 queries × 3
       MatryoshkaDims.map { m =>
-        knnTop3AtDim(s, d, m).join(full, Seq("qid", "neighbor_id"))
+        // the m=64 sanity rung IS the pinned reference — reuse it
+        (if (m == 64) full else knnTop3AtDim(s, d, m))
+          .join(full, Seq("qid", "neighbor_id"))
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(m).as("m"), col("n_hits"),
             (col("n_hits") / lit(denom)).as("recall_at_3"))

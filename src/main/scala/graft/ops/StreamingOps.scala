@@ -1486,18 +1486,7 @@ object StreamingOps {
         .parquet(inDir)
         .withColumn("violations", Layout.rowViolations)
       val flagged = runToParquetSink(s, "stream_constrained_sink")(stream)
-      flagged
-        .select(explode(col("violations")).as("rule"))
-        .groupBy("rule").agg(count(lit(1)).as("n_rows"))
-        .unionAll(flagged
-          .agg(sum(when(size(col("violations")) === 0, 1L).otherwise(0L))
-            .as("n_rows"))
-          .select(lit("rows_written").as("rule"), col("n_rows")))
-        .unionAll(flagged
-          .agg(sum(when(size(col("violations")) > 0, 1L).otherwise(0L))
-            .as("n_rows"))
-          .select(lit("rows_quarantined").as("rule"), col("n_rows")))
-        .orderBy("rule")
+      Layout.auditRollup(flagged)
     },
     Some(
       s"""WITH ${Layout.ingestSql},

@@ -351,14 +351,17 @@ object Unigram {
 
   /** Per-distinct-word subword counts under the shipped model — the
     * Heaps-sublinear frame encode and compare broadcast back to
-    * documents.
+    * documents; memoized and pinned so the two consumers share ONE
+    * token pass + Viterbi segmentation per (session, dataset).
     */
-  private def wordPieceCounts(s: SparkSession, d: String): DataFrame = {
-    val cf = train(s, d).costs
-    wordsDf(s, d)
-      .select(col("word"),
-        size(viterbiPieces(col("word"), cf)).cast("long").as("np"))
-  }
+  private def wordPieceCounts(s: SparkSession, d: String): DataFrame =
+    Similarity.memo(s, d, "unigram-wpc") {
+      val cf = train(s, d).costs
+      wordsDf(s, d)
+        .select(col("word"),
+          size(viterbiPieces(col("word"), cf)).cast("long").as("np"))
+        .localCheckpoint()
+    }
 
   /** q_unigram_encode — apply the shipped model: Viterbi-segment the
     * DISTINCT words once under the final costs, broadcast the per-word

@@ -133,16 +133,21 @@ object Wordpiece {
       .select(explode(TextOps.wsTokens(lower(col("text")))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Per-distinct-word greedy piece counts under the trained model. */
+  /** Per-distinct-word greedy piece counts under the trained model —
+    * memoized and pinned so encode and the triad compare share ONE
+    * token pass + MaxMatch walk per (session, dataset).
+    */
   private[graft] def wordPieceCounts(s: SparkSession, d: String)
-      : DataFrame = {
-    val merges = train(s, d)
-    val pieces = merges.map(_._4).distinct.map(_ -> 1).toMap
-    val lmax = if (pieces.isEmpty) 1 else pieces.keys.map(_.length).max
-    wordsDf(s, d)
-      .select(col("word"),
-        greedyCount(col("word"), pieces, lmax).as("np"))
-  }
+      : DataFrame =
+    Similarity.memo(s, d, "wordpiece-wpc") {
+      val merges = train(s, d)
+      val pieces = merges.map(_._4).distinct.map(_ -> 1).toMap
+      val lmax = if (pieces.isEmpty) 1 else pieces.keys.map(_.length).max
+      wordsDf(s, d)
+        .select(col("word"),
+          greedyCount(col("word"), pieces, lmax).as("np"))
+        .localCheckpoint()
+    }
 
   // --------------------------------------------------------- oracle SQL
 
