@@ -78,7 +78,8 @@ object SparkEntry {
       // and its continuous-ingest twin
       "q_constrained_write", "q_stream_constrained",
       // the MRL prefix-truncation recall ladder (4 exact-KNN rungs)
-      "q_ann_matryoshka")
+      // and the classifier retention-threshold sweep
+      "q_ann_matryoshka", "q_nb_thresholds")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

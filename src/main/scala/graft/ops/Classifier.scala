@@ -95,6 +95,17 @@ object Classifier {
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("llr_ppm")).as("score_ppm"))
 
+  /** Class-prior margin in ppm as a 1-row frame — shared by
+    * [[qNbScore]] and [[qNbThresholds]].
+    */
+  private def priorsDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("dp"),
+        sum(when(col("source") === "src0", 0L).otherwise(1L)).as("dn"))
+      .select((lnPpm(col("dp").cast("double") / (col("dp") + col("dn"))) -
+        lnPpm(col("dn").cast("double") / (col("dp") + col("dn"))))
+        .as("prior_ppm"))
+
   /** The shared oracle model CTEs (toks → counts → tot → model). */
   private def oracleModelCtes: String =
     """toks AS MATERIALIZED (
@@ -155,16 +166,8 @@ object Classifier {
   val qNbScore = Q(
     "q_nb_score",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      val priors = docs
-        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
-            .as("dp"),
-          sum(when(col("source") === "src0", 0L).otherwise(1L)).as("dn"))
-        .select((lnPpm(col("dp").cast("double") / (col("dp") + col("dn"))) -
-          lnPpm(col("dn").cast("double") / (col("dp") + col("dn"))))
-          .as("prior_ppm"))
       scoredDocs(s, d)
-        .crossJoin(broadcast(priors))
+        .crossJoin(broadcast(priorsDf(s, d)))
         .select(col("source"),
           (col("score_ppm") + col("prior_ppm")).as("total_ppm"))
         .groupBy("source")
@@ -275,5 +278,100 @@ object Classifier {
     )
   )
 
-  val all: Seq[Q] = Seq(qNbTrain, qNbScore, qNbAuc)
+  /** Retention thresholds swept, in margin ppm (the fixture margins
+    * cluster around the class prior ≈ −2.9·10⁶ ppm, so the ladder
+    * brackets it).
+    */
+  private val Thresholds: Seq[Long] =
+    (-10 to -3).map(_ * 500000L)
+
+  /** q_nb_thresholds — the retention-threshold sweep: for each
+    * candidate margin threshold t, how many documents would be kept
+    * (margin + prior > t), how many of those are truly curated, and
+    * the exact precision / recall / F1 — the table a pipeline reads to
+    * SET the quality-filter threshold, the classifier sibling of the
+    * IVF nprobe recall ladder (a tuning-knob sweep, not a single
+    * operating point). AUC (q_nb_auc) says the ranking is good;
+    * this says where to cut it.
+    *
+    * Exactness: margins are exact ppm integers; for each rung,
+    * precision = TP·10⁶ div kept (0 when nothing kept), recall =
+    * TP·10⁶ div P, and F1 = 2·TP·10⁶ div (kept + P) — the algebraic
+    * identity F1 = 2TP/(kept+P) avoids any intermediate rounding.
+    * Products are carried in DECIMAL(38,0)/HUGEINT.
+    *
+    * 100 TB shape: ONE aggregate computes every rung as conditional
+    * partial-aggregated sums over the scored-docs pass (shared via
+    * [[scoredDocs]] with score/AUC); the 8-rung table is then a
+    * map-only explode of a 1-row frame. No per-threshold rescans.
+    */
+  val qNbThresholds = Q(
+    "q_nb_thresholds",
+    (s, d) => {
+      val scored = scoredDocs(s, d)
+        .crossJoin(broadcast(priorsDf(s, d)))
+        .select((col("score_ppm") + col("prior_ppm")).as("v"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("isp"))
+      val aggCols = sum(col("isp")).as("pos_n") +:
+        Thresholds.flatMap(t => Seq(
+          sum(when(col("v") > t, 1L).otherwise(0L)).as(s"k$t"),
+          sum(when(col("v") > t && col("isp") === 1L, 1L).otherwise(0L))
+            .as(s"tp$t")))
+      val one = scored.agg(aggCols.head, aggCols.tail: _*)
+      val rungs = array(Thresholds.map(t => struct(
+        lit(t).as("threshold_ppm"), col(s"k$t").as("n_kept"),
+        col(s"tp$t").as("n_pos_kept"))): _*)
+      one.select(col("pos_n"), explode(rungs).as("r"))
+        .select(col("r.threshold_ppm"), col("r.n_kept"),
+          col("r.n_pos_kept"),
+          expr("CASE WHEN r.n_kept = 0 THEN 0 ELSE " +
+            "CAST((CAST(r.n_pos_kept AS DECIMAL(38,0)) * 1000000) " +
+            "div r.n_kept AS BIGINT) END").as("precision_ppm"),
+          expr("CAST((CAST(r.n_pos_kept AS DECIMAL(38,0)) * 1000000) " +
+            "div pos_n AS BIGINT)").as("recall_ppm"),
+          expr("CAST((CAST(r.n_pos_kept AS DECIMAL(38,0)) * 2000000) " +
+            "div (r.n_kept + pos_n) AS BIGINT)").as("f1_ppm"))
+        .orderBy("threshold_ppm")
+    },
+    Some {
+      val tList = Thresholds.mkString(", ")
+      s"""WITH $oracleModelCtes,
+         |prior AS (
+         |  SELECT CAST(floor(ln(CAST(dp AS DOUBLE) / (dp + dn)) * 1e6 + 0.5)
+         |          - floor(ln(CAST(dn AS DOUBLE) / (dp + dn)) * 1e6 + 0.5)
+         |    AS BIGINT) AS prior_ppm
+         |  FROM (SELECT
+         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dp,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS dn
+         |    FROM documents)),
+         |scored AS (
+         |  SELECT CAST(sum(m.llr_ppm) AS BIGINT) +
+         |      (SELECT prior_ppm FROM prior) AS v,
+         |    CASE WHEN t.source = 'src0' THEN 1 ELSE 0 END AS isp
+         |  FROM toks t JOIN model m USING (token)
+         |  GROUP BY t.doc_id, t.source),
+         |rungs AS (
+         |  SELECT CAST(u.t AS BIGINT) AS threshold_ppm,
+         |    CAST(sum(CASE WHEN v > u.t THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_kept,
+         |    CAST(sum(CASE WHEN v > u.t AND isp = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_pos_kept,
+         |    CAST(sum(isp) AS BIGINT) AS pos_n
+         |  FROM scored, UNNEST([$tList]) AS u(t)
+         |  GROUP BY u.t)
+         |SELECT threshold_ppm, n_kept, n_pos_kept,
+         |  CASE WHEN n_kept = 0 THEN 0 ELSE
+         |    CAST((CAST(n_pos_kept AS HUGEINT) * 1000000) // n_kept
+         |      AS BIGINT) END AS precision_ppm,
+         |  CAST((CAST(n_pos_kept AS HUGEINT) * 1000000) // pos_n
+         |    AS BIGINT) AS recall_ppm,
+         |  CAST((CAST(n_pos_kept AS HUGEINT) * 2000000) // (n_kept + pos_n)
+         |    AS BIGINT) AS f1_ppm
+         |FROM rungs ORDER BY threshold_ppm""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(qNbTrain, qNbScore, qNbAuc, qNbThresholds)
 }

@@ -67,7 +67,8 @@ object ScaleProbe {
     // + broadcast join; nb_score is one token pass + broadcast model;
     // nb_auc adds the ranged prefix-sum over the score order
     "q_wordpiece_encode", "q_nb_score", "q_nb_auc",
-    "q_constrained_write", "q_stream_constrained", "q_ann_matryoshka")
+    "q_constrained_write", "q_stream_constrained", "q_ann_matryoshka",
+    "q_nb_thresholds")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -85,6 +85,25 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getLong(2) === 1000000L)
   }
 
+  test("q_nb_thresholds: hand-computed rungs on the separable corpus " +
+    "and sweep monotonicity") {
+    // prior = 0 (2 docs/side); margins: +2g, +g, -g, -2g with
+    // g = lnppm(1/2) - lnppm(1/8) = 1386295
+    val rows = SparkEntry.queries("q_nb_thresholds")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // t = -1.5e6 keeps {+2g, +g, -g}: precision 2/3, recall 1, F1 4/5
+    assert(rows(-1500000L) === ((3L, 2L, 666666L, 1000000L, 800000L)))
+    // t = -3e6 keeps all 4: precision 1/2, recall 1, F1 2/3
+    assert(rows(-3000000L) === ((4L, 2L, 500000L, 1000000L, 666666L)))
+    // kept and recall are non-increasing as the threshold tightens
+    val byT = rows.toSeq.sortBy(_._1)
+    byT.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b._1 <= a._1 && b._4 <= a._4)
+    }
+  }
+
   test("train and score share ONE model build per (session, dataset)") {
     val before = Classifier.nbModelBuilds.get()
     SparkEntry.queries("q_nb_train")(spark, dir).collect()
