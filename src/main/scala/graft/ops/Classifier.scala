@@ -34,8 +34,11 @@ import org.apache.spark.sql.functions._
   *    groupBy(token) with conditional sums — the shuffle is keyed on
   *    the Heaps-sublinear vocabulary, never on documents. The three
   *    scalars (N⁺, N⁻, V) ride a broadcast 1-row cross join.
-  *  - The model is vocabulary-sized; scoring broadcast-joins it to the
-  *    exploded tokens and partial-aggregates per doc — document text
+  *  - The model is vocabulary-sized; scoring joins it to the exploded
+  *    tokens through the size gate ([[Distributed.modelJoin]]:
+  *    broadcast under the row threshold, token-keyed shuffle join
+  *    above — a web corpus's raw-token vocabulary is Heaps-sublinear
+  *    but unbounded) and partial-aggregates per doc — document text
   *    never shuffles, and the per-doc sum combines map-side.
   *  - The model frame is memoized per (session, dataset) and
   *    localCheckpoint-pinned ([[Similarity.memo]], the ANN-artifact
@@ -57,78 +60,145 @@ object Classifier {
     */
   private def lnPpm(x: Column): Column = floor(log(x) * 1e6 + 0.5)
 
-  /** The trained model: (token, cnt_pos, cnt_neg, llr_ppm), memoized
-    * per (session, dataset) and pinned so neither consumer re-runs the
-    * corpus pass through lineage.
+  /** The counting pass shared by the full-corpus and the
+    * holdout-train models: one vocabulary-keyed conditional-sum
+    * aggregate over `docs` (needs `source`, `text`), then the three
+    * scalars (N⁺, N⁻, V) ride a broadcast 1-row cross join.
     */
-  private[graft] def nbModel(s: SparkSession, d: String): DataFrame =
+  private def buildModel(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select((col("source") === "src0").as("pos"),
+        explode(TextOps.wsTokens(lower(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cnt_pos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cnt_neg"))
+    val totals = counts
+      .agg(sum(col("cnt_pos")).as("np"), sum(col("cnt_neg")).as("nn"),
+        count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("cnt_pos"), col("cnt_neg"),
+        (lnPpm((col("cnt_pos") + 1).cast("double") /
+            (col("np") + col("v"))) -
+          lnPpm((col("cnt_neg") + 1).cast("double") /
+            (col("nn") + col("v")))).as("llr_ppm"))
+  }
+
+  /** The trained model: (token, cnt_pos, cnt_neg, llr_ppm), memoized
+    * per (session, dataset) WITH its row count and pinned so no
+    * consumer re-runs the corpus pass through lineage. The count is
+    * one cheap job over the pinned blocks and feeds the size gate of
+    * every downstream [[Distributed.modelJoin]].
+    */
+  private[graft] def nbModelWithRows(s: SparkSession, d: String)
+      : (DataFrame, Long) =
     Similarity.memo(s, d, "nb-model") {
       nbModelBuilds.incrementAndGet()
-      val counts = Tables.documents(s, d)
-        .select((col("source") === "src0").as("pos"),
-          explode(TextOps.wsTokens(lower(col("text")))).as("token"))
-        .groupBy("token")
-        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cnt_pos"),
-          sum(when(col("pos"), 0L).otherwise(1L)).as("cnt_neg"))
-      val totals = counts
-        .agg(sum(col("cnt_pos")).as("np"), sum(col("cnt_neg")).as("nn"),
-          count(lit(1)).as("v"))
-      counts.crossJoin(broadcast(totals))
-        .select(col("token"), col("cnt_pos"), col("cnt_neg"),
-          (lnPpm((col("cnt_pos") + 1).cast("double") /
-              (col("np") + col("v"))) -
-            lnPpm((col("cnt_neg") + 1).cast("double") /
-              (col("nn") + col("v")))).as("llr_ppm"))
-        .localCheckpoint()
+      val m = buildModel(Tables.documents(s, d)).localCheckpoint()
+      (m, m.count())
     }
 
+  private[graft] def nbModel(s: SparkSession, d: String): DataFrame =
+    nbModelWithRows(s, d)._1
+
   /** Per-document NB margin (doc_id, source, score_ppm): the one
-    * corpus scoring pass — explode tokens, broadcast-join the model,
-    * partial-aggregate per doc — shared by [[qNbScore]] and
-    * [[qNbAuc]] so the two stay the same population by construction.
+    * corpus scoring pass — explode tokens, size-gated-join the model
+    * ([[Distributed.modelJoin]]: broadcast under the row threshold,
+    * token-keyed shuffle join above), partial-aggregate per doc, then
+    * LEFT-join back to the document frame so a token-less (empty-text)
+    * document scores 0 instead of silently dropping out of the
+    * n_docs / AUC / threshold populations. Shared by [[qNbScore]],
+    * [[qNbAuc]] and [[qNbThresholds]] so the three stay the same
+    * population by construction.
+    *
+    * 100 TB shape: the token join moves (token, doc_id) pairs keyed on
+    * the vocabulary; the doc-side rejoin moves (doc_id, source) pairs
+    * only — document text never shuffles on either path.
     */
-  private def scoredDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def scoredDocs(s: SparkSession, d: String): DataFrame = {
+    val (model, rows) = nbModelWithRows(s, d)
+    val tokScores = Distributed.modelJoin(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.wsTokens(lower(col("text")))).as("token")),
+      model.select("token", "llr_ppm"), rows, Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum(col("llr_ppm")).as("tok_ppm"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(tokScores, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
-        explode(TextOps.wsTokens(lower(col("text")))).as("token"))
-      .join(broadcast(nbModel(s, d).select("token", "llr_ppm")), "token")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("llr_ppm")).as("score_ppm"))
+        coalesce(col("tok_ppm"), lit(0L)).as("score_ppm"))
+  }
 
   /** Class-prior margin in ppm as a 1-row frame — shared by
-    * [[qNbScore]] and [[qNbThresholds]].
+    * [[qNbScore]] and [[qNbThresholds]]. Guarded: an empty class
+    * (dp = 0 or dn = 0) yields prior 0 instead of ln(0) — Spark's
+    * `log` returns NULL there while DuckDB's `ln` raises on the
+    * -inf→BIGINT cast, a divergent failure mode without the guard.
     */
   private def priorsDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("dp"),
         sum(when(col("source") === "src0", 0L).otherwise(1L)).as("dn"))
-      .select((lnPpm(col("dp").cast("double") / (col("dp") + col("dn"))) -
-        lnPpm(col("dn").cast("double") / (col("dp") + col("dn"))))
+      .select(when(col("dp") === 0 || col("dn") === 0, lit(0L))
+        .otherwise(
+          lnPpm(col("dp").cast("double") / (col("dp") + col("dn"))) -
+            lnPpm(col("dn").cast("double") / (col("dp") + col("dn"))))
         .as("prior_ppm"))
 
-  /** The shared oracle model CTEs (toks → counts → tot → model). */
-  private def oracleModelCtes: String =
-    """toks AS MATERIALIZED (
-      |  SELECT doc_id, source, (source = 'src0') AS pos,
-      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
-      |      t -> t <> '')) AS token
-      |  FROM documents),
-      |counts AS MATERIALIZED (
-      |  SELECT token,
-      |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
-      |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cnt_neg
-      |  FROM toks GROUP BY 1),
-      |tot AS (
-      |  SELECT CAST(sum(cnt_pos) AS BIGINT) AS np,
-      |    CAST(sum(cnt_neg) AS BIGINT) AS nn,
-      |    CAST(count(*) AS BIGINT) AS v
-      |  FROM counts),
-      |model AS MATERIALIZED (
-      |  SELECT token, cnt_pos, cnt_neg,
-      |    CAST(floor(ln(CAST(cnt_pos + 1 AS DOUBLE) / (np + v)) * 1e6 + 0.5)
-      |       - floor(ln(CAST(cnt_neg + 1 AS DOUBLE) / (nn + v)) * 1e6 + 0.5)
-      |      AS BIGINT) AS llr_ppm
-      |  FROM counts, tot)""".stripMargin
+  /** The shared oracle model CTEs (toks → counts → tot → model),
+    * name-prefixed with `p` and trained over `docsRel` (any relation
+    * exposing doc_id, source, text — `documents` for the full-corpus
+    * model, the train split for the holdout model).
+    */
+  private def oracleModelCtes(p: String = "",
+      docsRel: String = "documents"): String =
+    s"""${p}toks AS MATERIALIZED (
+       |  SELECT doc_id, source, (source = 'src0') AS pos,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t <> '')) AS token
+       |  FROM $docsRel),
+       |${p}counts AS MATERIALIZED (
+       |  SELECT token,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cnt_neg
+       |  FROM ${p}toks GROUP BY 1),
+       |${p}tot AS (
+       |  SELECT CAST(sum(cnt_pos) AS BIGINT) AS np,
+       |    CAST(sum(cnt_neg) AS BIGINT) AS nn,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM ${p}counts),
+       |${p}model AS MATERIALIZED (
+       |  SELECT token, cnt_pos, cnt_neg,
+       |    CAST(floor(ln(CAST(cnt_pos + 1 AS DOUBLE) / (np + v)) * 1e6 + 0.5)
+       |       - floor(ln(CAST(cnt_neg + 1 AS DOUBLE) / (nn + v)) * 1e6 + 0.5)
+       |      AS BIGINT) AS llr_ppm
+       |  FROM ${p}counts, ${p}tot)""".stripMargin
+
+  /** The oracle's per-doc scored frame: LEFT join documents to the
+    * per-doc token llr sums (mirrors [[scoredDocs]] — token-less docs
+    * keep score 0).
+    */
+  private def oracleScoredCte: String =
+    """scored0 AS (
+      |  SELECT d.doc_id, d.source, coalesce(ts.v, 0) AS score_ppm
+      |  FROM documents d LEFT JOIN (
+      |    SELECT t.doc_id, CAST(sum(m.llr_ppm) AS BIGINT) AS v
+      |    FROM toks t JOIN model m USING (token) GROUP BY t.doc_id) ts
+      |  USING (doc_id))""".stripMargin
+
+  /** The oracle's guarded class-prior CTE (mirrors [[priorsDf]]). */
+  private def oraclePriorCte: String =
+    """prior AS (
+      |  SELECT CASE WHEN dp = 0 OR dn = 0 THEN 0 ELSE
+      |    CAST(floor(ln(CAST(dp AS DOUBLE) / (dp + dn)) * 1e6 + 0.5)
+      |       - floor(ln(CAST(dn AS DOUBLE) / (dp + dn)) * 1e6 + 0.5)
+      |      AS BIGINT) END AS prior_ppm
+      |  FROM (SELECT
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS dp,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS dn
+      |    FROM documents))""".stripMargin
 
   /** q_nb_train — the trained model artifact: per-token class counts
     * and the quantized log-likelihood-ratio weight. This is the table
@@ -139,7 +209,7 @@ object Classifier {
     "q_nb_train",
     (s, d) => nbModel(s, d).orderBy("token"),
     Some(
-      s"""WITH $oracleModelCtes
+      s"""WITH ${oracleModelCtes()}
          |SELECT token, cnt_pos, cnt_neg, llr_ppm
          |FROM model ORDER BY token""".stripMargin
     )
@@ -159,7 +229,7 @@ object Classifier {
     * ~9.2e18 ppm — reachable at 10⁹ docs × 10⁷-ppm margins, i.e. the
     * 100 TB regime).
     *
-    * 100 TB shape: one broadcast join of the vocabulary-sized model to
+    * 100 TB shape: one size-gated join of the vocabulary-sized model to
     * the exploded tokens, one doc-keyed partial-aggregated rollup, one
     * ≤ #sources rollup. Text never shuffles.
     */
@@ -181,23 +251,13 @@ object Classifier {
         .orderBy("source")
     },
     Some(
-      s"""WITH $oracleModelCtes,
-         |prior AS (
-         |  SELECT CAST(floor(ln(CAST(dp AS DOUBLE) / (dp + dn)) * 1e6 + 0.5)
-         |          - floor(ln(CAST(dn AS DOUBLE) / (dp + dn)) * 1e6 + 0.5)
-         |    AS BIGINT) AS prior_ppm
-         |  FROM (SELECT
-         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS dp,
-         |    CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
-         |      AS BIGINT) AS dn
-         |    FROM documents)),
+      s"""WITH ${oracleModelCtes()},
+         |$oraclePriorCte,
+         |$oracleScoredCte,
          |scored AS (
-         |  SELECT t.doc_id, t.source,
-         |    CAST(sum(m.llr_ppm) AS BIGINT) + (SELECT prior_ppm FROM prior)
-         |      AS total_ppm
-         |  FROM toks t JOIN model m USING (token)
-         |  GROUP BY t.doc_id, t.source)
+         |  SELECT doc_id, source,
+         |    score_ppm + (SELECT prior_ppm FROM prior) AS total_ppm
+         |  FROM scored0)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN total_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_pred_pos,
@@ -220,7 +280,7 @@ object Classifier {
     * AUC·2PN = Σ_v p_v·(2·negBelow(v) + q_v), pair products carried in
     * DECIMAL(38,0)/HUGEINT, one exact integral division to auc_ppm.
     *
-    * 100 TB shape: scoring is the broadcast-join token pass; the
+    * 100 TB shape: scoring is the gated model-join token pass; the
     * running negative count uses [[Distributed.globalCumSum]]'s ranged
     * two-pass prefix sum over the score order — score cardinality is
     * corpus-sized, so a single-partition `sum() OVER (ORDER BY v)`
@@ -248,18 +308,19 @@ object Classifier {
           .as("num2"))
         .crossJoin(broadcast(tot))
         .select(col("pn").as("pos_n"), col("qn").as("neg_n"),
-          expr("CAST((num2 * 1000000) div " +
+          expr("CASE WHEN pn = 0 OR qn = 0 THEN 0 ELSE " +
+            "CAST((num2 * 1000000) div " +
             "(2 * CAST(pn AS DECIMAL(38,0)) * CAST(qn AS DECIMAL(38,0))) " +
-            "AS BIGINT)").as("auc_ppm"))
+            "AS BIGINT) END").as("auc_ppm"))
     },
     Some(
-      s"""WITH $oracleModelCtes,
+      s"""WITH ${oracleModelCtes()},
+         |$oracleScoredCte,
          |scored AS (
-         |  SELECT t.doc_id,
-         |    CASE WHEN t.source = 'src0' THEN 1 ELSE 0 END AS isp,
-         |    CAST(sum(m.llr_ppm) AS BIGINT) AS v
-         |  FROM toks t JOIN model m USING (token)
-         |  GROUP BY t.doc_id, t.source),
+         |  SELECT doc_id,
+         |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS isp,
+         |    score_ppm AS v
+         |  FROM scored0),
          |byv AS (
          |  SELECT v, CAST(sum(isp) AS BIGINT) AS p,
          |    CAST(count(*) - sum(isp) AS BIGINT) AS q
@@ -272,8 +333,9 @@ object Classifier {
          |  SELECT CAST(sum(p) AS BIGINT) AS pn, CAST(sum(q) AS BIGINT) AS qn
          |  FROM byv)
          |SELECT pn AS pos_n, qn AS neg_n,
-         |  CAST((sum(CAST(p AS HUGEINT) * (2 * (cq - q) + q)) * 1000000) //
-         |    (2 * CAST(pn AS HUGEINT) * qn) AS BIGINT) AS auc_ppm
+         |  CASE WHEN pn = 0 OR qn = 0 THEN 0 ELSE
+         |    CAST((sum(CAST(p AS HUGEINT) * (2 * (cq - q) + q)) * 1000000) //
+         |      (2 * CAST(pn AS HUGEINT) * qn) AS BIGINT) END AS auc_ppm
          |FROM cum, atot GROUP BY pn, qn""".stripMargin
     )
   )
@@ -327,31 +389,23 @@ object Classifier {
           expr("CASE WHEN r.n_kept = 0 THEN 0 ELSE " +
             "CAST((CAST(r.n_pos_kept AS DECIMAL(38,0)) * 1000000) " +
             "div r.n_kept AS BIGINT) END").as("precision_ppm"),
-          expr("CAST((CAST(r.n_pos_kept AS DECIMAL(38,0)) * 1000000) " +
-            "div pos_n AS BIGINT)").as("recall_ppm"),
-          expr("CAST((CAST(r.n_pos_kept AS DECIMAL(38,0)) * 2000000) " +
-            "div (r.n_kept + pos_n) AS BIGINT)").as("f1_ppm"))
+          expr("CASE WHEN pos_n = 0 THEN 0 ELSE " +
+            "CAST((CAST(r.n_pos_kept AS DECIMAL(38,0)) * 1000000) " +
+            "div pos_n AS BIGINT) END").as("recall_ppm"),
+          expr("CASE WHEN r.n_kept + pos_n = 0 THEN 0 ELSE " +
+            "CAST((CAST(r.n_pos_kept AS DECIMAL(38,0)) * 2000000) " +
+            "div (r.n_kept + pos_n) AS BIGINT) END").as("f1_ppm"))
         .orderBy("threshold_ppm")
     },
     Some {
       val tList = Thresholds.mkString(", ")
-      s"""WITH $oracleModelCtes,
-         |prior AS (
-         |  SELECT CAST(floor(ln(CAST(dp AS DOUBLE) / (dp + dn)) * 1e6 + 0.5)
-         |          - floor(ln(CAST(dn AS DOUBLE) / (dp + dn)) * 1e6 + 0.5)
-         |    AS BIGINT) AS prior_ppm
-         |  FROM (SELECT
-         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS dp,
-         |    CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
-         |      AS BIGINT) AS dn
-         |    FROM documents)),
+      s"""WITH ${oracleModelCtes()},
+         |$oraclePriorCte,
+         |$oracleScoredCte,
          |scored AS (
-         |  SELECT CAST(sum(m.llr_ppm) AS BIGINT) +
-         |      (SELECT prior_ppm FROM prior) AS v,
-         |    CASE WHEN t.source = 'src0' THEN 1 ELSE 0 END AS isp
-         |  FROM toks t JOIN model m USING (token)
-         |  GROUP BY t.doc_id, t.source),
+         |  SELECT score_ppm + (SELECT prior_ppm FROM prior) AS v,
+         |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS isp
+         |  FROM scored0),
          |rungs AS (
          |  SELECT CAST(u.t AS BIGINT) AS threshold_ppm,
          |    CAST(sum(CASE WHEN v > u.t THEN 1 ELSE 0 END) AS BIGINT)
@@ -365,13 +419,265 @@ object Classifier {
          |  CASE WHEN n_kept = 0 THEN 0 ELSE
          |    CAST((CAST(n_pos_kept AS HUGEINT) * 1000000) // n_kept
          |      AS BIGINT) END AS precision_ppm,
-         |  CAST((CAST(n_pos_kept AS HUGEINT) * 1000000) // pos_n
-         |    AS BIGINT) AS recall_ppm,
-         |  CAST((CAST(n_pos_kept AS HUGEINT) * 2000000) // (n_kept + pos_n)
-         |    AS BIGINT) AS f1_ppm
+         |  CASE WHEN pos_n = 0 THEN 0 ELSE
+         |    CAST((CAST(n_pos_kept AS HUGEINT) * 1000000) // pos_n
+         |      AS BIGINT) END AS recall_ppm,
+         |  CASE WHEN n_kept + pos_n = 0 THEN 0 ELSE
+         |    CAST((CAST(n_pos_kept AS HUGEINT) * 2000000) // (n_kept + pos_n)
+         |      AS BIGINT) END AS f1_ppm
          |FROM rungs ORDER BY threshold_ppm""".stripMargin
     }
   )
 
-  val all: Seq[Q] = Seq(qNbTrain, qNbScore, qNbAuc, qNbThresholds)
+  // ------------------------------------------------- holdout evaluation
+
+  /** Near-dup cluster labels for the split key: connected components
+    * of the MinHash-LSH pair graph ([[Dedup.connectedComponentsStar]]
+    * over [[Dedup.lshPairs]] — q_dedup_clusters' machinery), memoized
+    * with the label count and pinned. Only docs that HAVE a near-dup
+    * appear; everything else clusters to itself downstream.
+    */
+  private[graft] def splitLabelsWithRows(s: SparkSession, d: String)
+      : (DataFrame, Long) =
+    Similarity.memo(s, d, "nb-split-labels") {
+      val l = Dedup.connectedComponentsStar(
+        Dedup.lshPairs(s, d)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("node").as("doc_id"), col("component_id"))
+        .localCheckpoint()
+      (l, l.count())
+    }
+
+  /** Leakage-safe document split assignment — the text-corpus analog
+    * of [[Multimodal.qClusterSafeSplit]] (which splits only the
+    * doc_id%3==0 image assets on the PERCEPTUAL cluster; the text
+    * classifier's population is every document, so its split keys on
+    * the text near-dup cluster instead). Split key = the near-dup
+    * component id (a doc with no near-dup keys to itself); bucket =
+    * md5(key) % 10 → 8/1/1 train/val/test, so a near-duplicate can
+    * never land in train while its twin sits in val — the leakage
+    * mode that inflates holdout scores the moment dedup is
+    * approximate.
+    *
+    * 100 TB shape: the label frame holds one row per doc WITH a
+    * near-dup — a corpus fraction, so the doc-side join rides the
+    * size gate ([[Distributed.modelJoin]]: broadcast while small,
+    * doc_id-keyed shuffle join once near-dup membership is
+    * corpus-scale); the split itself is a deterministic map-side
+    * hash. Text never shuffles (the join carries doc_id + a long).
+    */
+  private def splitDocs(s: SparkSession, d: String): DataFrame = {
+    val (labels, rows) = splitLabelsWithRows(s, d)
+    Distributed.modelJoin(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("text")),
+      labels, rows, Seq("doc_id"), joinType = "left")
+      .withColumn("ckey", coalesce(col("component_id"), col("doc_id")))
+      .withColumn("bucket",
+        (conv(substring(md5(col("ckey").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .select("doc_id", "source", "text", "ckey", "split")
+  }
+
+  /** hex(8 chars) → BIGINT without conv(): positional arithmetic (the
+    * qClusterSafeSplit construction, proven hash-identical to Spark's
+    * conv/substring/md5).
+    */
+  private def hexToLongSql(h: String): String =
+    (0 until 8).map { k =>
+      val mult = 1L << (4 * (7 - k))
+      s"(strpos('0123456789abcdef', substr($h, ${1 + k}, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+
+  /** The shared oracle split chain: LSH pairs → CC (recursive reach,
+    * the q_dedup_clusters oracle form) → coalesced cluster key →
+    * md5-bucketed 8/1/1 split. Requires WITH RECURSIVE.
+    */
+  private def oracleSplitCtes: String =
+    s"""pairs AS (${Dedup.lshPairsSql}),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS node, src AS r FROM edges
+       |  UNION
+       |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+       |comp AS (
+       |  SELECT node AS doc_id, min(r) AS component_id
+       |  FROM reach GROUP BY node),
+       |sp AS MATERIALIZED (
+       |  SELECT doc_id, source, text, ckey,
+       |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM (SELECT d.doc_id, d.source, d.text,
+       |      coalesce(c.component_id, d.doc_id) AS ckey,
+       |      ${hexToLongSql(
+                 "substr(md5(CAST(coalesce(c.component_id, d.doc_id) " +
+                   "AS VARCHAR)), 1, 8)")} % 10 AS b
+       |    FROM documents d LEFT JOIN comp c USING (doc_id)))""".stripMargin
+
+  /** q_nb_split — the leakage-safe split audit: per-split document,
+    * positive-class, and cluster counts plus n_leaky_clusters
+    * (clusters observed in >1 split — 0 BY CONSTRUCTION, present as
+    * the measured alarm column, the [[Multimodal.qClusterSafeSplit]]
+    * discipline). This is the population table [[qNbAucHoldout]]
+    * evaluates on.
+    */
+  val qNbSplit = Q(
+    "q_nb_split",
+    (s, d) => {
+      val assigned = splitDocs(s, d).select("doc_id", "source", "ckey",
+        "split")
+      val leaky = assigned.groupBy("ckey")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L))
+          .as("n_leaky_clusters"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_pos"),
+          countDistinct(col("ckey")).as("n_clusters"))
+        .crossJoin(broadcast(leaky))
+        .orderBy("split")
+    },
+    Some(
+      s"""WITH RECURSIVE $oracleSplitCtes,
+         |leaky AS (
+         |  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_leaky_clusters
+         |  FROM (SELECT ckey, count(DISTINCT split) AS ns
+         |        FROM sp GROUP BY ckey))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos,
+         |  CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters,
+         |  (SELECT n_leaky_clusters FROM leaky) AS n_leaky_clusters
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin
+    )
+  )
+
+  /** The holdout model — the same closed-form counting pass as
+    * [[nbModel]] but trained ONLY on the train split, memoized with
+    * its row count for the scoring join's size gate. Val/test rows
+    * never enter this aggregate by construction (the split filter is
+    * upstream of the counting pass).
+    */
+  private[graft] def nbHoldoutModelWithRows(s: SparkSession, d: String)
+      : (DataFrame, Long) =
+    Similarity.memo(s, d, "nb-model-holdout") {
+      val m = buildModel(splitDocs(s, d).filter(col("split") === "train"))
+        .localCheckpoint()
+      (m, m.count())
+    }
+
+  /** q_nb_auc_holdout — out-of-sample evaluation of the trained
+    * filter: the model trains on the leakage-safe TRAIN split only,
+    * then ranks both the train and the val split; the two AUC rows
+    * side by side are the overfitting audit a pipeline reads before
+    * trusting a retention threshold (q_nb_auc's whole-corpus number
+    * is in-sample by declaration; the train−val gap here is the
+    * number that says how much of it is memorization). Val tokens
+    * unseen in training contribute 0 (they exist in neither class's
+    * counts — the ratio of their Laplace fallbacks is prior-neutral
+    * under this quantization), and a val doc with NO known tokens
+    * scores 0, kept in the population by the left join.
+    *
+    * Exactness: same construction as [[qNbAuc]] (tie-corrected
+    * Mann-Whitney over per-score count frames, DECIMAL(38,0)/HUGEINT
+    * pair products, one integral division), guarded to 0 when a split
+    * lacks a class.
+    *
+    * 100 TB shape: split assignment is the gated label join;
+    * training is one vocab-keyed pass over ~80% of the corpus;
+    * scoring is the gated model join + doc-keyed rollup; each split's
+    * running negative count rides [[Distributed.globalCumSum]]'s
+    * ranged two-pass prefix sum. Text never shuffles.
+    */
+  val qNbAucHoldout = Q(
+    "q_nb_auc_holdout",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val (model, mrows) = nbHoldoutModelWithRows(s, d)
+      val docs = splitDocs(s, d)
+        .filter(col("split").isin("train", "val"))
+      val tokScores = Distributed.modelJoin(
+        docs.select(col("doc_id"),
+          explode(TextOps.wsTokens(lower(col("text")))).as("token")),
+        model.select("token", "llr_ppm"), mrows, Seq("token"))
+        .groupBy("doc_id")
+        .agg(sum(col("llr_ppm")).as("tok_ppm"))
+      val scored = docs.select(col("doc_id"), col("split"),
+        when(col("source") === "src0", 1L).otherwise(0L).as("isp"))
+        .join(tokScores, Seq("doc_id"), "left")
+        .select(col("split"), col("isp"),
+          coalesce(col("tok_ppm"), lit(0L)).as("v"))
+        .localCheckpoint() // pinned: both split arms read this pass
+      def aucOf(sp: String): DataFrame = {
+        val byv = scored.filter(col("split") === sp)
+          .groupBy("v").agg(
+            sum(col("isp")).as("p"),
+            (count(lit(1)) - sum(col("isp"))).as("q"))
+          .localCheckpoint() // feeds both the prefix sum and the totals
+        val cum = Distributed.globalCumSum(byv, Seq(col("v")), col("q"),
+          "cq")
+        val tot = byv.agg(sum(col("p")).as("pn"), sum(col("q")).as("qn"))
+        cum
+          .agg(sum(col("p").cast(dec) *
+            (lit(2) * (col("cq") - col("q")).cast(dec) +
+              col("q").cast(dec))).as("num2"))
+          .crossJoin(broadcast(tot))
+          .select(lit(sp).as("split"),
+            coalesce(col("pn"), lit(0L)).as("pos_n"),
+            coalesce(col("qn"), lit(0L)).as("neg_n"),
+            expr("CASE WHEN pn IS NULL OR qn IS NULL OR pn = 0 OR qn = 0 " +
+              "THEN 0 ELSE CAST((num2 * 1000000) div " +
+              "(2 * CAST(pn AS DECIMAL(38,0)) * CAST(qn AS DECIMAL(38,0)))" +
+              " AS BIGINT) END").as("auc_ppm"))
+      }
+      aucOf("train").union(aucOf("val")).orderBy("split")
+    },
+    Some(
+      s"""WITH RECURSIVE $oracleSplitCtes,
+         |${oracleModelCtes("h",
+             "(SELECT doc_id, source, text FROM sp WHERE split = 'train')")},
+         |hstoks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(
+         |    lower(text), '\\s+'), t -> t <> '')) AS token
+         |  FROM sp WHERE split IN ('train', 'val')),
+         |hts AS (
+         |  SELECT t.doc_id, CAST(sum(m.llr_ppm) AS BIGINT) AS v
+         |  FROM hstoks t JOIN hmodel m USING (token) GROUP BY t.doc_id),
+         |hscored AS (
+         |  SELECT s.split,
+         |    CASE WHEN s.source = 'src0' THEN 1 ELSE 0 END AS isp,
+         |    coalesce(t.v, 0) AS v
+         |  FROM sp s LEFT JOIN hts t USING (doc_id)
+         |  WHERE s.split IN ('train', 'val')),
+         |hbyv AS (
+         |  SELECT split, v, CAST(sum(isp) AS BIGINT) AS p,
+         |    CAST(count(*) - sum(isp) AS BIGINT) AS q
+         |  FROM hscored GROUP BY split, v),
+         |hcum AS (
+         |  SELECT split, p, q,
+         |    CAST(sum(q) OVER (PARTITION BY split ORDER BY v) AS BIGINT)
+         |      AS cq
+         |  FROM hbyv),
+         |htot2 AS (
+         |  SELECT split, CAST(sum(p) AS BIGINT) AS pn,
+         |    CAST(sum(q) AS BIGINT) AS qn
+         |  FROM hbyv GROUP BY split)
+         |SELECT c.split, pn AS pos_n, qn AS neg_n,
+         |  CASE WHEN pn = 0 OR qn = 0 THEN 0 ELSE
+         |    CAST((sum(CAST(p AS HUGEINT) * (2 * (cq - q) + q)) * 1000000)
+         |      // (2 * CAST(pn AS HUGEINT) * qn) AS BIGINT) END AS auc_ppm
+         |FROM hcum c JOIN htot2 USING (split)
+         |GROUP BY c.split, pn, qn ORDER BY split""".stripMargin
+    )
+  )
+
+  val all: Seq[Q] = Seq(qNbTrain, qNbScore, qNbAuc, qNbThresholds,
+    qNbSplit, qNbAucHoldout)
 }

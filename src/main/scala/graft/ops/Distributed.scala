@@ -122,4 +122,33 @@ object Distributed {
       .drop(pidCol, offCol)
     (ranked, total, rankCol)
   }
+
+  /** Join a corpus-side `probe` to a model/vocabulary-sized `build`
+    * frame on `keys`, gating the broadcast hint on the build side's
+    * actual row count — [[Layout.applyDeletionVectors]]'s size-gate
+    * pattern generalized to every trained-model join (NB classifier
+    * weights, tokenizer piece-count tables, near-dup cluster labels).
+    *
+    * Why a gate and not an unconditional hint: these frames are keyed
+    * on the corpus vocabulary (or the near-dup membership) —
+    * Heaps-sublinear but UNBOUNDED. A web corpus's raw-token
+    * vocabulary runs 10⁸–10⁹ entries once URLs, typos, and code land,
+    * and forcing that through a driver broadcast is an OOM, not a
+    * plan choice. Under `maxBroadcastRows` the model broadcasts (zero
+    * shuffle of the probe side); above it the join falls back to a
+    * key-partitioned shuffle join, co-partitioning the exploded
+    * corpus stream with the model on the join key. Both arms are
+    * plan-asserted (ClassifierSpec).
+    *
+    * `buildRows` is counted by the caller — every model frame in the
+    * repo is memoized and localCheckpoint-pinned, so the count is a
+    * cheap job over pinned blocks, not a recompute of the training
+    * pass.
+    */
+  def modelJoin(probe: DataFrame, build: DataFrame, buildRows: Long,
+      keys: Seq[String], joinType: String = "inner",
+      maxBroadcastRows: Long = 10000000L): DataFrame = {
+    val hinted = if (buildRows <= maxBroadcastRows) broadcast(build) else build
+    probe.join(hinted, keys, joinType)
+  }
 }

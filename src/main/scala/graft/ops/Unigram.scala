@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
   * `aggregate` DP — no UDF, no shuffle of text) plus one
   * vocabulary-sized piece-count aggregate; the model (≤ [[S]]+chars
   * rows) is collected per round, the BPE argmax precedent. Encoding
-  * segments the distinct words once and broadcast-joins the per-word
+  * segments the distinct words once and size-gate-joins the per-word
   * piece counts back to documents — document text never shuffles.
   *
   * Reference scope: the reference engine ships no tokenizer trainer —
@@ -350,18 +350,26 @@ object Unigram {
   )
 
   /** Per-distinct-word subword counts under the shipped model — the
-    * Heaps-sublinear frame encode and compare broadcast back to
-    * documents; memoized and pinned so the two consumers share ONE
-    * token pass + Viterbi segmentation per (session, dataset).
+    * Heaps-sublinear frame encode and compare join back to documents
+    * through the size gate ([[Distributed.modelJoin]]: broadcast
+    * under the row threshold, word-keyed shuffle join once the
+    * distinct-word frame is web-corpus-sized); memoized WITH its row
+    * count and pinned so the two consumers share ONE token pass +
+    * Viterbi segmentation per (session, dataset).
     */
-  private def wordPieceCounts(s: SparkSession, d: String): DataFrame =
+  private[ops] def wordPieceCountsWithRows(s: SparkSession, d: String)
+      : (DataFrame, Long) =
     Similarity.memo(s, d, "unigram-wpc") {
       val cf = train(s, d).costs
-      wordsDf(s, d)
+      val wp = wordsDf(s, d)
         .select(col("word"),
           size(viterbiPieces(col("word"), cf)).cast("long").as("np"))
         .localCheckpoint()
+      (wp, wp.count())
     }
+
+  private def wordPieceCounts(s: SparkSession, d: String): DataFrame =
+    wordPieceCountsWithRows(s, d)._1
 
   /** q_unigram_encode — apply the shipped model: Viterbi-segment the
     * DISTINCT words once under the final costs, broadcast the per-word
@@ -371,16 +379,17 @@ object Unigram {
     *
     * 100 TB shape: segmentation touches only the Heaps-sublinear
     * distinct-word frame; the doc-side pass is one map-only tokenize +
-    * a broadcast join + one partial-aggregated doc-keyed rollup.
+    * a size-gated model join + one partial-aggregated doc-keyed rollup.
     */
   val qUnigramEncode = Q(
     "q_unigram_encode",
     (s, d) => {
-      val wp = wordPieceCounts(s, d)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(TextOps.wsTokens(lower(col("text")))).as("word"))
-        .join(broadcast(wp), "word")
+      val (wp, wpRows) = wordPieceCountsWithRows(s, d)
+      Distributed.modelJoin(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.wsTokens(lower(col("text")))).as("word")),
+        wp, wpRows, Seq("word"))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_tok"),
           sum(col("np")).as("n_subtok"))
@@ -420,7 +429,7 @@ object Unigram {
     *
     * 100 TB shape: the BPE side is the codegen'd map-only replace
     * chain; the unigram and WordPiece sides segment only the
-    * Heaps-sublinear distinct words and broadcast-join counts back;
+    * Heaps-sublinear distinct words and size-gate-join counts back;
     * all roll up to ≤ #langs rows with partial aggregation. Document
     * text never shuffles.
     */
@@ -437,15 +446,19 @@ object Unigram {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
           sum(Bpe.subtokOf(col("e")).cast("long")).as("bpe_subtok"))
-      val uni = Tables.documents(s, d)
-        .select(col("lang"),
-          explode(TextOps.wsTokens(lower(col("text")))).as("word"))
-        .join(broadcast(wordPieceCounts(s, d)), "word")
+      val (uwp, uwpRows) = wordPieceCountsWithRows(s, d)
+      val uni = Distributed.modelJoin(
+        Tables.documents(s, d)
+          .select(col("lang"),
+            explode(TextOps.wsTokens(lower(col("text")))).as("word")),
+        uwp, uwpRows, Seq("word"))
         .groupBy("lang").agg(sum(col("np")).as("uni_subtok"))
-      val wpc = Tables.documents(s, d)
-        .select(col("lang"),
-          explode(TextOps.wsTokens(lower(col("text")))).as("word"))
-        .join(broadcast(Wordpiece.wordPieceCounts(s, d)), "word")
+      val (wwp, wwpRows) = Wordpiece.wordPieceCountsWithRows(s, d)
+      val wpc = Distributed.modelJoin(
+        Tables.documents(s, d)
+          .select(col("lang"),
+            explode(TextOps.wsTokens(lower(col("text")))).as("word")),
+        wwp, wwpRows, Seq("word"))
         .groupBy("lang").agg(sum(col("np")).as("wp_subtok"))
       bpe.join(uni, "lang").join(wpc, "lang")
         .select(col("lang"), col("n_docs"), col("n_tok"),

@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   * joins, and a 1-row argmax collect; the model is memoized per
   * (session, dataset). Encoding segments only the DISTINCT words (a
   * codegen-planned higher-order `aggregate` walk — no UDF) and
-  * broadcast-joins per-word piece counts back to documents — document
+  * size-gate-joins per-word piece counts back to documents
+  * ([[Distributed.modelJoin]]) — document
   * text never shuffles.
   *
   * Reference scope: the reference engine ships no tokenizer trainer —
@@ -134,20 +135,25 @@ object Wordpiece {
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Per-distinct-word greedy piece counts under the trained model —
-    * memoized and pinned so encode and the triad compare share ONE
+    * memoized WITH the frame's row count (for the doc-side join's
+    * size gate) and pinned so encode and the triad compare share ONE
     * token pass + MaxMatch walk per (session, dataset).
     */
-  private[graft] def wordPieceCounts(s: SparkSession, d: String)
-      : DataFrame =
+  private[graft] def wordPieceCountsWithRows(s: SparkSession, d: String)
+      : (DataFrame, Long) =
     Similarity.memo(s, d, "wordpiece-wpc") {
       val merges = train(s, d)
       val pieces = merges.map(_._4).distinct.map(_ -> 1).toMap
       val lmax = if (pieces.isEmpty) 1 else pieces.keys.map(_.length).max
-      wordsDf(s, d)
+      val wp = wordsDf(s, d)
         .select(col("word"),
           greedyCount(col("word"), pieces, lmax).as("np"))
         .localCheckpoint()
+      (wp, wp.count())
     }
+
+  private[graft] def wordPieceCounts(s: SparkSession, d: String)
+      : DataFrame = wordPieceCountsWithRows(s, d)._1
 
   // --------------------------------------------------------- oracle SQL
 
@@ -260,15 +266,17 @@ object Wordpiece {
     *
     * 100 TB shape: the MaxMatch walk touches only the Heaps-sublinear
     * distinct words; the doc-side pass is one map-only tokenize + a
-    * broadcast join + one partial-aggregated doc-keyed rollup.
+    * size-gated model join + one partial-aggregated doc-keyed rollup.
     */
   val qWordpieceEncode = Q(
     "q_wordpiece_encode",
     (s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(TextOps.wsTokens(lower(col("text")))).as("word"))
-        .join(broadcast(wordPieceCounts(s, d)), "word")
+      val (wp, wpRows) = wordPieceCountsWithRows(s, d)
+      Distributed.modelJoin(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.wsTokens(lower(col("text")))).as("word")),
+        wp, wpRows, Seq("word"))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_tok"),
           sum(col("np")).as("n_subtok"))

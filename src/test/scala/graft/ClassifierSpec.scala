@@ -105,12 +105,137 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("train and score share ONE model build per (session, dataset)") {
+    // a FRESH dataset dir (not the suite-shared one, whose memo other
+    // tests may already have populated) so the pin holds in isolation:
+    // train + score + score = exactly one counting-pass build
+    val fresh = Files.createTempDirectory("nbspec-memo").toString
+    import spark.implicits._
+    Seq(
+      (0L, "alpha beta", "en", "src0", 10L),
+      (1L, "beta gamma", "en", "src1", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$fresh/documents.parquet")
     val before = Classifier.nbModelBuilds.get()
-    SparkEntry.queries("q_nb_train")(spark, dir).collect()
-    SparkEntry.queries("q_nb_score")(spark, dir).collect()
-    SparkEntry.queries("q_nb_score")(spark, dir).collect()
-    // dir was already touched by the earlier tests' memo — zero new
-    // builds here; a fresh dataset dir costs exactly one
-    assert(Classifier.nbModelBuilds.get() === before)
+    SparkEntry.queries("q_nb_train")(spark, fresh).collect()
+    SparkEntry.queries("q_nb_score")(spark, fresh).collect()
+    SparkEntry.queries("q_nb_score")(spark, fresh).collect()
+    assert(Classifier.nbModelBuilds.get() === before + 1)
+  }
+
+  test("a token-less document stays in the scored population at score 0") {
+    // doc 4 is pure whitespace: no tokens, so the token join alone
+    // would drop it — the doc-level left join must keep it with
+    // margin = prior only (ADVICE r10: the routing audit undercounted
+    // per-source doc totals on corpora containing empty docs)
+    val fresh = Files.createTempDirectory("nbspec-empty").toString
+    import spark.implicits._
+    Seq(
+      (0L, "good the good", "en", "src0", 13L),
+      (1L, "good the", "en", "src0", 8L),
+      (2L, "spam the spam", "en", "src1", 13L),
+      (3L, "spam the", "en", "src2", 8L),
+      (4L, "   ", "en", "src3", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$fresh/documents.parquet")
+    val rows = SparkEntry.queries("q_nb_score")(spark, fresh)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // src3 = the empty doc alone: counted, margin exactly the prior
+    // (2 pos vs 3 neg docs)
+    val prior = lnPpm(2.0 / 5) - lnPpm(3.0 / 5)
+    assert(rows("src3") === ((1L, if (prior > 0) 1L else 0L, prior)))
+    // and the AUC population includes all 5 docs
+    val auc = SparkEntry.queries("q_nb_auc")(spark, fresh).collect()(0)
+    assert(auc.getLong(0) + auc.getLong(1) === 5L)
+  }
+
+  test("guards: a corpus with NO positive-class docs yields 0s, not " +
+    "NULL/crash (prior ln(0), recall/F1 div-by-zero, AUC)") {
+    val fresh = Files.createTempDirectory("nbspec-nopos").toString
+    import spark.implicits._
+    Seq(
+      (0L, "spam the", "en", "src1", 8L),
+      (1L, "ham the", "en", "src2", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$fresh/documents.parquet")
+    val thr = SparkEntry.queries("q_nb_thresholds")(spark, fresh).collect()
+    assert(thr.nonEmpty)
+    thr.foreach { r =>
+      assert(r.getLong(4) === 0L, "recall_ppm must guard pos_n = 0")
+      assert(r.getLong(5) === 0L, "f1_ppm must guard pos_n = 0")
+    }
+    val auc = SparkEntry.queries("q_nb_auc")(spark, fresh).collect()(0)
+    assert(auc.getLong(0) === 0L && auc.getLong(2) === 0L)
+    // prior guard: mean margin is finite (0 prior + token scores)
+    val score = SparkEntry.queries("q_nb_score")(spark, fresh).collect()
+    assert(score.length === 2)
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_nb_split partitions every document into exactly one split " +
+    "with ZERO leaky clusters (the leakage-safe invariant)") {
+    val rows = SparkEntry.queries("q_nb_split")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).sorted.toSeq === Seq("test", "train", "val"))
+    assert(rows.map(_._2._1).sum === 500L) // every doc, exactly once
+    rows.foreach { case (_, (_, _, _, leaky)) => assert(leaky === 0L) }
+    // train dominates (8/10 buckets) and every split has both classes
+    val byName = rows.toMap
+    assert(byName("train")._1 > byName("val")._1)
+    rows.foreach { case (_, (n, pos, _, _)) =>
+      assert(pos > 0 && pos < n)
+    }
+  }
+
+  test("q_nb_auc_holdout evaluates on the split populations (train " +
+    "rows never enter the val row) and both AUCs are proper") {
+    val split = SparkEntry.queries("q_nb_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = SparkEntry.queries("q_nb_auc_holdout")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("train", "val"))
+    // the eval populations ARE the split populations: pos_n + neg_n
+    // per row equals the split's doc count, pos_n its positive count —
+    // composed with the zero-leak invariant above, a train row can
+    // never sit in the val population
+    assert(rows("train")._1 === split("train")._2)
+    assert(rows("train")._1 + rows("train")._2 === split("train")._1)
+    assert(rows("val")._1 === split("val")._2)
+    assert(rows("val")._1 + rows("val")._2 === split("val")._1)
+    rows.values.foreach { case (_, _, auc) =>
+      assert(auc >= 0L && auc <= 1000000L)
+    }
+  }
+
+  test("modelJoin size gate: broadcast under the threshold, shuffle " +
+    "join above — both arms plan-asserted") {
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable auto-broadcast so ONLY the gate's hint can broadcast
+    // (emulates the at-scale size estimate, the LayoutSpec pattern)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = spark.range(0, 1000).select(col("id").as("k"))
+      val build = spark.range(0, 50).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val small = graft.ops.Distributed.modelJoin(probe, build, 50L,
+        Seq("k"))
+      val pSmall = small.queryExecution.executedPlan.toString
+      assert(pSmall.contains("BroadcastHashJoin"),
+        s"under-threshold model must broadcast:\n${pSmall.take(1500)}")
+      val big = graft.ops.Distributed.modelJoin(probe, build, 50L,
+        Seq("k"), maxBroadcastRows = 49L)
+      val pBig = big.queryExecution.executedPlan.toString
+      assert(!pBig.contains("BroadcastHashJoin"),
+        s"over-threshold model must NOT broadcast:\n${pBig.take(1500)}")
+      assert(pBig.contains("SortMergeJoin") ||
+        pBig.contains("ShuffledHashJoin"),
+        s"fallback must be a key-partitioned shuffle join:\n${pBig.take(1500)}")
+      // both arms agree
+      assert(small.count() === big.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
