@@ -16,7 +16,8 @@ object SparkEntry {
       ops.Extras.all ++ ops.EventAnalytics.all ++ ops.Layout.all ++
       ops.Ranking.all ++ ops.Profiling.all ++ ops.Corpus.all ++
       ops.CuratePipeline.all ++ ops.Bpe.all ++ ops.Unigram.all ++
-      ops.Wordpiece.all ++ ops.Classifier.all ++ ops.Safety.all ++
+      ops.Wordpiece.all ++ ops.WordpieceXl.all ++ ops.Classifier.all ++
+      ops.Safety.all ++
       ops.Sketches.all ++ ops.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
