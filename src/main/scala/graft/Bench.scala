@@ -52,7 +52,20 @@ import org.apache.spark.sql.SparkSession
   *    pass's wall time is recorded as `warm_pass_sec`,
   *  - taskstats rows (opt-in) are buffered per pass and emitted only
   *    for sentinel-clean passes, keeping the diagnostic consistent
-  *    with the gated medians.
+  *    with the gated medians,
+  *  - PER-QUERY IN-PASS RESAMPLE (round-11): the pass brackets cannot
+  *    see a contention burst that starts and ends INSIDE a pass (the
+  *    committed r10 spreads carried q_theil_sen 47.4 s vs 6.8 s median
+  *    and q_winnow 8.0 s vs ~1.0 s from exactly such bursts — the
+  *    brackets around their ~110 s tier-2 pass were clean). Now a
+  *    timed run that exceeds 3× the query's own running median (over
+  *    its prior timed samples) AND the median by ≥ 0.5 s absolute is
+  *    discarded and re-run ONCE immediately — the burst costs one
+  *    query's sample instead of landing in the committed spread; the
+  *    re-run is kept unconditionally (a genuine 3× plan behavior
+  *    reproduces and stays visible). Discarded-run counts are recorded
+  *    in the artifact (`resampled_runs`, `resampled_queries`); the
+  *    first pass has no history and is covered by the pass gate alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -129,7 +142,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    final case class Passes(rs: Seq[R], sentinels: Seq[Double], discarded: Int)
+    final case class Passes(rs: Seq[R], sentinels: Seq[Double],
+      discarded: Int, resampled: Map[String, Int]) {
+      def resampledTotal: Int = resampled.values.sum
+    }
     /** Round-robin interleaved timing with sentinel-gated pass
       * discard (see header comment). Each pass is bracketed by two
       * sentinel runs (pre + post — a burst starting mid-pass shows in
@@ -150,17 +166,29 @@ object Bench {
       val passStats = scala.collection.mutable.ArrayBuffer
         .empty[Array[(Double, Double, Long)]]
       val errs = Array.fill[Option[String]](qs.length)(None)
+      val hist = Array.fill(qs.length)(Vector.empty[Double])
+      val resampledBy = scala.collection.mutable.Map.empty[String, Int]
       var continue = qs.nonEmpty
       while (continue) {
         val pre   = sentinel()
         val times = new Array[Double](qs.length)
         val stats = new Array[(Double, Double, Long)](qs.length)
         for ((q, i) <- qs.zipWithIndex) {
-          taskStats.foreach(_.reset())
-          val t0 = System.nanoTime()
-          try run(q, sfDir)
-          catch { case t: Throwable => errs(i) = Some(t.toString.take(200)) }
-          times(i) = (System.nanoTime() - t0) / 1e9
+          def timedRun(): Double = {
+            taskStats.foreach(_.reset())
+            val t0 = System.nanoTime()
+            try run(q, sfDir)
+            catch { case t: Throwable =>
+              errs(i) = Some(t.toString.take(200)) }
+            (System.nanoTime() - t0) / 1e9
+          }
+          var t = timedRun()
+          if (errs(i).isEmpty && shouldResample(t, hist(i))) {
+            resampledBy(q.name) = resampledBy.getOrElse(q.name, 0) + 1
+            t = timedRun() // kept unconditionally — see header
+          }
+          times(i) = t
+          hist(i) = hist(i) :+ t
           taskStats.foreach { l =>
             val (gc, mx, n) = l.snapshot()
             stats(i) = (gc / 1e3, mx / 1e3, n)
@@ -174,7 +202,7 @@ object Bench {
         val clean = passes.count(_._1 <= 2 * minS)
         continue = clean < targetClean && passes.length < maxPasses
       }
-      if (qs.isEmpty) return Passes(Seq.empty, Seq.empty, 0)
+      if (qs.isEmpty) return Passes(Seq.empty, Seq.empty, 0, Map.empty)
       val keptIdx = cleanPassIdx(passes.map(_._1).toSeq, targetClean)
       val kept    = keptIdx.map(passes)
       if (taskStats.isDefined)
@@ -184,7 +212,8 @@ object Bench {
       val rs = qs.zipWithIndex.map { case (q, i) =>
         R(q.name, kept.map(_._2(i)).toVector, errs(i))
       }
-      Passes(rs, passes.map(_._1).toSeq, passes.length - kept.length)
+      Passes(rs, passes.map(_._1).toSeq, passes.length - kept.length,
+        resampledBy.toMap)
     }
     def medians(rs: Seq[R]): String = rs.filter(_.err.isEmpty)
       .map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
@@ -238,6 +267,9 @@ object Bench {
         s""""runs_tier2":${spreads(results2)},""" +
         s""""sentinels":${darr(p1.sentinels)},"sentinels_tier2":${darr(p2.sentinels)},""" +
         s""""discarded_passes":${p1.discarded},"discarded_passes_tier2":${p2.discarded},""" +
+        s""""resampled_runs":${p1.resampledTotal},"resampled_runs_tier2":${p2.resampledTotal},""" +
+        s""""resampled_queries":${mapJson(p1.resampled)},""" +
+        s""""resampled_queries_tier2":${mapJson(p2.resampled)},""" +
         s""""warm_pass_sec":${fmt(warmPassSec)},""" +
         s""""failed":$failed$statsJson,"sf":"$sfDir"}"""
     println(json)
@@ -298,6 +330,25 @@ object Bench {
     if (clean.length >= 3) clean
     else sentinels.zipWithIndex.sortBy(_._1).take(targetClean).map(_._2).sorted
   }
+
+  /** The per-query in-pass resample rule (pure, unit-tested): a run is
+    * a burst suspect when it exceeds 3× the query's running median
+    * over its prior timed samples AND beats the median by ≥ 0.5 s
+    * absolute (sub-second medians jitter past 3× without any box
+    * contention — an absolute significance floor keeps fast queries
+    * from churning). No history (the first pass) → never resample;
+    * the pass-level sentinel gate covers it.
+    */
+  private[graft] def shouldResample(t: Double, prior: Seq[Double])
+      : Boolean = prior.nonEmpty && {
+    val med = prior.sorted.apply(prior.length / 2)
+    t > 3 * med && t - med >= 0.5
+  }
+
+  private def mapJson(m: Map[String, Int]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
 
   private def fmt(d: Double): String = BigDecimal(d)
     .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString

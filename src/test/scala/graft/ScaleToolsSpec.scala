@@ -289,4 +289,21 @@ class ScaleToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.contains(0)) // the global min is always kept
     assert(kept === kept.sorted) // pass order preserved
   }
+
+  test("per-query in-pass resample rule: 3x-median AND >= 0.5s " +
+    "absolute, never on the first pass") {
+    // no history → pass gate covers it, never resample
+    assert(!Bench.shouldResample(100.0, Seq.empty))
+    // the r10 residual shapes: q_theil_sen 47.4 s vs ~6.8 s median and
+    // q_winnow 8.0 s vs ~1.0 s both trigger
+    assert(Bench.shouldResample(47.4, Seq(6.8, 6.7, 7.0)))
+    assert(Bench.shouldResample(8.0, Seq(1.0, 0.9)))
+    // 3x on a sub-second median without absolute significance: no churn
+    assert(!Bench.shouldResample(0.09, Seq(0.02, 0.03)))
+    // big absolute gap but under 3x: genuine spread, keep the sample
+    assert(!Bench.shouldResample(12.0, Seq(6.0, 5.5, 6.2)))
+    // boundary: exactly 3x is not a burst
+    assert(!Bench.shouldResample(3.0, Seq(1.0)))
+    assert(Bench.shouldResample(3.01, Seq(1.0)))
+  }
 }
