@@ -2411,6 +2411,123 @@ object Similarity {
     }
   )
 
+  /** q_crossmodal_gate — the cross-modal pair-alignment retention
+    * gate (the LAION CLIP-score filter, Schuhmann et al. 2022): an
+    * image–text pair survives curation only when the two towers'
+    * embeddings agree — cosine(text_emb, image_emb) ≥ τ — and the
+    * pipeline reads per-source retention plus how many KNOWN-bad
+    * pairs leaked through before trusting τ. This was the one
+    * LLM-pipeline curation stage with no counterpart here (round-10
+    * verdict Next #6).
+    *
+    * Pairing, planted deterministically (the fixtures ship no image
+    * tower, so the mechanism — quantized cosine, threshold, retention
+    * accounting, misalignment audit — is the subject, not the
+    * embeddings): every image asset (doc_id % 3 = 0, the [[Multimodal]]
+    * convention) pairs with its own text embedding; its "image-tower"
+    * embedding is simulated as a deterministic sign-perturbed twin of
+    * the SOURCE asset's text embedding (dimension i flips iff hex char
+    * (i mod 32) of md5('img|' ∥ source id) < '2' — an expected 1/8 of
+    * dimensions, so a correctly-paired cosine sits near 0.75). Pairs
+    * picked by an md5 coin (first hex char of md5('swap|' ∥ doc_id)
+    * < '4' — an expected 1/4, DECORRELATED from the fixtures'
+    * round-robin source assignment, which a doc_id modulus would
+    * alias against) are PLANTED MISALIGNED — their image comes from
+    * the NEXT image asset (the caption-scrape mismatch this gate
+    * exists to catch), putting their cosine near 0 (independent
+    * vectors). τ = 0.25 separates the two populations; the output
+    * counts the planted pairs and how many leaked past τ, per source.
+    *
+    * Exactness: the flip mask is md5 hex (identical both engines);
+    * sign flips preserve the exact quantized integers and the norm
+    * (n_img = n_source exactly); dots/norms are exact BIGINTs via the
+    * codegen'd [[graft.functions.DotProductQ]]; the τ compare runs on
+    * doubles computed identically from exact ints (the [[qSemDedup]]
+    * contract).
+    *
+    * 100 TB shape: two vec_id-keyed equi-joins (text emb, source emb)
+    * — at CLIP scale both sides are the embedding store, co-partitioned
+    * on the id; the flip + dot + compare are map-only codegen; the
+    * rollup is ≤ #sources rows with partial aggregation. Pixels and
+    * text never move.
+    */
+  val qCrossmodalGate = Q(
+    "q_crossmodal_gate",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      val prs = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("source"),
+          when(substring(md5(concat(lit("swap|"),
+            col("doc_id").cast("string"))), 1, 1) < "4",
+            col("doc_id") + 3)
+            .otherwise(col("doc_id")).as("img_src"))
+      val scored = prs
+        .join(emb.select(col("vec_id").as("doc_id"),
+          col("qv").as("tqv")), Seq("doc_id"))
+        .join(emb.select(col("vec_id").as("img_src"),
+          col("qv").as("sqv")), Seq("img_src"))
+        .withColumn("mask",
+          md5(concat(lit("img|"), col("img_src").cast("string"))))
+        .withColumn("iqv", transform(col("sqv"), (x, i) =>
+          when(col("mask").substr(pmod(i, lit(32)) + 1, lit(1)) < "2", -x)
+            .otherwise(x)))
+        .select(col("source"),
+          (col("img_src") =!= col("doc_id")).as("swapped"),
+          (cosine(dotq(col("tqv"), col("iqv")),
+            dotq(col("tqv"), col("tqv")),
+            dotq(col("iqv"), col("iqv"))) >= 0.25).as("kept"))
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("swapped"), 1L).otherwise(0L)).as("n_swapped"),
+          sum(when(col("swapped") && col("kept"), 1L).otherwise(0L))
+            .as("n_swapped_kept"))
+        .select(col("source"), col("n_pairs"), col("n_kept"),
+          expr("CAST((CAST(n_kept AS DECIMAL(38,0)) * 1000000) " +
+            "div n_pairs AS BIGINT)").as("retention_ppm"),
+          col("n_swapped"), col("n_swapped_kept"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH eq AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |prs AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN substr(md5('swap|' || CAST(doc_id AS VARCHAR)), 1, 1)
+         |        < '4'
+         |      THEN doc_id + 3 ELSE doc_id END AS img_src
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |withv AS (
+         |  SELECT p.doc_id, p.source, p.img_src, t.qv AS tqv, s.qv AS sqv,
+         |    md5('img|' || CAST(p.img_src AS VARCHAR)) AS mask
+         |  FROM prs p JOIN eq t ON p.doc_id = t.vec_id
+         |  JOIN eq s ON p.img_src = s.vec_id),
+         |flipped AS (
+         |  SELECT doc_id, source, (img_src <> doc_id) AS swapped, tqv,
+         |    list_transform(range(1, len(sqv) + 1),
+         |      i -> CASE WHEN substr(mask,
+         |          CAST(((i - 1) % 32) + 1 AS INT), 1) < '2'
+         |        THEN -sqv[i] ELSE sqv[i] END) AS iqv
+         |  FROM withv),
+         |scored AS (
+         |  SELECT source, swapped,
+         |    (CAST(${dotqSql("tqv", "iqv")} AS DOUBLE) /
+         |      sqrt(CAST(${dotqSql("tqv", "tqv")} AS DOUBLE) *
+         |        CAST(${dotqSql("iqv", "iqv")} AS DOUBLE)) >= 0.25) AS kept
+         |  FROM flipped)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST((CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS HUGEINT)
+         |    * 1000000) // count(*) AS BIGINT) AS retention_ppm,
+         |  CAST(sum(CASE WHEN swapped THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_swapped,
+         |  CAST(sum(CASE WHEN swapped AND kept THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_swapped_kept
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
     Seq(qCosineKnn, qAnnLsh, qIvfAssign, qKmeansIvf, qIvfSearch,
       qIvfSearchProbe2, qIvfSearchProbe4, qDedupEmbedding, qSemDedup,
@@ -2418,5 +2535,5 @@ object Similarity {
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
       qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift,
       qEmbeddingCoherence, qKcenterCoreset, qAnnHamming,
-      qEmbeddingWhiten, qLdaPower, qAnnMatryoshka)
+      qEmbeddingWhiten, qLdaPower, qAnnMatryoshka, qCrossmodalGate)
 }
