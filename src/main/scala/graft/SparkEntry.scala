@@ -80,7 +80,14 @@ object SparkEntry {
       "q_constrained_write", "q_stream_constrained",
       // the MRL prefix-truncation recall ladder (4 exact-KNN rungs)
       // and the classifier retention-threshold sweep
-      "q_ann_matryoshka", "q_nb_thresholds")
+      "q_ann_matryoshka", "q_nb_thresholds",
+      // round 11: the table-held-vocabulary MaxMatch rung (the only
+      // new corpus-sized intermediate — 31·7 candidates per distinct
+      // derived word), the leakage-safe split + holdout AUC pair
+      // (LSH-CC labels + a train-scoped counting pass), and the
+      // cross-modal alignment gate (two vec_id joins, map-only score)
+      "q_wordpiece_encode_xl", "q_nb_split", "q_nb_auc_holdout",
+      "q_crossmodal_gate")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

@@ -68,7 +68,14 @@ object ScaleProbe {
     // nb_auc adds the ranged prefix-sum over the score order
     "q_wordpiece_encode", "q_nb_score", "q_nb_auc",
     "q_constrained_write", "q_stream_constrained", "q_ann_matryoshka",
-    "q_nb_thresholds")
+    "q_nb_thresholds",
+    // round-11: the XL encode's substring-explode is the largest
+    // intermediate added this round (≤ 31·7 candidate rows per
+    // DISTINCT derived word); nb_split/holdout add the LSH-CC label
+    // join + a second (train-scoped) counting pass; the crossmodal
+    // gate is two vec_id equi-joins + map-only codegen
+    "q_wordpiece_encode_xl", "q_nb_split", "q_nb_auc_holdout",
+    "q_crossmodal_gate")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
