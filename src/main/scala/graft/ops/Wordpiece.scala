@@ -129,25 +129,63 @@ object Wordpiece {
   /** Distinct lowercased words with corpus frequency — the
     * Heaps-sublinear frame the encoder segments.
     */
-  private def wordsDf(s: SparkSession, d: String): DataFrame =
+  private[graft] def wordsDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(TextOps.wsTokens(lower(col("text")))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** Vocabulary-size threshold for the PHYSICAL FORM of the trained
+    * encoder. Below it the vocabulary rides the plan as a typedlit
+    * map ([[greedyCount]] — fastest while the literal is small: the
+    * table pipeline's two extra shuffles dominate at toy sizes);
+    * above it the encoder switches to [[WordpieceXl.maxMatchCounts]]'
+    * vocabulary-as-table pipeline. The crossover is MEASURED
+    * (graft.tools.VocabFormProbe, SCALE.md): at 4,096 pieces the
+    * literal form is already 2.7× slower, at 32,768 it is 41× slower
+    * with a 226k-char plan shipping in every task closure — so a
+    * production 32k+ vocabulary must never take the literal arm.
+    */
+  private[graft] val LiteralFormMaxPieces = 1024
+
+  /** The literal-form walk over the trained pieces (the ≤ threshold
+    * arm), factored so the form-gate spec can compare arms directly.
+    */
+  private[graft] def literalFormCounts(words: DataFrame,
+      pieceSet: Seq[String]): DataFrame = {
+    val pieces = pieceSet.map(_ -> 1).toMap
+    val lmax = if (pieces.isEmpty) 1 else pieces.keys.map(_.length).max
+    words.select(col("word"),
+      greedyCount(col("word"), pieces, lmax).as("np"))
+  }
+
+  /** The table-form walk (the > threshold arm): the trained pieces
+    * become a one-column frame and the encoder runs
+    * [[WordpieceXl.maxMatchCounts]] — vocabulary as data, no literal.
+    */
+  private[graft] def tableFormCounts(s: SparkSession, words: DataFrame,
+      pieceSet: Seq[String]): DataFrame = {
+    import s.implicits._
+    val lmax = if (pieceSet.isEmpty) 1 else pieceSet.map(_.length).max
+    val vocab = pieceSet.toDF("piece")
+    WordpieceXl.maxMatchCounts(words, vocab, pieceSet.size.toLong,
+      math.max(lmax, 2))
+  }
+
   /** Per-distinct-word greedy piece counts under the trained model —
     * memoized WITH the frame's row count (for the doc-side join's
     * size gate) and pinned so encode and the triad compare share ONE
-    * token pass + MaxMatch walk per (session, dataset).
+    * token pass + MaxMatch walk per (session, dataset). The physical
+    * form is gated on the vocabulary size ([[LiteralFormMaxPieces]]);
+    * both arms compute identical MaxMatch counts (spec-pinned).
     */
   private[graft] def wordPieceCountsWithRows(s: SparkSession, d: String)
       : (DataFrame, Long) =
     Similarity.memo(s, d, "wordpiece-wpc") {
-      val merges = train(s, d)
-      val pieces = merges.map(_._4).distinct.map(_ -> 1).toMap
-      val lmax = if (pieces.isEmpty) 1 else pieces.keys.map(_.length).max
-      val wp = wordsDf(s, d)
-        .select(col("word"),
-          greedyCount(col("word"), pieces, lmax).as("np"))
+      val pieceSet = train(s, d).map(_._4).distinct
+      val words = wordsDf(s, d)
+      val wp = (if (pieceSet.size <= LiteralFormMaxPieces)
+          literalFormCounts(words, pieceSet)
+        else tableFormCounts(s, words, pieceSet))
         .localCheckpoint()
       (wp, wp.count())
     }

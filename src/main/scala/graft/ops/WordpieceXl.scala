@@ -81,19 +81,20 @@ object WordpieceXl {
   private def xlWordsDf(s: SparkSession, d: String): DataFrame =
     docWords(s, d).groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** All (word, pos, len, piece) substring candidates of 2..Lmax
+  /** All (word, pos, len, piece) substring candidates of 2..lmax
     * chars. The Spark `sequence(2, 1)` pitfall (it infers step −1 and
     * returns [2,1]) is guarded: positions with < 2 remaining chars
     * emit an empty candidate array.
     */
-  private def candidates(words: DataFrame): DataFrame =
+  private[ops] def candidates(words: DataFrame, lmax: Int = Lmax)
+      : DataFrame =
     words
       .select(col("word"), col("freq"),
         explode(sequence(lit(1), length(col("word")))).as("pos"))
       .select(col("word"), col("freq"), col("pos"),
         explode(when(length(col("word")) - col("pos") + 1 >= 2,
           sequence(lit(2),
-            least(lit(Lmax), length(col("word")) - col("pos") + 1)))
+            least(lit(lmax), length(col("word")) - col("pos") + 1)))
           .otherwise(array().cast("array<int>"))).as("l"))
       .select(col("word"), col("freq"), col("pos"), col("l"),
         col("word").substr(col("pos"), col("l")).as("piece"))
@@ -144,20 +145,35 @@ object WordpieceXl {
           .otherwise(acc),
       acc => acc("np"))
 
+  /** The generic table-form MaxMatch: per-distinct-word greedy piece
+    * counts of `words` (word, freq) under `vocab` (piece) held as
+    * data — candidates → gated vocab join → greedy best per (word,
+    * pos) → bounded map walk. Shared by the XL rung and
+    * [[Wordpiece]]'s form-gated trained encoder (the ≥ threshold
+    * arm).
+    */
+  private[ops] def maxMatchCounts(words: DataFrame, vocab: DataFrame,
+      vocabRows: Long, lmax: Int): DataFrame = {
+    val best = Distributed.modelJoin(
+      candidates(words, lmax).select("word", "pos", "l", "piece"),
+      vocab, vocabRows, Seq("piece"))
+      .groupBy("word", "pos").agg(max(col("l")).as("bl"))
+    val wmap = best.groupBy("word")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("bl"))))
+        .as("m"))
+    words.select("word")
+      .join(wmap, Seq("word"), "left")
+      .select(col("word"), greedyWalk(col("word"), col("m")).as("np"))
+  }
+
   /** Per-distinct-word MaxMatch piece counts under the table-held
     * vocabulary, memoized with rows for the doc-side join's gate.
     */
   private[graft] def xlWordPieceCountsWithRows(s: SparkSession, d: String)
       : (DataFrame, Long) =
     Similarity.memo(s, d, "wordpiece-xl-wpc") {
-      val best = xlMatches(s, d)
-        .groupBy("word", "pos").agg(max(col("l")).as("bl"))
-      val wmap = best.groupBy("word")
-        .agg(map_from_entries(collect_list(struct(col("pos"), col("bl"))))
-          .as("m"))
-      val wp = xlWordsDf(s, d)
-        .join(wmap, Seq("word"), "left")
-        .select(col("word"), greedyWalk(col("word"), col("m")).as("np"))
+      val (vocab, vRows) = xlVocabWithRows(s, d)
+      val wp = maxMatchCounts(xlWordsDf(s, d), vocab, vRows, Lmax)
         .localCheckpoint()
       (wp, wp.count())
     }

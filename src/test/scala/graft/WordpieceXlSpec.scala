@@ -80,6 +80,25 @@ class WordpieceXlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no literal-map lookup anywhere in the encode plan")
   }
 
+  test("form gate: the table arm computes EXACTLY the literal arm's " +
+    "MaxMatch counts on the trained vocabulary, with no literal in " +
+    "its plan") {
+    import graft.ops.Wordpiece
+    val pieceSet = Wordpiece.train(spark, sf).map(_._4).distinct
+    assert(pieceSet.nonEmpty &&
+      pieceSet.size <= Wordpiece.LiteralFormMaxPieces,
+      "the shipped trained vocab is toy-sized — the literal arm serves it")
+    val words = Wordpiece.wordsDf(spark, sf).localCheckpoint()
+    val lit = Wordpiece.literalFormCounts(words, pieceSet)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tab = Wordpiece.tableFormCounts(spark, words, pieceSet)
+    val pTab = tab.queryExecution.executedPlan.toString
+    assert(!pTab.contains("element_at(map("),
+      "the table arm must not carry the vocabulary as a literal")
+    val tabM = tab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tabM === lit, "both physical forms are the same encoder")
+  }
+
   test("every document encodes: 4 derived words each, subtoken count " +
     "bounded by [len/3, len] per word") {
     val rows = SparkEntry.queries("q_wordpiece_encode_xl")(spark, sf)
