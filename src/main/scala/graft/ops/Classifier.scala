@@ -595,26 +595,35 @@ object Classifier {
     * running negative count rides [[Distributed.globalCumSum]]'s
     * ranged two-pass prefix sum. Text never shuffles.
     */
-  val qNbAucHoldout = Q(
-    "q_nb_auc_holdout",
-    (s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      val dec = DecimalType(38, 0)
+  /** Every document scored under the HOLDOUT (train-only) model:
+    * (split, isp, v) for all three splits — memoized and pinned so
+    * [[qNbAucHoldout]] and [[qNbTestReport]] share ONE scoring pass.
+    */
+  private[graft] def holdoutScored(s: SparkSession, d: String): DataFrame =
+    Similarity.memo(s, d, "nb-holdout-scored") {
       val (model, mrows) = nbHoldoutModelWithRows(s, d)
       val docs = splitDocs(s, d)
-        .filter(col("split").isin("train", "val"))
       val tokScores = Distributed.modelJoin(
         docs.select(col("doc_id"),
           explode(TextOps.wsTokens(lower(col("text")))).as("token")),
         model.select("token", "llr_ppm"), mrows, Seq("token"))
         .groupBy("doc_id")
         .agg(sum(col("llr_ppm")).as("tok_ppm"))
-      val scored = docs.select(col("doc_id"), col("split"),
+      docs.select(col("doc_id"), col("split"),
         when(col("source") === "src0", 1L).otherwise(0L).as("isp"))
         .join(tokScores, Seq("doc_id"), "left")
         .select(col("split"), col("isp"),
           coalesce(col("tok_ppm"), lit(0L)).as("v"))
-        .localCheckpoint() // pinned: both split arms read this pass
+        .localCheckpoint()
+    }
+
+  val qNbAucHoldout = Q(
+    "q_nb_auc_holdout",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val scored = holdoutScored(s, d)
+        .filter(col("split").isin("train", "val"))
       def aucOf(sp: String): DataFrame = {
         val byv = scored.filter(col("split") === sp)
           .groupBy("v").agg(
@@ -678,6 +687,139 @@ object Classifier {
     )
   )
 
+  /** q_nb_test_report — the deployment handshake that completes the
+    * split discipline: the retention threshold is TUNED on the val
+    * split (best exact F1 over every candidate cut of the val score
+    * distribution, plus the keep-all cut) and then REPORTED on the
+    * test split, which no decision ever touched — train built the
+    * model ([[nbHoldoutModelWithRows]]), val chose τ, test only
+    * measures. This is the number a pipeline is allowed to publish;
+    * reporting val-tuned metrics ON val (or anything in-sample)
+    * overstates the filter exactly the way the q_nb_auc_holdout gap
+    * quantifies.
+    *
+    * Threshold selection, engine-exactly: candidates are the DISTINCT
+    * val margins (kept = margins strictly greater, the
+    * [[qNbThresholds]] convention) plus min−1 (keep-all); TP and kept
+    * per candidate come from descending-order prefix sums
+    * ([[Distributed.globalCumSum]] — the candidate set is val-sized,
+    * i.e. corpus-sized at 100 TB, so a single-partition window is the
+    * scale-killer the ranged form avoids); F1 = 2·TP·10⁶ div
+    * (kept + P) in one integral division; the argmax breaks ties on
+    * (f1 DESC, threshold ASC) — a total order. Test metrics are one
+    * conditional aggregate against the broadcast 1-row choice. All
+    * ratios guarded to 0 on empty denominators.
+    */
+  val qNbTestReport = Q(
+    "q_nb_test_report",
+    (s, d) => {
+      val scored = holdoutScored(s, d)
+      val vbyv = scored.filter(col("split") === "val")
+        .groupBy("v").agg(
+          sum(col("isp")).as("p"),
+          count(lit(1)).as("n"))
+        .localCheckpoint() // feeds min/total, the cums, and the argmax
+      val keepAll = vbyv.agg((min(col("v")) - 1).as("v"))
+        .select(col("v"), lit(0L).as("p"), lit(0L).as("n"))
+      val cand = vbyv.union(keepAll).localCheckpoint()
+      val cum1 = Distributed.globalCumSum(cand,
+        Seq(col("v").desc), col("p"), "cp")
+      val cum = Distributed.globalCumSum(cum1,
+        Seq(col("v").desc), col("n"), "cn")
+      val tot = vbyv.agg(sum(col("p")).as("pos_v"))
+      val best = cum.crossJoin(broadcast(tot))
+        .select(col("v").as("threshold_ppm"),
+          (col("cp") - col("p")).as("tp"),
+          (col("cn") - col("n")).as("kept"), col("pos_v"))
+        .select(col("threshold_ppm"),
+          expr("CASE WHEN kept + pos_v = 0 THEN 0 ELSE " +
+            "CAST((CAST(tp AS DECIMAL(38,0)) * 2000000) " +
+            "div (kept + pos_v) AS BIGINT) END").as("val_f1_ppm"))
+        .orderBy(col("val_f1_ppm").desc, col("threshold_ppm").asc)
+        .limit(1)
+      scored.filter(col("split") === "test")
+        .crossJoin(broadcast(best))
+        .groupBy(col("threshold_ppm"), col("val_f1_ppm"))
+        .agg(count(lit(1)).as("test_n"),
+          sum(when(col("v") > col("threshold_ppm"), 1L).otherwise(0L))
+            .as("test_kept"),
+          sum(when(col("v") > col("threshold_ppm") && col("isp") === 1L,
+            1L).otherwise(0L)).as("test_tp"),
+          sum(col("isp")).as("test_pos"))
+        .select(col("threshold_ppm"), col("val_f1_ppm"), col("test_n"),
+          col("test_kept"), col("test_tp"),
+          expr("CASE WHEN test_kept = 0 THEN 0 ELSE " +
+            "CAST((CAST(test_tp AS DECIMAL(38,0)) * 1000000) " +
+            "div test_kept AS BIGINT) END").as("test_precision_ppm"),
+          expr("CASE WHEN test_pos = 0 THEN 0 ELSE " +
+            "CAST((CAST(test_tp AS DECIMAL(38,0)) * 1000000) " +
+            "div test_pos AS BIGINT) END").as("test_recall_ppm"),
+          expr("CASE WHEN test_kept + test_pos = 0 THEN 0 ELSE " +
+            "CAST((CAST(test_tp AS DECIMAL(38,0)) * 2000000) " +
+            "div (test_kept + test_pos) AS BIGINT) END")
+            .as("test_f1_ppm"))
+    },
+    Some(
+      s"""WITH RECURSIVE $oracleSplitCtes,
+         |${oracleModelCtes("h",
+             "(SELECT doc_id, source, text FROM sp WHERE split = 'train')")},
+         |hstoks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(
+         |    lower(text), '\\s+'), t -> t <> '')) AS token
+         |  FROM sp),
+         |hts AS (
+         |  SELECT t.doc_id, CAST(sum(m.llr_ppm) AS BIGINT) AS v
+         |  FROM hstoks t JOIN hmodel m USING (token) GROUP BY t.doc_id),
+         |hscored AS (
+         |  SELECT s.split,
+         |    CASE WHEN s.source = 'src0' THEN 1 ELSE 0 END AS isp,
+         |    coalesce(t.v, 0) AS v
+         |  FROM sp s LEFT JOIN hts t USING (doc_id)),
+         |vbyv AS (
+         |  SELECT v, CAST(sum(isp) AS BIGINT) AS p,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM hscored WHERE split = 'val' GROUP BY v),
+         |vcand AS (
+         |  SELECT v, p, n FROM vbyv
+         |  UNION ALL
+         |  SELECT min(v) - 1, 0, 0 FROM vbyv),
+         |vcum AS (
+         |  SELECT v, p, n,
+         |    CAST(sum(p) OVER (ORDER BY v DESC) AS BIGINT) AS cp,
+         |    CAST(sum(n) OVER (ORDER BY v DESC) AS BIGINT) AS cn
+         |  FROM vcand),
+         |vtot AS (SELECT CAST(sum(p) AS BIGINT) AS pos_v FROM vbyv),
+         |best AS (
+         |  SELECT v AS threshold_ppm,
+         |    CASE WHEN (cn - n) + pos_v = 0 THEN 0 ELSE
+         |      CAST((CAST(cp - p AS HUGEINT) * 2000000) //
+         |        ((cn - n) + pos_v) AS BIGINT) END AS val_f1_ppm
+         |  FROM vcum, vtot
+         |  ORDER BY val_f1_ppm DESC, threshold_ppm ASC LIMIT 1),
+         |trep AS (
+         |  SELECT b.threshold_ppm, b.val_f1_ppm,
+         |    CAST(count(*) AS BIGINT) AS test_n,
+         |    CAST(sum(CASE WHEN h.v > b.threshold_ppm THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS test_kept,
+         |    CAST(sum(CASE WHEN h.v > b.threshold_ppm AND h.isp = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS test_tp,
+         |    CAST(sum(h.isp) AS BIGINT) AS test_pos
+         |  FROM hscored h, best b WHERE h.split = 'test'
+         |  GROUP BY b.threshold_ppm, b.val_f1_ppm)
+         |SELECT threshold_ppm, val_f1_ppm, test_n, test_kept, test_tp,
+         |  CASE WHEN test_kept = 0 THEN 0 ELSE
+         |    CAST((CAST(test_tp AS HUGEINT) * 1000000) // test_kept
+         |      AS BIGINT) END AS test_precision_ppm,
+         |  CASE WHEN test_pos = 0 THEN 0 ELSE
+         |    CAST((CAST(test_tp AS HUGEINT) * 1000000) // test_pos
+         |      AS BIGINT) END AS test_recall_ppm,
+         |  CASE WHEN test_kept + test_pos = 0 THEN 0 ELSE
+         |    CAST((CAST(test_tp AS HUGEINT) * 2000000) //
+         |      (test_kept + test_pos) AS BIGINT) END AS test_f1_ppm
+         |FROM trep""".stripMargin
+    )
+  )
+
   val all: Seq[Q] = Seq(qNbTrain, qNbScore, qNbAuc, qNbThresholds,
-    qNbSplit, qNbAucHoldout)
+    qNbSplit, qNbAucHoldout, qNbTestReport)
 }

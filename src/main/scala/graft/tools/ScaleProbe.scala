@@ -75,7 +75,7 @@ object ScaleProbe {
     // join + a second (train-scoped) counting pass; the crossmodal
     // gate is two vec_id equi-joins + map-only codegen
     "q_wordpiece_encode_xl", "q_nb_split", "q_nb_auc_holdout",
-    "q_crossmodal_gate")
+    "q_crossmodal_gate", "q_nb_test_report")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

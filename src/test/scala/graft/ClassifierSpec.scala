@@ -210,6 +210,40 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_nb_test_report: the val-tuned threshold matches a brute-force " +
+    "sweep and the test metrics recompute from the scored frame") {
+    val scored = Classifier.holdoutScored(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val valRows  = scored.filter(_._1 == "val").map(t => (t._2, t._3))
+    val testRows = scored.filter(_._1 == "test").map(t => (t._2, t._3))
+    val posV = valRows.count(_._1 == 1L).toLong
+    // brute force: F1 at every candidate cut (each val score + min-1)
+    def f1At(t: Long): Long = {
+      val kept = valRows.count(_._2 > t).toLong
+      val tp   = valRows.count(r => r._2 > t && r._1 == 1L).toLong
+      if (kept + posV == 0) 0L else tp * 2000000L / (kept + posV)
+    }
+    val cands = valRows.map(_._2).distinct :+ (valRows.map(_._2).min - 1)
+    val best  = cands.map(t => (f1At(t), -t)).max // f1 desc, t asc
+    val row = SparkEntry.queries("q_nb_test_report")(spark, sf)
+      .collect()(0)
+    assert(row.getLong(0) === -best._2, "chosen threshold")
+    assert(row.getLong(1) === best._1, "chosen val F1")
+    // test metrics recompute exactly from the untouched test split
+    val t = row.getLong(0)
+    val kept = testRows.count(_._2 > t).toLong
+    val tp   = testRows.count(r => r._2 > t && r._1 == 1L).toLong
+    val pos  = testRows.count(_._1 == 1L).toLong
+    assert(row.getLong(2) === testRows.length.toLong)
+    assert(row.getLong(3) === kept && row.getLong(4) === tp)
+    assert(row.getLong(5) ===
+      (if (kept == 0) 0L else tp * 1000000L / kept))
+    assert(row.getLong(6) ===
+      (if (pos == 0) 0L else tp * 1000000L / pos))
+    assert(row.getLong(7) ===
+      (if (kept + pos == 0) 0L else tp * 2000000L / (kept + pos)))
+  }
+
   test("modelJoin size gate: broadcast under the threshold, shuffle " +
     "join above — both arms plan-asserted") {
     import org.apache.spark.sql.functions.col
