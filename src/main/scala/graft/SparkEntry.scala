@@ -87,7 +87,7 @@ object SparkEntry {
       // (LSH-CC labels + a train-scoped counting pass), and the
       // cross-modal alignment gate (two vec_id joins, map-only score)
       "q_wordpiece_encode_xl", "q_nb_split", "q_nb_auc_holdout",
-      "q_crossmodal_gate", "q_nb_test_report")
+      "q_crossmodal_gate", "q_nb_test_report", "q_stream_crossmodal")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

@@ -2411,8 +2411,13 @@ object Similarity {
     }
   )
 
-  /** q_crossmodal_gate — the cross-modal pair-alignment retention
-    * gate (the LAION CLIP-score filter, Schuhmann et al. 2022): an
+  // ---------------------------------------- cross-modal alignment gate
+
+  /** The cross-modal pair-alignment retention family — q_crossmodal_gate
+    * (batch) and q_stream_crossmodal (the ingest-time twin in
+    * [[StreamingOps]]), sharing the helpers below.
+    *
+    * The gate (the LAION CLIP-score filter, Schuhmann et al. 2022): an
     * image–text pair survives curation only when the two towers'
     * embeddings agree — cosine(text_emb, image_emb) ≥ τ — and the
     * pipeline reads per-source retention plus how many KNOWN-bad
@@ -2451,46 +2456,74 @@ object Similarity {
     * rollup is ≤ #sources rows with partial aggregation. Pixels and
     * text never move.
     */
-  val qCrossmodalGate = Q(
-    "q_crossmodal_gate",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
+  /** The quantized embedding store for the crossmodal gate, memoized
+    * with its row count for the pair joins' size gate.
+    */
+  private[ops] def crossmodalEmb(s: SparkSession, d: String)
+      : (DataFrame, Long) =
+    memo(s, d, "crossmodal-emb") {
+      val e = Tables.embeddings(s, d)
         .select(col("vec_id"), qvec(col("embedding")).as("qv"))
-      val prs = Tables.documents(s, d)
-        .filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id"), col("source"),
-          when(substring(md5(concat(lit("swap|"),
-            col("doc_id").cast("string"))), 1, 1) < "4",
-            col("doc_id") + 3)
-            .otherwise(col("doc_id")).as("img_src"))
-      val scored = prs
-        .join(emb.select(col("vec_id").as("doc_id"),
-          col("qv").as("tqv")), Seq("doc_id"))
-        .join(emb.select(col("vec_id").as("img_src"),
-          col("qv").as("sqv")), Seq("img_src"))
-        .withColumn("mask",
-          md5(concat(lit("img|"), col("img_src").cast("string"))))
-        .withColumn("iqv", transform(col("sqv"), (x, i) =>
-          when(col("mask").substr(pmod(i, lit(32)) + 1, lit(1)) < "2", -x)
-            .otherwise(x)))
-        .select(col("source"),
-          (col("img_src") =!= col("doc_id")).as("swapped"),
-          (cosine(dotq(col("tqv"), col("iqv")),
-            dotq(col("tqv"), col("tqv")),
-            dotq(col("iqv"), col("iqv"))) >= 0.25).as("kept"))
-      scored.groupBy("source")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("swapped"), 1L).otherwise(0L)).as("n_swapped"),
-          sum(when(col("swapped") && col("kept"), 1L).otherwise(0L))
-            .as("n_swapped_kept"))
-        .select(col("source"), col("n_pairs"), col("n_kept"),
-          expr("CAST((CAST(n_kept AS DECIMAL(38,0)) * 1000000) " +
-            "div n_pairs AS BIGINT)").as("retention_ppm"),
-          col("n_swapped"), col("n_swapped_kept"))
-        .orderBy("source")
-    },
-    Some(
+        .localCheckpoint()
+      (e, e.count())
+    }
+
+  /** Pair derivation from any documents frame (batch or streaming):
+    * image assets with the planted-misalignment md5 coin applied.
+    */
+  private[ops] def crossmodalPairs(docs: DataFrame): DataFrame =
+    docs
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), col("source"),
+        when(substring(md5(concat(lit("swap|"),
+          col("doc_id").cast("string"))), 1, 1) < "4",
+          col("doc_id") + 3)
+          .otherwise(col("doc_id")).as("img_src"))
+
+  /** Per-pair alignment verdict (doc_id, source, swapped, kept):
+    * gated embedding joins + the deterministic sign-perturbed image
+    * twin + the exact-integer cosine threshold. Stateless map+join —
+    * the same pipeline scores a batch corpus or a document stream
+    * (the streaming twin, [[StreamingOps]]).
+    */
+  private[ops] def crossmodalScored(prs: DataFrame, emb: DataFrame,
+      embRows: Long): DataFrame =
+    Distributed.modelJoin(
+      Distributed.modelJoin(prs,
+        emb.select(col("vec_id").as("doc_id"), col("qv").as("tqv")),
+        embRows, Seq("doc_id")),
+      emb.select(col("vec_id").as("img_src"), col("qv").as("sqv")),
+      embRows, Seq("img_src"))
+      .withColumn("mask",
+        md5(concat(lit("img|"), col("img_src").cast("string"))))
+      .withColumn("iqv", transform(col("sqv"), (x, i) =>
+        when(col("mask").substr(pmod(i, lit(32)) + 1, lit(1)) < "2", -x)
+          .otherwise(x)))
+      .select(col("doc_id"), col("source"),
+        (col("img_src") =!= col("doc_id")).as("swapped"),
+        (cosine(dotq(col("tqv"), col("iqv")),
+          dotq(col("tqv"), col("tqv")),
+          dotq(col("iqv"), col("iqv"))) >= 0.25).as("kept"))
+
+  /** The per-source retention audit rollup over a scored pair frame. */
+  private[ops] def crossmodalRollup(scored: DataFrame): DataFrame =
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("swapped"), 1L).otherwise(0L)).as("n_swapped"),
+        sum(when(col("swapped") && col("kept"), 1L).otherwise(0L))
+          .as("n_swapped_kept"))
+      .select(col("source"), col("n_pairs"), col("n_kept"),
+        expr("CAST((CAST(n_kept AS DECIMAL(38,0)) * 1000000) " +
+          "div n_pairs AS BIGINT)").as("retention_ppm"),
+        col("n_swapped"), col("n_swapped_kept"))
+      .orderBy("source")
+
+  /** The gate's oracle SQL — shared verbatim with the streaming twin
+    * (a stateless scrubber over the same rows converges to the same
+    * audit).
+    */
+  private[ops] def crossmodalOracleSql: String =
       s"""WITH eq AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
          |prs AS (
          |  SELECT doc_id, source,
@@ -2525,7 +2558,15 @@ object Similarity {
          |  CAST(sum(CASE WHEN swapped AND kept THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_swapped_kept
          |FROM scored GROUP BY source ORDER BY source""".stripMargin
-    )
+
+  val qCrossmodalGate = Q(
+    "q_crossmodal_gate",
+    (s, d) => {
+      val (emb, embRows) = crossmodalEmb(s, d)
+      crossmodalRollup(crossmodalScored(
+        crossmodalPairs(Tables.documents(s, d)), emb, embRows))
+    },
+    Some(crossmodalOracleSql)
   )
 
   val all: Seq[Q] =

@@ -1510,10 +1510,47 @@ object StreamingOps {
     )
   )
 
+  /** q_stream_crossmodal — the cross-modal alignment gate at INGEST
+    * time: arriving image–text pairs are scored against the standing
+    * embedding store and land in the sink WITH their alignment
+    * verdict; the audit rollup reads the sink. The streaming twin of
+    * [[Similarity.qCrossmodalGate]] (the q_stream_constrained
+    * pattern), sharing its pair derivation, gated embedding joins,
+    * sign-perturbed image twin, and exact-integer cosine threshold —
+    * so batch and stream converge to the same audit BY CONSTRUCTION
+    * over the same rows, and the oracle is shared verbatim.
+    *
+    * 100 TB shape: the streaming pipeline is STATELESS (map + two
+    * stream-static equi-joins — no watermark state, runnable
+    * forever); the static embedding store rides the size gate
+    * (broadcast while small, vec_id-keyed shuffle of the micro-batch
+    * against the co-partitioned store at CLIP scale) and is
+    * localCheckpoint-pinned once per session so micro-batches don't
+    * re-derive it. The per-source rollup runs over the sink, exactly
+    * where a production audit reads.
+    */
+  val qStreamCrossmodal = Q(
+    "q_stream_crossmodal",
+    (s, d) => {
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val (emb, embRows) = Similarity.crossmodalEmb(s, d)
+      val stream = s.readStream
+        .schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val scored = Similarity.crossmodalScored(
+        Similarity.crossmodalPairs(stream), emb, embRows)
+      val landed = runToParquetSink(s, "stream_crossmodal")(scored)
+      Similarity.crossmodalRollup(landed)
+    },
+    Some(Similarity.crossmodalOracleSql)
+  )
+
   val all: Seq[Q] =
     Seq(qStreamWindow, qStreamWindowProd, qSessionize, qStreamDedup,
       qStreamEnrich, qStreamStreamJoin, qStreamStreamLeft, qStreamNeardup,
       qStreamSliding, qStreamAttribution, qStreamPii, qStreamLtv,
       qStreamLate, qStreamMerge, qStreamHll, qStreamSessionTimer,
-      qStreamDrift, qStreamKmv, qStreamF2, qStreamConstrained)
+      qStreamDrift, qStreamKmv, qStreamF2, qStreamConstrained,
+      qStreamCrossmodal)
 }

@@ -75,7 +75,7 @@ object ScaleProbe {
     // join + a second (train-scoped) counting pass; the crossmodal
     // gate is two vec_id equi-joins + map-only codegen
     "q_wordpiece_encode_xl", "q_nb_split", "q_nb_auc_holdout",
-    "q_crossmodal_gate", "q_nb_test_report")
+    "q_crossmodal_gate", "q_nb_test_report", "q_stream_crossmodal")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,8 +123,24 @@ object ScaleProbe {
     new File(dst).mkdirs()
 
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def save(t: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // Write each table as a single FILE named exactly <table>.parquet,
+    // mirroring the driver's testdata layout. The distinction matters:
+    // streaming readers glob with pathGlobFilter '<table>.parquet',
+    // which matches FILE names only — against a part-file DIRECTORY of
+    // that name they list zero inputs and the probe silently times an
+    // EMPTY stream (this bit q_stream_drift's earlier sf1 ratio).
+    def save(t: String, df: DataFrame): Unit = {
+      val tmp = s"$dst/_tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      val out = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
+      fs.delete(out, true)
+      fs.rename(part, out)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 

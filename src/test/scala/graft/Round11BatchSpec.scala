@@ -58,6 +58,15 @@ class Round11BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(swKept * 10 <= sw, s"planted leak-through $swKept/$sw")
   }
 
+  test("q_stream_crossmodal: the ingest-time gate lands the same " +
+    "audit as the batch gate, row for row") {
+    val batch = SparkEntry.queries("q_crossmodal_gate")(spark, sf)
+      .collect().map(_.toSeq)
+    val stream = SparkEntry.queries("q_stream_crossmodal")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(stream.toSeq === batch.toSeq)
+  }
+
   test("the sign-perturbed image twin preserves the exact quantized " +
     "norm (flips can't change magnitude)") {
     import org.apache.spark.sql.functions._
