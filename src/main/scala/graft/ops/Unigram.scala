@@ -144,7 +144,7 @@ object Unigram {
     * Heaps-sublinear frame every training stage operates on; pinned so
     * the EM rounds never re-tokenize the corpus through lineage.
     */
-  private def wordsDf(s: SparkSession, d: String): DataFrame =
+  private[graft] def wordsDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(TextOps.wsTokens(lower(col("text")))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -349,21 +349,103 @@ object Unigram {
     )
   )
 
+  /** The literal-form per-word Viterbi piece counts (the ≤ threshold
+    * arm), factored so the form-gate spec can compare arms directly.
+    */
+  private[graft] def literalFormCounts(words: DataFrame,
+      costs: Map[String, Long]): DataFrame =
+    words.select(col("word"),
+      size(viterbiPieces(col("word"), costs)).cast("long").as("np"))
+
+  /** The table-form Viterbi (the > threshold arm — the same physical
+    * discipline as [[Wordpiece]]'s form-gated MaxMatch): the cost
+    * model becomes a (piece, cost) frame; each word's ≤ len·L
+    * candidate substrings join it through the size gate; the matched
+    * (end i, split j) costs collect into a bounded per-word DATA map
+    * keyed i·256 + (i−j); and the DP + backpointer count-walk read
+    * that map instead of a typedlit. Candidate set, INF fallback for
+    * unmatched splits, and the lexicographic (cost, j) tie-break are
+    * IDENTICAL to the literal form, so both arms produce the same
+    * segmentation bit for bit (spec-pinned).
+    */
+  private[graft] def tableFormCounts(s: SparkSession, words: DataFrame,
+      costs: Map[String, Long]): DataFrame = {
+    import s.implicits._
+    val costDf = costs.toSeq.toDF("piece", "cost")
+    val cand = words
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("i"),
+        explode(sequence(greatest(lit(0), col("i") - L), col("i") - 1))
+          .as("j"))
+      .select(col("word"), col("i"), col("j"),
+        col("word").substr(col("j") + 1, col("i") - col("j")).as("piece"))
+    val matched = Distributed.modelJoin(cand, costDf,
+      costs.size.toLong, Seq("piece"))
+      .select(col("word"),
+        (col("i") * 256 + (col("i") - col("j"))).as("k"), col("cost"))
+    val wmap = matched.groupBy("word")
+      .agg(map_from_entries(collect_list(struct(col("k"), col("cost"))))
+        .as("m"))
+    words.join(wmap, Seq("word"), "left")
+      .select(col("word"),
+        viterbiCountData(col("word"), col("m")).as("np"))
+  }
+
+  /** DP + count-walk against a per-word DATA cost map (m: key
+    * i·256+(i−j) → cost). Mirrors [[viterbiDpBp]]/[[viterbiPieces]]
+    * exactly, counting pieces instead of materializing them.
+    */
+  private def viterbiCountData(w: Column, m: Column): Column = {
+    val dpbp = aggregate(
+      sequence(lit(1), length(w)),
+      struct(array(lit(0L)).as("dp"), array(lit(0L)).as("bp")),
+      (acc, i) => {
+        val cands = transform(
+          sequence(greatest(lit(0), i - lit(L)), i - 1),
+          j => struct(
+            (element_at(acc("dp"), j + 1) +
+              coalesce(element_at(m, (i * 256 + (i - j)).cast("int")),
+                lit(INF))).as("c"),
+            j.cast("long").as("j")))
+        val best = array_min(cands)
+        struct(
+          concat(acc("dp"), array(best("c"))).as("dp"),
+          concat(acc("bp"), array(best("j"))).as("bp"))
+      })
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(length(w).cast("long").as("pos"), lit(0L).as("np"),
+        dpbp("bp").as("bp")),
+      (acc, _) =>
+        when(acc("pos") > 0,
+          struct(
+            element_at(acc("bp"), (acc("pos") + 1).cast("int")).as("pos"),
+            (acc("np") + 1).as("np"), acc("bp").as("bp")))
+          .otherwise(acc),
+      acc => acc("np"))
+  }
+
   /** Per-distinct-word subword counts under the shipped model — the
     * Heaps-sublinear frame encode and compare join back to documents
     * through the size gate ([[Distributed.modelJoin]]: broadcast
     * under the row threshold, word-keyed shuffle join once the
     * distinct-word frame is web-corpus-sized); memoized WITH its row
     * count and pinned so the two consumers share ONE token pass +
-    * Viterbi segmentation per (session, dataset).
+    * Viterbi segmentation per (session, dataset). The PHYSICAL FORM
+    * of the cost model is gated like [[Wordpiece]]'s
+    * ([[Wordpiece.LiteralFormMaxPieces]], the measured
+    * VocabFormProbe bound): typedlit walk at toy sizes, the
+    * vocabulary-as-table DP above the threshold.
     */
   private[ops] def wordPieceCountsWithRows(s: SparkSession, d: String)
       : (DataFrame, Long) =
     Similarity.memo(s, d, "unigram-wpc") {
       val cf = train(s, d).costs
-      val wp = wordsDf(s, d)
-        .select(col("word"),
-          size(viterbiPieces(col("word"), cf)).cast("long").as("np"))
+      val words = wordsDf(s, d)
+      val wp = (if (cf.size <= Wordpiece.LiteralFormMaxPieces)
+          literalFormCounts(words, cf)
+        else tableFormCounts(s, words, cf))
         .localCheckpoint()
       (wp, wp.count())
     }

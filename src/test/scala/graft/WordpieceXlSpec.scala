@@ -99,6 +99,23 @@ class WordpieceXlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tabM === lit, "both physical forms are the same encoder")
   }
 
+  test("unigram form gate: the table-form Viterbi equals the literal " +
+    "form bit for bit (same DP, same tie-breaks), no literal in its " +
+    "plan") {
+    import graft.ops.Unigram
+    val costs = Unigram.train(spark, sf).costs
+    assert(costs.nonEmpty)
+    val words = Unigram.wordsDf(spark, sf)
+    val lit = Unigram.literalFormCounts(words, costs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tab = Unigram.tableFormCounts(spark, words, costs)
+    val pTab = tab.queryExecution.executedPlan.toString
+    assert(!pTab.contains("element_at(map("),
+      "the table arm must not carry the cost model as a literal")
+    val tabM = tab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tabM === lit, "both physical forms are the same segmenter")
+  }
+
   test("every document encodes: 4 derived words each, subtoken count " +
     "bounded by [len/3, len] per word") {
     val rows = SparkEntry.queries("q_wordpiece_encode_xl")(spark, sf)
