@@ -1688,4 +1688,35 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
     }
   }
+
+  test("q_nb_auc_holdout / q_nb_test_report: prefix sums stay " +
+    "ranged-partitioned (the score domain is corpus-sized)") {
+    Seq("q_nb_auc_holdout", "q_nb_test_report").foreach { q =>
+      val lines = plan(q).linesIterator.toVector
+      val wins = lines.filter(_.contains("windowspecdefinition("))
+      wins.foreach { l =>
+        assert(l.contains("__pid_"),
+          s"$q: window not keyed on the range-partition id: $l")
+      }
+    }
+  }
+
+  test("q_nb_split: cluster-domain rollups only — no window, no " +
+    "corpus-keyed sort") {
+    val p = plan("q_nb_split")
+    assert(!p.contains("windowspecdefinition("),
+      "the split audit must be pure partial-aggregated rollups")
+    assert(p.contains("HashAggregate"), p.take(500))
+  }
+
+  test("q_crossmodal_gate: map-only scoring — the only exchanges are " +
+    "the gated pair joins and the <=#sources rollup") {
+    val p = plan("q_crossmodal_gate")
+    assert(!p.contains("windowspecdefinition("), "no window anywhere")
+    assert(p.contains("BroadcastHashJoin"),
+      "fixture-sized embedding store rides the gate's broadcast arm")
+    // dot products are the fused codegen kernel, not a lambda chain
+    assert(p.contains("dot_product_q") || p.contains("dotproductq") ||
+      p.toLowerCase.contains("dotproduct"), p.take(800))
+  }
 }
