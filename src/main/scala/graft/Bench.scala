@@ -75,6 +75,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // State-store async maintenance (default interval 60 s) collides
+      // with the short-lived streaming queries the tier-2 set runs: the
+      // snapshot upload lands INSIDE a timed pass roughly once per bench
+      // execution and shows up as one ~5 s max task (the reproduced
+      // q_stream_drift straggler, diagnosed via taskstats in r11).
+      // Pinning the interval above any pass length makes the committed
+      // spreads independent of collision luck; correctness is unaffected
+      // (maintenance only compacts state files, and every bench stream
+      // is torn down within seconds).
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -174,21 +184,29 @@ object Bench {
         val times = new Array[Double](qs.length)
         val stats = new Array[(Double, Double, Long)](qs.length)
         for ((q, i) <- qs.zipWithIndex) {
+          // per-RUN error state: the resample guard and the running
+          // median must key on whether THIS run completed — the sticky
+          // errs(i) (kept for reporting) would let one early failure
+          // poison the median with fast-fail wall times and suppress
+          // resampling of later clean runs
+          var runErr: Option[String] = None
           def timedRun(): Double = {
             taskStats.foreach(_.reset())
+            runErr = None
             val t0 = System.nanoTime()
             try run(q, sfDir)
             catch { case t: Throwable =>
-              errs(i) = Some(t.toString.take(200)) }
+              runErr = Some(t.toString.take(200)) }
             (System.nanoTime() - t0) / 1e9
           }
           var t = timedRun()
-          if (errs(i).isEmpty && shouldResample(t, hist(i))) {
+          if (runErr.isEmpty && shouldResample(t, hist(i))) {
             resampledBy(q.name) = resampledBy.getOrElse(q.name, 0) + 1
             t = timedRun() // kept unconditionally — see header
           }
           times(i) = t
-          hist(i) = hist(i) :+ t
+          if (runErr.isEmpty) hist(i) = hist(i) :+ t
+          else errs(i) = runErr
           taskStats.foreach { l =>
             val (gc, mx, n) = l.snapshot()
             stats(i) = (gc / 1e3, mx / 1e3, n)

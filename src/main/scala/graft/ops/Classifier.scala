@@ -65,10 +65,18 @@ object Classifier {
     * aggregate over `docs` (needs `source`, `text`), then the three
     * scalars (N⁺, N⁻, V) ride a broadcast 1-row cross join.
     */
-  private def buildModel(docs: DataFrame): DataFrame = {
-    val counts = docs
+  private def buildModel(docs: DataFrame): DataFrame =
+    buildModelTokens(docs
       .select((col("source") === "src0").as("pos"),
-        explode(TextOps.wsTokens(lower(col("text")))).as("token"))
+        explode(TextOps.wsTokens(lower(col("text")))).as("token")))
+
+  /** [[buildModel]] over an already-exploded (pos, token) stream — the
+    * entry point for callers that must attach per-doc metadata (e.g.
+    * the holdout split) BEFORE the counting pass, so the metadata join
+    * moves (doc_id, token) pairs instead of raw text.
+    */
+  private def buildModelTokens(toks: DataFrame): DataFrame = {
+    val counts = toks
       .groupBy("token")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cnt_pos"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("cnt_neg"))
@@ -460,18 +468,21 @@ object Classifier {
     * approximate.
     *
     * 100 TB shape: the label frame holds one row per doc WITH a
-    * near-dup — a corpus fraction, so the doc-side join rides the
+    * near-dup — a corpus fraction, so the probe-side join rides the
     * size gate ([[Distributed.modelJoin]]: broadcast while small,
     * doc_id-keyed shuffle join once near-dup membership is
     * corpus-scale); the split itself is a deterministic map-side
-    * hash. Text never shuffles (the join carries doc_id + a long).
+    * hash. Raw document TEXT never rides this join: every consumer
+    * attaches the split to a frame of doc_id-keyed scalars (the split
+    * audit) or to the already-exploded token stream (the holdout
+    * counting pass) — so the above-threshold shuffle arm moves
+    * (doc_id, token/scalar) pairs, never document strings.
     */
-  private def splitDocs(s: SparkSession, d: String): DataFrame = {
+  private def assignSplit(df: DataFrame, s: SparkSession, d: String)
+      : DataFrame = {
     val (labels, rows) = splitLabelsWithRows(s, d)
-    Distributed.modelJoin(
-      Tables.documents(s, d).select(col("doc_id"), col("source"),
-        col("text")),
-      labels, rows, Seq("doc_id"), joinType = "left")
+    Distributed.modelJoin(df, labels, rows, Seq("doc_id"),
+      joinType = "left")
       .withColumn("ckey", coalesce(col("component_id"), col("doc_id")))
       .withColumn("bucket",
         (conv(substring(md5(col("ckey").cast("string")), 1, 8), 16, 10)
@@ -479,8 +490,19 @@ object Classifier {
       .withColumn("split",
         when(col("bucket") < 8, "train")
           .when(col("bucket") === 8, "val").otherwise("test"))
-      .select("doc_id", "source", "text", "ckey", "split")
+      .drop("component_id", "bucket")
   }
+
+  /** The narrow split-assignment frame (doc_id, source, ckey, split) —
+    * no text column, so the gated label join never moves document
+    * strings in its shuffle arm (the r11 ADVICE finding: the old form
+    * joined the FULL document frame, so above the broadcast threshold
+    * text shuffled, contradicting the scaladoc).
+    */
+  private def splitAssign(s: SparkSession, d: String): DataFrame =
+    assignSplit(
+      Tables.documents(s, d).select(col("doc_id"), col("source")), s, d)
+      .select("doc_id", "source", "ckey", "split")
 
   /** hex(8 chars) → BIGINT without conv(): positional arithmetic (the
     * qClusterSafeSplit construction, proven hash-identical to Spark's
@@ -529,8 +551,7 @@ object Classifier {
   val qNbSplit = Q(
     "q_nb_split",
     (s, d) => {
-      val assigned = splitDocs(s, d).select("doc_id", "source", "ckey",
-        "split")
+      val assigned = splitAssign(s, d)
       val leaky = assigned.groupBy("ckey")
         .agg(countDistinct(col("split")).as("ns"))
         .agg(sum(when(col("ns") > 1, 1L).otherwise(0L))
@@ -562,12 +583,20 @@ object Classifier {
     * [[nbModel]] but trained ONLY on the train split, memoized with
     * its row count for the scoring join's size gate. Val/test rows
     * never enter this aggregate by construction (the split filter is
-    * upstream of the counting pass).
+    * upstream of the counting pass). Tokens explode map-side BEFORE
+    * the split join ([[scoredDocs]]' discipline), so the gated label
+    * join's shuffle arm moves (doc_id, token) pairs — document text
+    * never shuffles on this path either.
     */
   private[graft] def nbHoldoutModelWithRows(s: SparkSession, d: String)
       : (DataFrame, Long) =
     Similarity.memo(s, d, "nb-model-holdout") {
-      val m = buildModel(splitDocs(s, d).filter(col("split") === "train"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), (col("source") === "src0").as("pos"),
+          explode(TextOps.wsTokens(lower(col("text")))).as("token"))
+      val m = buildModelTokens(
+        assignSplit(toks, s, d).filter(col("split") === "train")
+          .select("pos", "token"))
         .localCheckpoint()
       (m, m.count())
     }
@@ -602,15 +631,15 @@ object Classifier {
   private[graft] def holdoutScored(s: SparkSession, d: String): DataFrame =
     Similarity.memo(s, d, "nb-holdout-scored") {
       val (model, mrows) = nbHoldoutModelWithRows(s, d)
-      val docs = splitDocs(s, d)
       val tokScores = Distributed.modelJoin(
-        docs.select(col("doc_id"),
+        Tables.documents(s, d).select(col("doc_id"),
           explode(TextOps.wsTokens(lower(col("text")))).as("token")),
         model.select("token", "llr_ppm"), mrows, Seq("token"))
         .groupBy("doc_id")
         .agg(sum(col("llr_ppm")).as("tok_ppm"))
-      docs.select(col("doc_id"), col("split"),
-        when(col("source") === "src0", 1L).otherwise(0L).as("isp"))
+      splitAssign(s, d)
+        .select(col("doc_id"), col("split"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("isp"))
         .join(tokScores, Seq("doc_id"), "left")
         .select(col("split"), col("isp"),
           coalesce(col("tok_ppm"), lit(0L)).as("v"))
@@ -646,7 +675,14 @@ object Classifier {
               "(2 * CAST(pn AS DECIMAL(38,0)) * CAST(qn AS DECIMAL(38,0)))" +
               " AS BIGINT) END").as("auc_ppm"))
       }
-      aucOf("train").union(aucOf("val")).orderBy("split")
+      // a split with zero documents emits NO row (matching the
+      // oracle's GROUP BY split, which has no row to group on a
+      // degenerate corpus where train or val is empty) — without the
+      // filter the engine's per-split global aggregate emits an
+      // all-zero row the oracle lacks (r11 ADVICE)
+      aucOf("train").union(aucOf("val"))
+        .filter(col("pos_n") + col("neg_n") > 0)
+        .orderBy("split")
     },
     Some(
       s"""WITH RECURSIVE $oracleSplitCtes,

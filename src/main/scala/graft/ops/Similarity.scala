@@ -2493,7 +2493,7 @@ object Similarity {
         emb.select(col("vec_id").as("doc_id"), col("qv").as("tqv")),
         embRows, Seq("doc_id")),
       emb.select(col("vec_id").as("img_src"), col("qv").as("sqv")),
-      embRows, Seq("img_src"))
+      embRows, Seq("img_src"), joinType = "left")
       .withColumn("mask",
         md5(concat(lit("img|"), col("img_src").cast("string"))))
       .withColumn("iqv", transform(col("sqv"), (x, i) =>
@@ -2501,9 +2501,15 @@ object Similarity {
           .otherwise(x)))
       .select(col("doc_id"), col("source"),
         (col("img_src") =!= col("doc_id")).as("swapped"),
-        (cosine(dotq(col("tqv"), col("iqv")),
+        // LEFT join + coalesce(…, false): a swapped partner past the
+        // image-asset tail (doc_id + 3 beyond the last asset, the r11
+        // ADVICE boundary hole) has no embedding row — the pair STAYS
+        // in the audit population, counted misaligned-and-dropped
+        // (kept = false; a pair whose image is missing can never be
+        // kept), instead of silently vanishing from n_pairs
+        coalesce(cosine(dotq(col("tqv"), col("iqv")),
           dotq(col("tqv"), col("tqv")),
-          dotq(col("iqv"), col("iqv"))) >= 0.25).as("kept"))
+          dotq(col("iqv"), col("iqv"))) >= 0.25, lit(false)).as("kept"))
 
   /** The per-source retention audit rollup over a scored pair frame. */
   private[ops] def crossmodalRollup(scored: DataFrame): DataFrame =
@@ -2535,7 +2541,7 @@ object Similarity {
          |  SELECT p.doc_id, p.source, p.img_src, t.qv AS tqv, s.qv AS sqv,
          |    md5('img|' || CAST(p.img_src AS VARCHAR)) AS mask
          |  FROM prs p JOIN eq t ON p.doc_id = t.vec_id
-         |  JOIN eq s ON p.img_src = s.vec_id),
+         |  LEFT JOIN eq s ON p.img_src = s.vec_id),
          |flipped AS (
          |  SELECT doc_id, source, (img_src <> doc_id) AS swapped, tqv,
          |    list_transform(range(1, len(sqv) + 1),
@@ -2545,9 +2551,10 @@ object Similarity {
          |  FROM withv),
          |scored AS (
          |  SELECT source, swapped,
-         |    (CAST(${dotqSql("tqv", "iqv")} AS DOUBLE) /
+         |    coalesce(CAST(${dotqSql("tqv", "iqv")} AS DOUBLE) /
          |      sqrt(CAST(${dotqSql("tqv", "tqv")} AS DOUBLE) *
-         |        CAST(${dotqSql("iqv", "iqv")} AS DOUBLE)) >= 0.25) AS kept
+         |        CAST(${dotqSql("iqv", "iqv")} AS DOUBLE)) >= 0.25, FALSE)
+         |      AS kept
          |  FROM flipped)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
          |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

@@ -509,25 +509,25 @@ object Unigram {
     * before setting sampling temperatures — the cross-family
     * completion of [[Bpe.qBpeFertility]]'s single-family audit.
     *
-    * 100 TB shape: the BPE side is the codegen'd map-only replace
-    * chain; the unigram and WordPiece sides segment only the
-    * Heaps-sublinear distinct words and size-gate-join counts back;
-    * all roll up to ≤ #langs rows with partial aggregation. Document
-    * text never shuffles.
+    * 100 TB shape: all three sides segment only the Heaps-sublinear
+    * distinct words under their form-gated models and size-gate-join
+    * counts back; all roll up to ≤ #langs rows with partial
+    * aggregation. Document text never shuffles.
     */
   val qTokenizerCompare = Q(
     "q_tokenizer_compare",
     (s, d) => {
-      val applied = Bpe.encodeExpr(Bpe.train(s, d))
-      val bpe = Tables.documents(s, d)
-        .select(col("lang"),
-          size(TextOps.wsTokens(lower(col("text")))).cast("long")
-            .as("n_tok"),
-          applied.as("e"))
-        .filter(col("n_tok") > 0)
+      val (bwp, bwpRows) = Bpe.wordPieceCountsWithRows(s, d)
+      val bpe = Distributed.modelJoin(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.wsTokens(lower(col("text")))).as("word")),
+        bwp, bwpRows, Seq("word"))
+        .groupBy("lang", "doc_id")
+        .agg(count(lit(1)).as("d_tok"), sum(col("np")).as("d_sub"))
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
-          sum(Bpe.subtokOf(col("e")).cast("long")).as("bpe_subtok"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("d_tok")).as("n_tok"),
+          sum(col("d_sub")).as("bpe_subtok"))
       val (uwp, uwpRows) = wordPieceCountsWithRows(s, d)
       val uni = Distributed.modelJoin(
         Tables.documents(s, d)

@@ -210,6 +210,23 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_nb_auc_holdout emits NO row for an empty split (degenerate " +
+    "corpus where every doc buckets to train) — oracle GROUP BY parity") {
+    // md5('0') = cfcd2084… → bucket 4 → train; a 1-doc corpus leaves
+    // val and test empty, and the engine must not emit the all-zero
+    // rows the oracle's GROUP BY split lacks (r11 ADVICE)
+    val fresh = Files.createTempDirectory("nbspec-onesplit").toString
+    import spark.implicits._
+    Seq((0L, "good the good", "en", "src0", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$fresh/documents.parquet")
+    val rows = SparkEntry.queries("q_nb_auc_holdout")(spark, fresh)
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "train")
+    assert(rows(0).getLong(1) + rows(0).getLong(2) === 1L)
+  }
+
   test("q_nb_test_report: the val-tuned threshold matches a brute-force " +
     "sweep and the test metrics recompute from the scored frame") {
     val scored = Classifier.holdoutScored(spark, sf)

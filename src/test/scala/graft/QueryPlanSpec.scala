@@ -254,16 +254,21 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q_bpe_encode applies the trained merges map-only (no joins)") {
-    // training runs its own (vocabulary-sized) jobs while the plan is
-    // built; the RETURNED plan — the corpus-wide pass — must be scan →
-    // project → sort, with the merge literals baked in: no join, and
-    // the only exchange is the output ORDER BY's range partitioning
+  test("q_bpe_encode joins the form-gated per-word counts back to the " +
+    "token stream; document text never shuffles") {
+    // training and the per-word merge application run their own
+    // (vocabulary-sized) jobs while the plan is built and land in a
+    // pinned memo; the RETURNED plan — the corpus-wide pass — is
+    // tokenize → size-gated word join (broadcast at toy model size) →
+    // doc-keyed partial rollup → output sort
     val p = plan("q_bpe_encode")
-    assert(!p.contains("Join"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "toy per-word counts should ride the gate's broadcast arm")
     val payloads = shufflePayloads("q_bpe_encode")
-    assert(payloads.length <= 1,
-      s"expected only the ORDER BY exchange, got ${payloads.length}")
+    payloads.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text leaked into a shuffle: ${cols.mkString(", ")}")
+    }
   }
 
   test("q_classifier_score broadcasts weights; only (doc, bucket) shuffles") {

@@ -58,6 +58,25 @@ class Round11BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(swKept * 10 <= sw, s"planted leak-through $swKept/$sw")
   }
 
+  test("boundary semantics: the population covers every image asset " +
+    "with a text embedding at BOTH sf0.001 AND sf0.1 — where the LAST " +
+    "asset's swap coin fires past the corpus tail (doc 4998 → partner " +
+    "5001, no embedding row) and the LEFT join keeps the pair as " +
+    "misaligned-not-kept instead of dropping it (r11 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    for (d <- Seq(sf, "/root/testdata/sf0.1")) {
+      val expected = Tables.documents(spark, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .join(Tables.embeddings(spark, d)
+          .select(col("vec_id").as("doc_id")), Seq("doc_id"))
+        .count()
+      val rows = SparkEntry.queries("q_crossmodal_gate")(spark, d)
+        .collect()
+      assert(rows.map(_.getLong(1)).sum === expected,
+        s"full image-asset population at $d")
+    }
+  }
+
   test("q_stream_crossmodal: the ingest-time gate lands the same " +
     "audit as the batch gate, row for row") {
     val batch = SparkEntry.queries("q_crossmodal_gate")(spark, sf)
