@@ -87,7 +87,10 @@ object SparkEntry {
       // (LSH-CC labels + a train-scoped counting pass), and the
       // cross-modal alignment gate (two vec_id joins, map-only score)
       "q_wordpiece_encode_xl", "q_nb_split", "q_nb_auc_holdout",
-      "q_crossmodal_gate", "q_nb_test_report", "q_stream_crossmodal")
+      "q_crossmodal_gate", "q_nb_test_report", "q_stream_crossmodal",
+      // round 12: cluster-conditional mixture (memoized k-means
+      // assignment + ranged two-pass per-cluster rank)
+      "q_cluster_mix")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

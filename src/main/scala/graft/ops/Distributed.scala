@@ -144,10 +144,23 @@ object Distributed {
     * repo is memoized and localCheckpoint-pinned, so the count is a
     * cheap job over pinned blocks, not a recompute of the training
     * pass.
+    *
+    * The default threshold is MEASURED, not asserted
+    * (graft.tools.ModelJoinProbe, SCALE.md: model-shaped build —
+    * 32-hex token key + 3 BIGINTs — against a 2·10⁷-row probe stream,
+    * auto-broadcast disabled, medians of 3): broadcast beats the
+    * shuffle join 2.2× at 10⁵ rows (3.18 vs 6.85 s) and 1.5× at 10⁶
+    * (4.71 vs 7.08 s); the arms cross near 4·10⁶ (7.56 vs 8.01 s) and
+    * by 10⁷ broadcast is 1.46× SLOWER (14.22 vs 9.76 s) — the old 10⁷
+    * default sat past its own crossover. 10⁶ keeps a decade of margin
+    * below the measured local crossover, which matters because
+    * local[n] understates broadcast cost: a real cluster re-ships the
+    * collected model once per executor, so the true crossover only
+    * moves DOWN from the measured one.
     */
   def modelJoin(probe: DataFrame, build: DataFrame, buildRows: Long,
       keys: Seq[String], joinType: String = "inner",
-      maxBroadcastRows: Long = 10000000L): DataFrame = {
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
     val hinted = if (buildRows <= maxBroadcastRows) broadcast(build) else build
     probe.join(hinted, keys, joinType)
   }

@@ -2411,6 +2411,95 @@ object Similarity {
     }
   )
 
+  // ------------------------------------- cluster-conditional mixture
+
+  /** q_cluster_mix — cluster-conditional temperature resampling: the
+    * topic-rebalance pass real curation runs AFTER SemDeDup (near-dups
+    * are gone, but the TOPIC distribution is still whatever the crawl
+    * happened to find) — [[Sampling.qTemperatureMix]]'s p ∝ n^(1/2)
+    * quota arithmetic applied per EMBEDDING CLUSTER (the trained
+    * k-means assignment, [[qKmeansIvf]]'s coarse quantizer) instead of
+    * per source label: over-represented topics down-sample toward the
+    * tempered distribution, under-represented ones keep everything
+    * (their quota exceeds their size).
+    *
+    * Exactness: budget B = ⌊N/2⌋; sq_c = ⌊√n_c·10⁶+0.5⌋ (IEEE requires
+    * sqrt correctly rounded, so both engines quantize the identical
+    * double — the qTemperatureMix argument); quota_c = B·sq_c div Σsq
+    * carried in DECIMAL(38,0)/HUGEINT so B·sq never wraps at corpus
+    * scale. Selection is deterministic: within each cluster, docs rank
+    * by (md5(text), doc_id) — a total order — and ranks below the
+    * quota survive.
+    *
+    * 100 TB shape: the assignment is the memoized k-means (broadcast
+    * centroid joins, one partial-aggregated pass); cluster sizes and
+    * quotas are ≤k-row aggregates riding broadcast cross joins; the
+    * per-cluster rank is [[Distributed.globalRank0]] on
+    * (cid, h, doc_id) minus each cluster's min rank (a ≤k-row
+    * broadcast) — the ranged two-pass rank, NEVER a window
+    * partitioned by k cluster ids whose partitions would each hold
+    * corpus/k rows.
+    */
+  val qClusterMix = Q(
+    "q_cluster_mix",
+    (s, d) => {
+      val (v, nv) = quantized(s, d)
+      val assign = memo(s, d, "kmeans-assign") {
+        assignToCentroids(v, nv, trainKmeans(s, d)).localCheckpoint()
+      }
+      val joined = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(assign.select(col("vec_id").as("doc_id"), col("cid")),
+          Seq("doc_id"))
+      val sized = assign.groupBy("cid")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("sq",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5)
+            .cast("long"))
+      val tot = sized.agg(sum(col("sq")).as("tot"))
+      val budget = Tables.documents(s, d)
+        .agg((count(lit(1)) / 2).cast("long").as("b"))
+      val quotas = sized.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(budget))
+        .select(col("cid"),
+          expr("CAST((CAST(b AS DECIMAL(38,0)) * sq) div tot AS BIGINT)")
+            .as("quota"))
+      val (ranked, _, rankCol) = Distributed.globalRank0(joined,
+        Seq(col("cid"), col("h"), col("doc_id")), "cmix")
+      val minr = ranked.groupBy("cid").agg(min(col(rankCol)).as("cmin"))
+      ranked
+        .join(broadcast(minr), Seq("cid"))
+        .select(col("doc_id"), col("cid"),
+          (col(rankCol) - col("cmin")).as("rc"))
+        .join(broadcast(quotas), Seq("cid"))
+        .filter(col("rc") < col("quota"))
+        .select(col("doc_id"), col("cid"), col("rc"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""$kmeansCtes,
+         |csz AS (
+         |  SELECT cid, count(*) AS n_docs,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6 + 0.5)
+         |      AS BIGINT) AS sq
+         |  FROM assign2 GROUP BY cid),
+         |cquo AS (
+         |  SELECT cid,
+         |    CAST((CAST((SELECT count(*) FROM documents) // 2 AS HUGEINT)
+         |      * sq) // (SELECT CAST(sum(sq) AS BIGINT) FROM csz)
+         |      AS BIGINT) AS quota
+         |  FROM csz),
+         |cranked AS (
+         |  SELECT d.doc_id, a.cid,
+         |    CAST(row_number() OVER (PARTITION BY a.cid
+         |      ORDER BY md5(d.text), d.doc_id) - 1 AS BIGINT) AS rc
+         |  FROM documents d JOIN assign2 a ON d.doc_id = a.vec_id)
+         |SELECT doc_id, cid, rc
+         |FROM cranked JOIN cquo USING (cid)
+         |WHERE rc < quota ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ---------------------------------------- cross-modal alignment gate
 
   /** The cross-modal pair-alignment retention family — q_crossmodal_gate
@@ -2583,5 +2672,6 @@ object Similarity {
       qAnnLshMultiprobe, qAnnRecall, qHardNegatives, qRandomProjection,
       qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift,
       qEmbeddingCoherence, qKcenterCoreset, qAnnHamming,
-      qEmbeddingWhiten, qLdaPower, qAnnMatryoshka, qCrossmodalGate)
+      qEmbeddingWhiten, qLdaPower, qAnnMatryoshka, qCrossmodalGate,
+      qClusterMix)
 }

@@ -75,7 +75,12 @@ object ScaleProbe {
     // join + a second (train-scoped) counting pass; the crossmodal
     // gate is two vec_id equi-joins + map-only codegen
     "q_wordpiece_encode_xl", "q_nb_split", "q_nb_auc_holdout",
-    "q_crossmodal_gate", "q_nb_test_report", "q_stream_crossmodal")
+    "q_crossmodal_gate", "q_nb_test_report", "q_stream_crossmodal",
+    // round-12: cluster-conditional mixture (k-means assignment +
+    // ranged per-cluster rank) and the two encode paths whose serving
+    // form changed (per-distinct-word gated joins replacing the
+    // per-doc literal replace chain)
+    "q_cluster_mix", "q_tokenizer_compare")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
