@@ -24,16 +24,18 @@ import org.apache.spark.sql.functions._
   *    the streaming ops; document text is never touched again.
   *  - Applying the trained merges ([[qBpeEncode]]) touches only the
   *    Heaps-sublinear DISTINCT words, under the same PHYSICAL FORM
-  *    GATE as the other two trained encoders
-  *    ([[Wordpiece.LiteralFormMaxPieces]], the measured VocabFormProbe
-  *    bound): at toy merge counts the merges are baked into a
-  *    codegen'd per-word replace chain (map-only, fastest while the
-  *    plan stays small); above the threshold the merge table enters
-  *    the plan as DATA ([[tableFormCounts]] — a 32k-merge model as a
-  *    32k-step literal replace chain is the same plan-bloat class the
-  *    probe measured at 41×, and worse: the chain grows the PLAN
-  *    linearly in K and defeats codegen limits). Doc-side encode is a
-  *    size-gated word join + doc-keyed rollup; text never shuffles.
+  *    GATE discipline as the other two trained encoders but with its
+  *    OWN measured threshold ([[LiteralFormMaxMerges]] = 256,
+  *    graft.tools.BpeFormProbe): at toy merge counts the merges are
+  *    baked into a codegen'd per-word replace chain (map-only,
+  *    measured 6× faster than the table pipeline at K=128); above the
+  *    threshold the merge table enters the plan as DATA
+  *    ([[tableFormCounts]]) — necessarily, because the K-deep nested
+  *    replace chain stops PLANNING at K=512 (StackOverflowError in
+  *    the recursive tree traversal), a harder failure than the
+  *    MaxMatch families' 41×-at-32k typedlit slowdown. Doc-side
+  *    encode is a size-gated word join + doc-keyed rollup; text never
+  *    shuffles.
   *
   * Mechanics: a word's symbol sequence is a STRING with every symbol
   * wrapped in … brackets, so "merge pair (a,b)
@@ -260,20 +262,37 @@ object Bpe {
     pending.join(best, Seq("word"), "left")
   }
 
+  /** Merge-count threshold for the literal serving form — MEASURED
+    * (graft.tools.BpeFormProbe, SCALE.md), and deliberately LOWER
+    * than the MaxMatch/Viterbi families'
+    * [[Wordpiece.LiteralFormMaxPieces]] because the failure class
+    * differs: their literal is ONE fat typedlit map node (degrades
+    * smoothly, 41× at 32k), while BPE's literal is a K-DEEP nested
+    * replace chain whose recursive Catalyst tree traversal blows the
+    * JVM stack — StackOverflowError at K = 512 on this stack size,
+    * i.e. the literal form stops PLANNING long before it gets slow.
+    * Measured: K=128 literal 1.96 s vs table 12.1 s (literal 6×
+    * faster — the per-round join floor dominates at toy K); K=256
+    * literal 7.6 s vs 15.4 s (still ahead, degrading ~4× per
+    * doubling); K≥512 literal FAILED(StackOverflowError), table flat
+    * ~16–19 s from 128 through 32,768 merges.
+    */
+  private[graft] val LiteralFormMaxMerges = 256
+
   /** Per-distinct-word subword counts under the trained merges,
     * memoized WITH the frame's row count (for the doc-side join's
     * size gate) and pinned so encode/fertility/compare share ONE
     * token pass + merge application per (session, dataset). The
     * physical form is gated on the merge count
-    * ([[Wordpiece.LiteralFormMaxPieces]]); both arms compute
-    * identical counts (spec-pinned).
+    * ([[LiteralFormMaxMerges]] — measured, see there); both arms
+    * compute identical counts (spec-pinned).
     */
   private[graft] def wordPieceCountsWithRows(s: SparkSession, d: String)
       : (DataFrame, Long) =
     Similarity.memo(s, d, "bpe-wpc") {
       val merges = train(s, d)
       val words = Wordpiece.wordsDf(s, d)
-      val wp = (if (merges.size <= Wordpiece.LiteralFormMaxPieces)
+      val wp = (if (merges.size <= LiteralFormMaxMerges)
           literalFormCounts(words, merges)
         else tableFormCounts(s, words, merges))
         .localCheckpoint()

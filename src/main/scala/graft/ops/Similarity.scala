@@ -365,6 +365,18 @@ object Similarity {
       cent
     }
 
+  /** The trained assignment (vec_id, cid), memoized and pinned per
+    * (session, dataset) so the seven consumers (IVF search/probes/
+    * assign/drift/layout, SemDeDup, the cluster mixture) share ONE
+    * assignment pass per session instead of re-deriving it from the
+    * memoized centroids each.
+    */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "kmeans-assign") {
+      val (v, nv) = quantized(s, d)
+      assignToCentroids(v, nv, trainKmeans(s, d)).localCheckpoint()
+    }
+
   /** Shared CTE prelude: quantized vectors, norms, and the unrolled
     * k-means iterations through the final assignment `assign2`.
     */
@@ -404,10 +416,7 @@ object Similarity {
 
   val qKmeansIvf = Q(
     "q_kmeans_ivf",
-    (s, d) => {
-      val (v, nv) = quantized(s, d)
-      assignToCentroids(v, nv, trainKmeans(s, d)).orderBy("vec_id")
-    },
+    (s, d) => kmeansAssign(s, d).orderBy("vec_id"),
     Some(s"$kmeansCtes\nSELECT vec_id, cid FROM assign2 ORDER BY vec_id")
   )
 
@@ -421,7 +430,7 @@ object Similarity {
     "q_ivf_search",
     (s, d) => {
       val (v, nv) = quantized(s, d)
-      val a  = assignToCentroids(v, nv, trainKmeans(s, d)).localCheckpoint()
+      val a  = kmeansAssign(s, d)
       val qa = a.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("cid"))
       val ca = a.filter(col("vec_id") >= 8)
@@ -622,9 +631,7 @@ object Similarity {
   val qSemDedup = Q(
     "q_semdedup",
     (s, d) => {
-      val (v, nv) = quantized(s, d)
-      val assign = assignToCentroids(v, nv, trainKmeans(s, d))
-        .localCheckpoint()
+      val assign = kmeansAssign(s, d)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), qvec(col("embedding")).as("qv"))
         .withColumn("nq", dotq(col("qv"), col("qv")))
@@ -1820,9 +1827,7 @@ object Similarity {
   val qIvfLayoutProbe = Q(
     "q_ivf_layout_probe",
     (s, d) => {
-      val (v, nv) = quantized(s, d)
-      val assign = assignToCentroids(v, nv, trainKmeans(s, d))
-        .localCheckpoint()
+      val assign = kmeansAssign(s, d)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), qvec(col("embedding")).as("qv"))
       val dir = graft.Scratch.dir("ivf_layout").resolve("index").toString
@@ -1891,8 +1896,7 @@ object Similarity {
   val qIvfDrift = Q(
     "q_ivf_drift",
     (s, d) => {
-      val (v, nv) = quantized(s, d)
-      val a = assignToCentroids(v, nv, trainKmeans(s, d))
+      val a = kmeansAssign(s, d)
       val per = a
         .groupBy("cid")
         .agg(
@@ -2443,10 +2447,7 @@ object Similarity {
   val qClusterMix = Q(
     "q_cluster_mix",
     (s, d) => {
-      val (v, nv) = quantized(s, d)
-      val assign = memo(s, d, "kmeans-assign") {
-        assignToCentroids(v, nv, trainKmeans(s, d)).localCheckpoint()
-      }
+      val assign = kmeansAssign(s, d)
       val joined = Tables.documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("h"))
         .join(assign.select(col("vec_id").as("doc_id"), col("cid")),

@@ -49,7 +49,7 @@ class BpeFormSpec extends AnyFunSuite with BeforeAndAfterAll {
     "model over the corpus vocabulary, bit for bit") {
     val merges = Bpe.train(spark, sf)
     assert(merges.nonEmpty &&
-      merges.size <= Wordpiece.LiteralFormMaxPieces,
+      merges.size <= Bpe.LiteralFormMaxMerges,
       "the shipped trained model is toy-sized — the literal arm serves it")
     val words = Wordpiece.wordsDf(spark, sf).localCheckpoint()
     val lit = counts(Bpe.literalFormCounts(words, merges))
