@@ -80,16 +80,30 @@ object Bpe {
       .select(regexp_replace(col("word"), "(.)", s"$B1$$1$B2").as("w"),
         col("freq"))
 
+  /** Adjacent symbol pairs of a symbol array `s` as an array of
+    * (a, b) structs — `zip_with` over the two length−1 slices, NOT
+    * `transform(sequence, i => element_at(s, i))`: the element_at form
+    * is the repo's documented Catalyst re-expansion trap (the
+    * q_cdc_chunks pitfall) — projection collapse inlines the producing
+    * `split(...)` into EVERY element probe, recomputing it ~2(L−1)
+    * times per word, O(L²) string work per round. zip_with consumes
+    * each slice wholesale, so the split is evaluated a constant number
+    * of times per row (plan-asserted: no element_at in the pair
+    * expansion).
+    */
+  private def adjacentPairs(s: Column): Column =
+    zip_with(
+      slice(s, lit(1), size(s) - 1),
+      slice(s, lit(2), size(s) - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+
   /** Weighted adjacent-pair counts of the current vocabulary state. */
   private[graft] def pairCounts(v: DataFrame): DataFrame =
     v.select(
       split(expr("substr(w, 2, length(w) - 2)"), s"$B2$B1").as("s"),
       col("freq"))
       .filter(size(col("s")) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size(col("s")) - 1),
-        i => struct(element_at(col("s"), i).as("a"),
-          element_at(col("s"), i + 1).as("b")))).as("p"), col("freq"))
+      .select(explode(adjacentPairs(col("s"))).as("p"), col("freq"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("freq")).as("cnt"))
 
@@ -196,21 +210,40 @@ object Bpe {
     * there; spec-pinned with exactly that fixture). Words with no
     * applicable merge retire from the loop.
     *
-    * Bounds: a word of length L applies at most L−1 merges (each
-    * strictly shrinks its symbol count), so the driver loop runs
-    * ≤ max-word-length rounds — bounded by the tokenizer's word-length
-    * cap, NEVER by the merge count K. Every round's state is
-    * localCheckpoint-pinned (the [[train]] loop's discipline), each
-    * round is one vocabulary-sized explode + gated join + argmin
-    * aggregate, and only DISTINCT words ride the loop — document text
-    * is untouched.
+    * Bounds: each round a word applies a rank strictly ABOVE its last
+    * (the fold guard), and each application shrinks its symbol count
+    * by ≥ 1, so a word of length L rides ≤ min(L−1, K) rounds.
+    * Neither term alone is a safe bound on adversarial input — the
+    * corpus tokenizer ([[TextOps.wsTokens]]) has no length cap, so a
+    * web corpus's unbroken base64 blob / URL token supplies L in the
+    * thousands, and an adversarially trained deep merge chain supplies
+    * K up to the model size — which is why callers reach this arm only
+    * through [[formGatedCounts]]' [[MaxWordChars]] cap: words longer
+    * than the cap bypass merging entirely (the HuggingFace
+    * max_input_chars_per_word precedent), so the loop runs
+    * ≤ min(MaxWordChars−1, K) rounds on ANY input. Every round's
+    * state is localCheckpoint-pinned (the [[train]] loop's
+    * discipline), each round is one vocabulary-sized explode + gated
+    * join + argmin aggregate, and only DISTINCT words ride the loop —
+    * document text is untouched.
     */
   private[graft] def tableFormCounts(s: SparkSession, words: DataFrame,
       merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
     import s.implicits._
     val mergeDf = merges.map { case (k, a, b, _, _) => (k, a, b) }
       .toDF("rank", "a", "b")
-    val mRows = merges.size.toLong
+    tableFormCountsDf(s, words, mergeDf, merges.size.toLong)
+  }
+
+  /** [[tableFormCounts]] with the merge table supplied as a FRAME —
+    * the entry point a PERSISTED model artifact serves through
+    * ([[ModelStore]]): the stored (rank, a, b) table feeds the gated
+    * join directly, so an above-threshold model never rides the
+    * driver at all (no collect between storage and the join build
+    * side).
+    */
+  private[graft] def tableFormCountsDf(s: SparkSession, words: DataFrame,
+      mergeDf: DataFrame, mRows: Long): DataFrame = {
     var pending = words
       .select(col("word"), bracketEnc(col("word")).as("w"),
         lit(0).as("last"))
@@ -250,9 +283,7 @@ object Bpe {
         col("last"))
       .filter(size(col("s")) >= 2)
       .select(col("word"), col("last"),
-        explode(transform(sequence(lit(1), size(col("s")) - 1),
-          i => struct(element_at(col("s"), i).as("a"),
-            element_at(col("s"), i + 1).as("b")))).as("p"))
+        explode(adjacentPairs(col("s"))).as("p"))
       .select(col("word"), col("last"), col("p.a").as("a"),
         col("p.b").as("b"))
     val best = Distributed.modelJoin(cands, mergeDf, mRows, Seq("a", "b"))
@@ -279,23 +310,91 @@ object Bpe {
     */
   private[graft] val LiteralFormMaxMerges = 256
 
+  /** Maximum word length (in characters) the trained merges are
+    * applied to; longer words bypass merging and count one piece per
+    * symbol — the BPE analog of HuggingFace WordPiece's
+    * max_input_chars_per_word (=100) long-token bailout. The cap is
+    * what bounds [[tableFormCounts]]' driver loop on adversarial
+    * input (an unbroken base64 blob / URL token — see the bounds
+    * paragraph there); it never fires on natural-language words
+    * (fixture corpus max word length: 8 at every scale; real-corpus
+    * longest dictionary words < 50), so the fixture oracles — which
+    * apply the uncapped replace fold — are unaffected. Applied BEFORE
+    * the form dispatch so both arms see the same capped word set and
+    * stay bit-equal (spec-pinned with a >cap fixture word).
+    */
+  private[graft] val MaxWordChars = 256
+
+  /** The form-gated, length-capped per-distinct-word subword counts:
+    * words longer than [[MaxWordChars]] bypass merging (np = symbol
+    * count); the rest dispatch on the merge count
+    * ([[LiteralFormMaxMerges]] — measured, see there). Factored out of
+    * the memo so the cap + gate can be spec-exercised on hostile word
+    * frames the fixture corpus cannot supply.
+    */
+  private[graft] def formGatedCounts(s: SparkSession, words: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    val (short, longNp) = capSplit(words)
+    val armed =
+      if (merges.size <= LiteralFormMaxMerges)
+        literalFormCounts(short, merges)
+      else tableFormCounts(s, short, merges)
+    armed.unionByName(longNp)
+  }
+
+  /** The [[MaxWordChars]] cap split: (mergeable words, bypassed words
+    * with their piece count). Shared by the in-session gate and the
+    * persisted-artifact serving path so the cap semantics cannot
+    * diverge between them.
+    */
+  private def capSplit(words: DataFrame): (DataFrame, DataFrame) = {
+    val isLong = length(col("word")) > MaxWordChars
+    (words.filter(!isLong),
+      words.filter(isLong)
+        .select(col("word"), length(col("word")).cast("long").as("np")))
+  }
+
+  /** Per-distinct-word subword counts served from a PERSISTED merge
+    * table (step, a, b, merged, cnt) — the [[ModelStore]] serving
+    * path: same cap, same form gate, but the model arrives as a
+    * stored FRAME with its manifest row count instead of a
+    * this-session training memo. At/below [[LiteralFormMaxMerges]]
+    * the table is collected into the codegen'd literal chain (a
+    * ≤ 256-row collect, bounded by the gate itself); above it the
+    * frame feeds [[tableFormCountsDf]] directly — a web-scale stored
+    * vocabulary goes storage → join build side without ever touching
+    * the driver. Bit-equality with the retrained in-session serve is
+    * spec-pinned across a session boundary (ModelStoreSpec).
+    */
+  private[graft] def servedCounts(s: SparkSession, words: DataFrame,
+      mergeTable: DataFrame, mRows: Long): DataFrame = {
+    val (short, longNp) = capSplit(words)
+    val armed =
+      if (mRows <= LiteralFormMaxMerges) {
+        val merges = mergeTable.orderBy("step").collect().toSeq
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4)))
+        literalFormCounts(short, merges)
+      } else
+        tableFormCountsDf(s, short,
+          mergeTable.select(col("step").as("rank"), col("a"), col("b")),
+          mRows)
+    armed.unionByName(longNp)
+  }
+
   /** Per-distinct-word subword counts under the trained merges,
     * memoized WITH the frame's row count (for the doc-side join's
     * size gate) and pinned so encode/fertility/compare share ONE
     * token pass + merge application per (session, dataset). The
-    * physical form is gated on the merge count
-    * ([[LiteralFormMaxMerges]] — measured, see there); both arms
-    * compute identical counts (spec-pinned).
+    * physical form is [[formGatedCounts]]' cap + merge-count gate;
+    * both arms compute identical counts (spec-pinned).
     */
   private[graft] def wordPieceCountsWithRows(s: SparkSession, d: String)
       : (DataFrame, Long) =
     Similarity.memo(s, d, "bpe-wpc") {
       val merges = train(s, d)
       val words = Wordpiece.wordsDf(s, d)
-      val wp = (if (merges.size <= LiteralFormMaxMerges)
-          literalFormCounts(words, merges)
-        else tableFormCounts(s, words, merges))
-        .localCheckpoint()
+      val wp = formGatedCounts(s, words, merges).localCheckpoint()
       (wp, wp.count())
     }
 

@@ -104,6 +104,30 @@ class BpeFormSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"toy merge table rides the gate's broadcast arm:\n${plan.take(1500)}")
     assert(!plan.contains("regexp_replace"),
       "no literal replace chain in the table arm's round")
+    assert(!plan.contains("element_at"),
+      "pair expansion must consume the split array wholesale (zip_with " +
+        "over slices) — element_at probes re-expand the producing split " +
+        "per element after projection collapse (the q_cdc_chunks trap)")
+  }
+
+  test("words longer than MaxWordChars bypass merging in the serving " +
+    "path; the cap sits above the form dispatch so both arms agree") {
+    val merges = m((1, "a", "b"))
+    val atCap = "ab" * (Bpe.MaxWordChars / 2)  // exactly at the cap
+    val longW = "ab" * Bpe.MaxWordChars        // 2× the cap
+    val words = wordsDf(Seq("abab", atCap, longW))
+    val gated = counts(Bpe.formGatedCounts(spark, words, merges))
+    assert(gated("abab") === 2L)
+    assert(gated(atCap) === (Bpe.MaxWordChars / 2).toLong,
+      "a word AT the cap merges normally")
+    assert(gated(longW) === (2 * Bpe.MaxWordChars).toLong,
+      "a word past the cap bypasses merging: one piece per symbol")
+    // arm-independence: the table arm computes the same counts on the
+    // capped (short) set the gate would hand it
+    val tab = counts(Bpe.tableFormCounts(spark,
+      wordsDf(Seq("abab", atCap)), merges))
+    assert(tab === Map("abab" -> 2L,
+      atCap -> (Bpe.MaxWordChars / 2).toLong))
   }
 
   test("q_bpe_encode under the gate matches the whole-document " +
