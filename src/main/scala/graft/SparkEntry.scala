@@ -18,7 +18,7 @@ object SparkEntry {
       ops.CuratePipeline.all ++ ops.Bpe.all ++ ops.Unigram.all ++
       ops.Wordpiece.all ++ ops.WordpieceXl.all ++ ops.Classifier.all ++
       ops.Safety.all ++
-      ops.Sketches.all ++ ops.Graph.all
+      ops.Sketches.all ++ ops.Graph.all ++ ops.ModelStore.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -90,7 +90,12 @@ object SparkEntry {
       "q_crossmodal_gate", "q_nb_test_report", "q_stream_crossmodal",
       // round 12: cluster-conditional mixture (memoized k-means
       // assignment + ranged two-pass per-cluster rank)
-      "q_cluster_mix")
+      "q_cluster_mix",
+      // round 13: the persisted-model round trips (each re-runs its
+      // corpus-sized serving pass from the stored artifact) and the
+      // batch-incremental embedding dedup
+      "q_model_artifact_bpe", "q_model_artifact_nb",
+      "q_model_artifact_kmeans", "q_semdedup_incr")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

@@ -124,6 +124,16 @@ object Classifier {
     */
   private def scoredDocs(s: SparkSession, d: String): DataFrame = {
     val (model, rows) = nbModelWithRows(s, d)
+    scoredDocsWith(s, d, model, rows)
+  }
+
+  /** [[scoredDocs]] with the model supplied by the caller — the entry
+    * point a PERSISTED model artifact serves through
+    * ([[ModelStore]]/q_model_artifact_nb): the stored weight table
+    * rides the same size-gated join; only the model's origin differs.
+    */
+  private[ops] def scoredDocsWith(s: SparkSession, d: String,
+      model: DataFrame, rows: Long): DataFrame = {
     val tokScores = Distributed.modelJoin(
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -143,7 +153,7 @@ object Classifier {
     * `log` returns NULL there while DuckDB's `ln` raises on the
     * -inf→BIGINT cast, a divergent failure mode without the guard.
     */
-  private def priorsDf(s: SparkSession, d: String): DataFrame =
+  private[ops] def priorsDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("dp"),
         sum(when(col("source") === "src0", 0L).otherwise(1L)).as("dn"))
@@ -158,7 +168,7 @@ object Classifier {
     * exposing doc_id, source, text — `documents` for the full-corpus
     * model, the train split for the holdout model).
     */
-  private def oracleModelCtes(p: String = "",
+  private[ops] def oracleModelCtes(p: String = "",
       docsRel: String = "documents"): String =
     s"""${p}toks AS MATERIALIZED (
        |  SELECT doc_id, source, (source = 'src0') AS pos,
@@ -186,7 +196,7 @@ object Classifier {
     * per-doc token llr sums (mirrors [[scoredDocs]] — token-less docs
     * keep score 0).
     */
-  private def oracleScoredCte: String =
+  private[ops] def oracleScoredCte: String =
     """scored0 AS (
       |  SELECT d.doc_id, d.source, coalesce(ts.v, 0) AS score_ppm
       |  FROM documents d LEFT JOIN (
@@ -195,7 +205,7 @@ object Classifier {
       |  USING (doc_id))""".stripMargin
 
   /** The oracle's guarded class-prior CTE (mirrors [[priorsDf]]). */
-  private def oraclePriorCte: String =
+  private[ops] def oraclePriorCte: String =
     """prior AS (
       |  SELECT CASE WHEN dp = 0 OR dn = 0 THEN 0 ELSE
       |    CAST(floor(ln(CAST(dp AS DOUBLE) / (dp + dn)) * 1e6 + 0.5)

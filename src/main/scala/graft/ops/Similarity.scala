@@ -283,6 +283,14 @@ object Similarity {
     * of a value-identical (deterministic) artifact, settled by
     * putIfAbsent. MemoNestingSpec pins the regression.
     */
+  /** Whether a memoized artifact exists for (session, dataset, key) —
+    * a test hook: ModelStoreSpec uses it to prove a cold session
+    * served a persisted model WITHOUT retraining (the training memo
+    * key must stay absent through the serve).
+    */
+  private[graft] def memoContains(s: SparkSession, d: String,
+      key: String): Boolean = artifacts.containsKey((s, d, key))
+
   private[graft] def memo[T <: AnyRef](s: SparkSession, d: String,
       key: String)(build: => T): T = {
     val k = (s, d, key)
@@ -296,7 +304,7 @@ object Similarity {
   }
 
   /** Pos-exploded quantized vectors (vec_id, pos, q) + exact norms. */
-  private def quantized(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private[ops] def quantized(s: SparkSession, d: String): (DataFrame, DataFrame) =
     memo(s, d, "quantized") {
       val e = Tables
         .embeddings(s, d)
@@ -330,7 +338,7 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
   }
 
-  private def assignToCentroids(
+  private[ops] def assignToCentroids(
       v: DataFrame, nv: DataFrame, cent: DataFrame): DataFrame =
     rankedCentroids(v, nv, cent)
       .filter(col("rn") === 1)
@@ -341,7 +349,7 @@ object Similarity {
     * shared by IVF search/probe2/assign, SemDeDup, IVF-PQ, and the
     * recall harness instead of retraining per query.
     */
-  private def trainKmeans(s: SparkSession, d: String): DataFrame =
+  private[ops] def trainKmeans(s: SparkSession, d: String): DataFrame =
     memo(s, d, "kmeans-k8-i2") {
       val (v, nv) = quantized(s, d)
       var cent = v
@@ -380,7 +388,7 @@ object Similarity {
   /** Shared CTE prelude: quantized vectors, norms, and the unrolled
     * k-means iterations through the final assignment `assign2`.
     */
-  private val kmeansCtes: String = {
+  private[ops] val kmeansCtes: String = {
     def iter(x: Int): String =
       s"""dot$x AS (
          |  SELECT v.vec_id, c.cid, CAST(sum(v.q * c.cq) AS BIGINT) AS dot
@@ -666,6 +674,88 @@ object Similarity {
          |    / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.25)
          |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
          |FROM assign2 a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    )
+  )
+
+  /** q_semdedup_incr — batch-incremental SemDeDup: the embedding-path
+    * twin of [[Dedup]]'s incremental exact/MinHash story. An INCOMING
+    * batch (here: the trailing fifth of vec_ids, boundary
+    * T = ⌊4/5·max vec_id⌋ — a deterministic stand-in for "the new
+    * crawl snapshot") is assigned to the ALREADY-TRAINED k-means
+    * clusters (the frozen coarse quantizer —
+    * [[ModelStore.qModelArtifactKmeans]] is the artifact a real
+    * pipeline would load here) and compared
+    * in-cluster against every earlier vector; batch vectors with an
+    * earlier near-neighbor (cos ≥ τ) are dropped. Output is the
+    * per-BATCH-vector decision (vec_id, cid, kept).
+    *
+    * Rule choice, stated: kept(b) = no earlier same-cluster vector —
+    * kept or dropped — has cos ≥ τ, exactly [[qSemDedup]]'s
+    * determinization of the paper's keep-one-representative rule.
+    * That makes batch-incremental ≡ whole-corpus-recompute restricted
+    * to the batch BY CONSTRUCTION (spec-pinned, Round13BatchSpec): a
+    * vector's decision depends only on earlier vectors, never on
+    * later arrivals. The alternative — comparing against standing
+    * SURVIVORS only — is the chain rule (a doc near only a DROPPED
+    * doc stays); it loses recompute-equivalence and is not what
+    * qSemDedup computes, so it is deliberately not used.
+    *
+    * 100 TB shape: the pair join's probe side is BATCH-ONLY (its
+    * vec_id > T filter pushes to the scan), so the round costs
+    * O(Σ_c |cluster_c| · |batch ∩ cluster_c|) instead of re-running
+    * the standing corpus' all-pairs; embedding codes shuffle keyed on
+    * cid only (plan-asserted); the trained quantizer is frozen —
+    * assignment of the batch is one broadcast-centroid pass, the
+    * standing corpus' assignments come from the persisted/memoized
+    * table. k scales with the corpus (SemDeDup uses k ≈ n/5000), so
+    * per-cluster batch×standing products stay bounded.
+    */
+  val qSemDedupIncr = Q(
+    "q_semdedup_incr",
+    (s, d) => {
+      val assign = kmeansAssign(s, d)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+        .withColumn("nq", dotq(col("qv"), col("qv")))
+        .join(assign, Seq("vec_id"))
+      val t = Tables.embeddings(s, d)
+        .agg(expr("max(vec_id) * 4 div 5").as("t"))
+        .collect()(0).getLong(0) // 1-row scalar — the batch boundary
+      val batch = e.filter(col("vec_id") > t)
+      val dropped = e.as("a")
+        .join(batch.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"),
+          cosine(dotq(col("a.qv"), col("b.qv")), col("a.nq"),
+            col("b.nq")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25)
+        .select("vec_id").distinct()
+        .withColumn("hit", lit(true))
+      assign.filter(col("vec_id") > t)
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(!col("hit"), lit(true)).as("kept"))
+        .orderBy("vec_id")
+    },
+    Some(
+      s"""$kmeansCtes,
+         |eq AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+         |en AS (SELECT vec_id, qv, ${dotqSql("qv", "qv")} AS nq FROM eq),
+         |mm AS (
+         |  SELECT e.vec_id, e.qv, e.nq, a.cid
+         |  FROM en e JOIN assign2 a ON e.vec_id = a.vec_id),
+         |bt AS (SELECT max(vec_id) * 4 // 5 AS t FROM embeddings),
+         |idropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE b.vec_id > (SELECT t FROM bt)
+         |    AND CAST(${dotqSql("a.qv", "b.qv")} AS DOUBLE)
+         |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.25)
+         |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS kept
+         |FROM assign2 a LEFT JOIN idropped d ON a.vec_id = d.vec_id
+         |WHERE a.vec_id > (SELECT t FROM bt)
          |ORDER BY a.vec_id""".stripMargin
     )
   )
@@ -2674,5 +2764,5 @@ object Similarity {
       qMmrRerank, qAnnIvfPq, qColbertMaxsim, qIvfLayoutProbe, qIvfDrift,
       qEmbeddingCoherence, qKcenterCoreset, qAnnHamming,
       qEmbeddingWhiten, qLdaPower, qAnnMatryoshka, qCrossmodalGate,
-      qClusterMix)
+      qClusterMix, qSemDedupIncr)
 }

@@ -80,7 +80,13 @@ object ScaleProbe {
     // ranged per-cluster rank) and the two encode paths whose serving
     // form changed (per-distinct-word gated joins replacing the
     // per-doc literal replace chain)
-    "q_cluster_mix", "q_tokenizer_compare")
+    "q_cluster_mix", "q_tokenizer_compare",
+    // round-13: the artifact round trips re-run their in-session
+    // twins' corpus-sized serving passes from a stored model (plus a
+    // model-sized write + verification scan); the incremental SemDeDup
+    // adds the batch-restricted in-cluster pair join
+    "q_model_artifact_bpe", "q_model_artifact_nb",
+    "q_model_artifact_kmeans", "q_semdedup_incr")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -225,6 +225,42 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  /** (partitioning keys, payload columns) per shuffle — for asserting
+    * WHAT a payload is keyed on, not just what rides it.
+    */
+  private def shuffleKeyed(name: String): Seq[(Seq[String], Seq[String])] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec =>
+        val keys = e.outputPartitioning match {
+          case h: HashPartitioning => h.expressions.map(_.sql).toSeq
+          case p => Seq(p.getClass.getSimpleName)
+        }
+        (keys, e.child.output.map(_.name).toSeq)
+      }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_semdedup_incr pushes the batch filter to the scan and " +
+    "shuffles embedding codes keyed on cluster id only") {
+    val p = plan("q_semdedup_incr")
+    assert(p.contains("GreaterThan(vec_id"),
+      "the batch boundary must reach the parquet scan as a pushed filter")
+    val keyed = shuffleKeyed("q_semdedup_incr")
+    val carryingCodes = keyed.filter(_._2.contains("qv"))
+    assert(carryingCodes.nonEmpty,
+      "expected the in-cluster pair join to shuffle quantized codes")
+    carryingCodes.foreach { case (keys, cols) =>
+      assert(keys.exists(_.contains("cid")),
+        s"embedding codes shuffled on ${keys.mkString(",")} " +
+          s"(payload ${cols.mkString(",")}) — only the cid equi-join " +
+          "may move codes")
+    }
+  }
+
   test("q_source_overlap shuffles token vocabulary only, never document text") {
     val payloads = shufflePayloads("q_source_overlap")
     assert(payloads.nonEmpty, "expected vocab shuffles")
