@@ -157,6 +157,18 @@ object Distributed {
     * local[n] understates broadcast cost: a real cluster re-ships the
     * collected model once per executor, so the true crossover only
     * moves DOWN from the measured one.
+    *
+    * The shuffle arm under Zipfian key skew is ALSO measured
+    * (graft.tools.SkewJoinProbe, SCALE.md round 13): AQE's
+    * OptimizeSkewedJoin splits the hot token's partition
+    * (`skew=true`, median task 40× faster) once the run is in the
+    * regime a production shuffle is always in — hot partition's
+    * compressed bytes above the detector's absolute floor, partition
+    * count high enough that the row factor clears 5× despite the
+    * repeated key's compression discount. No salting: whole-join
+    * salting measured 3.5× SLOWER (build-side replication dominates);
+    * the mechanism is plan-asserted deterministically in
+    * Round13BatchSpec.
     */
   def modelJoin(probe: DataFrame, build: DataFrame, buildRows: Long,
       keys: Seq[String], joinType: String = "inner",
