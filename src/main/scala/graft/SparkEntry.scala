@@ -95,7 +95,9 @@ object SparkEntry {
       // corpus-sized serving pass from the stored artifact) and the
       // batch-incremental embedding dedup
       "q_model_artifact_bpe", "q_model_artifact_nb",
-      "q_model_artifact_kmeans", "q_semdedup_incr")
+      "q_model_artifact_kmeans", "q_semdedup_incr",
+      "q_model_artifact_wordpiece", "q_model_artifact_unigram",
+      "q_model_artifact_pq")
     val byName = registry.map(q => q.name -> q).toMap
     names.map(byName)
   }

@@ -297,6 +297,157 @@ object ModelStore {
     )
   )
 
+  /** q_model_artifact_wordpiece — the WordPiece vocabulary round
+    * trip: persist the trained piece set (the DISTINCT merge products
+    * — what a shipped tokenizer vocabulary IS), load through manifest
+    * verification, and re-serve q_wordpiece_encode's per-doc MaxMatch
+    * rollup from the LOADED table via [[Wordpiece.servedCounts]] —
+    * same form gate ([[Wordpiece.LiteralFormMaxPieces]]): literal
+    * walk under it (gate-bounded collect), the vocabulary-as-table
+    * MaxMatch pipeline above it, storage → join build side.
+    *
+    * 100 TB shape: q_wordpiece_encode's (MaxMatch over Heaps-sublinear
+    * distinct words, size-gated word join, doc-keyed partial rollup)
+    * plus one model-sized write + verification scan.
+    */
+  val qModelArtifactWordpiece = Q(
+    "q_model_artifact_wordpiece",
+    (s, d) => {
+      import s.implicits._
+      val pieceSet = Wordpiece.train(s, d).map(_._4).distinct
+      val dir = graft.Scratch.dir("model_artifact_wordpiece")
+      save(pieceSet.toDF("piece"), dir, "wordpiece-vocab")
+      val (loaded, man) = load(s, dir)
+      val wp = Wordpiece.servedCounts(s, Wordpiece.wordsDf(s, d),
+        loaded, man.rows).localCheckpoint()
+      val wpRows = wp.count()
+      Distributed.modelJoin(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.wsTokens(lower(col("text")))).as("word")),
+        wp, wpRows, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tok"),
+          sum(col("np")).as("n_subtok"))
+        .select(col("doc_id"), col("n_tok"), col("n_subtok"),
+          expr("CAST((CAST(n_subtok AS DECIMAL(38,0)) * 1000000) " +
+            "div n_tok AS BIGINT)").as("fertility_ppm"),
+          lit(man.rows).as("model_rows"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE
+         |${Wordpiece.oracleTrainCtes()},
+         |${Wordpiece.oracleEncodeCtes()},
+         |toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(
+         |    lower(text), '\\s+'), t -> t <> '')) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+         |  CAST(sum(np) AS BIGINT) AS n_subtok,
+         |  CAST((CAST(sum(np) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+         |    AS fertility_ppm,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pieces) AS model_rows
+         |FROM toks JOIN wp USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_model_artifact_unigram — the unigram-LM cost-table round trip:
+    * persist the shipped (piece, cost_ppm) model, load through
+    * manifest verification, and re-serve q_unigram_encode's per-doc
+    * Viterbi rollup from the LOADED table via
+    * [[Unigram.servedCounts]] — same form gate: literal Viterbi under
+    * it, the cost-model-as-table DP ([[Unigram.tableFormCountsDf]])
+    * above it.
+    *
+    * 100 TB shape: q_unigram_encode's (Viterbi over Heaps-sublinear
+    * distinct words, size-gated word join, doc-keyed partial rollup)
+    * plus one model-sized write + verification scan.
+    */
+  val qModelArtifactUnigram = Q(
+    "q_model_artifact_unigram",
+    (s, d) => {
+      import s.implicits._
+      val costs = Unigram.train(s, d).costs
+      val dir = graft.Scratch.dir("model_artifact_unigram")
+      save(costs.toSeq.sortBy(_._1).toDF("piece", "cost_ppm"), dir,
+        "unigram-costs")
+      val (loaded, man) = load(s, dir)
+      val wp = Unigram.servedCounts(s, Unigram.wordsDf(s, d),
+        loaded, man.rows).localCheckpoint()
+      val wpRows = wp.count()
+      Distributed.modelJoin(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.wsTokens(lower(col("text")))).as("word")),
+        wp, wpRows, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tok"),
+          sum(col("np")).as("n_subtok"))
+        .select(col("doc_id"), col("n_tok"), col("n_subtok"),
+          expr("CAST((CAST(n_subtok AS DECIMAL(38,0)) * 1000000) " +
+            "div n_tok AS BIGINT)").as("fertility_ppm"),
+          lit(man.rows).as("model_rows"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE
+         |${Unigram.oracleTrainCtes()},
+         |${Unigram.costSql("cf", "n3")},
+         |${Unigram.segRoundSql(4, "cf")},
+         |wp AS (SELECT word, CAST(len(pieces) AS BIGINT) AS np FROM seg4),
+         |toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(
+         |    lower(text), '\\s+'), t -> t <> '')) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+         |  CAST(sum(np) AS BIGINT) AS n_subtok,
+         |  CAST((CAST(sum(np) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+         |    AS fertility_ppm,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM n3) AS model_rows
+         |FROM toks JOIN wp USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** q_model_artifact_pq — the PQ codebook round trip: persist the
+    * trained product-quantization codebook (cid, pos, cq — m×k
+    * subspace centroids, the artifact a vector index ships), load
+    * through manifest verification, and RE-ENCODE the corpus from the
+    * LOADED codebook ([[Similarity.pqEncode]] — the exact
+    * nearest-centroid assignment the in-session index build runs),
+    * rolled up as the per-(subspace, code) population histogram.
+    *
+    * 100 TB shape: the codebook is an O(m·k·dims) broadcast; encoding
+    * is one broadcast join over the quantized corpus scan + a
+    * (vec, sub)-keyed argmin — the same shape that encodes an
+    * INCOMING batch against a shipped index without touching the
+    * training corpus.
+    */
+  val qModelArtifactPq = Q(
+    "q_model_artifact_pq",
+    (s, d) => {
+      val (c1, _) = Similarity.pqTrain(s, d)
+      val dir = graft.Scratch.dir("model_artifact_pq")
+      save(c1, dir, "pq-codebook")
+      val (loaded, man) = load(s, dir)
+      Similarity.pqEncode(s, d, loaded)
+        .groupBy("sub", "code")
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(col("sub"), col("code"), col("n_vecs"),
+          lit(man.rows).as("model_rows"))
+        .orderBy("sub", "code")
+    },
+    Some(
+      s"""${Similarity.pqOracleCtes}
+         |SELECT sub, code, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c1) AS model_rows
+         |FROM codes GROUP BY sub, code ORDER BY sub, code""".stripMargin
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qModelArtifactBpe, qModelArtifactNb, qModelArtifactKmeans)
+    Seq(qModelArtifactBpe, qModelArtifactNb, qModelArtifactKmeans,
+      qModelArtifactWordpiece, qModelArtifactUnigram, qModelArtifactPq)
 }

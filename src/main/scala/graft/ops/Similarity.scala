@@ -912,54 +912,119 @@ object Similarity {
     * round via floor(x+0.5); ADC sums are exact BIGINTs; rerank is the
     * established exact-integer cosine.
     */
+  /** The shared PQ oracle prelude: quantized subspace view (e, v,
+    * nx), seed codebook c0, its assignment a0, the one-Lloyd-step
+    * codebook c1, and the final corpus encoding `codes` — the exact
+    * mirror of [[pqTrain]], reused by q_ann_pq and the [[ModelStore]]
+    * PQ round trip.
+    */
+  private[ops] val pqOracleCtes: String = {
+    def encodeSql(cn: String, out: String): String =
+      s"""nc_$out AS (
+         |  SELECT sub, cid, CAST(sum(cq * cq) AS BIGINT) AS nc
+         |  FROM $cn GROUP BY 1, 2),
+         |dot_$out AS (
+         |  SELECT v.vec_id, v.sub, c.cid, CAST(sum(v.q * c.cq) AS BIGINT) AS dot
+         |  FROM v JOIN $cn c ON v.pos = c.pos GROUP BY 1, 2, 3),
+         |$out AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT d.vec_id, d.sub, d.cid,
+         |      row_number() OVER (PARTITION BY d.vec_id, d.sub
+         |        ORDER BY nx.nx + nc.nc - 2 * d.dot ASC, d.cid ASC) AS rn
+         |    FROM dot_$out d
+         |    JOIN nx ON d.vec_id = nx.vec_id AND d.sub = nx.sub
+         |    JOIN nc_$out nc ON d.sub = nc.sub AND d.cid = nc.cid) t
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+       |    CAST((i - 1) // 8 AS INT) AS sub, qv[i] AS q
+       |  FROM e, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) r),
+       |nx AS (
+       |  SELECT vec_id, sub, CAST(sum(q * q) AS BIGINT) AS nx
+       |  FROM v GROUP BY 1, 2),
+       |c0 AS (SELECT vec_id AS cid, pos, sub, q AS cq FROM v WHERE vec_id < 8),
+       |${encodeSql("c0", "a0")},
+       |c1 AS (
+       |  SELECT c.cid, c.pos, c.sub, COALESCE(m.mq, c.cq) AS cq
+       |  FROM c0 c LEFT JOIN (
+       |    SELECT a.code AS cid, v.pos,
+       |      CAST(floor(CAST(sum(v.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mq
+       |    FROM a0 a JOIN v ON a.vec_id = v.vec_id AND a.sub = v.sub
+       |    GROUP BY 1, 2) m ON c.cid = m.cid AND c.pos = m.pos),
+       |${encodeSql("c1", "codes")}""".stripMargin
+  }
+
+  /** The PQ subspace view of the quantized corpus: (v with a sub
+    * column, per-(vec, sub) norms) — shared by training, encoding,
+    * and the artifact round trip. Rides the `quantized` memo, so the
+    * corpus pass is shared.
+    */
+  private[ops] def pqSubs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val (v0, _) = quantized(s, d)
+    val v = v0.withColumn("sub", floor(col("pos") / 8).cast("int"))
+    val nx = v.groupBy("vec_id", "sub")
+      .agg(sum(col("q") * col("q")).as("nx"))
+    (v, nx)
+  }
+
+  /** Per-(vec, subspace) nearest codebook entry by exact integer L2 —
+    * `cent` is any (cid, pos, cq) codebook frame: the in-session
+    * trained one or a [[ModelStore]]-loaded artifact.
+    */
+  private[ops] def pqEncode(s: SparkSession, d: String,
+      cent: DataFrame): DataFrame = {
+    val (v, nx) = pqSubs(s, d)
+    val nc = cent.withColumn("sub", floor(col("pos") / 8).cast("int"))
+      .groupBy("sub", "cid")
+      .agg(sum(col("cq") * col("cq")).as("nc"))
+    val dots = v.join(broadcast(cent.select("cid", "pos", "cq")), Seq("pos"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum(col("q") * col("cq")).as("dot"))
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy((col("nx") + col("nc") - lit(2L) * col("dot")).asc,
+        col("cid").asc)
+    dots.join(nx, Seq("vec_id", "sub"))
+      .join(broadcast(nc), Seq("sub", "cid"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+  }
+
+  /** Train-once PQ artifacts (codebook + encoded corpus), memoized —
+    * shared by q_ann_pq, q_ann_recall's repeat invocation, and the
+    * [[ModelStore]] round trip. Deterministic, so cached output is
+    * value-identical.
+    */
+  private[ops] def pqTrain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    memo(s, d, "pq-m8-k8") {
+      val (v, _) = pqSubs(s, d)
+      val c0 = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+        .localCheckpoint()
+      // one Lloyd step; empty cells keep their seed row
+      val means = pqEncode(s, d, c0)
+        .join(v, Seq("vec_id", "sub"))
+        .select(col("code").as("cid"), col("pos"), col("q"))
+        .groupBy("cid", "pos")
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("mq"))
+      val cb = c0
+        .join(means, Seq("cid", "pos"), "left_outer")
+        .select(col("cid"), col("pos"),
+          coalesce(col("mq"), col("cq")).as("cq"))
+        .localCheckpoint()
+      (cb, pqEncode(s, d, cb).localCheckpoint())
+    }
+
   val qAnnPq = Q(
     "q_ann_pq",
     (s, d) => {
-      val (v0, _) = quantized(s, d)
-      val v = v0.withColumn("sub", floor(col("pos") / 8).cast("int"))
-      val nx = v.groupBy("vec_id", "sub")
-        .agg(sum(col("q") * col("q")).as("nx"))
-
-      def withSub(c: DataFrame): DataFrame =
-        c.withColumn("sub", floor(col("pos") / 8).cast("int"))
-      // per-(vec, subspace) nearest codebook entry by exact integer L2
-      def encode(cent: DataFrame): DataFrame = {
-        val nc = withSub(cent).groupBy("sub", "cid")
-          .agg(sum(col("cq") * col("cq")).as("nc"))
-        val dots = v.join(broadcast(cent.select("cid", "pos", "cq")), Seq("pos"))
-          .groupBy(col("vec_id"), col("sub"), col("cid"))
-          .agg(sum(col("q") * col("cq")).as("dot"))
-        val w = Window.partitionBy("vec_id", "sub")
-          .orderBy((col("nx") + col("nc") - lit(2L) * col("dot")).asc,
-            col("cid").asc)
-        dots.join(nx, Seq("vec_id", "sub"))
-          .join(broadcast(nc), Seq("sub", "cid"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("sub"), col("cid").as("code"))
-      }
-
-      // train-once artifacts (codebooks + encoded corpus), shared with
-      // q_ann_recall's repeat invocation — same memo discipline as the
-      // IVF-PQ block: deterministic, so cached output is value-identical
-      val (c1, codes) = memo(s, d, "pq-m8-k8") {
-        val c0 = v.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
-          .localCheckpoint()
-        // one Lloyd step; empty cells keep their seed row
-        val means = encode(c0)
-          .join(v, Seq("vec_id", "sub"))
-          .select(col("code").as("cid"), col("pos"), col("q"))
-          .groupBy("cid", "pos")
-          .agg(floor(sum(col("q")).cast("double") / count(lit(1)) + lit(0.5))
-            .cast("long").as("mq"))
-        val cb = c0
-          .join(means, Seq("cid", "pos"), "left_outer")
-          .select(col("cid"), col("pos"),
-            coalesce(col("mq"), col("cq")).as("cq"))
-          .localCheckpoint()
-        (cb, encode(cb).localCheckpoint())
-      }
+      val (v, _) = pqSubs(s, d)
+      val (c1, codes) = pqTrain(s, d)
       // ADC lookup table: query × codebook subspace dots (m×k rows/query)
       val tq = v.filter(col("vec_id") < 8)
         .join(broadcast(c1), Seq("pos"))
@@ -997,41 +1062,7 @@ object Similarity {
         .orderBy("qid", "nrank")
     },
     Some {
-      def encodeSql(cn: String, out: String): String =
-        s"""nc_$out AS (
-           |  SELECT sub, cid, CAST(sum(cq * cq) AS BIGINT) AS nc
-           |  FROM $cn GROUP BY 1, 2),
-           |dot_$out AS (
-           |  SELECT v.vec_id, v.sub, c.cid, CAST(sum(v.q * c.cq) AS BIGINT) AS dot
-           |  FROM v JOIN $cn c ON v.pos = c.pos GROUP BY 1, 2, 3),
-           |$out AS (
-           |  SELECT vec_id, sub, cid AS code FROM (
-           |    SELECT d.vec_id, d.sub, d.cid,
-           |      row_number() OVER (PARTITION BY d.vec_id, d.sub
-           |        ORDER BY nx.nx + nc.nc - 2 * d.dot ASC, d.cid ASC) AS rn
-           |    FROM dot_$out d
-           |    JOIN nx ON d.vec_id = nx.vec_id AND d.sub = nx.sub
-           |    JOIN nc_$out nc ON d.sub = nc.sub AND d.cid = nc.cid) t
-           |  WHERE rn = 1)""".stripMargin
-      s"""WITH e AS (
-         |  SELECT vec_id, $qvecSql AS qv FROM embeddings),
-         |v AS (
-         |  SELECT vec_id, CAST(i - 1 AS INT) AS pos,
-         |    CAST((i - 1) // 8 AS INT) AS sub, qv[i] AS q
-         |  FROM e, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) r),
-         |nx AS (
-         |  SELECT vec_id, sub, CAST(sum(q * q) AS BIGINT) AS nx
-         |  FROM v GROUP BY 1, 2),
-         |c0 AS (SELECT vec_id AS cid, pos, sub, q AS cq FROM v WHERE vec_id < 8),
-         |${encodeSql("c0", "a0")},
-         |c1 AS (
-         |  SELECT c.cid, c.pos, c.sub, COALESCE(m.mq, c.cq) AS cq
-         |  FROM c0 c LEFT JOIN (
-         |    SELECT a.code AS cid, v.pos,
-         |      CAST(floor(CAST(sum(v.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mq
-         |    FROM a0 a JOIN v ON a.vec_id = v.vec_id AND a.sub = v.sub
-         |    GROUP BY 1, 2) m ON c.cid = m.cid AND c.pos = m.pos),
-         |${encodeSql("c1", "codes")},
+      s"""$pqOracleCtes,
          |tq AS (
          |  SELECT v.vec_id AS qid, v.sub, c.cid, CAST(sum(v.q * c.cq) AS BIGINT) AS t
          |  FROM v JOIN c1 c ON v.pos = c.pos

@@ -239,7 +239,7 @@ object Unigram {
     * The cost map rides each DP row (vocab-sized), so the lambda needs
     * no correlated subquery.
     */
-  private def segRoundSql(r: Int, ctab: String, p: String = ""): String =
+  private[ops] def segRoundSql(r: Int, ctab: String, p: String = ""): String =
     s"""${p}dp$r AS (
        |  SELECT word, freq, 0 AS i, [CAST(0 AS BIGINT)] AS dp,
        |    [CAST(0 AS BIGINT)] AS bp,
@@ -281,7 +281,7 @@ object Unigram {
        |    GROUP BY v.piece)
        |  WHERE len(piece) = 1 OR cnt > 0)""".stripMargin
 
-  private def costSql(name: String, vtab: String): String =
+  private[ops] def costSql(name: String, vtab: String): String =
     s"""$name AS MATERIALIZED (
        |  SELECT piece,
        |    CAST(-floor(ln(CAST(cnt AS DOUBLE) /
@@ -371,7 +371,17 @@ object Unigram {
   private[graft] def tableFormCounts(s: SparkSession, words: DataFrame,
       costs: Map[String, Long]): DataFrame = {
     import s.implicits._
-    val costDf = costs.toSeq.toDF("piece", "cost")
+    tableFormCountsDf(words, costs.toSeq.toDF("piece", "cost"),
+      costs.size.toLong)
+  }
+
+  /** [[tableFormCounts]] with the cost model supplied as a FRAME —
+    * the arm a PERSISTED vocabulary serves through ([[ModelStore]]):
+    * a stored above-gate cost table goes storage → join build side
+    * without a driver collect.
+    */
+  private[graft] def tableFormCountsDf(words: DataFrame,
+      costDf: DataFrame, costRows: Long): DataFrame = {
     val cand = words
       .select(col("word"),
         explode(sequence(lit(1), length(col("word")))).as("i"))
@@ -381,7 +391,7 @@ object Unigram {
       .select(col("word"), col("i"), col("j"),
         col("word").substr(col("j") + 1, col("i") - col("j")).as("piece"))
     val matched = Distributed.modelJoin(cand, costDf,
-      costs.size.toLong, Seq("piece"))
+      costRows, Seq("piece"))
       .select(col("word"),
         (col("i") * 256 + (col("i") - col("j"))).as("k"), col("cost"))
     val wmap = matched.groupBy("word")
@@ -391,6 +401,26 @@ object Unigram {
       .select(col("word"),
         viterbiCountData(col("word"), col("m")).as("np"))
   }
+
+  /** Per-distinct-word Viterbi piece counts served from a PERSISTED
+    * cost table (piece, cost_ppm) — the [[ModelStore]] serving path,
+    * [[Bpe.servedCounts]]'s unigram sibling: same form gate
+    * ([[Wordpiece.LiteralFormMaxPieces]]), model as a stored FRAME
+    * with its manifest row count. At/below the gate the cost table is
+    * collected into the codegen'd literal Viterbi (bounded by the
+    * gate itself); above it the frame feeds [[tableFormCountsDf]]
+    * directly — no driver materialization.
+    */
+  private[graft] def servedCounts(s: SparkSession, words: DataFrame,
+      costTable: DataFrame, cRows: Long): DataFrame =
+    if (cRows <= Wordpiece.LiteralFormMaxPieces) {
+      val costs = costTable.select("piece", "cost_ppm").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      literalFormCounts(words, costs)
+    } else
+      tableFormCountsDf(words,
+        costTable.select(col("piece"), col("cost_ppm").as("cost")),
+        cRows)
 
   /** DP + count-walk against a per-word DATA cost map (m: key
     * i·256+(i−j) → cost). Mirrors [[viterbiDpBp]]/[[viterbiPieces]]

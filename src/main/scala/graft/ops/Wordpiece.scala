@@ -171,6 +171,31 @@ object Wordpiece {
       math.max(lmax, 2))
   }
 
+  /** Per-distinct-word MaxMatch piece counts served from a PERSISTED
+    * vocabulary table (piece) — the [[ModelStore]] serving path,
+    * [[Bpe.servedCounts]]'s sibling: the same form gate, but the
+    * model arrives as a stored FRAME with its manifest row count
+    * instead of a this-session training memo. At/below
+    * [[LiteralFormMaxPieces]] the vocabulary is collected into the
+    * codegen'd literal walk (a ≤ 1,024-row collect, bounded by the
+    * gate itself); above it the frame feeds
+    * [[WordpieceXl.maxMatchCounts]] directly — storage → join build
+    * side, no driver materialization (lmax is one 1-row aggregate
+    * over the model table).
+    */
+  private[graft] def servedCounts(s: SparkSession, words: DataFrame,
+      vocab: DataFrame, vRows: Long): DataFrame =
+    if (vRows <= LiteralFormMaxPieces) {
+      val pieceSet = vocab.select("piece").collect()
+        .map(_.getString(0)).toSeq
+      literalFormCounts(words, pieceSet)
+    } else {
+      val lmax = vocab.agg(max(length(col("piece"))))
+        .collect()(0).getInt(0)
+      WordpieceXl.maxMatchCounts(words, vocab.select("piece"), vRows,
+        math.max(lmax, 2))
+    }
+
   /** Per-distinct-word greedy piece counts under the trained model —
     * memoized WITH the frame's row count (for the doc-side join's
     * size gate) and pinned so encode and the triad compare share ONE

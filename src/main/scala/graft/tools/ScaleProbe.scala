@@ -86,7 +86,9 @@ object ScaleProbe {
     // model-sized write + verification scan); the incremental SemDeDup
     // adds the batch-restricted in-cluster pair join
     "q_model_artifact_bpe", "q_model_artifact_nb",
-    "q_model_artifact_kmeans", "q_semdedup_incr")
+    "q_model_artifact_kmeans", "q_semdedup_incr",
+    "q_model_artifact_wordpiece", "q_model_artifact_unigram",
+    "q_model_artifact_pq")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -30,8 +30,9 @@ class ModelStoreSpec extends AnyFunSuite {
   private def canon(df: org.apache.spark.sql.DataFrame): Vector[String] =
     df.collect().map(_.toString).sorted.toVector
 
-  test("a FRESH SparkSession re-serves persisted BPE / NB / k-means " +
-    "models bit-identically to a retrain, without retraining") {
+  test("a FRESH SparkSession re-serves all six persisted model kinds " +
+    "(BPE merges, NB weights, k-means centroids, WordPiece vocab, " +
+    "unigram costs, PQ codebook) bit-identically, without retraining") {
     // ---- session 1: train + persist (the "training job")
     val s1 = build()
     import s1.implicits._
@@ -45,12 +46,25 @@ class ModelStoreSpec extends AnyFunSuite {
     val dirK = graft.Scratch.dir("spec_model_kmeans")
     ModelStore.save(Similarity.trainKmeans(s1, sf), dirK,
       "kmeans-centroids")
+    val dirW = graft.Scratch.dir("spec_model_wordpiece")
+    ModelStore.save(
+      Wordpiece.train(s1, sf).map(_._4).distinct.toDF("piece"), dirW,
+      "wordpiece-vocab")
+    val dirU = graft.Scratch.dir("spec_model_unigram")
+    ModelStore.save(
+      Unigram.train(s1, sf).costs.toSeq.sortBy(_._1)
+        .toDF("piece", "cost_ppm"), dirU, "unigram-costs")
+    val dirP = graft.Scratch.dir("spec_model_pq")
+    ModelStore.save(Similarity.pqTrain(s1, sf)._1, dirP, "pq-codebook")
     s1.stop()
+
+    val trainKeys = Seq("bpe-merges", "nb-model", "kmeans-k8-i2",
+      "wordpiece-merges", "unigram-lm", "pq-m8-k8")
 
     // ---- session 2: a NEW SparkContext (the "serving job")
     val s2 = build()
     assert(s2.sparkContext ne null)
-    for (k <- Seq("bpe-merges", "nb-model", "kmeans-k8-i2"))
+    for (k <- trainKeys)
       assert(!Similarity.memoContains(s2, sf, k),
         s"fresh session already holds training memo $k")
 
@@ -67,8 +81,18 @@ class ModelStoreSpec extends AnyFunSuite {
     val (v2, nv2) = Similarity.quantized(s2, sf)
     val coldKm = canon(Similarity.assignToCentroids(v2, nv2, mK))
 
+    val (mW, manW) = ModelStore.load(s2, dirW)
+    val coldWp = canon(Wordpiece.servedCounts(s2, words2, mW, manW.rows))
+
+    val (mU, manU) = ModelStore.load(s2, dirU)
+    val coldUni = canon(
+      Unigram.servedCounts(s2, Unigram.wordsDf(s2, sf), mU, manU.rows))
+
+    val (mP, manP) = ModelStore.load(s2, dirP)
+    val coldPq = canon(Similarity.pqEncode(s2, sf, mP))
+
     // serving from the artifact must not have trained anything
-    for (k <- Seq("bpe-merges", "nb-model", "kmeans-k8-i2"))
+    for (k <- trainKeys)
       assert(!Similarity.memoContains(s2, sf, k),
         s"cold serve triggered training memo $k")
 
@@ -87,6 +111,18 @@ class ModelStoreSpec extends AnyFunSuite {
       Similarity.assignToCentroids(v2, nv2, Similarity.trainKmeans(s2, sf)))
     assert(coldKm.nonEmpty && coldKm === warmKm,
       "persisted centroids assign differently from a retrain")
+
+    val warmWp = canon(Wordpiece.wordPieceCountsWithRows(s2, sf)._1)
+    assert(coldWp.nonEmpty && coldWp === warmWp,
+      "persisted WordPiece vocabulary serves differently from a retrain")
+
+    val warmUni = canon(Unigram.wordPieceCountsWithRows(s2, sf)._1)
+    assert(coldUni.nonEmpty && coldUni === warmUni,
+      "persisted unigram cost table serves differently from a retrain")
+
+    val warmPq = canon(Similarity.pqTrain(s2, sf)._2)
+    assert(coldPq.nonEmpty && coldPq === warmPq,
+      "persisted PQ codebook encodes differently from a retrain")
     s2.stop()
   }
 

@@ -91,6 +91,12 @@ class Round13BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "BPE artifact serve drifted from the in-session fertility rollup")
     assert(dropLast(rows("q_model_artifact_nb")) === rows("q_nb_score"),
       "NB artifact serve drifted from the in-session score rollup")
+    assert(dropLast(rows("q_model_artifact_wordpiece")) ===
+      rows("q_wordpiece_encode"),
+      "WordPiece artifact serve drifted from the in-session encode")
+    assert(dropLast(rows("q_model_artifact_unigram")) ===
+      rows("q_unigram_encode"),
+      "unigram artifact serve drifted from the in-session encode")
     val km = SparkEntry.queries("q_kmeans_ivf")(spark, sf)
       .groupBy("cid").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -98,5 +104,23 @@ class Round13BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(art === km,
       "k-means artifact assignment drifted from the in-session one")
+  }
+
+  test("q_model_artifact_pq's histogram partitions the corpus: every " +
+    "subspace accounts for every vector, codes stay in the codebook") {
+    val rows = SparkEntry.queries("q_model_artifact_pq")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._1).distinct.sorted.toSeq === (0 until 8),
+      "expected exactly 8 subspaces")
+    rows.groupBy(_._1).foreach { case (sub, rs) =>
+      assert(rs.map(_._3).sum === nVecs,
+        s"subspace $sub does not partition the corpus")
+    }
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8),
+      "a code fell outside the k=8 codebook")
+    assert(rows.forall(_._4 === 512L),
+      "model_rows must be the 8x64 codebook cardinality")
   }
 }
