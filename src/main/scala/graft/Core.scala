@@ -19,7 +19,116 @@ final case class Q(
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md). */
 object Tables {
+
+  /** Session conf gating [[spread]] (default on). The plan-shape suite
+    * turns it off to assert the AT-SCALE plan (where the row-group gate
+    * makes the spread a no-op anyway — see the spread() scaladoc).
+    */
+  val SpreadConfKey = "spark.graft.scan.spread"
+
+  /** The natural unique key of each fixture table — the hash-spread
+    * partitioning key. Hash (not round-robin) repartitioning keeps the
+    * exchange deterministic WITHOUT the local sort round-robin pays
+    * (`spark.sql.execution.sortBeforeRepartition` — a single-task sort
+    * of the whole file, exactly the serialization being removed).
+    */
+  private val spreadKeys: Map[String, Seq[String]] = Map(
+    "customer"   -> Seq("c_custkey"),
+    "orders"     -> Seq("o_orderkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_linenumber"),
+    "part"       -> Seq("p_partkey"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "events"     -> Seq("event_id"))
+
+  /** (row groups, bytes) per parquet path, memoized per application —
+    * an O(#files) footer read, the same metadata a planner touches.
+    */
+  private val layoutMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), (Int, Long)]
+
+  private def parquetLayout(s: SparkSession, path: String): (Int, Long) =
+    layoutMemo.getOrElseUpdate((s.sparkContext.applicationId, path), {
+      val conf = s.sessionState.newHadoopConf()
+      val p    = new org.apache.hadoop.fs.Path(path)
+      val fs   = p.getFileSystem(conf)
+      val files: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.filter(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet"))
+        else Seq(fs.getFileStatus(p))
+      var groups = 0
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try groups += r.getRowGroups.size finally r.close()
+      }
+      (groups, files.map(_.getLen).sum)
+    })
+
+  /** Tables below this size are never spread: the repartition exchange
+    * costs more than the single-task scan it parallelizes (nation,
+    * region, supplier — KB-sized dimensions).
+    */
+  private val SpreadMinBytes = 256L * 1024
+
+  /** True iff `name`'s parquet under `sfDir` is row-group-starved:
+    * fewer row groups than the session's cores (parquet scan
+    * parallelism is bounded by ROW GROUPS, not byte splits — a
+    * one-row-group file scans as ONE task no matter how many splits
+    * the planner cuts) and big enough that the starvation matters.
+    */
+  def scanStarved(s: SparkSession, sfDir: String, name: String): Boolean = {
+    if (!s.conf.get(SpreadConfKey, "true").toBoolean) return false
+    val (groups, bytes) = parquetLayout(s, s"$sfDir/$name.parquet")
+    groups < s.sparkContext.defaultParallelism && bytes >= SpreadMinBytes
+  }
+
+  /** OPT-IN scale-adaptive spread for a compute-heavy scan-fused stage
+    * (optimization guide §2.5, "input skew: one huge unsplittable file
+    * — repartition immediately after the read"). The driver fixtures
+    * ship ONE row group per table, so a scan-fused compute stage
+    * (digest chains, per-position scans, tokenize+explode) runs in ONE
+    * task regardless of core count (measured: orders.parquet → 1
+    * non-empty scan partition; a 32-way explode+md5 stage over it
+    * 3.7 s fused vs 0.7 s spread on local[32] — tools/SpreadProbe).
+    *
+    * This is deliberately NOT applied to every table() read: the
+    * exchange's write side is itself single-task, so for queries whose
+    * heavy work already sits past their first natural shuffle the
+    * spread is pure overhead (measured on the full-bench sweep:
+    * q_count_star 0.13 → 0.54 s, q_sql_pricing 1.47 → 2.15 s when
+    * auto-spread). Call sites opt in exactly where a heavy fused
+    * stage follows, AFTER projecting down to the columns that stage
+    * needs. At production scale (thousands of files × many row groups)
+    * [[scanStarved]] is false and this returns `df` unchanged — the
+    * exchange does not exist at scale.
+    *
+    * Partitioning is by `keys` (the source table's unique key —
+    * deterministic, and hash partitioning skips the local pre-sort
+    * round-robin repartitioning pays). Results stay partitioning-
+    * independent: order-insensitive aggregates/joins + total final
+    * sorts (re-verified against the full oracle sweep).
+    */
+  def spreadForCompute(df: DataFrame, s: SparkSession, sfDir: String,
+      name: String, keys: Seq[String] = Seq.empty): DataFrame = {
+    if (!scanStarved(s, sfDir, name)) return df
+    val par = s.sparkContext.defaultParallelism
+    val ks  = if (keys.nonEmpty) keys else spreadKeys.getOrElse(name, Seq.empty)
+    if (ks.nonEmpty)
+      df.repartition(par, ks.map(org.apache.spark.sql.functions.col): _*)
+    else df.repartition(par)
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The bare scan, never spread — for operators whose SEMANTICS ride
+    * the scan itself (q_file_lineage's input_file_name() column does
+    * not survive an exchange).
+    */
+  def tableRaw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
@@ -81,7 +190,17 @@ object Tables {
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  /** documents stays a bare scan like every other table: a blanket
+    * spread was MEASURED both ways (full sf0.1 bench sweep) — it wins
+    * big exactly where scan-fused per-row compute dominates (digest
+    * chains, per-position scans; those sites call [[spreadForCompute]]
+    * explicitly) and loses where the consumer is light (q_dedup_exact
+    * 0.25 → 0.58 s, q_constrained_write 0.97 → 2.78 s, q_auc 1.04 →
+    * 1.98 s under the blanket default — disjoint run arrays, real
+    * regressions). Opt-in per call site keeps both measurements.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
 }

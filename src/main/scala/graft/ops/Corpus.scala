@@ -45,7 +45,10 @@ object Corpus {
   val qSpanDedup = Q(
     "q_span_dedup",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      // span slicing + concat is fused on the one-row-group scan —
+      // spread first (no-op at scale; see Tables.spreadForCompute)
+      val docs = Tables
+        .spreadForCompute(Tables.documents(s, d), s, d, "documents")
         .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
       val nSpans = (floor((size(col("t")) - 1) / SpanW) + 1).cast("int")
       // zero-token docs must produce NO spans: sequence(0, -1) would
@@ -1461,7 +1464,11 @@ object Corpus {
     "q_coverage_select",
     (s, d) => {
       import s.implicits._
-      val toks = Tables.documents(s, d)
+      // spread BEFORE the cache: a cache of a one-partition frame
+      // keeps one partition, so all 8 greedy gain passes would run
+      // single-task against it (no-op at scale)
+      val toks = Tables
+        .spreadForCompute(Tables.documents(s, d), s, d, "documents")
         .select(col("doc_id"), TextOps.wsTokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(array_distinct(
           // guard: sequence(1, 0) DESCENDS in Spark, so a 1-token doc
@@ -1678,7 +1685,11 @@ object Corpus {
     "q_importance_weights",
     (s, d) => {
       val D = 1024
-      val toks = Tables.documents(s, d)
+      // one md5 per token, run TWICE (the stats pass and the scoring
+      // pass re-derive toks through lineage) and fused on the
+      // one-row-group scan — spread first (no-op at scale)
+      val toks = Tables
+        .spreadForCompute(Tables.documents(s, d), s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(TextOps.wsTokens(col("text"))).as("token"))
         .select(col("doc_id"), col("lang"),

@@ -37,7 +37,12 @@ object CuratePipeline {
       keepLangs: Seq[String] = Seq("en"),
       minTokens: Int = 10,
       maxTopBigramFrac: Double = 0.20): (DataFrame, CurateStats) = {
-    val docs = Tables.documents(s, sfDir)
+    // the fused projection below (language scores + quality + two
+    // tokenizations, shared by codegen) is the funnel's heaviest
+    // map work and sits on the one-row-group scan — spread it
+    // (no-op at scale; see Tables.spreadForCompute)
+    val docs = Tables.spreadForCompute(
+      Tables.documents(s, sfDir), s, sfDir, "documents")
 
     // Quality score, language ID, and token count are per-row
     // expressions over the same text column (the exact expressions of

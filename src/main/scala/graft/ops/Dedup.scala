@@ -295,9 +295,11 @@ object Dedup {
     (s, d) =>
       // one digest per gram via the fused kernel (the per-bit aggregate
       // form re-hashes every gram 16 times); oracle keeps the per-bit
-      // form — values are bit-identical
+      // form — values are bit-identical. One md5 per char 4-gram is
+      // the whole cost and sits fused on the one-row-group scan —
+      // spread first (3.9 → 0.7 s at sf0.1×32; no-op at scale)
       Tables
-        .documents(s, d)
+        .spreadForCompute(Tables.documents(s, d), s, d, "documents")
         .withColumn("grams", grams4(col("text")))
         .select(col("doc_id"),
           graft.functions.GraftFunctions.simhash16(col("grams")).as("simhash"))
@@ -760,7 +762,10 @@ object Dedup {
     "q_substr_regions",
     (s, d) => {
       val k = 8
-      val toks = Tables.documents(s, d)
+      // one md5 per stride-1 8-gram fused on the one-row-group scan —
+      // spread first (no-op at scale; see Tables.spreadForCompute)
+      val toks = Tables
+        .spreadForCompute(Tables.documents(s, d), s, d, "documents")
         .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
         .filter(size(col("t")) >= k)
       val grams = toks.select(col("doc_id"),
@@ -839,8 +844,11 @@ object Dedup {
     (s, d) => {
       val k = 8
       // toks keeps EVERY doc (short docs pass through uncut, like the
-      // oracle); only gram generation needs ≥ k tokens
-      val toks = Tables.documents(s, d)
+      // oracle); only gram generation needs ≥ k tokens. Spread the
+      // scan: one md5 per stride-1 8-gram otherwise runs one-task
+      // (no-op at scale; see Tables.spreadForCompute)
+      val toks = Tables
+        .spreadForCompute(Tables.documents(s, d), s, d, "documents")
         .select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
       val grams = toks.filter(size(col("t")) >= k)
         .select(col("doc_id"),
@@ -1443,7 +1451,11 @@ object Dedup {
   val qCdcChunks = Q(
     "q_cdc_chunks",
     (s, d) => {
-      val rows = cdcChunkRows(Tables.documents(s, d),
+      // one md5 per text POSITION (the boundary scan) fused on the
+      // one-row-group scan — spread first (3.6 → 1.2 s at sf0.1×32;
+      // no-op at scale)
+      val rows = cdcChunkRows(
+        Tables.spreadForCompute(Tables.documents(s, d), s, d, "documents"),
         Seq("doc_id", "source"))
       val inst = rows.withColumn("rn", row_number().over(
         Window.partitionBy("digest").orderBy("doc_id", "start")))
@@ -1522,8 +1534,11 @@ object Dedup {
       withPpjoinFilters: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     // the distinct shingle stream feeds FOUR sub-DAGs (df, the rank
     // join, and both sides of the verification join) — pin it once
-    // instead of re-splitting and re-shuffling the corpus per use
-    val toks = Tables.documents(s, d)
+    // instead of re-splitting and re-shuffling the corpus per use.
+    // The shingle explode + partial distinct is fused on the
+    // one-row-group scan — spread first (no-op at scale)
+    val toks = Tables
+      .spreadForCompute(Tables.documents(s, d), s, d, "documents")
       .select(col("doc_id"),
         explode(array(split(col("text"), "\\s+"))).as("tk"))
       .select(col("doc_id"),

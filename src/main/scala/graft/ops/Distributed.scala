@@ -176,4 +176,138 @@ object Distributed {
     val hinted = if (buildRows <= maxBroadcastRows) broadcast(build) else build
     probe.join(hinted, keys, joinType)
   }
+
+  /** Exact LOWER MEDIAN of a BIGINT column — the smallest value v with
+    * 2·cum(v) ≥ n (the repo's determinate-on-ties convention) — by
+    * RADIX BUCKET SELECTION instead of a ranged cum-sum: three
+    * aggregate passes over `df` at bucket widths 2³², 2¹⁶, 2⁰
+    * (arithmetic shiftright is order-preserving, negatives included),
+    * each collecting ≤ 2¹⁶ (bucket, count) rows and narrowing to the
+    * bucket whose cumulative count crosses n/2.
+    *
+    * Versus the [[globalCumSum]] form this replaces for the pair-slope
+    * median: no range repartition of the value stream (the shuffles
+    * here carry ≤ 2¹⁶ partially-aggregated bucket rows), no
+    * partitioned window, no checkpoint of the shuffled stream, and no
+    * driver ordering of anything larger than one bucket level. The
+    * caller should pin `df` (localCheckpoint) when its lineage is
+    * expensive — the three passes each re-read it.
+    *
+    * `n` must be `df`'s exact row count (the caller usually knows it
+    * in closed form). Returns None for n ≤ 0. Driver state: ≤ 3·2¹⁶
+    * scalars, independent of the data scale.
+    */
+  /** Radix levels (shift amounts) for a value range: the highest level
+    * must bucket [lo, hi] into ≤ 2¹⁶ buckets so every per-level
+    * collect is bounded; each subsequent level refines by 2¹⁶.
+    * A range within one bucket width (2¹⁶) needs only the exact level.
+    */
+  private def radixLevels(lo: Long, hi: Long): Seq[Int] = {
+    val range = BigInt(hi) - BigInt(lo) // exact for the full Long domain
+    var top = 0
+    while (top < 48 && (range >> top) >= (1L << 16)) top += 16
+    (top to 0 by -16)
+  }
+
+  /** `bounds`: a PROVABLY-enclosing (lo, hi) the caller already knows
+    * (e.g. from arithmetic on an existing aggregate) — skips the
+    * min/max stats job. Wider-than-actual bounds only add a vacuous
+    * top level; narrower bounds would be wrong.
+    */
+  def lowerMedianLong(df: DataFrame, value: Column, n: Long,
+      bounds: Option[(Long, Long)] = None): Option[Long] = {
+    if (n <= 0) return None
+    val v = value.cast("long")
+    // the level ladder: a narrow value range (cents, ppm scores)
+    // resolves in 1–2 bucket passes instead of a fixed 3, and a wide
+    // one (2⁴⁸+) stays driver-bounded
+    val (lo, hi) = bounds.getOrElse {
+      val mm = df.agg(min(v).as("lo"), max(v).as("hi")).collect()(0)
+      if (mm.isNullAt(0)) return None
+      (mm.getLong(0), mm.getLong(1))
+    }
+    val levels = radixLevels(lo, hi)
+    var cond: Column = lit(true)
+    var before = 0L
+    var result: Option[Long] = None
+    for (sh <- levels) {
+      val cnts = df.filter(cond)
+        .groupBy(shiftright(v, sh).as("bk"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+      var cum = before
+      var found: Option[(Long, Long)] = None // (bucket, cum before it)
+      val it = cnts.iterator
+      while (found.isEmpty && it.hasNext) {
+        val (bk, c) = it.next()
+        if (2 * (cum + c) >= n) found = Some((bk, cum)) else cum += c
+      }
+      found match {
+        case None => return None // empty frame (inconsistent n)
+        case Some((bk, cumBefore)) =>
+          before = cumBefore
+          cond = cond && (shiftright(v, sh) === lit(bk))
+          if (sh == 0) result = Some(bk)
+      }
+    }
+    result
+  }
+
+  /** [[lowerMedianLong]] per GROUP, weighted: for each value of the
+    * string `group` column, the smallest v with 2·cumweight(v) ≥
+    * totalweight(group). Groups are selected in lockstep — each radix
+    * level is ONE aggregate pass computing every group's bucket counts
+    * (≤ #groups · 2¹⁶ collected rows per level), so the total job
+    * count stays 1 (totals) + 3 (levels) regardless of group count.
+    * For the per-category medians this serves (return-flag groups),
+    * #groups is catalog-bounded. The caller pins `df` when its lineage
+    * is expensive. Returns (group → lower median); groups with zero
+    * total weight are absent.
+    */
+  def groupedLowerMedianLong(df: DataFrame, group: Column, value: Column,
+      weight: Column): Map[String, Long] = {
+    val v = value.cast("long")
+    val wt = weight.cast("long")
+    // totals + the level ladder's min/max ride ONE job
+    val stats = df.groupBy(group.as("g"))
+      .agg(sum(wt).as("n"), min(v).as("lo"), max(v).as("hi"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._2 > 0)
+    if (stats.isEmpty) return Map.empty
+    val totals = stats.map(t => t._1 -> t._2).toMap
+    val levels = radixLevels(stats.map(_._3).min, stats.map(_._4).max)
+    var conds: Map[String, Column] = totals.keys.map(_ -> lit(true)).toMap
+    var before: Map[String, Long] = totals.keys.map(_ -> 0L).toMap
+    var result: Map[String, Long] = Map.empty
+    for (sh <- levels) {
+      val levelCond = conds.map { case (g, c) => (group === lit(g)) && c }
+        .reduce(_ || _)
+      val cnts = df.filter(levelCond)
+        .groupBy(group.as("g"), shiftright(v, sh).as("bk"))
+        .agg(sum(wt).as("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      for (g <- totals.keys) {
+        val buckets = cnts.getOrElse(g, Array.empty).map(t => (t._2, t._3))
+          .sortBy(_._1)
+        var cum = before(g)
+        var found: Option[(Long, Long)] = None
+        val it = buckets.iterator
+        while (found.isEmpty && it.hasNext) {
+          val (bk, c) = it.next()
+          if (2 * (cum + c) >= totals(g)) found = Some((bk, cum))
+          else cum += c
+        }
+        val (bk, cumBefore) = found.get // crossing exists: Σc = n_g
+        before += g -> cumBefore
+        conds += g -> (conds(g) && (shiftright(v, sh) === lit(bk)))
+        if (sh == 0) result += g -> bk
+      }
+    }
+    result
+  }
 }

@@ -2479,20 +2479,37 @@ object Similarity {
         .agg(sum(expr(
           "CAST(floor(CAST(nk AS DOUBLE) / n * di * dj * 1000000000.0 " +
             "+ 0.5) AS BIGINT)")).as("c"))
-        .localCheckpoint()
-      var vec = global.select(col("pos").as("j"), lit(1000000L).as("vppm"))
+      // the power iteration itself runs ON THE DRIVER over the
+      // collected d×d cell array (4,096 longs — the same bounded
+      // object the former loop BROADCAST every round). The former
+      // shape scheduled ~2 jobs per iteration (join+aggregate, then a
+      // checkpoint of a 64-row vector) — 40 scheduled no-op-sized jobs
+      // of pure job-floor latency, ~3–4 s at any data scale, because
+      // every post-aggregation frame here is k/d-bounded, never
+      // corpus-bounded. Arithmetic is the identical integer
+      // matvec + identical IEEE renormalization sequence
+      // (w→double, /max|w|, ·10⁶, +0.5, floor), so the eigenvector is
+      // bit-equal to the former loop's and to the oracle's.
+      val cells = cmat.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val posList = cells.map(_._1).distinct.sorted
+      val idxOf   = posList.zipWithIndex.toMap
+      val nd      = posList.length
+      val mArr    = Array.ofDim[Long](nd, nd)
+      cells.foreach { case (i, j, c) => mArr(idxOf(i))(idxOf(j)) = c }
+      var vp = Array.fill(nd)(1000000L)
       for (_ <- 1 to LdaIters) {
-        val w = cmat.join(vec, "j")
-          .groupBy("i")
-          .agg(sum(col("c") * col("vppm")).as("w"))
-        val m = w.agg(max(abs(col("w"))).as("m"))
-        vec = w.crossJoin(broadcast(m))
-          .select(col("i").as("j"), expr(
-            "CAST(floor(CAST(w AS DOUBLE) / m * 1000000.0 + 0.5) AS BIGINT)")
-            .as("vppm"))
-          .localCheckpoint()
+        val w = Array.tabulate(nd) { a =>
+          var acc = 0L; var b = 0
+          while (b < nd) { acc += mArr(a)(b) * vp(b); b += 1 }
+          acc
+        }
+        val mx = w.map(math.abs).max
+        vp = w.map(x =>
+          math.floor(x.toDouble / mx.toDouble * 1000000.0 + 0.5).toLong)
       }
-      vec.select(col("j").as("pos"), col("vppm")).orderBy("pos")
+      import s.implicits._
+      posList.zip(vp).toSeq.toDF("pos", "vppm").orderBy("pos")
     },
     Some {
       val steps = (1 to LdaIters).map { t =>

@@ -492,33 +492,42 @@ object Stats {
   val qMadOutliers = Q(
     "q_mad_outliers",
     (s, d) => {
-      val cents = Tables.lineitem(s, d)
+      // ONE corpus pass: the whole query runs off the (g, cents, n)
+      // counted-value frame — both medians AND the final rollup are
+      // weighted forms over it. The former shape scanned lineitem
+      // three times (median pass, deviation pass, rollup pass) and ran
+      // its second median's groupBy over the full corpus; every
+      // downstream frame here is bounded by #distinct (g, value).
+      val byV = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("g"),
           floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
             .as("cents"))
-      def lowerMedian(df: org.apache.spark.sql.DataFrame, vc: String) = {
-        val byV = df.groupBy(col("g"), col(vc))
-          .agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy("g").orderBy(vc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy("g")
-        byV.withColumn("cum", sum(col("n")).over(w))
-          .withColumn("tot", sum(col("n")).over(wAll))
-          .filter(col("cum") * 2 >= col("tot"))
-          .groupBy("g").agg(min(col(vc)).as("med"))
-      }
-      val med = lowerMedian(cents, "cents")
-      val dev = cents.join(broadcast(med), "g")
-        .select(col("g"), col("cents"),
-          abs(col("cents") - col("med")).as("dev"))
-      val mad = lowerMedian(dev.select(col("g"), col("dev")), "dev")
-        .withColumnRenamed("med", "mad")
-      dev.join(broadcast(med), "g").join(broadcast(mad), "g")
+        .groupBy(col("g"), col("cents"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds both median selections + the rollup
+      // both medians by grouped radix selection (≤ 4 small aggregate
+      // jobs each, shuffling only partially-aggregated bucket counts)
+      // — replaces the per-flag windows, which sorted the whole
+      // counted-value frame in #flags tasks, twice
+      import s.implicits._
+      val med = Distributed.groupedLowerMedianLong(
+        byV, col("g"), col("cents"), col("n"))
+      val medDf = broadcast(med.toSeq.toDF("g", "med"))
+      // weighted deviations off the pin: |cents − med| with the value's
+      // multiplicity (equal deviations from opposite sides merge by n —
+      // the weighted median and the outlier counts are unchanged)
+      val devW = byV.join(medDf, "g")
+        .select(col("g"), abs(col("cents") - col("med")).as("dev"),
+          col("n"))
+      val mad = Distributed.groupedLowerMedianLong(
+        devW, col("g"), col("dev"), col("n"))
+      val madDf = broadcast(mad.toSeq.toDF("g", "mad"))
+      devW.join(medDf, "g").join(madDf, "g")
         .groupBy("g")
         .agg(max(col("med")).as("med_cents"), max(col("mad")).as("mad_cents"),
-          sum(when(col("dev") * 10000 > col("mad") * 44478, 1L)
+          sum(when(col("dev") * 10000 > col("mad") * 44478, col("n"))
             .otherwise(0L)).as("n_outliers"),
-          count(lit(1)).as("n_rows"))
+          sum(col("n")).as("n_rows"))
         .orderBy("g")
     },
     Some(
@@ -583,7 +592,11 @@ object Stats {
         .select(col("o_orderkey"),
           floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
             .as("cents"))
-      val reps = cents
+      // the 32-way explode + one md5 PER (order, replicate) is the
+      // query's entire cost and is fused into the scan stage — spread
+      // the 16-byte cents rows so the digest work uses every core
+      // (9.1 → 1.4 s at sf0.1×32; no-op at scale — Tables.spreadForCompute)
+      val reps = Tables.spreadForCompute(cents, s, d, "orders")
         .select(col("o_orderkey"), col("cents"),
           explode(sequence(lit(0), lit(31))).as("r"))
         .withColumn("u",
@@ -1328,39 +1341,68 @@ object Stats {
         .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
           .as("rev"))
       val w = Window.orderBy("day") // daily frame: calendar-bounded
-      // pin: both join sides and n_days re-derive the frame — without
-      // the pin the orders aggregate scans the corpus three times
+      // pin: the explode side, the broadcast side, and n_days re-derive
+      // the frame — without the pin the orders aggregate scans the
+      // corpus three times
       val idx = byday.withColumn("t", row_number().over(w).cast("long"))
         .localCheckpoint()
-      val a = idx.select(col("t").as("t1"), col("rev").as("r1"))
+      // n_days and n_pairs both derive from T in closed form
+      // (n_pairs = C(T,2) — every t1<t2 pair exists by construction);
+      // the same job yields the revenue range, which BOUNDS every pair
+      // slope (|slope| = |Δrev|·10⁶ div dt ≤ (max−min)·10⁶) so the
+      // median selection below needs no min/max pass of its own
+      val st = idx.agg(count(lit(1)).as("n"),
+        min(col("rev")).as("lo"), max(col("rev")).as("hi")).collect()(0)
+      val tDays  = st.getLong(0)
+      val nPairs = tDays * (tDays - 1) / 2
+      val slopeBound =
+        if (tDays == 0) 0L
+        else (BigInt(st.getLong(2) - st.getLong(1)) * 1000000)
+          .min(Long.MaxValue).toLong
+      // pair generation: explode each t1 into its (t1, T] partner range
+      // and equi-join the partner revenue from a BROADCAST of the
+      // calendar-sized frame. The former `a.join(b, t1 < t2)` was a
+      // broadcast nested-loop join — T² predicate probes producing the
+      // same C(T,2) rows this explode emits directly, and a non-equi
+      // shape no hash strategy can serve (guide §3.1: pick the strategy
+      // deliberately). The explode source is re-spread first: idx comes
+      // out of the calendar window in ONE partition, which would fuse
+      // the whole C(T,2) expansion into one task. sequence() needs the
+      // t1 = T guard because its start > stop form counts DOWN, not
+      // empty. The (slope_ppm-only) pair stream is pinned ONCE; the
+      // median selection below re-reads the pin, never the generation.
       val b = idx.select(col("t").as("t2"), col("rev").as("r2"))
-      val slopes = a.join(b, col("t1") < col("t2"))
+      val slopes = idx
+        .repartition(s.sparkContext.defaultParallelism, col("t"))
+        .select(col("t").as("t1"), col("rev").as("r1"),
+          explode(when(col("t") < lit(tDays),
+            sequence(col("t") + 1, lit(tDays)))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as("t2"))
+        .join(broadcast(b), "t2")
         .withColumn("dr", col("r2") - col("r1"))
         .withColumn("dt", col("t2") - col("t1"))
         .withColumn("mag",
           expr("CAST((CAST(abs(dr) AS DECIMAL(38,0)) * 1000000) div dt AS BIGINT)"))
         .withColumn("slope_ppm",
           when(col("dr") >= 0, col("mag")).otherwise(-col("mag")))
-      // pin the slope-count frame: cum (via globalCumSum's two jobs),
-      // tot, and the final join would otherwise each re-run the
-      // pair join + aggregation through lineage (measured 13.7 s →
-      // the pipeline once; the pin holds (slope, cnt) pairs only,
-      // bounded by C(T,2) over the CALENDAR-sized daily frame)
-      val byv = slopes.groupBy("slope_ppm").agg(count(lit(1)).as("cnt"))
+        .select(col("slope_ppm"))
         .localCheckpoint()
-      val cum = Distributed.globalCumSum(
-        byv, Seq(col("slope_ppm")), col("cnt"), "cum")
-      // n_days and n_pairs both derive from T in closed form
-      // (n_pairs = C(T,2) — every t1<t2 pair exists by construction),
-      // so ONE count over the pinned calendar-sized frame replaces the
-      // two scalar agg jobs + broadcast cross joins this op used to
-      // schedule (its cost is pinned-frame job floors, not data)
-      val tDays  = idx.count()
-      val nPairs = tDays * (tDays - 1) / 2
-      cum.filter(col("cum") * 2 >= lit(nPairs))
-        .orderBy("slope_ppm").limit(1)
-        .select(col("slope_ppm").as("median_slope_ppm"),
-          lit(nPairs).as("n_pairs"), lit(tDays).as("n_days"))
+      // lower median by radix bucket selection (three ≤ 2¹⁶-row
+      // aggregate passes over the pin) — replaces the former
+      // groupBy(slope) + second checkpoint + globalCumSum range
+      // shuffle + partitioned window + TakeOrdered tail, all of which
+      // moved ~C(T,2) rows (slope values barely collide: 2,890,779
+      // distinct of 2,890,810 pairs at sf0.1, so the pre-aggregation
+      // shrank nothing). Same determinate-on-ties lower median.
+      Distributed.lowerMedianLong(slopes, col("slope_ppm"), nPairs,
+        bounds = Some((-slopeBound, slopeBound))) match {
+        case Some(m) =>
+          s.range(1).select(lit(m).as("median_slope_ppm"),
+            lit(nPairs).as("n_pairs"), lit(tDays).as("n_days"))
+        case None => // empty orders: same 0-row shape as the old tail
+          s.range(0).select(lit(0L).as("median_slope_ppm"),
+            lit(nPairs).as("n_pairs"), lit(tDays).as("n_days"))
+      }
     },
     Some(
       """WITH byday AS (

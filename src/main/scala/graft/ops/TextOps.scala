@@ -369,7 +369,10 @@ object TextOps {
   val qDecontaminate = Q(
     "q_decontaminate",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      // one md5 per 13-gram (stride 1) fused on the one-row-group scan
+      // — spread first (no-op at scale; see Tables.spreadForCompute)
+      val docs = Tables.spreadForCompute(
+        Tables.documents(s, d), s, d, "documents")
       def grams(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"), wsTokens(lower(col("text"))).as("t"))
         .filter(size(col("t")) >= 13)
@@ -980,16 +983,25 @@ object TextOps {
       def u(p: Column) = conv(substring(md5(
         concat(col("doc_id").cast("string"), lit("#"), p.cast("string"))),
         1, 8), 16, 10).cast("long")
-      val withArrays = Tables.documents(s, d)
+      // ONE md5 per token position: the start/length arrays both
+      // derive from the same hash draw, so `us` materializes through
+      // its own explode barrier first — the former shape inlined u(p)
+      // into both transforms and hashed every position twice. The
+      // per-position hashing is the query's entire cost and sits fused
+      // on the one-row-group scan — spread it (no-op at scale).
+      val withArrays = Tables
+        .spreadForCompute(Tables.documents(s, d), s, d, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), size(wsTokens(col("text"))).as("n"))
         .filter(col("n") > 0)
         .select(col("doc_id"), col("n"),
+          explode(array(transform(sequence(lit(1), col("n")),
+            p => u(p)))).as("us"))
+        .select(col("doc_id"), col("n"),
           explode(array(struct(
-            transform(sequence(lit(1), col("n")),
-              p => u(p) % 1000 < 50).as("st"),
-            transform(sequence(lit(1), col("n")),
-              p => (floor(u(p) / lit(1000)) % 5 + 1).cast("int"))
+            transform(col("us"), x => x % 1000 < 50).as("st"),
+            transform(col("us"),
+              x => (floor(x / lit(1000)) % 5 + 1).cast("int"))
               .as("ln")))).as("a"))
         .select(col("doc_id"), col("n"),
           col("a.st").as("st"), col("a.ln").as("ln"))
@@ -1234,7 +1246,10 @@ object TextOps {
     "q_winnow",
     (s, d) => {
       import graft.functions.GraftFunctions.winnow_stats
-      Tables.documents(s, d)
+      // one md5 per 16-char gram (the fused kernel) — the whole cost,
+      // fused on the one-row-group scan; spread first (1.08 → 0.50 s
+      // measured at sf0.1×32; no-op at scale)
+      Tables.spreadForCompute(Tables.documents(s, d), s, d, "documents")
         .filter(length(col("text")) >= 16)
         .select(col("doc_id"), winnow_stats(col("text")).as("ws"))
         .select(col("doc_id"), col("ws.n_grams").as("n_grams"),
