@@ -294,10 +294,18 @@ object Bench {
       s""","taskstats":$body"""
     }.getOrElse("")
     def darr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
+    // key order is part of the artifact's robustness (r13 verdict item:
+    // BENCH_r12 reached the driver unparseable): every driver-parsed
+    // field — medians, totals, sf — leads the line, so even a tail
+    // truncation of the (much longer) spread/diagnostic section leaves
+    // the leading fields recoverable; the per-run spreads and
+    // diagnostics trail. Same keys as before, no renames.
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""queries":${medians(results)},"runs":${spreads(results)},""" +
+        s""""queries":${medians(results)},""" +
         s""""tier2_total":${fmt(total2)},"queries_tier2":${medians(results2)},""" +
+        s""""sf":"$sfDir",""" +
+        s""""runs":${spreads(results)},""" +
         s""""runs_tier2":${spreads(results2)},""" +
         s""""sentinels":${darr(p1.sentinels)},"sentinels_tier2":${darr(p2.sentinels)},""" +
         s""""discarded_passes":${p1.discarded},"discarded_passes_tier2":${p2.discarded},""" +
@@ -305,7 +313,7 @@ object Bench {
         s""""resampled_queries":${mapJson(p1.resampled)},""" +
         s""""resampled_queries_tier2":${mapJson(p2.resampled)},""" +
         s""""warm_pass_sec":${fmt(warmPassSec)},""" +
-        s""""failed":$failed$statsJson,"sf":"$sfDir"}"""
+        s""""failed":$failed$statsJson}"""
     println(json)
     // the driver's BENCH_r{N}.json tail truncates at 2000 chars; the
     // full artifact (every median + per-run spread) is also written to

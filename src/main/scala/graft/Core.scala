@@ -69,8 +69,12 @@ object Tables {
 
   /** Tables below this size are never spread: the repartition exchange
     * costs more than the single-task scan it parallelizes (nation,
-    * region, supplier — KB-sized dimensions).
+    * region, supplier — KB-sized dimensions). Conf-overridable ONLY so
+    * the forced-gate equivalence spec can exercise the spread plan at
+    * sf0.01 (where every fixture file sits under the default floor) —
+    * the bench and driver sessions never set it.
     */
+  val SpreadMinBytesConfKey = "spark.graft.scan.spread.minBytes"
   private val SpreadMinBytes = 256L * 1024
 
   /** True iff `name`'s parquet under `sfDir` is row-group-starved:
@@ -81,9 +85,20 @@ object Tables {
     */
   def scanStarved(s: SparkSession, sfDir: String, name: String): Boolean = {
     if (!s.conf.get(SpreadConfKey, "true").toBoolean) return false
+    val floor = s.conf.get(SpreadMinBytesConfKey, SpreadMinBytes.toString).toLong
     val (groups, bytes) = parquetLayout(s, s"$sfDir/$name.parquet")
-    groups < s.sparkContext.defaultParallelism && bytes >= SpreadMinBytes
+    groups < s.sparkContext.defaultParallelism && bytes >= floor
   }
+
+  /** Total on-disk bytes of `name`'s parquet under `sfDir` (memoized
+    * footer/status read — the same metadata [[scanStarved]] touches).
+    * Used to right-size data-dependent layout knobs (e.g. the
+    * deletion-vector bucket count) to the input instead of hardcoding
+    * a production constant that drowns a small fixture in empty
+    * directories.
+    */
+  def tableBytes(s: SparkSession, sfDir: String, name: String): Long =
+    parquetLayout(s, s"$sfDir/$name.parquet")._2
 
   /** OPT-IN scale-adaptive spread for a compute-heavy scan-fused stage
     * (optimization guide §2.5, "input skew: one huge unsplittable file

@@ -199,7 +199,13 @@ object Dedup {
     * skew-safe via [[bandCells]].
     */
   private[graft] def bandPairs(bands: DataFrame, cap: Int): DataFrame = {
-    val cells = bandCells(bands, cap)
+    // pin the band rows: they feed FOUR sub-DAGs below (the bucket-size
+    // pre-pass inside bandCells plus both sides of the self-join), and
+    // for the LSH callers each copy re-derives the whole signature
+    // pipeline — measured r14 (SetsimProbe, warm): the equivalent
+    // un-pinned prefix pipeline executed ~3× inside one action
+    val b = bands.localCheckpoint()
+    val cells = bandCells(b, cap)
     cells
       .as("x")
       .join(
@@ -1535,10 +1541,11 @@ object Dedup {
     // the distinct shingle stream feeds FOUR sub-DAGs (df, the rank
     // join, and both sides of the verification join) — pin it once
     // instead of re-splitting and re-shuffling the corpus per use.
-    // The shingle explode + partial distinct is fused on the
-    // one-row-group scan — spread first (no-op at scale)
-    val toks = Tables
-      .spreadForCompute(Tables.documents(s, d), s, d, "documents")
+    // NOT spread: the r13 close pair measured the spread site as a
+    // fixture-scale LOSS (4.37 → 5.25 s) kept only on a "no-op at
+    // scale" argument; r14 re-measured with the prefix/band pins in
+    // place and confirmed the loss — dropped (see OPTIMIZATION_r14.md)
+    val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(array(split(col("text"), "\\s+"))).as("tk"))
       .select(col("doc_id"),
@@ -1553,9 +1560,15 @@ object Dedup {
     // prefix rows carry the token's rank and the doc size so the
     // PPJoin positional/length filters (Xiao et al., WWW'08) can
     // reject candidates BEFORE the verification join
+    // pin the prefix rows: like bandPairs, they feed the bucket-size
+    // pre-pass AND both self-join sides below — without the pin the
+    // df/sz joins + per-doc rank window over the full shingle stream
+    // execute once PER OCCURRENCE (~3× in the static plan; the r14
+    // before-plan shows three copies of the Window pipeline)
     val prefix = ranked.filter(expr("rk <= sz div 2 + 1"))
       .select(col("doc_id"), lit(0).as("band"), col("tok").as("bv"),
         col("rk"), col("sz"))
+      .localCheckpoint()
     if (!withPpjoinFilters)
       return (toks, sz, bandPairs(prefix, BucketCap))
     // prefix-shingle buckets through the SAME giant-bucket triangle

@@ -266,16 +266,29 @@ object Distributed {
     * is expensive. Returns (group → lower median); groups with zero
     * total weight are absent.
     */
+  /** `statsIn`: caller-provided per-group (total weight, lo, hi) when
+    * those are already known — in closed form from an earlier
+    * aggregate (e.g. the deviation stream's bounds derive from the
+    * value stream's stats once the median is known: n is unchanged,
+    * lo = 0 is provably enclosing because the lower median is an
+    * attained value, hi = max(hi − med, med − lo)) — skipping this
+    * function's own stats job. Bounds may be wider than actual
+    * (vacuous top levels only); narrower would be wrong.
+    */
   def groupedLowerMedianLong(df: DataFrame, group: Column, value: Column,
-      weight: Column): Map[String, Long] = {
+      weight: Column,
+      statsIn: Option[Seq[(String, Long, Long, Long)]] = None)
+      : Map[String, Long] = {
     val v = value.cast("long")
     val wt = weight.cast("long")
     // totals + the level ladder's min/max ride ONE job
-    val stats = df.groupBy(group.as("g"))
-      .agg(sum(wt).as("n"), min(v).as("lo"), max(v).as("hi"))
-      .collect().map(r =>
-        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .filter(_._2 > 0)
+    val stats = statsIn.getOrElse {
+      df.groupBy(group.as("g"))
+        .agg(sum(wt).as("n"), min(v).as("lo"), max(v).as("hi"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    }.filter(_._2 > 0)
     if (stats.isEmpty) return Map.empty
     val totals = stats.map(t => t._1 -> t._2).toMap
     val levels = radixLevels(stats.map(_._3).min, stats.map(_._4).max)

@@ -342,7 +342,11 @@ object Layout {
       keyCol: String, updates: DataFrame): Unit = {
     val table = spark.read.parquet(dir)
     val cols  = table.columns.toSeq
-    val u     = updates.select(cols.map(col): _*)
+    // pin the update batch: its lineage (in the streaming-merge caller,
+    // a per-batch aggregate JOINED against the current state table)
+    // otherwise re-executes in each of the four consumers below
+    // (partition probe, matched-key semi-join, survivor union, write)
+    val u     = updates.select(cols.map(col): _*).localCheckpoint()
     val keys  = u.select(keyCol).distinct()
     val affected = u.select(partCol).distinct()
       .union(table.join(keys, Seq(keyCol), "left_semi").select(partCol).distinct())
@@ -352,7 +356,10 @@ object Layout {
       .filter(inPartitions(partCol, affected))
       .join(keys, Seq(keyCol), "left_anti")
       .select(cols.map(col): _*)
-    val rewritten = survivors.unionByName(u)
+    // pin the rewrite set: the nonEmpty probe and the write below each
+    // re-executed the partition-pruned survivor scan + anti-join — the
+    // whole affected-partition read ran twice per merge
+    val rewritten = survivors.unionByName(u).localCheckpoint()
     val nonEmpty = rewritten.select(partCol).distinct()
       .collect().map(_.get(0)).toSet
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -936,8 +943,10 @@ object Layout {
     * makes GDPR-style point deletes affordable on a 100 TB table
     * where copy-on-write would rewrite terabytes per batch.
     *
-    * `_pos` is materialized at WRITE time (row_number within each of
-    * 256 groups — in a real lakehouse the position is the file
+    * `_pos` is materialized at WRITE time (row_number within each
+    * bucket group — 256 at the production layout, right-sized down by
+    * [[dvBucketCount]] for small inputs; in a real lakehouse the
+    * position is the file
     * ordinal the scanner gets for free, e.g. Iceberg's `_pos`
     * metadata column; materializing keeps it engine-stable for the
     * oracle). The write-side window is bounded by the 256-way group
@@ -964,15 +973,34 @@ object Layout {
     table.join(hinted, Seq("grp", "_pos"), "left_anti")
   }
 
+  /** Bucket-dir count for the deletion-vector table, right-sized to
+    * the INPUT like every other layout knob in this repo (measured
+    * discipline, not a constant): one bucket per ~4 MiB of table
+    * bytes, floored at 8 and capped at the 256-way production layout.
+    * The r13 verdict's top line was this query at 6.4 s — measured
+    * (tools/DvProbe): virtually all of it was the 256-directory
+    * dynamic-partition commit plus three 256-file listings/scans over
+    * a 0.6 MB fixture table (~2 KB per directory). The bucket count is
+    * internal layout only — `_pos` is defined within whatever bucket
+    * its row lands in, both delete batches resolve positions from the
+    * same written table, and the survivor set (the declared result) is
+    * bucket-count-invariant; the oracle never sees `grp`.
+    */
+  private def dvBucketCount(s: SparkSession, d: String): Int = {
+    val bytes = graft.Tables.tableBytes(s, d, "documents")
+    math.max(8L, math.min(256L, bytes / (4L * 1024 * 1024))).toInt
+  }
+
   val qDeletionVectors = Q(
     "q_deletion_vectors",
     (s, d) => {
       val root  = graft.Scratch.dir("deletion_vectors")
       val data  = root.resolve("data").toString
       val dvDir = root.resolve("dv").toString
+      val nb    = dvBucketCount(s, d)
       val w = Window.partitionBy("grp").orderBy("doc_id")
       Tables.documents(s, d)
-        .withColumn("grp", pmod(col("doc_id"), lit(256)).cast("int"))
+        .withColumn("grp", pmod(col("doc_id"), lit(nb)).cast("int"))
         .withColumn("_pos", (row_number().over(w) - 1).cast("long"))
         .write.partitionBy("grp").mode("overwrite").parquet(data)
       val table = s.read.parquet(data)

@@ -352,10 +352,21 @@ object Stats {
             .as("corr_qty_price"))
         .orderBy("l_returnflag"),
     Some(
+      // decimal → double rides THROUGH VARCHAR on the oracle side:
+      // DuckDB casts DECIMAL(38,4) to DOUBLE by converting the int128
+      // mantissa and dividing by 10⁴ — two roundings, one ULP off the
+      // correctly-rounded value once mantissa·10⁴ > 2⁵³ (measured at
+      // sf0.001: syy = 7096786968835.8685 → ...869 vs Spark's
+      // BigDecimal ...868). VARCHAR → DOUBLE is correctly rounded in
+      // both engines, so the oracle now expresses the same conversion
+      // Spark performs; the Spark side is untouched.
       """SELECT l_returnflag, n,
-        |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |    / (sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |        - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |      * sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |        - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
         |    AS corr_qty_price
         |FROM (
         |  SELECT l_returnflag, count(*) AS n,
@@ -505,30 +516,60 @@ object Stats {
         .groupBy(col("g"), col("cents"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint() // feeds both median selections + the rollup
-      // both medians by grouped radix selection (≤ 4 small aggregate
-      // jobs each, shuffling only partially-aggregated bucket counts)
-      // — replaces the per-flag windows, which sorted the whole
-      // counted-value frame in #flags tasks, twice
-      import s.implicits._
+      // both medians by grouped radix selection, sharing ONE stats job
+      // (r13 shipped the shape but its claimed delta did not reproduce
+      // — the saved scans were repaid in small-job floors; this round
+      // removes three of those floors): the deviation stream's stats
+      // derive in closed form from the value stream's (n unchanged,
+      // lo = 0 — the lower median is an attained value — and
+      // hi = max(hi − med, med − lo)), and the per-group med/mad
+      // constants fold into the rollup as literal when-chains instead
+      // of two broadcast-joined 3-row frames (two fewer broadcast
+      // exchanges, one less shuffle input)
+      val stats = byV.groupBy(col("g"))
+        .agg(sum(col("n")).as("tw"), min(col("cents")).as("lo"),
+          max(col("cents")).as("hi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
       val med = Distributed.groupedLowerMedianLong(
-        byV, col("g"), col("cents"), col("n"))
-      val medDf = broadcast(med.toSeq.toDF("g", "med"))
-      // weighted deviations off the pin: |cents − med| with the value's
-      // multiplicity (equal deviations from opposite sides merge by n —
-      // the weighted median and the outlier counts are unchanged)
-      val devW = byV.join(medDf, "g")
-        .select(col("g"), abs(col("cents") - col("med")).as("dev"),
-          col("n"))
-      val mad = Distributed.groupedLowerMedianLong(
-        devW, col("g"), col("dev"), col("n"))
-      val madDf = broadcast(mad.toSeq.toDF("g", "mad"))
-      devW.join(medDf, "g").join(madDf, "g")
-        .groupBy("g")
-        .agg(max(col("med")).as("med_cents"), max(col("mad")).as("mad_cents"),
-          sum(when(col("dev") * 10000 > col("mad") * 44478, col("n"))
-            .otherwise(0L)).as("n_outliers"),
-          sum(col("n")).as("n_rows"))
-        .orderBy("g")
+        byV, col("g"), col("cents"), col("n"), Some(stats))
+      // empty input: no groups, no medians — emit the typed empty frame
+      if (med.isEmpty)
+        byV.select(col("g"), col("cents").as("med_cents"),
+          col("cents").as("mad_cents"), col("n").as("n_outliers"),
+          col("n").as("n_rows")).limit(0)
+      else {
+        def litByG(m: Map[String, Long]): Column = {
+          val gs = m.toSeq.sortBy(_._1)
+          gs.tail.foldLeft(when(col("g") === gs.head._1, lit(gs.head._2))) {
+            case (acc, (g, v)) => acc.when(col("g") === g, lit(v))
+          }
+        }
+        val medCol = litByG(med)
+        val devStats = stats.collect {
+          case (g, tw, lo, hi) if med.contains(g) =>
+            (g, tw, 0L, math.max(hi - med(g), med(g) - lo))
+        }
+        // weighted deviations off the pin: |cents − med| with the
+        // value's multiplicity (equal deviations from opposite sides
+        // merge by n — the weighted median and the outlier counts are
+        // unchanged)
+        val mad = Distributed.groupedLowerMedianLong(
+          byV, col("g"), abs(col("cents") - medCol), col("n"),
+          Some(devStats))
+        val madCol = litByG(mad)
+        byV
+          .select(col("g"), abs(col("cents") - medCol).as("dev"), col("n"))
+          .groupBy("g")
+          .agg(
+            sum(when(col("dev") * 10000 > madCol * 44478, col("n"))
+              .otherwise(0L)).as("n_outliers"),
+            sum(col("n")).as("n_rows"))
+          .select(col("g"), medCol.as("med_cents"), madCol.as("mad_cents"),
+            col("n_outliers"), col("n_rows"))
+          .orderBy("g")
+      }
     },
     Some(
       """WITH cents AS (

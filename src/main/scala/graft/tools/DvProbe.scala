@@ -30,15 +30,25 @@ object DvProbe {
       println(f"  $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    (1 to 2).foreach { round =>
-      println(s"== deletion_vectors round $round ==")
+    // buckets: args override, else both the old 256-dir layout and the
+    // right-sized count (bytes/4MiB clamped to [8, 256]) for an A/B
+    val bucketCounts: Seq[Int] =
+      if (args.nonEmpty) args.map(_.toInt).toSeq
+      else {
+        val bytes = graft.Tables.tableBytes(s, d, "documents")
+        val adaptive =
+          math.max(8L, math.min(256L, bytes / (4L * 1024 * 1024))).toInt
+        Seq(256, adaptive).distinct
+      }
+    for (nb <- bucketCounts; round <- 1 to 2) {
+      println(s"== deletion_vectors buckets=$nb round $round ==")
       val root  = graft.Scratch.dir("dv_probe")
       val data  = root.resolve("data").toString
       val dvDir = root.resolve("dv").toString
       val w = Window.partitionBy("grp").orderBy("doc_id")
-      t("data write (256 bucket dirs)") {
+      t(s"data write ($nb bucket dirs)") {
         graft.Tables.documents(s, d)
-          .withColumn("grp", pmod(col("doc_id"), lit(256)).cast("int"))
+          .withColumn("grp", pmod(col("doc_id"), lit(nb)).cast("int"))
           .withColumn("_pos", (row_number().over(w) - 1).cast("long"))
           .write.partitionBy("grp").mode("overwrite").parquet(data)
       }
