@@ -1541,11 +1541,16 @@ object Dedup {
     // the distinct shingle stream feeds FOUR sub-DAGs (df, the rank
     // join, and both sides of the verification join) — pin it once
     // instead of re-splitting and re-shuffling the corpus per use.
-    // NOT spread: the r13 close pair measured the spread site as a
-    // fixture-scale LOSS (4.37 → 5.25 s) kept only on a "no-op at
-    // scale" argument; r14 re-measured with the prefix/band pins in
-    // place and confirmed the loss — dropped (see OPTIMIZATION_r14.md)
-    val toks = Tables.documents(s, d)
+    // SPREAD KEPT, re-vindicated with the r14 pins in place: r13's
+    // close pair measured this site as a loss (4.37 → 5.25 s) when the
+    // un-pinned pipeline re-executed per consumer; with prefix/bands
+    // pinned the scan-fused shingle explode+distinct runs exactly ONCE,
+    // so parallelizing it pays again — same-box A/B (sentinels
+    // 0.22–0.32): with spread 4.86–5.9 s vs without 5.20–6.5 s
+    // (OPTIMIZATION_r14.md has the full runs). No-op at scale by the
+    // row-group gate either way.
+    val toks = Tables
+      .spreadForCompute(Tables.documents(s, d), s, d, "documents")
       .select(col("doc_id"),
         explode(array(split(col("text"), "\\s+"))).as("tk"))
       .select(col("doc_id"),
