@@ -179,34 +179,43 @@ object Distributed {
 
   /** Exact LOWER MEDIAN of a BIGINT column — the smallest value v with
     * 2·cum(v) ≥ n (the repo's determinate-on-ties convention) — by
-    * RADIX BUCKET SELECTION instead of a ranged cum-sum: three
-    * aggregate passes over `df` at bucket widths 2³², 2¹⁶, 2⁰
+    * RADIX BUCKET SELECTION instead of a ranged cum-sum: ≤ 4
+    * aggregate passes over `df` at the [[radixLevels]] ladder
     * (arithmetic shiftright is order-preserving, negatives included),
-    * each collecting ≤ 2¹⁶ (bucket, count) rows and narrowing to the
+    * each collecting ≤ 2¹⁷ (bucket, count) rows and narrowing to the
     * bucket whose cumulative count crosses n/2.
     *
     * Versus the [[globalCumSum]] form this replaces for the pair-slope
     * median: no range repartition of the value stream (the shuffles
-    * here carry ≤ 2¹⁶ partially-aggregated bucket rows), no
+    * here carry ≤ 2¹⁷ partially-aggregated bucket rows), no
     * partitioned window, no checkpoint of the shuffled stream, and no
     * driver ordering of anything larger than one bucket level. The
     * caller should pin `df` (localCheckpoint) when its lineage is
-    * expensive — the three passes each re-read it.
+    * expensive — the level passes each re-read it.
     *
     * `n` must be `df`'s exact row count (the caller usually knows it
-    * in closed form). Returns None for n ≤ 0. Driver state: ≤ 3·2¹⁶
+    * in closed form). Returns None for n ≤ 0. Driver state: ≤ 4·2¹⁷
     * scalars, independent of the data scale.
     */
   /** Radix levels (shift amounts) for a value range: the highest level
-    * must bucket [lo, hi] into ≤ 2¹⁶ buckets so every per-level
-    * collect is bounded; each subsequent level refines by 2¹⁶.
-    * A range within one bucket width (2¹⁶) needs only the exact level.
+    * must bucket [lo, hi] into ≤ 2¹⁷ buckets so every per-level
+    * collect is bounded, and each refinement gap is ≤ 17 bits (the
+    * filtered stream then lands in ≤ 2¹⁷ buckets again). The top shift
+    * is the smallest that clears the cap — not a multiple of the gap —
+    * so a 2⁵¹ range resolves in THREE passes (shifts 34/17/0) where
+    * the former 16-bit ladder took four (48/32/16/0); each level pass
+    * is a full scan of the (pinned) value stream, so one fewer level
+    * is one fewer scan (measured on q_theil_sen's 2.89 M-row pair
+    * stream, r14). Driver state stays ≤ #levels · 2¹⁷ scalars,
+    * independent of the data scale. A range within one bucket width
+    * needs only the exact level.
     */
   private def radixLevels(lo: Long, hi: Long): Seq[Int] = {
     val range = BigInt(hi) - BigInt(lo) // exact for the full Long domain
     var top = 0
-    while (top < 48 && (range >> top) >= (1L << 16)) top += 16
-    (top to 0 by -16)
+    while ((range >> top) >= (1L << 17)) top += 1
+    val ladder = top to 0 by -17
+    if (ladder.last == 0) ladder else ladder :+ 0
   }
 
   /** `bounds`: a PROVABLY-enclosing (lo, hi) the caller already knows
@@ -259,8 +268,8 @@ object Distributed {
     * string `group` column, the smallest v with 2·cumweight(v) ≥
     * totalweight(group). Groups are selected in lockstep — each radix
     * level is ONE aggregate pass computing every group's bucket counts
-    * (≤ #groups · 2¹⁶ collected rows per level), so the total job
-    * count stays 1 (totals) + 3 (levels) regardless of group count.
+    * (≤ #groups · 2¹⁷ collected rows per level), so the total job
+    * count stays 1 (totals) + #levels regardless of group count.
     * For the per-category medians this serves (return-flag groups),
     * #groups is catalog-bounded. The caller pins `df` when its lineage
     * is expensive. Returns (group → lower median); groups with zero
